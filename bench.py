@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is fully materialized through the noop sink (executes the
+whole physical plan, including exchanges, without collect() driver
+funneling — the honest number for scan->shuffle->agg pipelines).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from boostdb_spark import suite  # noqa: E402
+from boostdb_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_series_scan",
+    "scan_timerange",
+    "where_ops",
+    "projection_compute",
+    "join_inner",
+    "join_dims",
+    "join_implicit_where",
+    "agg_groupby_q1",
+    "agg_stats",
+    "orderby_limit_topk",
+    "window_delta",
+    "window_topk_per_group",
+    "time_bucket_agg",
+    "resample_first_last",
+    "gapfill_locf",
+    "asof_join_backward",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="boostdb-bench")
+    registry = suite.spark_queries()
+
+    # one warmup to exclude JVM/codegen cold start from per-query numbers
+    registry["flagship_series_scan"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

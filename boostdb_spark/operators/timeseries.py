@@ -1,0 +1,287 @@
+"""Time-series operators — the "rich set of time-series functions" the
+reference declares as its north star (reference README.md:8) but never
+implements. All are declarative DataFrame compositions: Catalyst keeps
+them in whole-stage codegen; no Python hits the hot path.
+
+Conventions: ``ts`` may be TimestampType or INT64 nanoseconds (the
+reference is ns-native, core/seriesfamily.go:23; the driver's ``events``
+fixture reads as INT64 ns under ``nanosAsLong``). Operators accept either
+and say which they return.
+
+Scale notes per operator are inline — each was designed for a
+1000-executor / 100 TB shape first, then tested at small SF.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_SEC = 1_000_000_000
+
+
+def _is_long_ts(df: DataFrame, ts_col: str) -> bool:
+    return dict(df.dtypes)[ts_col] in ("bigint", "long")
+
+
+def time_bucket(
+    df: DataFrame,
+    bucket_seconds: int,
+    ts_col: str = "ts",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row to a tumbling time bucket (floor of ts).
+
+    INT64-ns input -> INT64-ns bucket start (pure integer arithmetic, so
+    a DuckDB oracle reproduces it bit-exactly); timestamp input ->
+    timestamp bucket via ``F.window``. At scale this is a narrow map —
+    no shuffle until the downstream groupBy, which AQE coalesces.
+    """
+    if _is_long_ts(df, ts_col):
+        span = bucket_seconds * NS_PER_SEC
+        b = (F.col(ts_col) - (F.col(ts_col) % F.lit(span))).cast("long")
+        return df.withColumn(out_col, b)
+    w = F.window(F.col(ts_col), f"{bucket_seconds} seconds")
+    return df.withColumn(out_col, w.start)
+
+
+def bucket_agg(
+    df: DataFrame,
+    bucket_seconds: int,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window aggregate: the reference's time-sliced execution
+    (query/executor/executor.go:239-252) expressed as a single grouped
+    aggregation instead of a driver loop over slices.
+
+    One shuffle on (bucket, keys); map-side partial aggregation is
+    automatic. Survives 100x data: bucket keys are dense and uniform, so
+    no skew; AQE coalesces small reduce partitions.
+    """
+    bdf = time_bucket(df, bucket_seconds, ts_col=ts_col)
+    return bdf.groupBy("bucket", *keys).agg(*aggs)
+
+
+def _series_window(series_cols: Sequence[str], ts_col: str, order_extra: Sequence[str] = ()):
+    return Window.partitionBy(*series_cols).orderBy(ts_col, *order_extra)
+
+
+def delta(
+    df: DataFrame,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    out_col: str = "delta",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """value - lag(value) per series, time-ordered.
+
+    The per-series ordered traversal the reference's merge iterator
+    provides (client/boostseriesiterator.go:301-343), as a window
+    function. One shuffle on the series key; at 100 TB, series cardinality
+    is high so partitions are balanced.
+    """
+    w = _series_window(series_cols, ts_col, order_extra)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def rate(
+    df: DataFrame,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    out_col: str = "rate",
+    order_extra: Sequence[str] = (),
+    ticks_per_second: float = float(NS_PER_SEC),
+) -> DataFrame:
+    """Per-second rate of change between consecutive datapoints of a
+    series: (v - lag(v)) / ((ts - lag(ts)) / ticks_per_second), for an
+    integer ``ts`` column (ns by default; pass 1e6 for µs ticks).
+    NULL on the first point of each series and on zero time gaps.
+    """
+    w = _series_window(series_cols, ts_col, order_extra)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    dt = (F.col(ts_col) - F.lag(ts_col).over(w)).cast("double")
+    return df.withColumn(
+        out_col, F.when(dt > 0, dv / (dt / F.lit(float(ticks_per_second))))
+    )
+
+
+def resample(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    how: str = "avg",
+) -> DataFrame:
+    """Downsample each series to one row per bucket (avg/min/max/sum/
+    count/first/last). Returns (series..., bucket, value).
+
+    first/last are time-ordered via max_by/min_by on ts — a single
+    hash aggregate, no window shuffle.
+    """
+    bdf = time_bucket(df, bucket_seconds, ts_col=ts_col)
+    v = F.col(value_col)
+    fns = {
+        "avg": F.avg(v),
+        "min": F.min(v),
+        "max": F.max(v),
+        "sum": F.sum(v),
+        "count": F.count(v),
+        "first": F.min_by(v, F.col(ts_col)),
+        "last": F.max_by(v, F.col(ts_col)),
+    }
+    if how not in fns:
+        raise ValueError(f"how must be one of {sorted(fns)}")
+    return bdf.groupBy(*series_cols, "bucket").agg(fns[how].alias(value_col))
+
+
+def gap_fill(
+    resampled: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    fill: str = "locf",
+) -> DataFrame:
+    """Fill missing buckets per series between its min and max bucket.
+
+    ``fill``: 'null' (emit row, NULL value), 'locf' (last observation
+    carried forward), 'zero'. INT64-ns buckets.
+
+    Scale: the bucket spine is generated per series with ``sequence`` +
+    ``explode`` (distributed, no driver loop); LOCF is a
+    ``last(value, ignorenulls=True)`` running window per series.
+    """
+    span = bucket_seconds * NS_PER_SEC
+    spine = (
+        resampled.groupBy(*series_cols)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            *series_cols,
+            F.explode(F.sequence(F.col("_b0"), F.col("_b1"), F.lit(span))).alias("bucket"),
+        )
+    )
+    joined = spine.join(resampled, on=[*series_cols, "bucket"], how="left")
+    if fill == "null":
+        return joined
+    if fill == "zero":
+        return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+    if fill == "locf":
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return joined.withColumn(
+            value_col, F.last(F.col(value_col), ignorenulls=True).over(w)
+        )
+    raise ValueError(f"unknown fill: {fill}")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    tolerance_ns: int | None = None,
+    suffix: str = "_right",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (direction='backward'; 'forward' = earliest
+    right row with ``right.ts >= left.ts``), matched on equi-keys ``on``.
+    The natural time-series completion of the reference's declared join
+    surface (query/parser/joinparser.go:84-201 parses joins; the op body
+    is empty, query/base/queryops.go:60-66).
+
+    Implementation: union the two sides tagged by origin, one window
+    partitioned by the equi-keys ordered by (ts, origin), LOCF the right
+    side's payload onto left rows. ONE shuffle on the join keys — no
+    range-explode, no broadcast of the right side — so it scales to both
+    sides being 100 TB streams. Tolerance filters matches further away
+    than ``tolerance_ns``. Ties (equal ts): right row sorts before left
+    for 'backward' (<= semantics) and also matches for 'forward' (>=).
+    """
+    on = list(on)
+    rts = right_ts_col or ts_col
+    rpayload = [c for c in right.columns if c not in on and c != rts]
+    lts_type = dict(left.dtypes)[ts_col]
+
+    l2 = left.withColumn("_side", F.lit(1))
+    r2 = right.select(
+        *on,
+        F.col(rts).cast(lts_type).alias(ts_col),
+        F.col(rts).cast("long").alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in rpayload],
+    ).withColumn("_side", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    filled = u.select(
+        *left.columns,
+        F.col("_side"),
+        pick(F.col("_r_ts")).over(w).alias("_r_ts"),
+        *[pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}") for c in rpayload],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_ns is not None:
+        gap = (
+            (F.col(ts_col).cast("long") - F.col("_r_ts"))
+            if direction == "backward"
+            else (F.col("_r_ts") - F.col(ts_col).cast("long"))
+        )
+        keep = gap <= F.lit(tolerance_ns)
+        out = out.select(
+            *left.columns,
+            F.when(keep, F.col("_r_ts")).alias("_r_ts"),
+            *[F.when(keep, F.col(f"_r_{c}")).alias(f"_r_{c}") for c in rpayload],
+        )
+    for c in rpayload:
+        new = f"{c}{suffix}" if c in left.columns else c
+        out = out.withColumnRenamed(f"_r_{c}", new)
+    return out.withColumnRenamed("_r_ts", f"{ts_col}{suffix}")
+
+
+def topk_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: Sequence[str],
+    order_col: str,
+    ascending: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k rows per group (e.g. top series per time bucket).
+
+    row_number over a per-group window: single shuffle, no global sort.
+    Deterministic via explicit tiebreak columns.
+    """
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [oc, *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

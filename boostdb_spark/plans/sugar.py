@@ -1,0 +1,479 @@
+"""The boostdb SQL-dialect front: parse -> logical query -> DataFrame.
+
+The reference parses its dialect with the TiDB parser into ``QueryOps``
+(query/parser/parser.go:25-52), plans a fetch/select/where DAG
+(query/executor/planner.go:115-243), and hand-executes it row by row
+(query/executor/executor.go:184-274). Here the same dialect —
+
+    SELECT [alias.]series[.attribute] [, ...]
+    FROM domain.family [alias]
+    [WHERE <expr over the same sugared names>]
+    [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
+
+— is parsed by a small recursive-descent parser into a ``BoostQuery``
+(the QueryOps analog) and *planned onto a Spark DataFrame*, so Catalyst
+is the optimizer and executor. Name sugar implemented exactly as the
+reference declares it (query/parser/selectfieldparser.go:100-135,
+whereparser.go:271-285):
+
+- ``series``              -> that series' value column        (value sugar)
+- ``series.attr``         -> per-datapoint attribute column
+- ``alias.series.attr``   -> ditto, alias-qualified
+- every query carries an implicit ``[start, end)`` time range
+  (query/executor/executor.go:145-147) passed programmatically, never
+  in the SQL.
+
+GROUP BY / HAVING / ORDER BY / LIMIT are *declared-only* stubs in the
+reference (query/base/expression.go:22-32); the dialect here implements
+them. Comparison coercion follows ANSI Spark semantics, deliberately not
+the reference's left-type-wins quirks (SURVEY.md section 1.2).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Binding: how a series-family maps onto a physical table
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SeriesFamilyBinding:
+    """Maps ``domain.family`` to a registered table and its canonical
+    columns. The driver's ``events`` fixture plays the series-family role
+    with ``event_type`` as the series name (FIXTURES.md section 2)."""
+
+    view: str  # registered Spark view name
+    series_col: str = "series"
+    value_col: str = "value"
+    ts_col: str = "ts"
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d+|\.\d+|\d+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "from", "where", "and", "or", "not", "in", "between", "like",
+    "is", "null", "as", "group", "by", "having", "order", "limit", "asc",
+    "desc", "join", "inner", "cross", "on", "true", "false",
+}
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"cannot tokenize at: {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup == "name":
+            v = m.group("name")
+            if v.lower() in _KEYWORDS and "." not in v:
+                toks.append(("kw", v.lower()))
+            else:
+                toks.append(("name", v))
+        elif m.lastgroup == "num":
+            toks.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            toks.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        else:
+            toks.append(("op", m.group("op")))
+    toks.append(("eof", ""))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# AST (QueryOps analog — query/base/queryops.go:11-21)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class FieldRef:
+    """A sugared column reference (selectfieldparser.go:100-135)."""
+
+    parts: tuple[str, ...]
+    alias: str | None = None  # AS name (parsed but unused in ref, :88)
+
+
+@dataclass
+class Expr:
+    kind: str  # 'cmp' | 'and' | 'or' | 'not' | 'in' | 'between' | 'like' | 'isnull' | 'lit' | 'ref'
+    op: str | None = None
+    children: list["Expr"] = field(default_factory=list)
+    value: object = None  # literal value or FieldRef
+
+
+@dataclass
+class BoostQuery:
+    """IR #1 — the QueryOps analog (query/base/queryops.go:11-21)."""
+
+    fields: list[FieldRef]
+    domain: str
+    family: str
+    source_alias: str | None
+    where: Expr | None
+    group_by: list[FieldRef] = field(default_factory=list)
+    having: Expr | None = None
+    order_by: list[tuple[FieldRef, bool]] = field(default_factory=list)  # (ref, desc)
+    limit: int | None = None
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str):
+        t = self.next()
+        if t != ("kw", kw):
+            raise ValueError(f"expected {kw.upper()}, got {t}")
+
+    def accept_kw(self, kw: str) -> bool:
+        if self.peek() == ("kw", kw):
+            self.i += 1
+            return True
+        return False
+
+    def accept_op(self, op: str) -> bool:
+        if self.peek() == ("op", op):
+            self.i += 1
+            return True
+        return False
+
+    # query := SELECT fields FROM name [alias] [WHERE expr] [GROUP BY ...]
+    #          [HAVING expr] [ORDER BY ...] [LIMIT n]
+    def parse_query(self) -> BoostQuery:
+        self.expect_kw("select")
+        fields = [self.parse_field()]
+        while self.accept_op(","):
+            fields.append(self.parse_field())
+        self.expect_kw("from")
+        kind, src = self.next()
+        if kind != "name":
+            raise ValueError(f"expected source name, got {src!r}")
+        parts = src.split(".")
+        if len(parts) != 2:
+            # single-statement, one-source rule as in parser.go:36-38
+            raise ValueError("FROM requires qualified domain.family")
+        domain, family = parts
+        alias = None
+        if self.peek()[0] == "name":
+            alias = self.next()[1]
+        where = None
+        if self.accept_kw("where"):
+            where = self.parse_or()
+        group_by: list[FieldRef] = []
+        having = None
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group_by.append(self.parse_field())
+            while self.accept_op(","):
+                group_by.append(self.parse_field())
+            if self.accept_kw("having"):
+                having = self.parse_or()
+        order_by: list[tuple[FieldRef, bool]] = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                f2 = self.parse_field()
+                desc = False
+                if self.accept_kw("desc"):
+                    desc = True
+                else:
+                    self.accept_kw("asc")
+                order_by.append((f2, desc))
+                if not self.accept_op(","):
+                    break
+        limit = None
+        if self.accept_kw("limit"):
+            kind, v = self.next()
+            if kind != "num":
+                raise ValueError("LIMIT requires a number")
+            limit = int(v)
+        if self.peek()[0] != "eof":
+            raise ValueError(f"trailing tokens at {self.peek()}")
+        return BoostQuery(fields, domain, family, alias, where, group_by, having, order_by, limit)
+
+    def parse_field(self) -> FieldRef:
+        kind, v = self.next()
+        if kind != "name":
+            raise ValueError(f"expected field name, got {v!r} (explicit names required, selectfieldparser.go:108-114)")
+        alias = None
+        if self.accept_kw("as"):
+            k2, a = self.next()
+            if k2 != "name":
+                raise ValueError("expected alias after AS")
+            alias = a
+        return FieldRef(tuple(v.split(".")), alias)
+
+    # WHERE grammar (whereparser.go:132-290 + the declared-absent ops)
+    def parse_or(self) -> Expr:
+        left = self.parse_and()
+        while self.accept_kw("or"):
+            right = self.parse_and()
+            left = Expr("or", children=[left, right])
+        return left
+
+    def parse_and(self) -> Expr:
+        left = self.parse_not()
+        while self.accept_kw("and"):
+            right = self.parse_not()
+            left = Expr("and", children=[left, right])
+        return left
+
+    def parse_not(self) -> Expr:
+        if self.accept_kw("not"):
+            return Expr("not", children=[self.parse_not()])
+        return self.parse_predicate()
+
+    def parse_predicate(self) -> Expr:
+        if self.accept_op("("):
+            e = self.parse_or()
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced parenthesis")
+            return e
+        operand = self.parse_operand()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            op = "!=" if t[1] == "<>" else t[1]
+            return Expr("cmp", op=op, children=[operand, self.parse_operand()])
+        if t == ("kw", "is"):
+            self.next()
+            neg = self.accept_kw("not")
+            self.expect_kw("null")
+            e = Expr("isnull", children=[operand])
+            return Expr("not", children=[e]) if neg else e
+        negated = False
+        if t == ("kw", "not"):
+            self.next()
+            negated = True
+            t = self.peek()
+        if t == ("kw", "in"):
+            self.next()
+            if not self.accept_op("("):
+                raise ValueError("IN requires a list")
+            items = [self.parse_operand()]
+            while self.accept_op(","):
+                items.append(self.parse_operand())
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced IN list")
+            e = Expr("in", children=[operand, *items])
+        elif t == ("kw", "between"):
+            self.next()
+            lo = self.parse_operand()
+            self.expect_kw("and")
+            hi = self.parse_operand()
+            e = Expr("between", children=[operand, lo, hi])
+        elif t == ("kw", "like"):
+            self.next()
+            pat = self.parse_operand()
+            e = Expr("like", children=[operand, pat])
+        else:
+            # bare boolean operand
+            e = operand
+        return Expr("not", children=[e]) if negated else e
+
+    def parse_operand(self) -> Expr:
+        kind, v = self.next()
+        if kind == "num":
+            # SQL decimals coerce to float64, ints to int64
+            # (whereparser.go:223-246)
+            return Expr("lit", value=float(v) if "." in v else int(v))
+        if kind == "str":
+            return Expr("lit", value=v)
+        if kind == "kw" and v in ("true", "false"):
+            return Expr("lit", value=(v == "true"))
+        if kind == "kw" and v == "null":
+            return Expr("lit", value=None)
+        if kind == "name":
+            return Expr("ref", value=FieldRef(tuple(v.split("."))))
+        raise ValueError(f"unexpected operand {v!r}")
+
+
+def parse(sql: str) -> BoostQuery:
+    """Parse boost-dialect SQL into a :class:`BoostQuery` (single
+    statement only, as in parser.go:36-38)."""
+    return _Parser(_tokenize(sql)).parse_query()
+
+
+# --------------------------------------------------------------------------
+# Planner: BoostQuery -> DataFrame (planner.go:115-243 collapsed into
+# Catalyst — fetch nodes become a filtered scan, select nodes a projection,
+# the where node a Catalyst Filter)
+# --------------------------------------------------------------------------
+
+
+class _Resolver:
+    """Resolves sugared names against one source binding and collects the
+    set of referenced series (each series the reference would plan a
+    FetchSeries node for, planner.go:149-157)."""
+
+    def __init__(self, q: BoostQuery, binding: SeriesFamilyBinding):
+        self.q = q
+        self.b = binding
+        self.series: set[str] = set()
+
+    def strip_alias(self, parts: tuple[str, ...]) -> tuple[str, ...]:
+        if self.q.source_alias and len(parts) > 1 and parts[0] == self.q.source_alias:
+            return parts[1:]
+        return parts
+
+    def resolve(self, ref: FieldRef) -> tuple[str, str]:
+        """-> (series, physical column)."""
+        parts = self.strip_alias(ref.parts)
+        if len(parts) == 1:
+            self.series.add(parts[0])
+            return parts[0], self.b.value_col  # value sugar
+        if len(parts) == 2:
+            series, attr = parts
+            self.series.add(series)
+            col = self.b.value_col if attr == "value" else attr
+            return series, col
+        raise ValueError(f"cannot resolve field {'.'.join(ref.parts)}")
+
+    def default_name(self, ref: FieldRef) -> str:
+        if ref.alias:
+            return ref.alias
+        parts = self.strip_alias(ref.parts)
+        return parts[-1] if len(parts) > 1 else self.b.value_col
+
+
+def _compile_expr(e: Expr, res: _Resolver) -> Column:
+    if e.kind == "lit":
+        return F.lit(e.value)
+    if e.kind == "ref":
+        _, col = res.resolve(e.value)
+        return F.col(col)
+    if e.kind == "cmp":
+        left, right = (_compile_expr(c, res) for c in e.children)
+        return {
+            "=": left == right,
+            "!=": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+        }[e.op]
+    if e.kind == "and":
+        return _compile_expr(e.children[0], res) & _compile_expr(e.children[1], res)
+    if e.kind == "or":
+        return _compile_expr(e.children[0], res) | _compile_expr(e.children[1], res)
+    if e.kind == "not":
+        return ~_compile_expr(e.children[0], res)
+    if e.kind == "isnull":
+        return _compile_expr(e.children[0], res).isNull()
+    if e.kind == "in":
+        return _compile_expr(e.children[0], res).isin(
+            *[c.value for c in e.children[1:]]
+        )
+    if e.kind == "between":
+        a, lo, hi = (_compile_expr(c, res) for c in e.children)
+        return a.between(lo, hi)
+    if e.kind == "like":
+        return _compile_expr(e.children[0], res).like(e.children[1].value)
+    raise ValueError(f"unknown expr kind {e.kind}")
+
+
+def plan(
+    spark: SparkSession,
+    q: BoostQuery,
+    binding: SeriesFamilyBinding,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Plan a BoostQuery onto a DataFrame.
+
+    The reference's plan DAG (family -> series -> select -> where,
+    planner.go:115-243) becomes: scan -> series filter (the FetchSeries
+    fan-out collapses into one ``isin`` predicate that parquet row-group
+    stats can skip on) -> implicit time range -> WHERE -> projection ->
+    group/having/order/limit. Catalyst then pushes the filters into the
+    scan — visible as PushedFilters in ``.explain``.
+    """
+    res = _Resolver(q, binding)
+    sel: list[tuple[str, str]] = []  # (alias, physical col)
+    for f in q.fields:
+        _, col = res.resolve(f)
+        sel.append((res.default_name(f), col))
+    where_col = _compile_expr(q.where, res) if q.where else None
+
+    df = spark.table(binding.view)
+    series = sorted(res.series)
+    if len(series) == 1:
+        df = df.filter(F.col(binding.series_col) == series[0])
+    elif series:
+        df = df.filter(F.col(binding.series_col).isin(series))
+    # implicit [start, end) time range (executor.go:145-147, 239-252)
+    if start is not None:
+        df = df.filter(F.col(binding.ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(binding.ts_col) < F.lit(end))
+    if where_col is not None:
+        df = df.filter(where_col)
+
+    if q.group_by:
+        gcols = [
+            F.col(res.resolve(g)[1]).alias(res.default_name(g)) for g in q.group_by
+        ]
+        gphys = {res.resolve(g)[1] for g in q.group_by}
+        # non-grouped select fields default to AVG (the dialect has no
+        # aggregate-function syntax yet; GROUP BY itself is a declared-only
+        # stub in the reference, query/base/expression.go:22-25)
+        aggs = [F.avg(col).alias(alias) for alias, col in sel if col not in gphys]
+        df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+    else:
+        df = df.select(*[F.col(col).alias(alias) for alias, col in sel])
+
+    if q.having is not None:
+        df = df.filter(_compile_expr(q.having, res))
+    if q.order_by:
+        order = []
+        for ref, desc in q.order_by:
+            name = res.default_name(ref)
+            target = name if name in df.columns else res.resolve(ref)[1]
+            order.append(F.col(target).desc() if desc else F.col(target).asc())
+        df = df.orderBy(*order)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def query(
+    spark: SparkSession,
+    sql: str,
+    binding: SeriesFamilyBinding,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Parse + plan in one call — the reference's
+    ``Parser.Parse -> Planner.GeneratePlan -> Executor`` lifecycle
+    (SURVEY.md section 3.1) as a single declarative step."""
+    return plan(spark, parse(sql), binding, start=start, end=end)

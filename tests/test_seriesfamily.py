@@ -1,0 +1,86 @@
+"""Series-family storage layer: the programmatic write/fetch path
+(reference: client/m3dbseriesfamily.go Write/Fetch + merge iterator)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from boostdb_spark.sources import SeriesFamily
+
+
+@pytest.fixture
+def family(spark, tmp_path):
+    return SeriesFamily(spark, "bTestDomain", "bTestSF", str(tmp_path))
+
+
+def _fixture_df(spark):
+    # the reference e2e fixture: 10 points of cpu_utilization with tags
+    # dc/env and per-point host attribute (executor_test.go:127-177)
+    rows = [
+        (
+            "cpu_utilization",
+            1_704_067_200_000_000_000 + i * 1_000_000_000,
+            float(i + 1),
+            "dc1",
+            "test",
+            f"host-{i:07d}",
+        )
+        for i in range(10)
+    ]
+    return spark.createDataFrame(
+        rows, "series string, ts long, value double, dc string, env string, host string"
+    )
+
+
+def test_write_fetch_roundtrip(spark, family):
+    family.write(_fixture_df(spark))
+    out = family.fetch("cpu_utilization").collect()
+    assert len(out) == 10
+    # ordered by ts within series (merge-iterator contract,
+    # boostseriesiterator.go:301-343)
+    ts = [r.ts for r in out]
+    assert ts == sorted(ts)
+    assert [r.value for r in out] == [float(i + 1) for i in range(10)]
+    assert out[0].host == "host-0000000"
+
+
+def test_fetch_time_range_half_open(spark, family):
+    family.write(_fixture_df(spark))
+    t0 = 1_704_067_200_000_000_000
+    out = family.fetch(
+        "cpu_utilization", start=t0 + 2_000_000_000, end=t0 + 5_000_000_000
+    ).collect()
+    assert [r.value for r in out] == [3.0, 4.0, 5.0]  # [start, end) — i in [2,5)
+
+
+def test_schema_evolution_on_append(spark, family):
+    """Attributes appear on first write (symtable dynamic creation,
+    core/symtable.go:288-321) -> mergeSchema on read."""
+    family.write(_fixture_df(spark))
+    extra = spark.createDataFrame(
+        [("mem_utilization", 1_704_067_200_000_000_000, 42.0, "zone-a")],
+        "series string, ts long, value double, zone string",
+    )
+    family.write(extra)
+    df = family.read()
+    assert "zone" in df.columns and "host" in df.columns
+    assert df.count() == 11
+
+
+def test_partitioned_layout_prunes(spark, family):
+    """Date partitioning must actually prune: fetch of one day reads one
+    partition directory."""
+    df = _fixture_df(spark)
+    # spread across two days
+    df2 = df.withColumn(
+        "ts",
+        F.when(F.col("value") > 5.0, F.col("ts") + F.lit(86_400_000_000_000)).otherwise(
+            F.col("ts")
+        ),
+    )
+    family.write(df2)
+    pruned = family.fetch(
+        "cpu_utilization",
+        start=1_704_067_200_000_000_000,
+        end=1_704_067_200_000_000_000 + 86_400_000_000_000,
+    )
+    assert pruned.count() == 5

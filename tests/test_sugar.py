@@ -1,0 +1,92 @@
+"""Dialect front tests — mirrors the reference's parser/planner tests
+(query/parser/parser_test.go:10-59, query/executor/planner_test.go:13-88)."""
+
+import pytest
+
+from boostdb_spark.plans import sugar
+from boostdb_spark.plans.sugar import SeriesFamilyBinding, parse
+
+
+def test_parse_fields_value_sugar():
+    # parser_test.go:20-26 — `select a, b from j.s testAlias` with value sugar
+    q = parse("SELECT a, b FROM j.s testAlias")
+    assert [f.parts for f in q.fields] == [("a",), ("b",)]
+    assert (q.domain, q.family, q.source_alias) == ("j", "s", "testAlias")
+    assert q.where is None
+
+
+def test_parse_where_tree():
+    # parser_test.go:38-49 analog
+    q = parse("SELECT a FROM j.s WHERE a < 100.0 AND (a.host = 'h1' OR a >= 5)")
+    assert q.where is not None
+    assert q.where.kind == "and"
+
+
+def test_parse_attr_and_alias_resolution():
+    q = parse("SELECT al.cpu.host, al.cpu FROM d.f al WHERE al.cpu < 10")
+    b = SeriesFamilyBinding(view="v", series_col="series")
+    res = sugar._Resolver(q, b)
+    assert res.resolve(q.fields[0]) == ("cpu", "host")
+    assert res.resolve(q.fields[1]) == ("cpu", "value")
+
+
+def test_parse_extended_predicates():
+    q = parse(
+        "SELECT a FROM d.f WHERE a BETWEEN 1 AND 5 OR a.tag IN ('x','y') "
+        "OR a.tag LIKE 'h%' OR a IS NOT NULL OR NOT a = 3"
+    )
+    assert q.where is not None
+
+
+def test_parse_group_order_limit():
+    q = parse("SELECT a.host, a FROM d.f GROUP BY a.host ORDER BY a DESC LIMIT 5")
+    assert [f.parts for f in q.group_by] == [("a", "host")]
+    assert q.order_by[0][1] is True
+    assert q.limit == 5
+
+
+def test_parse_rejects_bad_sql():
+    # explicit names required (selectfieldparser.go:108-114)
+    with pytest.raises(ValueError):
+        parse("SELECT FROM d.f")
+    with pytest.raises(ValueError):
+        parse("SELECT a FROM unqualified")
+
+
+def test_plan_executes_flagship(spark):
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING, S_NS, E_NS
+
+    load_tables(spark, cfg.SF_DIR)
+    df = sugar.query(
+        spark,
+        "SELECT click.user_id, click FROM boost.events WHERE click < 100.0",
+        EVENTS_BINDING,
+        start=S_NS,
+        end=E_NS,
+    )
+    assert df.columns == ["user_id", "value"]
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.value < 100.0 for r in rows)
+
+
+def test_plan_pushes_filters_to_scan(spark):
+    """The series + time predicates must reach the parquet scan
+    (PushedFilters) — the scale guarantee partition pruning relies on."""
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING, S_NS, E_NS
+
+    load_tables(spark, cfg.SF_DIR)
+    df = sugar.query(
+        spark,
+        "SELECT click FROM boost.events WHERE click < 100.0",
+        EVENTS_BINDING,
+        start=S_NS,
+        end=E_NS,
+    )
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan_str
+    assert "IsNotNull(event_type)" in plan_str or "event_type" in plan_str

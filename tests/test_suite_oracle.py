@@ -1,0 +1,23 @@
+"""Every suite entry must match its DuckDB oracle at sf0.001 — the local
+replica of the driver's t2 correctness gate."""
+
+import pytest
+
+from boostdb_spark import suite
+from boostdb_spark.verify import run_one
+from tests.conftest import SF_DIR
+
+ALL = sorted(suite.spark_queries())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_oracle_match(spark, duck, name):
+    problems = run_one(spark, duck, name, SF_DIR)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(suite.spark_queries()) - set(suite.oracle_queries())
+    # non-SQL-expressible ops may omit the oracle; keep the list explicit
+    allowed_missing = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing}"

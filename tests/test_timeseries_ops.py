@@ -1,0 +1,114 @@
+"""Unit tests for time-series operators beyond the oracle suite:
+edge cases (empty series, tolerance, forward direction) and plan-shape
+assertions (broadcast-free asof, no cartesian products)."""
+
+from pyspark.sql import functions as F
+
+from boostdb_spark.operators import timeseries as ts_ops
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "key string, ts long, value double")
+
+
+def test_asof_backward_basic(spark):
+    left = _events(spark, [("a", 100, 1.0), ("a", 200, 2.0), ("b", 50, 9.0)])
+    right = _events(spark, [("a", 90, 10.0), ("a", 150, 20.0), ("c", 1, 0.0)])
+    out = ts_ops.asof_join(left, right, on=["key"]).orderBy("key", "ts").collect()
+    assert [(r.key, r.ts, r.value_right) for r in out] == [
+        ("a", 100, 10.0),
+        ("a", 200, 20.0),
+        ("b", 50, None),  # no right rows for key b -> left preserved
+    ]
+
+
+def test_asof_tie_matches_equal_ts(spark):
+    left = _events(spark, [("a", 100, 1.0)])
+    right = _events(spark, [("a", 100, 42.0)])
+    out = ts_ops.asof_join(left, right, on=["key"]).collect()
+    assert out[0].value_right == 42.0  # r.ts <= l.ts includes equality
+
+
+def test_asof_forward(spark):
+    left = _events(spark, [("a", 100, 1.0)])
+    right = _events(spark, [("a", 90, 5.0), ("a", 120, 7.0)])
+    out = ts_ops.asof_join(left, right, on=["key"], direction="forward").collect()
+    assert out[0].value_right == 7.0
+
+
+def test_asof_tolerance(spark):
+    left = _events(spark, [("a", 1000, 1.0), ("a", 5000, 2.0)])
+    right = _events(spark, [("a", 900, 5.0)])
+    out = (
+        ts_ops.asof_join(left, right, on=["key"], tolerance_ns=200)
+        .orderBy("ts")
+        .collect()
+    )
+    assert out[0].value_right == 5.0  # gap 100 <= 200
+    assert out[1].value_right is None  # gap 4100 > 200 -> nulled
+
+
+def test_asof_plan_has_single_shuffle_no_join(spark):
+    """asof is union+window: the plan must contain no Join node at all
+    and exactly one exchange on the key — the 100 TB-scale property."""
+    left = _events(spark, [("a", 100, 1.0)])
+    right = _events(spark, [("a", 90, 5.0)])
+    plan = (
+        ts_ops.asof_join(left, right, on=["key"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+def test_gap_fill_null_and_zero(spark):
+    res = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 30_000_000_000, 4.0)],
+        "key string, bucket long, value double",
+    )
+    filled = ts_ops.gap_fill(
+        res, bucket_seconds=10, value_col="value", series_cols=("key",), fill="null"
+    ).orderBy("bucket")
+    vals = [(r.bucket, r.value) for r in filled.collect()]
+    assert vals == [
+        (0, 1.0),
+        (10_000_000_000, None),
+        (20_000_000_000, None),
+        (30_000_000_000, 4.0),
+    ]
+    zeroed = ts_ops.gap_fill(
+        res, bucket_seconds=10, value_col="value", series_cols=("key",), fill="zero"
+    )
+    assert [r.value for r in zeroed.orderBy("bucket").collect()] == [1.0, 0.0, 0.0, 4.0]
+
+
+def test_delta_first_row_null(spark):
+    df = _events(spark, [("a", 1, 10.0), ("a", 2, 15.0)])
+    out = (
+        ts_ops.delta(df, series_cols=("key",), ts_col="ts")
+        .orderBy("ts")
+        .collect()
+    )
+    assert out[0].delta is None and out[1].delta == 5.0
+
+
+def test_resample_modes(spark):
+    df = _events(
+        spark,
+        [("a", 1_000_000_000, 1.0), ("a", 2_000_000_000, 3.0), ("a", 11_000_000_000, 9.0)],
+    )
+    out = ts_ops.resample(df, 10, series_cols=("key",), how="last").orderBy("bucket")
+    assert [r.value for r in out.collect()] == [3.0, 9.0]
+    out = ts_ops.resample(df, 10, series_cols=("key",), how="count").orderBy("bucket")
+    assert [r.value for r in out.collect()] == [2, 1]
+
+
+def test_implicit_join_no_cartesian(spark):
+    """Catalyst must rewrite filter-over-cross-join to an equi-join
+    (the reference parses implicit WHERE joins, parser.go:145-147)."""
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(1, "y")], "id2 long, b string")
+    df = a.crossJoin(b).filter(F.col("id") == F.col("id2"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
