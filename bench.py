@@ -39,6 +39,23 @@ HEADLINE = [
     "resample_first_last",
     "gapfill_locf",
     "asof_join_backward",
+    "window_sliding_agg",
+    "window_session_agg",
+    "scalar_functions",
+    "agg_cube",
+    "agg_percentiles",
+    "udf_vectorized",
+    "txt_quality",
+    "txt_langid",
+    "txt_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_cosine_topk",
+    "emb_neardup_cosine",
+    "ann_lsh_topk",
+    "multimodal_meta",
 ]
 
 
@@ -59,6 +76,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     print(

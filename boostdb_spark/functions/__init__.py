@@ -1,0 +1,15 @@
+from boostdb_spark.functions.scalar import (
+    json_prop,
+    ns_to_micros,
+    ns_to_timestamp,
+    pandas_scale_clip,
+    ts_parts,
+)
+
+__all__ = [
+    "json_prop",
+    "ns_to_micros",
+    "ns_to_timestamp",
+    "pandas_scale_clip",
+    "ts_parts",
+]

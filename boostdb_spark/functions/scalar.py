@@ -1,0 +1,70 @@
+"""Scalar function surface.
+
+The reference parses NO scalar functions at all — its WHERE grammar
+accepts only literals and column refs (query/parser/whereparser.go:
+136-287), and SURVEY.md section 2.5 marks the whole string/date/math/
+json surface ABSENT. On Spark the surface is ``pyspark.sql.functions``;
+this module adds only the engine-specific helpers: ns-native time
+conversions (the reference is ns-native, core/seriesfamily.go:23),
+JSON attribute access for the ``props``-style per-datapoint attribute
+column (the reference's attributes, core/seriesfamily.go:19-26), and a
+vectorized Pandas-UDF example showing the Arrow path for logic that
+genuinely needs Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def ns_to_micros(col: Column | str) -> Column:
+    """INT64 nanoseconds -> INT64 microseconds (integer div — ns-scale
+    longs must never route through a double, which rounds above 2^53)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c - (c % F.lit(1000))) / F.lit(1000)
+
+
+def ns_to_timestamp(col: Column | str) -> Column:
+    """INT64 nanoseconds -> TimestampType (µs precision, truncated —
+    matching how engines that lack ns (and DuckDB's parquet reader)
+    narrow TIMESTAMP(NANOS)). The % subtraction makes the numerator an
+    exact multiple of 1000 before the decimal divide, so no rounding
+    anywhere (a double route would round: ns-scale longs exceed 2^53)."""
+    c = F.col(col) if isinstance(col, str) else col
+    exact_us = ((c - (c % 1000)).cast("decimal(25,0)") / 1000).cast("long")
+    return F.timestamp_micros(exact_us)
+
+
+def json_prop(col: Column | str, key: str) -> Column:
+    """Extract a top-level key from a JSON attribute column as string —
+    per-datapoint attribute access (core/seriesfamily.go:19-26) for
+    open-ended props."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{key}")
+
+
+def ts_parts(ts: Column | str, prefix: str = "") -> list[Column]:
+    """Calendar parts (year/month/day/hour/dow) from a timestamp —
+    the partition-derivation helpers for time-partitioned layouts."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return [
+        F.year(c).alias(f"{prefix}year"),
+        F.month(c).alias(f"{prefix}month"),
+        F.dayofmonth(c).alias(f"{prefix}day"),
+        F.hour(c).alias(f"{prefix}hour"),
+        F.dayofweek(c).alias(f"{prefix}dow"),
+    ]
+
+
+@pandas_udf("double")
+def pandas_scale_clip(v: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) clip-and-scale: clip to [0, 100] then
+    scale to [0, 1]. Exists to exercise/demonstrate the pandas_udf slow
+    path contract — integer-free arithmetic, bit-identical to the SQL
+    form ``GREATEST(LEAST(v,100),0)/100`` — NOT because this needs
+    Python; anything expressible stays JVM-side (SURVEY.md section 2.5).
+    """
+    return v.clip(lower=0.0, upper=100.0) / 100.0

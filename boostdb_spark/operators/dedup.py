@@ -1,0 +1,327 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash. North-star extensions beyond the
+reference (which has no dedup surface); designed scale-first:
+
+- exact dedup: hash-groupBy — one shuffle on the digest.
+- n-gram Jaccard: shingle-explode -> self-join on shingle -> per-pair
+  intersection counts. A document-frequency cap drops ubiquitous
+  shingles, bounding the join fanout (the standard trick to keep the
+  candidate set near-linear at corpus scale).
+- MinHash LSH: k hash functions -> b bands of r rows -> band-hash
+  bucket join -> exact-Jaccard verification of candidates only. The
+  100 TB path: candidate generation is an equi-join on (band, hash),
+  never an all-pairs product.
+- SimHash: 32-bit weighted-bit fingerprint; near-dup = Hamming <= d.
+  Banding by pigeonhole (split into d+1 chunks; any pair within
+  distance d shares a chunk) keeps the candidate join linear.
+
+All hashing = md5-derived 32-bit ints (operators/text.py:hash32) so
+DuckDB oracles reproduce results bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from boostdb_spark.operators.text import hash32, tokens
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism before CPU-heavy
+    per-row hashing. A small input (one parquet file -> one partition)
+    would otherwise pin the whole signature computation to a single
+    core; at real scale the scan already has >= defaultParallelism
+    partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by md5 digest; keep the smallest id as the
+    canonical representative. Returns (digest, keep_id, n_copies).
+    One shuffle on the digest; digests are uniform so no skew."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles as strings (tokens joined by a space).
+
+    Built as a zip_with chain over n shifted slices of the token array
+    — NOT element_at(toks, i) inside a transform lambda: lambda-interior
+    references to a computed array re-evaluate the whole tokenization
+    per element in Spark's interpreted higher-order-function path,
+    which turned this O(tokens) expression into O(tokens^2) regex work.
+    Sibling slice references evaluate once per row each.
+    """
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs: (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard >= threshold.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents before the pair join — at corpus scale the fanout of a
+    ubiquitous shingle is quadratic, and a shingle shared by thousands
+    of documents carries no dedup signal.
+    """
+    ds = _doc_shingles(df, id_col, text_col, n).cache()
+    sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_doc_freq is not None:
+        rare = (
+            ds.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        ds = ds.join(rare, "sh")
+    a = ds.select(F.col("id").alias("id_a"), "sh")
+    b = ds.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig) where sig[k] = min over shingles of hash32(k || '|' ||
+    shingle).
+
+    Shape: explode shingles -> project the k hash columns (md5 in a flat
+    projection stays in whole-stage codegen) -> hash-aggregate k mins
+    per doc. Map-side partial aggregation means the shuffle carries one
+    k-wide row per (doc, partition), O(docs) bytes — NOT O(shingles) —
+    so this scales like exact_dedup. A pure array-fold variant with no
+    shuffle was 10x+ slower: higher-order-function lambdas run
+    interpreted, outside codegen.
+
+    Docs with no shingles (< n tokens) drop out with the explode — they
+    cannot near-duplicate anything at this n.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    hashed = sh.select(
+        "id",
+        *[
+            hash32(F.concat_ws("|", F.lit(str(k)), F.col("sh"))).alias(f"_h{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy("id").agg(
+        *[F.min(f"_h{k}").alias(f"_h{k}") for k in range(num_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified:
+
+    1. signature (narrow map),
+    2. band hashes: md5 of each r-row band slice,
+    3. candidate pairs = equi-join on (band_index, band_hash),
+    4. verify candidates with exact n-gram Jaccard >= threshold.
+
+    Output (id_a, id_b, jaccard). The LSH banding only *generates*
+    candidates — the verification makes results exact, so recall is
+    governed by (bands, rows) and precision is 1.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * r + 1, r).cast("array<string>")
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    ds = _doc_shingles(df, id_col, text_col, n)
+    sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
+    a = ds.withColumnsRenamed({"id": "id_a"})
+    b = ds.withColumnsRenamed({"id": "id_b"})
+    common = (
+        cand.join(a, "id_a")
+        .join(b.withColumnRenamed("sh", "sh_b"), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash fingerprint: bit i is set when the sum over
+    tokens of (+1 if bit i of hash32(token) else -1) is positive.
+
+    Shape: explode_outer tokens -> one codegen'd md5 per token -> 32
+    conditional-sum aggregates per doc (partial aggregation makes the
+    shuffle O(docs)); the fingerprint assembles from the 32 sums in a
+    flat projection. Same rationale as minhash_signature: flat
+    projections + hash aggregate stay in whole-stage codegen, array
+    folds don't. explode_outer keeps zero-token docs (null hash ->
+    every bit-sum -1 -> fingerprint 0, matching the fold semantics)."""
+    toks = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(tokens(F.col(text_col))).alias("_t"),
+        )
+        .select("id", hash32(F.col("_t")).alias("_h"))
+    )
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.lit(1 << i).cast("long")) > 0, 1
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(32)
+        ]
+    )
+    fp = None
+    for i in range(32):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming,
+    id_a < id_b. Candidates via pigeonhole banding: the 32-bit print is
+    split into (max_hamming+1) chunks; any pair within the distance
+    budget agrees exactly on at least one chunk, so candidate
+    generation is an equi-join on (chunk_index, chunk_value) — linear,
+    not all-pairs."""
+    nb = max_hamming + 1
+    width = 32 // nb
+    sh = simhash(df, text_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("cv"),
+        )
+        for c in range(nb)
+    ]
+    chunks = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("id", "simhash", "cc.chunk", "cc.cv")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cv"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting. Beyond the reference's surface (it has no string
+functions at all — SURVEY.md section 2.5); first-class here per the
+north-star extension list.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (split /
+transform / aggregate / filter) — no Python in the hot path, so the
+operators stay inside whole-stage codegen and scale linearly with
+executors over 100 TB of documents.
+
+Cross-engine determinism: the token hash is the first 8 hex chars of
+md5 (exactly reproducible in DuckDB as ``('0x'||substr(md5(s),1,8))::
+BIGINT``), and all arithmetic is integer or single-expression double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: split pattern shared with the DuckDB oracles (ASCII word tokens)
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+#: small stopword profiles for the language-ID heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "zh": ["de", "shi", "le", "wo", "ni", "ta", "zai", "you", "he", "bu"],
+}
+
+#: generic stopword list for quality scoring
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is"]
+
+MOD_P = 1_000_000_007
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens with empties removed — the shared
+    tokenizer (whitespace+punct split; a BPE-ish regex split is the
+    same expression with a different pattern)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit token hash: first 8 hex chars of md5 as an
+    integer. Chosen over murmur/xxhash because the DuckDB oracle can
+    reproduce it bit-exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "toks") -> DataFrame:
+    return df.withColumn(out_col, tokens(F.col(text_col)))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id..., n_tokens) — whitespace/punct token counting."""
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features per document: token count, mean token
+    length, stopword ratio, alpha-character ratio. The standard cheap
+    pre-filters for LLM training corpora (length / punctuation /
+    stopword heuristics)."""
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    # array_contains over a literal array, not Column.isin: isin inside a
+    # higher-order-function lambda miscompiles under subexpression
+    # elimination (lambda variable rebinds to the wrong array's type)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    return (
+        df.withColumn("n_tokens", n_toks)
+        .withColumn(
+            "mean_tok_len",
+            F.when(n_toks > 0, tok_chars.cast("double") / n_toks),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.when(n_toks > 0, n_stop.cast("double") / n_toks),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(
+                F.length(text_col) > 0,
+                alpha_chars.cast("double") / F.length(text_col),
+            ),
+        )
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID (n-gram-free heuristic: count hits
+    against per-language stopword lists, argmax with a deterministic
+    language-order tiebreak). Adequate for corpus routing; a char-n-gram
+    model slots into the same column contract."""
+    toks = tokens(F.col(text_col))
+    langs = list(LANG_STOPWORDS)
+
+    # closure factory, not a default arg: pyspark introspects lambda
+    # parameters, so `lambda t, arr=...` would bind arr as a second
+    # lambda variable
+    def _member_of(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, _member_of(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    # argmax with first-wins tiebreak in fixed language order
+    detected = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        detected = F.when(cond, lang) if detected is None else detected.when(cond, lang)
+    out = out.withColumn("detected_lang", detected.otherwise(langs[-1]))
+    return out.drop(*[f"score_{lang}" for lang in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: left-fold polynomial
+    rolling hash over token hashes, ``acc*31 + h(tok) mod P``. Detects
+    exact token-sequence duplicates regardless of whitespace/punct
+    differences (a cheaper exact-dedup key than raw md5(text))."""
+    h_toks = F.transform(tokens(F.col(text_col)), hash32)
+    fp = F.aggregate(
+        h_toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD_P,
+    )
+    return df.withColumn("fingerprint", fp)

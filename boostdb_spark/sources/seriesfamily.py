@@ -80,8 +80,10 @@ class SeriesFamily:
 
     @staticmethod
     def _ts_expr(df: DataFrame):
+        # integer `div`, not float `/`: ns-scale longs exceed 2^53 and
+        # would round when routed through a double
         if dict(df.dtypes)[TS] in ("bigint", "long"):
-            return F.timestamp_micros((F.col(TS) / 1000).cast("long"))
+            return F.timestamp_micros(F.expr(f"{TS} div 1000"))
         return F.col(TS)
 
     # ------------------------------------------------------------------- read

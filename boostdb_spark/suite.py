@@ -761,3 +761,227 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_right").alias("err_value"),
         F.expr("ts_right div 1000").alias("err_ts_us"),
     )
+
+
+# ===========================================================================
+# 2.6 — streaming window semantics, certified in batch mode (the SAME
+# helper builds the streaming plans; tests/test_streaming.py proves
+# streaming == batch on identical input)
+# ===========================================================================
+
+
+def _events_with_time(t) -> DataFrame:
+    """events with ts as TimestampType (µs, truncated from ns exactly as
+    DuckDB truncates TIMESTAMP(NANOS) parquet)."""
+    return t["events"].withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@_q(
+    "window_sliding_agg",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    x AS (SELECT event_type, value,
+                 unnest(list_transform(range(0, 4),
+                        k -> (us - us % 900000000) - k * 900000000)) AS ws
+          FROM e)
+    SELECT ws AS win_start_us, ws + 3600000000 AS win_end_us, event_type,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1h long, 15m slide): each row lands in
+    4 overlapping windows. The streaming sliding_agg helper run in batch
+    mode; oracle enumerates the 4 aligned window starts per row.
+    SURVEY.md section 2.6 (tumbling/sliding/session ABSENT in the
+    reference)."""
+    from boostdb_spark.streaming.windows import sliding_agg
+
+    t = load_tables(spark, sf_dir)
+    out = sliding_agg(
+        _events_with_time(t),
+        duration="1 hour",
+        slide="15 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        ],
+        ts_col="ts_t",
+    )
+    return out.select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@_q(
+    "window_session_agg",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    m AS (SELECT user_id, us, value,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                           >= 1800000000
+                      OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+          FROM e),
+    i AS (SELECT user_id, us, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id, min(us) AS win_start_us,
+           max(us) + 1800000000 AS win_end_us,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m inactivity gap) per user — the streaming
+    session_agg helper in batch mode; oracle is the classic
+    gaps-and-islands formulation (new session when the gap since the
+    previous event >= 30m). Rows with equal (user_id, ts) merge
+    identically in both engines."""
+    from boostdb_spark.streaming.windows import session_agg
+
+    t = load_tables(spark, sf_dir)
+    out = session_agg(
+        _events_with_time(t),
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        ],
+        ts_col="ts_t",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        "n",
+        "sum_value",
+    )
+
+
+# ===========================================================================
+# 2.5 — scalar function surface (string/date/math/json: ABSENT in the
+# reference — its WHERE grammar accepts only literals and column refs,
+# query/parser/whereparser.go:136-287) and the UDF surface
+# ===========================================================================
+
+
+@_q(
+    "scalar_functions",
+    """
+    SELECT event_id,
+           upper(event_type) AS type_u,
+           length(event_type) AS type_len,
+           substr(event_type, 1, 3) AS type_pfx,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           abs(value - 100.0) AS dist100,
+           CAST(ceil(value) AS BIGINT) AS value_up,
+           CAST(floor(value / 10) AS BIGINT) AS decile,
+           year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d, hour(ts) AS h
+    FROM events
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/json/date scalar functions in one projection — all
+    JVM built-ins inside whole-stage codegen. json access via
+    functions.json_prop (the per-datapoint attribute map analog,
+    core/seriesfamily.go:19-26)."""
+    from boostdb_spark.functions import json_prop, ns_to_timestamp
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    ts_t = ns_to_timestamp("ts")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("type_u"),
+        F.length("event_type").alias("type_len"),
+        F.substring("event_type", 1, 3).alias("type_pfx"),
+        json_prop("props", "k").cast("long").alias("prop_k"),
+        F.abs(F.col("value") - 100.0).alias("dist100"),
+        F.ceil("value").alias("value_up"),
+        F.floor(F.col("value") / 10).alias("decile"),
+        F.year(ts_t).alias("y"),
+        F.month(ts_t).alias("m"),
+        F.dayofmonth(ts_t).alias("d"),
+        F.hour(ts_t).alias("h"),
+    )
+
+
+@_q(
+    "agg_cube",
+    """
+    SELECT event_type, CAST(year(ts) AS INT) AS y, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+    FROM events GROUP BY CUBE (event_type, CAST(year(ts) AS INT))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year): all 4 grouping-set combinations in
+    one pass — completes the reference's declared-but-stub GROUP BY
+    surface (query/base/expression.go:22-25) the way rollup does."""
+    from boostdb_spark.functions import ns_to_timestamp
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("y", F.year(ns_to_timestamp("ts")).cast("int"))
+    return e.cube("event_type", "y").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+
+
+@_q(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per series (Spark `percentile` ==
+    DuckDB `quantile_cont`; both sort-and-interpolate, rounded at 6dp to
+    absorb the one-ulp interpolation difference). The approx path
+    (percentile_approx / t-digest) is the 100 TB default; the exact form
+    is the oracle-checkable contract."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@_q(
+    "udf_vectorized",
+    """
+    SELECT event_id,
+           greatest(least(value, 100.0), 0.0) / 100.0 AS value_unit
+    FROM events
+    """,
+)
+def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDF surface (SURVEY.md section 2.5, ABSENT in the
+    reference), done the only acceptable way at scale: an Arrow-batched
+    pandas_udf (vectorized, ~10-100x over row-at-a-time). The kernel is
+    deliberately arithmetic-only so the SQL oracle is bit-identical —
+    demonstrating the contract, not moving work to Python."""
+    from boostdb_spark.functions import pandas_scale_clip
+
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        "event_id", pandas_scale_clip(F.col("value")).alias("value_unit")
+    )
+
+
+# LLM-data-pipeline entries register themselves via _q on import
+from boostdb_spark import suite_llm  # noqa: E402,F401  (registry side effect)

@@ -1,0 +1,316 @@
+"""LLM-data-pipeline coverage suite: dedup, similarity search, text
+analysis, multimodal — the north-star operators beyond the reference's
+own surface (BASELINE.json: "add the LLM-data-pipeline operators ...
+design every operator for 100 TB scale").
+
+Oracle parity strategy: every hash is md5-derived
+(Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+``('0x'||substr(md5(x),1,8))::BIGINT``), every float fold is an
+explicit left-to-right ``list_reduce`` mirroring Spark's
+``F.aggregate``, and integer arithmetic carries the rest — so even
+MinHash signatures and LSH buckets reproduce bit-exactly across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boostdb_spark.operators import dedup as dd
+from boostdb_spark.operators import multimodal as mm
+from boostdb_spark.operators import similarity as sim
+from boostdb_spark.operators import text as tx
+from boostdb_spark.session import load_tables
+from boostdb_spark.suite import _q
+
+# ---- shared DuckDB SQL fragments (mirror operators/text.py exactly) ----
+
+TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+SHINGLES3 = (
+    "list_transform(range(0, greatest(len({t}) - 2, 0)), "
+    "i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3])"
+)
+DOT64 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@_q(
+    "txt_token_count",
+    f"SELECT doc_id, len({TOKS})::BIGINT AS n_tokens FROM documents",
+)
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/punct token counting over the documents table —
+    JVM-side split/filter/size, no Python."""
+    t = load_tables(spark, sf_dir)
+    return tx.token_count(t["documents"]).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+@_q(
+    "txt_quality",
+    f"""
+    WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                         (a, x) -> a + x)::DOUBLE / len(toks) END AS mean_tok_len,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is')))::DOUBLE
+             / len(toks) END AS stop_ratio,
+           CASE WHEN len(text) > 0 THEN
+             len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+             / len(text) END AS alpha_ratio
+    FROM d
+    """,
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length / stopword / alpha ratios) —
+    the standard cheap LLM-corpus pre-filters."""
+    t = load_tables(spark, sf_dir)
+    return tx.quality_features(t["documents"]).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_tok_len",
+        "stop_ratio",
+        "alpha_ratio",
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in sw)})))"
+        for lang, sw in tx.LANG_STOPWORDS.items()
+    }
+    langs = list(tx.LANG_STOPWORDS)
+    whens = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id, CASE {' '.join(whens)} ELSE '{langs[-1]}' END AS detected_lang
+    FROM d
+    """
+
+
+@_q("txt_langid", _langid_oracle())
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax
+    tiebreak."""
+    t = load_tables(spark, sf_dir)
+    return tx.detect_language(t["documents"]).select("doc_id", "detected_lang")
+
+
+@_q(
+    "txt_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(toks, t -> {H32.format(x='t')})),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM d
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over token hashes — whitespace-robust
+    exact-dedup key."""
+    t = load_tables(spark, sf_dir)
+    return tx.fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5-groupBy; one shuffle on the digest."""
+    t = load_tables(spark, sf_dir)
+    return dd.exact_dedup(t["documents"])
+
+
+_NGRAM_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, c::DOUBLE / (sa.sz + sb.sz - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= {{thr}}
+"""
+
+
+@_q("dedup_ngram_jaccard", _NGRAM_ORACLE.format(thr=0.5))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs at threshold 0.5 —
+    shingle-explode + equi-join on shingle, never an all-pairs
+    product."""
+    t = load_tables(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(t["documents"], threshold=0.5, n=3)
+
+
+@_q("dedup_minhash_lsh", _NGRAM_ORACLE.format(thr=0.8))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(16 bands x 2 rows) candidates, exact-Jaccard
+    verified at 0.8. The oracle is the brute-force exact computation:
+    at the fixture's pair distribution (all true pairs >= 0.889) the
+    banding miss probability is ~1e-11 per pair, so LSH output ==
+    exact output deterministically; precision is exact by
+    construction (candidates are verified)."""
+    t = load_tables(spark, sf_dir)
+    return dd.minhash_lsh_pairs(
+        t["documents"], threshold=0.8, num_hashes=32, bands=16, n=3
+    )
+
+
+_SIMHASH_FP = f"""
+      SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(0, 32), i ->
+          CASE WHEN list_reduce(list_prepend(0,
+            list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)),
+            (a, b) -> a + b) > 0
+          THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+        (a, b) -> a + b) AS fp
+      FROM (SELECT doc_id,
+              list_transform({TOKS}, t -> {H32.format(x='t')}) AS hs
+            FROM documents)
+"""
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH f AS ({_SIMHASH_FP})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+    FROM f a, f b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs at Hamming <= 3. Spark side uses
+    pigeonhole banding (4 chunks) for candidate generation — linear at
+    scale; the oracle brute-forces all pairs, and banding guarantees
+    identical results (any pair within distance 3 shares a chunk)."""
+    t = load_tables(spark, sf_dir)
+    return dd.simhash_pairs(t["documents"], max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ===========================================================================
+# Embedding similarity
+# ===========================================================================
+
+_EMB = "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+
+
+@_q(
+    "emb_cosine_topk",
+    f"""
+    WITH e AS ({_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT query_id, b.vec_id AS match_id,
+             {DOT64.format(a='qv', b='b.v')}
+             / (sqrt({DOT64.format(a='qv', b='qv')})
+                * sqrt({DOT64.format(a='b.v', b='b.v')})) AS cos
+      FROM q, e b WHERE b.vec_id != query_id)
+    SELECT query_id, match_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, match_id) AS rn FROM s)
+    WHERE rn <= 3
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors vec_id < 5 — the
+    exact ANN baseline; query side broadcast, corpus streamed."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return sim.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=3)
+
+
+@_q(
+    "emb_neardup_cosine",
+    f"""
+    WITH e AS ({_EMB})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {DOT64.format(a='a.v', b='b.v')}
+           / (sqrt({DOT64.format(a='a.v', b='a.v')})
+              * sqrt({DOT64.format(a='b.v', b='b.v')})) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {DOT64.format(a='a.v', b='b.v')}
+          / (sqrt({DOT64.format(a='a.v', b='a.v')})
+             * sqrt({DOT64.format(a='b.v', b='b.v')})) >= 0.4
+    """,
+)
+def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at cosine >= 0.4 (exact
+    all-pairs baseline; LSH bucketing is the scale path)."""
+    t = load_tables(spark, sf_dir)
+    return sim.cosine_neardup_pairs(t["embeddings"], threshold=0.4)
+
+
+@_q("ann_lsh_topk", None)  # LSH recall < 1 by design -> rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (8 hyperplanes, hash-derived
+    so fully deterministic): the 100 TB path where the cross product
+    collapses to an equi-join on bucket. Approximate by design (recall
+    < 1), hence no SQL oracle — the unit test checks determinism and
+    subset-of-bruteforce instead."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return sim.lsh_ann_topk(
+        e.filter(F.col("vec_id") < 5), e, k=3, dim=64, num_planes=8
+    )
+
+
+# ===========================================================================
+# Multimodal
+# ===========================================================================
+
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS n_bytes,
+           (octet_length(encode(text)) % 640)::INT AS width,
+           ((octet_length(encode(text)) * 7) % 480)::INT AS height,
+           'text/plain' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: attach payload, extract metadata
+    via Arrow-batched mapInPandas (decode step is a deterministic
+    stub; the batching/schema/pruning plumbing is real)."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_binary_payload(t["documents"])
+    return mm.extract_media_meta(with_payload)

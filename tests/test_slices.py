@@ -1,0 +1,54 @@
+"""Time-sliced execution: slices partition the span exactly (no row
+lost or duplicated vs. the one-shot query) and the streaming
+foreachBatch form drains to the same totals."""
+
+import pyspark.sql.functions as F
+
+from boostdb_spark.streaming import execute_sliced, foreach_slice, time_slices
+from boostdb_spark.streaming.ingest import file_stream
+from tests.conftest import SF_DIR
+
+EVENTS = f"{SF_DIR}/events.parquet"
+NS = 1_000_000_000
+
+
+def test_time_slices_partition_exactly(spark):
+    df = spark.read.parquet(EVENTS)
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+    window = 7 * 86400 * NS  # 1-week slices
+    counts = []
+    spans = []
+    for s, e, sdf in time_slices(df, lo, hi + 1, window):
+        counts.append(sdf.count())
+        spans.append((s, e))
+    assert sum(counts) == df.count()
+    # half-open contiguous spans covering [lo, hi]
+    assert spans[0][0] == lo and spans[-1][1] == hi + 1
+    assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+    assert len(spans) > 1  # fixture spans > one week
+
+
+def test_execute_sliced_counts(spark):
+    df = spark.read.parquet(EVENTS)
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+    seen = []
+    n = execute_sliced(
+        df, lo, hi + 1, 10 * 86400 * NS, lambda sdf, s, e: seen.append(sdf.count())
+    )
+    assert n == len(seen) and sum(seen) == df.count()
+
+
+def test_foreach_slice_drains_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    spark.read.parquet(EVENTS).repartition(3).write.parquet(landing)
+    sdf = file_stream(spark, landing, max_files_per_trigger=1)
+    totals = {"rows": 0, "batches": 0}
+
+    def per_batch(bdf, batch_id):
+        totals["rows"] += bdf.count()
+        totals["batches"] += 1
+
+    q = foreach_slice(sdf, per_batch, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert totals["rows"] == spark.read.parquet(landing).count()
+    assert totals["batches"] >= 3  # one micro-batch per file

@@ -1,0 +1,151 @@
+"""Structured Streaming surface: streaming results must equal the batch
+plan on the same input (the suite's DuckDB oracles certify the batch
+side, so equality transfers correctness to the streaming path).
+
+Input: the sf0.001 events fixture, split into multiple parquet files so
+availableNow processing covers multi-micro-batch behavior.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from boostdb_spark.sources.seriesfamily import SeriesFamily
+from boostdb_spark.streaming import (
+    running_aggregate,
+    session_agg,
+    stream_write,
+    tumbling_agg,
+)
+from boostdb_spark.streaming.ingest import file_stream, read_family_stream
+from tests.conftest import SF_DIR
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    """events as a 4-file parquet landing dir with a proper TIMESTAMP
+    ts (micros) — the shape a streaming source needs."""
+    d = str(tmp_path_factory.mktemp("landing") / "events")
+    (
+        spark.read.parquet(EVENTS)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(stream_df, name, mode, trigger=None):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_streaming_equals_batch(spark, landing):
+    sdf = file_stream(spark, landing, max_files_per_trigger=1)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+    ]
+    out = tumbling_agg(
+        sdf, "1 hour", ["event_type"], aggs, ts_col="ts", watermark="10 minutes"
+    )
+    _run_to_memory(out, "tumbling_t", "complete")
+    got = spark.table("tumbling_t")
+
+    bdf = spark.read.parquet(landing)
+    want = tumbling_agg(bdf, "1 hour", ["event_type"], aggs, ts_col="ts")
+    cols = ["win_start", "win_end", "event_type", "n", "total"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_session_streaming_equals_batch(spark, landing):
+    # Session-window streaming aggregation supports only append mode:
+    # a session is emitted once its end falls behind the watermark.
+    # Single availableNow batch (round-robin landing files would strand
+    # later files behind a 0s watermark), then the trailing no-data
+    # batch advances the watermark to max event time and flushes every
+    # closed session — so streaming == batch sessions with
+    # win_end <= max(ts).
+    sdf = file_stream(spark, landing)
+    aggs = [F.count("*").alias("n")]
+    out = session_agg(
+        sdf, "30 minutes", ["user_id"], aggs, ts_col="ts", watermark="0 seconds"
+    )
+    _run_to_memory(out, "session_t", "append")
+    got = spark.table("session_t")
+
+    bdf = spark.read.parquet(landing)
+    max_ts = bdf.agg(F.max("ts")).collect()[0][0]
+    want = session_agg(bdf, "30 minutes", ["user_id"], aggs, ts_col="ts").filter(
+        F.col("win_end") <= F.lit(max_ts)
+    )
+    cols = ["win_start", "win_end", "user_id", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_running_aggregate_final_state_equals_batch(spark, landing):
+    sdf = file_stream(spark, landing, max_files_per_trigger=1).withColumn(
+        "series", F.col("event_type")
+    )
+    out = running_aggregate(sdf, key_cols=["series"], value_col="value")
+    _run_to_memory(out, "running_t", "update")
+    got = spark.table("running_t")
+    # update mode emits one row per touched key per batch; final state =
+    # the max-n row per key
+    final = (
+        got.groupBy("series")
+        .agg(
+            F.max_by("n", "n").alias("n"),
+            F.max_by("total", "n").alias("total"),
+            F.max_by("vmin", "n").alias("vmin"),
+            F.max_by("vmax", "n").alias("vmax"),
+        )
+    )
+    want = (
+        spark.read.parquet(landing)
+        .groupBy(F.col("event_type").alias("series"))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    g = {r["series"]: (r["n"], round(r["total"], 6), r["vmin"], r["vmax"]) for r in final.collect()}
+    w = {r["series"]: (r["n"], round(r["total"], 6), r["vmin"], r["vmax"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_stream_write_then_read_family(spark, landing, tmp_path):
+    fam = SeriesFamily(spark, "test", "stream_fam", str(tmp_path / "families"))
+    src = file_stream(spark, landing, max_files_per_trigger=2).select(
+        F.col("event_type").alias("series"), "ts", "value"
+    )
+    q = stream_write(fam, src, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = fam.fetch()
+    n_src = spark.read.parquet(landing).count()
+    assert got.count() == n_src
+    assert {"series", "ts", "value", "ts_date"} <= set(got.columns)
+    # streamed family is immediately readable AS a stream again
+    sdf = read_family_stream(spark, fam)
+    assert sdf.isStreaming
