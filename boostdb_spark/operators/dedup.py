@@ -24,7 +24,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import hashlib
+
 from boostdb_spark.operators.text import hash32, tokens
+
+#: modulus for the universal-hash family (Mersenne prime 2^61 - 1):
+#: with a < 2^30 and h < 2^32, a*h + b < 2^63 — no int64 overflow
+MERSENNE_P = (1 << 61) - 1
+
+
+def _gen32(label: str) -> int:
+    """Seedless deterministic 32-bit generator (first 8 md5 hex chars),
+    evaluated in PYTHON at plan time — coefficients become literals, so
+    the executors never hash anything but the shingle itself."""
+    return int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -140,13 +153,15 @@ def minhash_signature(
     """(id, sig) where sig[k] = min over shingles of hash32(k || '|' ||
     shingle).
 
-    Shape: explode shingles -> project the k hash columns (md5 in a flat
-    projection stays in whole-stage codegen) -> hash-aggregate k mins
-    per doc. Map-side partial aggregation means the shuffle carries one
-    k-wide row per (doc, partition), O(docs) bytes — NOT O(shingles) —
-    so this scales like exact_dedup. A pure array-fold variant with no
-    shuffle was 10x+ slower: higher-order-function lambdas run
-    interpreted, outside codegen.
+    Shape: explode shingles -> ONE md5 per shingle -> k universal-hash
+    variants h_k = (a_k*h + b_k) mod p (pure integer arithmetic in the
+    same codegen'd projection; the standard MinHash construction) ->
+    hash-aggregate k mins per doc. Map-side partial aggregation means
+    the shuffle carries one k-wide row per (doc, partition), O(docs)
+    bytes — NOT O(shingles) — so this scales like exact_dedup. Two
+    rejected shapes: k md5s per shingle (32x the hashing work), and a
+    pure array-fold with no shuffle (higher-order-function lambdas run
+    interpreted, outside codegen — 10x+ slower).
 
     Docs with no shingles (< n tokens) drop out with the explode — they
     cannot near-duplicate anything at this n.
@@ -155,11 +170,18 @@ def minhash_signature(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
-    hashed = sh.select(
+    base = sh.select("id", hash32(F.col("sh")).alias("_h"))
+    # affine coefficients from the same md5-derived generator, so the
+    # whole family is seedless and engine-reproducible
+    coefs = [
+        (2 * (_gen32(f"a{k}") & ((1 << 29) - 1)) + 1, _gen32(f"b{k}"))
+        for k in range(num_hashes)
+    ]
+    hashed = base.select(
         "id",
         *[
-            hash32(F.concat_ws("|", F.lit(str(k)), F.col("sh"))).alias(f"_h{k}")
-            for k in range(num_hashes)
+            ((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"_h{k}")
+            for k, (a, b) in enumerate(coefs)
         ],
     )
     mins = hashed.groupBy("id").agg(

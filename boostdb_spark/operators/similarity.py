@@ -15,11 +15,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from boostdb_spark.operators.text import hash32
+from boostdb_spark.operators.dedup import _spread
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, id_as: str, v_as: str):
+    """(id, v, nrm) with the norm hoisted to a per-row column BEFORE any
+    pair join: norms crossing the join exchange are materialized, so a
+    pair evaluates one dot instead of three (the per-pair
+    dot/(sqrt(dot)*sqrt(dot)) form re-folded both norms for every
+    pair). Also spreads a single-file input across cores — the streamed
+    side of a broadcast nested-loop join otherwise runs one-core."""
+    out = _spread(df).select(
+        F.col(id_col).alias(id_as), _as_double(F.col(vec_col)).alias(v_as)
+    )
+    return out.withColumn(f"{v_as}_nrm", norm(F.col(v_as)))
 
 
 def dot(a, b):
@@ -53,12 +66,8 @@ def cosine_topk(
     one pass, no shuffle until the per-query top-k window on the
     (small) candidate set. For huge query sets, use lsh_ann_topk.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
+    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -66,7 +75,8 @@ def cosine_topk(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot(F.col("qv"), F.col("cv"))
+             / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -89,29 +99,34 @@ def cosine_neardup_pairs(
     near-duplicate detection. Exact all-pairs form (correctness
     baseline); at corpus scale use lsh_ann_topk's bucketing to
     restrict the candidate set first."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    a = _with_norm(df, id_col, vec_col, "id_a", "va")
+    b = _with_norm(df, id_col, vec_col, "id_b", "vb")
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"))
+             / (F.col("va_nrm") * F.col("vb_nrm"))).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
 
 def _hyperplane(plane_idx: int, dim: int):
     """Deterministic pseudo-random hyperplane: component j of plane i is
-    +1/-1 from bit 0 of hash32(i:j). Seedless and engine-reproducible —
-    the reason for hash-derived planes instead of RNG weights."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.when(
-            hash32(F.concat_ws(":", F.lit(plane_idx).cast("string"), j.cast("string")))
-            % 2
-            == 1,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    +1/-1 from bit 0 of md5(i:j). Seedless and reproducible — and
+    computed in PYTHON at plan time, so the plane ships to executors as
+    a literal array instead of dim md5 calls per plane per row."""
+    import hashlib
+
+    signs = [
+        1.0 if int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:8], 16) % 2
+        else -1.0
+        for j in range(dim)
+    ]
+    return F.array(*[F.lit(s) for s in signs])
 
 
 def lsh_bucket(vec_col, num_planes: int, dim: int):
@@ -142,16 +157,21 @@ def lsh_ann_topk(
 
     Returns (query_id, match_id, cos) with <= k rows per query.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), num_planes, dim))
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), num_planes, dim))
+    q = _with_norm(queries, id_col, vec_col, "query_id", "qv").withColumn(
+        "bucket", lsh_bucket(F.col("qv"), num_planes, dim)
+    )
+    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv").withColumn(
+        "bucket", lsh_bucket(F.col("cv"), num_planes, dim)
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("match_id").asc()

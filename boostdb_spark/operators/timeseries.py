@@ -264,6 +264,33 @@ def asof_join(
     return out.withColumnRenamed("_r_ts", f"{ts_col}{suffix}")
 
 
+def moving_agg(
+    df: DataFrame,
+    window_rows: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    how: str = "avg",
+    out_col: str | None = None,
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing moving aggregate over the last ``window_rows`` rows per
+    series (current row inclusive), time-ordered — rolling mean/min/max/
+    sum. One shuffle on the series key, then a bounded rowsBetween frame
+    (O(window) state per partition; no unbounded accumulation).
+    """
+    w = (
+        _series_window(series_cols, ts_col, order_extra)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.col(value_col)
+    fns = {"avg": F.avg(v), "min": F.min(v), "max": F.max(v), "sum": F.sum(v),
+           "count": F.count(v)}
+    if how not in fns:
+        raise ValueError(f"how must be one of {sorted(fns)}")
+    return df.withColumn(out_col or f"moving_{how}", fns[how].over(w))
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

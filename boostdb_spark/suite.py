@@ -866,6 +866,40 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "window_moving_avg",
+    """
+    SELECT event_id,
+           sum(CAST(value AS DECIMAL(18,6))) OVER w AS mv_sum,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS mv_avg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving sum/avg per series (moving_agg operator):
+    bounded rowsBetween frame — O(window) state, one shuffle on the
+    series key. Decimal sum + explicit divide so both engines are exact
+    regardless of frame-accumulation strategy."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("_vd", F.col("value").cast("decimal(18,6)"))
+    out = ts_ops.moving_agg(
+        e, 5, value_col="_vd", series_cols=("event_type",), ts_col="ts",
+        how="sum", out_col="mv_sum", order_extra=("event_id",),
+    )
+    out = ts_ops.moving_agg(
+        out, 5, value_col="_vd", series_cols=("event_type",), ts_col="ts",
+        how="count", out_col="_mv_n", order_extra=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        "mv_sum",
+        (F.col("mv_sum").cast("double") / F.col("_mv_n")).alias("mv_avg"),
+    )
+
+
 # ===========================================================================
 # 2.5 — scalar function surface (string/date/math/json: ABSENT in the
 # reference — its WHERE grammar accepts only literals and column refs,

@@ -1,0 +1,49 @@
+"""Join utilities: salted join must equal the plain join exactly (skew
+scattering is a physical rewrite, not a semantic one); broadcast join
+must actually broadcast."""
+
+from pyspark.sql import functions as F
+
+from boostdb_spark.operators.joins import broadcast_join, salted_join
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def _dim(spark):
+    # tiny per-type dimension
+    return (
+        _events(spark)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("type_total"))
+    )
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_equals_plain(spark):
+    e, d = _events(spark), _dim(spark)
+    want = _sorted_rows(e.join(d, "event_type"))
+    got = _sorted_rows(salted_join(e, d, "event_type", salt_buckets=8))
+    assert got == want and len(got) > 0
+
+
+def test_salted_left_equals_plain(spark):
+    e = _events(spark)
+    d = _dim(spark).filter(F.col("event_type") != "click")  # force unmatched rows
+    want = _sorted_rows(e.join(d, "event_type", "left"))
+    got = _sorted_rows(salted_join(e, d, "event_type", salt_buckets=8, how="left"))
+    assert got == want
+    assert any(r[-1] is None for r in got)  # unmatched left rows survive
+
+
+def test_broadcast_join_plan(spark):
+    e, d = _events(spark), _dim(spark)
+    plan = broadcast_join(e, d, "event_type")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
