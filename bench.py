@@ -55,6 +55,11 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_neardup_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "join_full_outer",
+    "join_range",
+    "asof_join_forward",
+    "window_moving_avg",
     "multimodal_meta",
 ]
 

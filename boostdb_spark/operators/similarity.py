@@ -114,57 +114,118 @@ def cosine_neardup_pairs(
     )
 
 
-def _hyperplane(plane_idx: int, dim: int):
-    """Deterministic pseudo-random hyperplane: component j of plane i is
-    +1/-1 from bit 0 of md5(i:j). Seedless and reproducible — and
-    computed in PYTHON at plan time, so the plane ships to executors as
-    a literal array instead of dim md5 calls per plane per row."""
+def _hyperplane(table_idx: int, plane_idx: int, dim: int):
+    """Deterministic pseudo-random hyperplane: component j of plane i in
+    table t is +1/-1 from bit 0 of md5(t:i:j). Seedless and reproducible
+    — and computed in PYTHON at plan time, so the plane ships to
+    executors as a literal array instead of dim md5 calls per row."""
     import hashlib
 
     signs = [
-        1.0 if int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:8], 16) % 2
+        1.0
+        if int(hashlib.md5(f"{table_idx}:{plane_idx}:{j}".encode()).hexdigest()[:8], 16)
+        % 2
         else -1.0
         for j in range(dim)
     ]
     return F.array(*[F.lit(s) for s in signs])
 
 
-def lsh_bucket(vec_col, num_planes: int, dim: int):
+def lsh_bucket(vec_col, num_planes: int, dim: int, table_idx: int = 0):
     """Random-hyperplane (sign) LSH bucket id: bit i = sign(v . plane_i).
     Cosine-similar vectors collide with probability 1 - theta/pi per
     bit."""
     bucket = F.lit(0).cast("long")
     for i in range(num_planes):
-        bit = F.when(dot(vec_col, _hyperplane(i, dim)) >= 0, 1).otherwise(0)
+        bit = F.when(dot(vec_col, _hyperplane(table_idx, i, dim)) >= 0, 1).otherwise(0)
         bucket = bucket * 2 + bit
     return bucket
 
 
-def lsh_ann_topk(
+def _lsh_tables(df: DataFrame, vec_col: str, num_planes: int, dim: int, num_tables: int):
+    """Explode each row into (table, bucket) pairs, one per LSH table —
+    OR-amplification: a single AND-only table of p planes has collision
+    probability (1-theta/pi)^p, too selective for moderate-similarity
+    top-k; L tables raise it to 1-(1-p_col)^L while candidates stay
+    ~L*N/2^p per query."""
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(vec_col), num_planes, dim, t).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+    ).alias("_tb")
+    return df.select("*", tb).select(
+        *df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    out_col: str = "list_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest coarse-quantizer
+    centroids (by dot product on unit-normalized input — cosine order).
+    Centroids ship as literal arrays inside the expression (they are
+    the broadcast side of IVF by construction: tens-to-thousands of
+    small vectors)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.array_sort(scored, lambda a, b: F.when(a["s"] > b["s"], -1)
+                               .when(a["s"] < b["s"], 1)
+                               .otherwise(b["c"] - a["c"])), 1, n_probe)
+    return df.withColumn(out_col, F.transform(top, lambda t: t["c"]))
+
+
+def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    dim: int,
-    num_planes: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN top-k: bucket both sides by sign-LSH, join on the
-    bucket, rank within candidates. The scale path — the cross product
-    collapses to an equi-join on bucket (expected corpus/2^planes
-    candidates per query). Recall < 1 by construction; raise recall
-    with multi-probe or fewer planes.
+    """IVF (inverted-file) approximate top-k — the second ANN strategy
+    next to sign-LSH: corpus vectors are bucketed by nearest coarse
+    centroid; each query probes its ``n_probe`` nearest centroid lists
+    only, an equi-join on list id (expected corpus*n_probe/n_centroids
+    candidates per query).
 
-    Returns (query_id, match_id, cos) with <= k rows per query.
+    Centroid selection here is deterministic-seed (the n_centroids
+    lowest-id corpus vectors, unit-normalized) so results are
+    reproducible without an RNG or a training pass; a k-means-trained
+    quantizer plugs into the same ``centroids`` list. Recall < 1 by
+    construction. Returns (query_id, match_id, cos), <= k per query.
     """
-    q = _with_norm(queries, id_col, vec_col, "query_id", "qv").withColumn(
-        "bucket", lsh_bucket(F.col("qv"), num_planes, dim)
+    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
+    q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
+    seed = c.orderBy("match_id").limit(n_centroids).collect()
+    centroids = [
+        (int(r["match_id"]), [x / r["cv_nrm"] for x in r["cv"]]) for r in seed
+    ]
+    c_assigned = ivf_assign(c, centroids, "cv", n_probe=1).select(
+        "match_id", "cv", "cv_nrm", F.element_at("list_id", 1).alias("list_id")
     )
-    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv").withColumn(
-        "bucket", lsh_bucket(F.col("cv"), num_planes, dim)
+    q_assigned = ivf_assign(q, centroids, "qv", n_probe=n_probe).select(
+        "query_id", "qv", "qv_nrm", F.explode("list_id").alias("list_id")
     )
     scored = (
-        q.join(c, "bucket")
+        q_assigned.join(c_assigned, "list_id")
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
@@ -172,6 +233,59 @@ def lsh_ann_topk(
             (dot(F.col("qv"), F.col("cv"))
              / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
         )
+        # no dedup needed: each corpus vector lives in exactly one list,
+        # and a query probes n_probe DISTINCT lists
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN top-k: multi-table sign-LSH. Both sides are
+    bucketed in ``num_tables`` independent tables of ``num_planes``
+    hyperplanes; candidates come from an equi-join on (table, bucket)
+    — expected num_tables*corpus/2^planes candidates per query, never
+    a cross product. A pair colliding in several tables is deduped by
+    the (query, match) max-aggregate before ranking. Recall < 1 by
+    construction; tune with (num_planes down | num_tables up).
+
+    Returns (query_id, match_id, cos) with <= k rows per query.
+    """
+    q = _lsh_tables(
+        _with_norm(queries, id_col, vec_col, "query_id", "qv"),
+        "qv", num_planes, dim, num_tables,
+    )
+    c = _lsh_tables(
+        _with_norm(corpus, id_col, vec_col, "match_id", "cv"),
+        "cv", num_planes, dim, num_tables,
+    )
+    scored = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
+        )
+        # dedup multi-table collisions (cos identical across tables)
+        .groupBy("query_id", "match_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("match_id").asc()

@@ -63,7 +63,7 @@ _TOKEN_RE = re.compile(
         (?P<num>\d+\.\d+|\.\d+|\d+)
       | (?P<str>'(?:[^']|'')*')
       | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
-      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*)
+      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|-)
     )""",
     re.VERBOSE,
 )
@@ -303,6 +303,13 @@ class _Parser:
 
     def parse_operand(self) -> Expr:
         kind, v = self.next()
+        if kind == "op" and v == "-":
+            # unary minus on a numeric literal (the dialect has no
+            # arithmetic, so '-' only occurs in operand position)
+            k2, v2 = self.next()
+            if k2 != "num":
+                raise ValueError(f"expected number after '-', got {v2!r}")
+            return Expr("lit", value=-(float(v2) if "." in v2 else int(v2)))
         if kind == "num":
             # SQL decimals coerce to float64, ints to int64
             # (whereparser.go:223-246)

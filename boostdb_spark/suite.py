@@ -867,6 +867,108 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS k,
+           count(o.o_orderkey) AS n_orders,
+           count(c.c_name) AS n_cust
+    FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+    FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows on BOTH sides (customers
+    filtered to even keys so odd-key orders dangle) — completes the
+    declared join surface (query/parser/joinparser.go:84-201 parses,
+    queryops.go:60-66 drops; outer joins ABSENT per SURVEY.md 2.3)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") % 2 == 0)
+    return (
+        c.join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .groupBy(F.coalesce("c_custkey", "o_custkey").alias("k"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("c_name").alias("n_cust"),
+        )
+    )
+
+
+@_q(
+    "asof_join_forward",
+    """
+    SELECT l.event_id, l.value, r.value AS next_err_value,
+           epoch_us(r.ts) AS next_err_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND r.ts >= l.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the user's NEXT error at
+    or after it (asof_join direction='forward') — same union+window
+    plan as backward, with the frame reversed: one shuffle on the key,
+    no range explosion."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = ts_ops.asof_join(
+        left, right, on=["user_id"], ts_col="ts", direction="forward"
+    )
+    return out.select(
+        "event_id",
+        "value",
+        F.col("value_right").alias("next_err_value"),
+        F.expr("ts_right div 1000").alias("next_err_ts_us"),
+    )
+
+
+@_q(
+    "join_range",
+    """
+    SELECT l.event_id AS purchase_id, r.event_id AS error_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND epoch_us(r.ts) >= epoch_us(l.ts)
+     AND epoch_us(r.ts) < epoch_us(l.ts) + 3600000000
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every error within 1h after a purchase by
+    the same user — equi-key + time-band condition. Executes as a
+    sort-merge join on user_id with the band as a post-join predicate;
+    the equi-key keeps it off the nested-loop path. (theta/range joins
+    ABSENT in the reference, SURVEY.md 2.3.) Band compared at µs
+    precision on both sides — DuckDB truncates the ns parquet ts."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("ts_us", F.expr("ts div 1000"))
+    l = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_us").alias("p_us")
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts_us").alias("e_us"),
+    )
+    hour_us = 3600 * 10**6
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("e_us") >= F.col("p_us"))
+            & (F.col("e_us") < F.col("p_us") + hour_us),
+        )
+        .select("purchase_id", "error_id")
+    )
+
+
+@_q(
     "window_moving_avg",
     """
     SELECT event_id,

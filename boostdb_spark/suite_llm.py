@@ -277,17 +277,32 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_pairs(t["embeddings"], threshold=0.4)
 
 
+@_q("ann_ivf_topk", None)  # IVF recall < 1 by design -> rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus bucketed by
+    nearest coarse centroid, queries probe their 4 nearest of 16 lists
+    — candidate generation is an equi-join on list id, the second ANN
+    scale path next to sign-LSH. Deterministic seed centroids (no RNG);
+    approximate by design, hence no SQL oracle — the unit test checks
+    determinism and subset-of-bruteforce instead."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return sim.ivf_ann_topk(
+        e.filter(F.col("vec_id") < 5), e, k=3, n_centroids=16, n_probe=4
+    )
+
+
 @_q("ann_lsh_topk", None)  # LSH recall < 1 by design -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate top-k (8 hyperplanes, hash-derived
-    so fully deterministic): the 100 TB path where the cross product
-    collapses to an equi-join on bucket. Approximate by design (recall
-    < 1), hence no SQL oracle — the unit test checks determinism and
-    subset-of-bruteforce instead."""
+    """Multi-table sign-LSH approximate top-k (8 tables x 6 hyperplanes,
+    md5-derived so fully deterministic): the 100 TB path where the
+    cross product collapses to an equi-join on (table, bucket).
+    Approximate by design (recall < 1), hence no SQL oracle — the unit
+    test checks determinism and subset-of-bruteforce instead."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return sim.lsh_ann_topk(
-        e.filter(F.col("vec_id") < 5), e, k=3, dim=64, num_planes=8
+        e.filter(F.col("vec_id") < 5), e, k=3, dim=64, num_planes=6, num_tables=8
     )
 
 

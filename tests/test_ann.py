@@ -1,0 +1,60 @@
+"""Approximate-NN operators (no SQL oracle by design): determinism,
+score correctness against brute force, and recall sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from boostdb_spark.operators import similarity as sim
+from tests.conftest import SF_DIR
+
+EMB = f"{SF_DIR}/embeddings.parquet"
+K = 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+@pytest.fixture(scope="module")
+def brute(spark, emb):
+    """Exact cosine of every (query, match) pair, query_id < 5."""
+    out = sim.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10**9)
+    return {(r["query_id"], r["match_id"]): r["cos"] for r in out.collect()}
+
+
+def _run(op, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    if op == "lsh":
+        return sim.lsh_ann_topk(q, emb, k=K, dim=64, num_planes=6, num_tables=8)
+    return sim.ivf_ann_topk(q, emb, k=K, n_centroids=16, n_probe=4)
+
+
+@pytest.mark.parametrize("op", ["lsh", "ivf"])
+def test_deterministic(spark, emb, op):
+    a = sorted(map(tuple, _run(op, emb).collect()))
+    b = sorted(map(tuple, _run(op, emb).collect()))
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("op", ["lsh", "ivf"])
+def test_scores_match_bruteforce_and_k_bound(spark, emb, brute, op):
+    rows = _run(op, emb).collect()
+    per_query = {}
+    for r in rows:
+        assert brute[(r["query_id"], r["match_id"])] == r["cos"]
+        per_query.setdefault(r["query_id"], []).append(r["cos"])
+    assert all(len(v) <= K for v in per_query.values())
+
+
+@pytest.mark.parametrize("op", ["lsh", "ivf"])
+def test_recall_sanity(spark, emb, brute, op):
+    """Candidates come from real buckets, so SOME overlap with the true
+    top-k must exist across 5 queries (statistical floor, not exact)."""
+    true_topk = {}
+    for (qid, mid), cos in brute.items():
+        true_topk.setdefault(qid, []).append((cos, mid))
+    top = {q: {m for _, m in sorted(v, reverse=True)[:K]} for q, v in true_topk.items()}
+    got = _run(op, emb).collect()
+    hits = sum(1 for r in got if r["match_id"] in top[r["query_id"]])
+    assert hits >= 3  # >= 20% overall recall on the fixture

