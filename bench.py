@@ -44,6 +44,7 @@ HEADLINE = [
     "scalar_functions",
     "agg_cube",
     "agg_percentiles",
+    "dialect_groupby_agg",
     "udf_vectorized",
     "txt_quality",
     "txt_langid",

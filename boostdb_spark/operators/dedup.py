@@ -238,8 +238,9 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verification of candidates only
-    ds = _doc_shingles(df, id_col, text_col, n)
+    # exact verification of candidates only; shingles cached — the set
+    # feeds sizes and both join sides (3 subplans)
+    ds = _doc_shingles(df, id_col, text_col, n).cache()
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     a = ds.withColumnsRenamed({"id": "id_a"})
     b = ds.withColumnsRenamed({"id": "id_b"})

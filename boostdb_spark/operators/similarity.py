@@ -11,6 +11,7 @@ between engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -142,26 +143,55 @@ def lsh_bucket(vec_col, num_planes: int, dim: int, table_idx: int = 0):
     return bucket
 
 
+def _plane_matrix(num_tables: int, num_planes: int, dim: int):
+    """All hyperplanes as one (tables*planes, dim) ±1 numpy matrix —
+    same md5 derivation as _hyperplane."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for t in range(num_tables):
+        for i in range(num_planes):
+            rows.append(
+                [
+                    1.0
+                    if int(hashlib.md5(f"{t}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+                    else -1.0
+                    for j in range(dim)
+                ]
+            )
+    return np.array(rows)
+
+
 def _lsh_tables(df: DataFrame, vec_col: str, num_planes: int, dim: int, num_tables: int):
     """Explode each row into (table, bucket) pairs, one per LSH table —
     OR-amplification: a single AND-only table of p planes has collision
     probability (1-theta/pi)^p, too selective for moderate-similarity
     top-k; L tables raise it to 1-(1-p_col)^L while candidates stay
-    ~L*N/2^p per query."""
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(vec_col), num_planes, dim, t).alias("bucket"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-    ).alias("_tb")
-    return df.select("*", tb).select(
-        *df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket")
-    )
+    ~L*N/2^p per query.
+
+    Buckets come from ONE Arrow-batched pandas UDF doing a numpy
+    matmul against the full plane matrix: tables*planes array-fold dot
+    products per row run interpreted on the JVM (higher-order functions
+    are outside codegen) and were ~10x slower — this is the legitimate
+    vectorized-Python case."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = _plane_matrix(num_tables, num_planes, dim).T  # (dim, T*p)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.stack(v.values)  # (batch, dim)
+        bits = (X @ P) >= 0  # (batch, T*p), plane i of table t at t*p+i
+        B = bits.reshape(len(X), num_tables, num_planes)
+        w = 1 << np.arange(num_planes - 1, -1, -1)  # MSB-first like lsh_bucket
+        return pd.Series(list((B * w).sum(axis=2).astype("int64")))
+
+    tb = F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket")
+    return df.select("*", tb)
 
 
 def ivf_assign(

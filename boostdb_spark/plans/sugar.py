@@ -5,7 +5,8 @@ The reference parses its dialect with the TiDB parser into ``QueryOps``
 (query/executor/planner.go:115-243), and hand-executes it row by row
 (query/executor/executor.go:184-274). Here the same dialect —
 
-    SELECT [alias.]series[.attribute] [, ...]
+    SELECT [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(field)
+           [AS name] [, ...]
     FROM domain.family [alias]
     [WHERE <expr over the same sugared names>]
     [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
@@ -108,10 +109,14 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
 
 @dataclass
 class FieldRef:
-    """A sugared column reference (selectfieldparser.go:100-135)."""
+    """A sugared column reference (selectfieldparser.go:100-135),
+    optionally wrapped in an aggregate call — the syntax the reference
+    declares via its Aggregate/GroupBy enums but never parses
+    (query/base/expression.go:16-25)."""
 
     parts: tuple[str, ...]
     alias: str | None = None  # AS name (parsed but unused in ref, :88)
+    func: str | None = None  # count/sum/avg/min/max; parts=() for count(*)
 
 
 @dataclass
@@ -221,17 +226,34 @@ class _Parser:
             raise ValueError(f"trailing tokens at {self.peek()}")
         return BoostQuery(fields, domain, family, alias, where, group_by, having, order_by, limit)
 
+    _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
+
     def parse_field(self) -> FieldRef:
         kind, v = self.next()
         if kind != "name":
             raise ValueError(f"expected field name, got {v!r} (explicit names required, selectfieldparser.go:108-114)")
+        func = None
+        parts: tuple[str, ...] = tuple(v.split("."))
+        if v.lower() in self._AGG_FUNCS and self.accept_op("("):
+            func = v.lower()
+            if self.accept_op("*"):
+                if func != "count":
+                    raise ValueError(f"{func}(*) is not valid; only count(*)")
+                parts = ()
+            else:
+                k2, inner = self.next()
+                if k2 != "name":
+                    raise ValueError(f"expected column in {func}(...), got {inner!r}")
+                parts = tuple(inner.split("."))
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in {func}(...)")
         alias = None
         if self.accept_kw("as"):
             k2, a = self.next()
             if k2 != "name":
                 raise ValueError("expected alias after AS")
             alias = a
-        return FieldRef(tuple(v.split(".")), alias)
+        return FieldRef(parts, alias, func)
 
     # WHERE grammar (whereparser.go:132-290 + the declared-absent ops)
     def parse_or(self) -> Expr:
@@ -369,8 +391,11 @@ class _Resolver:
     def default_name(self, ref: FieldRef) -> str:
         if ref.alias:
             return ref.alias
+        if ref.func is not None and not ref.parts:
+            return ref.func  # count(*)
         parts = self.strip_alias(ref.parts)
-        return parts[-1] if len(parts) > 1 else self.b.value_col
+        base = parts[-1] if len(parts) > 1 else self.b.value_col
+        return f"{ref.func}_{base}" if ref.func else base
 
 
 def _compile_expr(e: Expr, res: _Resolver) -> Column:
@@ -426,10 +451,10 @@ def plan(
     scan — visible as PushedFilters in ``.explain``.
     """
     res = _Resolver(q, binding)
-    sel: list[tuple[str, str]] = []  # (alias, physical col)
+    sel: list[tuple[str, str | None, str | None]] = []  # (alias, col, aggfunc)
     for f in q.fields:
-        _, col = res.resolve(f)
-        sel.append((res.default_name(f), col))
+        col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
+        sel.append((res.default_name(f), col, f.func))
     where_col = _compile_expr(q.where, res) if q.where else None
 
     df = spark.table(binding.view)
@@ -446,18 +471,31 @@ def plan(
     if where_col is not None:
         df = df.filter(where_col)
 
-    if q.group_by:
+    agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+    aggs = [
+        (agg_map[func](F.col(col)) if col is not None else F.count(F.lit(1))).alias(alias)
+        for alias, col, func in sel
+        if func
+    ]
+    if q.group_by or aggs:
         gcols = [
             F.col(res.resolve(g)[1]).alias(res.default_name(g)) for g in q.group_by
         ]
         gphys = {res.resolve(g)[1] for g in q.group_by}
-        # non-grouped select fields default to AVG (the dialect has no
-        # aggregate-function syntax yet; GROUP BY itself is a declared-only
-        # stub in the reference, query/base/expression.go:22-25)
-        aggs = [F.avg(col).alias(alias) for alias, col in sel if col not in gphys]
-        df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+        # plain non-grouped select fields default to AVG (GROUP BY is a
+        # declared-only stub in the reference, query/base/expression.go:
+        # 22-25; explicit count/sum/avg/min/max calls override this)
+        aggs += [
+            F.avg(col).alias(alias)
+            for alias, col, func in sel
+            if not func and col is not None and col not in gphys
+        ]
+        if gcols:
+            df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+        else:
+            df = df.agg(*aggs)  # global aggregate
     else:
-        df = df.select(*[F.col(col).alias(alias) for alias, col in sel])
+        df = df.select(*[F.col(col).alias(alias) for alias, col, _ in sel])
 
     if q.having is not None:
         df = df.filter(_compile_expr(q.having, res))

@@ -929,6 +929,33 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_groupby_agg",
+    """
+    SELECT user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS total,
+           max(value) AS peak
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY with explicit aggregate calls THROUGH the dialect front
+    (parse -> sugar resolution -> grouped plan): the full declared-stub
+    aggregation surface (query/base/expression.go:16-28) driven from
+    the reference's own SQL shape."""
+    load_tables(spark, sf_dir)
+    df = sugar.query(
+        spark,
+        "SELECT purchase.user_id, count(*) AS n, sum(purchase) AS total, "
+        "max(purchase) AS peak FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+    # decimal-cast the sum for cross-engine order-independence (suite
+    # determinism rules) — the dialect's sum() itself is double
+    return df.withColumn("total", F.col("total").cast("decimal(18,6)"))
+
+
+@_q(
     "join_range",
     """
     SELECT l.event_id AS purchase_id, r.event_id AS error_id

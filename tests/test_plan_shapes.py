@@ -1,0 +1,78 @@
+"""Physical-plan shape guards: the scale posture (SURVEY.md section 4 /
+README design rules) as regression tests. A change that silently drops
+a pushdown, broadcasts nothing, or introduces a cartesian product
+should fail HERE, not at 100 TB.
+"""
+
+import pytest
+
+from boostdb_spark import suite
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name):
+    df = suite.spark_queries()[name](spark, SF_DIR)
+    # formatted mode prints untruncated PushedFilters + codegen spans
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_pushes_series_and_time_filters(spark):
+    p = _plan(spark, "flagship_series_scan")
+    assert "PushedFilters" in p
+    assert "EqualTo(event_type,click)" in p
+    assert "GreaterThanOrEqual(ts," in p and "LessThan(ts," in p
+
+
+def test_q1_prunes_columns(spark):
+    p = _plan(spark, "agg_groupby_q1")
+    # 16-column lineitem must scan only the 6 referenced columns
+    readschema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in readschema and "l_comment" not in readschema
+    assert "l_quantity" in readschema
+
+
+def test_q1_partial_aggregation(spark):
+    # map-side partial agg before the exchange: two HashAggregate levels
+    p = _plan(spark, "agg_groupby_q1")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_dim_joins_broadcast(spark):
+    p = _plan(spark, "join_dims")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "ann_lsh_topk"],
+)
+def test_candidate_joins_are_equi_not_cartesian(spark, name):
+    """LSH bands / pigeonhole chunks / shingle buckets must join on
+    keys — never a cross product over documents."""
+    p = _plan(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    p = _plan(spark, "asof_join_backward")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # union + window implementation: exactly the per-key sort, no join op
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" in p
+
+
+def test_whole_stage_codegen_everywhere_cheap(spark):
+    """The scan->filter->project pipeline of the flagship query must sit
+    inside WholeStageCodegen (no interpreted operators in the hot
+    path)."""
+    p = _plan(spark, "flagship_series_scan")
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    for op in ("Filter", "Project"):
+        assert any(
+            f"{op} [codegen id" in ln for ln in p.splitlines()
+        ), f"{op} not codegen'd"

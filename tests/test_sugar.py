@@ -45,6 +45,59 @@ def test_parse_group_order_limit():
     assert q.limit == 5
 
 
+def test_parse_aggregate_calls():
+    q = parse(
+        "SELECT a.host, count(*), sum(a) AS total, avg(a) FROM d.f GROUP BY a.host"
+    )
+    assert [f.func for f in q.fields] == [None, "count", "sum", "avg"]
+    assert q.fields[1].parts == ()
+    assert q.fields[2].alias == "total"
+    with pytest.raises(ValueError):
+        parse("SELECT sum(*) FROM d.f")
+
+
+def test_plan_grouped_aggregates(spark):
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    df = sugar.query(
+        spark,
+        "SELECT click.user_id, count(*) AS n, max(click) AS peak "
+        "FROM boost.events GROUP BY click.user_id",
+        EVENTS_BINDING,
+    )
+    assert df.columns == ["user_id", "n", "peak"]
+    rows = {r["user_id"]: (r["n"], r["peak"]) for r in df.collect()}
+    ev = spark.table("events").filter("event_type = 'click'")
+    import pyspark.sql.functions as F
+
+    want = {
+        r["user_id"]: (r["n"], r["peak"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("peak"))
+        .collect()
+    }
+    assert rows == want and len(rows) > 0
+
+
+def test_plan_global_aggregate(spark):
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    df = sugar.query(
+        spark, "SELECT count(*) AS n FROM boost.events WHERE click > 50", EVENTS_BINDING
+    )
+    [row] = df.collect()
+    want = spark.table("events").filter(
+        "event_type = 'click' AND value > 50"
+    ).count()
+    assert row["n"] == want > 0
+
+
 def test_parse_rejects_bad_sql():
     # explicit names required (selectfieldparser.go:108-114)
     with pytest.raises(ValueError):
