@@ -61,6 +61,7 @@ HEADLINE = [
     "join_range",
     "asof_join_forward",
     "window_moving_avg",
+    "window_counter_increase",
     "multimodal_meta",
 ]
 

@@ -3,6 +3,7 @@ from boostdb_spark.functions.scalar import (
     ns_to_micros,
     ns_to_timestamp,
     pandas_scale_clip,
+    pandas_udaf_range,
     ts_parts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ns_to_micros",
     "ns_to_timestamp",
     "pandas_scale_clip",
+    "pandas_udaf_range",
     "ts_parts",
 ]

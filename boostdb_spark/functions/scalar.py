@@ -68,3 +68,15 @@ def pandas_scale_clip(v: pd.Series) -> pd.Series:
     Python; anything expressible stays JVM-side (SURVEY.md section 2.5).
     """
     return v.clip(lower=0.0, upper=100.0) / 100.0
+
+
+@pandas_udf("double")
+def pandas_udaf_range(v: pd.Series) -> float:  # GROUPED_AGG by signature
+    """Pandas UDAF (grouped-aggregate pandas_udf, Series -> scalar):
+    per-group value range (max - min). Order-independent by
+    construction, so deterministic under Spark's arbitrary partition
+    ordering — the property any Python UDAF must have (sums of floats
+    would not be)."""
+    if len(v) == 0:
+        return None
+    return float(v.max() - v.min())

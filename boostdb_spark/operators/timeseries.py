@@ -111,6 +111,27 @@ def rate(
     )
 
 
+def counter_increase(
+    df: DataFrame,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    out_col: str = "increase",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Monotonic-counter increase with reset handling (the Prometheus
+    increase/rate convention): v - lag(v) when the counter advanced,
+    the raw v after a reset (v < lag(v)), NULL on each series' first
+    point. Same one-shuffle per-series window as delta/rate."""
+    w = _series_window(series_cols, ts_col, order_extra)
+    prev = F.lag(value_col).over(w)
+    v = F.col(value_col)
+    return df.withColumn(
+        out_col,
+        F.when(prev.isNull(), F.lit(None)).when(v >= prev, v - prev).otherwise(v),
+    )
+
+
 def resample(
     df: DataFrame,
     bucket_seconds: int,

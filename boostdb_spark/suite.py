@@ -929,6 +929,32 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "window_counter_increase",
+    """
+    SELECT event_id,
+           CASE WHEN lag(value) OVER w IS NULL THEN NULL
+                WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+                ELSE value END AS increase
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def window_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counter_increase(): monotonic-counter delta with reset handling
+    (Prometheus increase convention) — the monitoring-TSDB staple the
+    reference's 'rich time-series functions' goal implies
+    (reference README.md:8)."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.counter_increase(
+        t["events"],
+        value_col="value",
+        series_cols=("event_type",),
+        ts_col="ts",
+        order_extra=("event_id",),
+    ).select("event_id", "increase")
+
+
+@_q(
     "dialect_groupby_agg",
     """
     SELECT user_id, count(*) AS n,
@@ -1143,6 +1169,26 @@ def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["events"].select(
         "event_id", pandas_scale_clip(F.col("value")).alias("value_unit")
+    )
+
+
+@_q(
+    "udaf_grouped_range",
+    """
+    SELECT event_type, max(value) - min(value) AS vrange
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (grouped-agg pandas_udf, Series -> scalar): per-group
+    range. The UDAF contract of SURVEY.md section 2.5 — the kernel is
+    order-independent (max-min), the property any Python aggregate
+    needs under Spark's arbitrary partition ordering."""
+    from boostdb_spark.functions import pandas_udaf_range
+
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        pandas_udaf_range(F.col("value")).alias("vrange")
     )
 
 

@@ -3,13 +3,16 @@ analysis, multimodal — the north-star operators beyond the reference's
 own surface (BASELINE.json: "add the LLM-data-pipeline operators ...
 design every operator for 100 TB scale").
 
-Oracle parity strategy: every hash is md5-derived
+Oracle parity strategy: every cross-engine hash is md5-derived
 (Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
 ``('0x'||substr(md5(x),1,8))::BIGINT``), every float fold is an
 explicit left-to-right ``list_reduce`` mirroring Spark's
-``F.aggregate``, and integer arithmetic carries the rest — so even
-MinHash signatures and LSH buckets reproduce bit-exactly across
-engines.
+``F.aggregate``, and integer arithmetic carries the rest. Candidate
+generation internals (MinHash affine family, LSH hyperplanes, IVF
+centroids) are deterministic md5-seeded constants but never reach an
+oracle: LSH/SimHash pairs are verified against brute-force exact
+computations, and the approximate-by-design ANN entries use unit
+tests (tests/test_ann.py) instead of SQL oracles.
 """
 
 from __future__ import annotations
@@ -130,6 +133,30 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup key."""
     t = load_tables(spark, sf_dir)
     return tx.fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+@_q(
+    "udtf_tokenize",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id, unnest(toks) AS token,
+           unnest(range(0, len(toks)))::INT AS pos
+    FROM d
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row -> many rows) LATERAL-joined in SQL — the
+    table-function contract of SURVEY.md section 2.5. Mirrors the
+    JVM tokenizer bit-for-bit; at scale the explode() form in
+    operators/text.py is the throughput path."""
+    from boostdb_spark.functions.udtf import register_udtfs
+
+    load_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM documents d, LATERAL boost_tokenize(d.text) t"
+    )
 
 
 # ===========================================================================
