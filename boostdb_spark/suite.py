@@ -1173,6 +1173,84 @@ def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "subquery_scalar",
+    """
+    SELECT event_id, value FROM events
+    WHERE event_type = 'click'
+      AND value > (SELECT max(value) - 50.0 FROM events WHERE event_type = 'error')
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate — the reference's declared
+    'Aggregate' expression kind ("subquery that returns a single value",
+    query/base/expression.go:16-18) that never got parser/executor
+    support. Catalyst plans the subquery once and broadcasts the
+    scalar. (max-based threshold: exact in both engines, no FP-noise
+    boundary.)"""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, value FROM events
+        WHERE event_type = 'click'
+          AND value > (SELECT max(value) - 50.0 FROM events
+                       WHERE event_type = 'error')
+        """
+    )
+
+
+@_q(
+    "subquery_in",
+    """
+    SELECT event_id, user_id FROM events e
+    WHERE event_type = 'purchase'
+      AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error'
+                      AND value > 150.0)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated to a left-semi join by Catalyst) — the
+    SQL form of the semi-join surface; purchases by users who ever had
+    a high-value error."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id FROM events e
+        WHERE event_type = 'purchase'
+          AND user_id IN (SELECT user_id FROM events
+                          WHERE event_type = 'error' AND value > 150.0)
+        """
+    )
+
+
+@_q(
+    "window_rank_ntile",
+    """
+    SELECT event_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window functions (rank, dense_rank, ntile) per
+    series ordered by value — the ranking row of SURVEY.md section 2.5.
+    ntile gets a unique (value, event_id) order so tile assignment is
+    deterministic; rank/dense_rank handle ties identically in both
+    engines by definition."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    wu = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t["events"].select(
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wu).alias("quartile"),
+    )
+
+
+@_q(
     "udaf_grouped_range",
     """
     SELECT event_type, max(value) - min(value) AS vrange
