@@ -44,6 +44,9 @@ HEADLINE = [
     "scalar_functions",
     "agg_cube",
     "agg_percentiles",
+    "agg_count_distinct",
+    "agg_pivot",
+    "ts_ewma",
     "dialect_groupby_agg",
     "udf_vectorized",
     "txt_quality",

@@ -312,6 +312,43 @@ def moving_agg(
     return df.withColumn(out_col or f"moving_{how}", fns[how].over(w))
 
 
+def ewma_final(
+    df: DataFrame,
+    alpha: float,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    order_extra: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Final exponentially-weighted moving average per series:
+    s_0 = v_0; s_i = alpha*v_i + (1-alpha)*s_{i-1} over the
+    time-ordered values. Returns one row per series.
+
+    EWMA is an inherently sequential recursion, so it's computed as a
+    left fold over the per-series ordered value array
+    (sort_array(collect_list(struct(ts, ..., v))) -> aggregate) — a
+    deterministic order even though collect_list itself is not.
+    ONE shuffle (the groupBy); per-series state is O(series length), so
+    this is for bounded series (downsample first at 100 TB — resample()
+    exists for exactly that).
+    """
+    key = F.struct(
+        F.col(ts_col), *[F.col(c) for c in order_extra], F.col(value_col).alias("_v")
+    )
+    ordered = F.sort_array(F.collect_list(key))
+    vals = F.transform(ordered, lambda s: s["_v"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: F.lit(alpha) * v + F.lit(1.0 - alpha) * acc,
+    )
+    return (
+        df.groupBy(*series_cols)
+        .agg(fold.alias(out_col))
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

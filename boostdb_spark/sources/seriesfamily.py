@@ -55,7 +55,7 @@ class SeriesFamily:
         return f"{self.domain}__{self.family}"
 
     # ------------------------------------------------------------------ write
-    def write(self, df: DataFrame, mode: str = "append") -> None:
+    def write(self, df: DataFrame, mode: str = "append", files_per_day: int = 8) -> None:
         """Append datapoints. Expects at least (series, ts, value) plus any
         tag/attribute columns; schema evolution is allowed (the reference
         creates attributes on first write, core/symtable.go:288-321 — here
@@ -65,12 +65,21 @@ class SeriesFamily:
         core/seriesfamily.go:23). A ``ts_date`` partition column is derived
         for pruning; data within each output file is sorted by
         (series, ts) for row-group skipping at scale.
+
+        Shuffle key is (date, series-hash % files_per_day), NOT date
+        alone: a typical ingest batch is one day, and hashing on date
+        alone funnels the whole batch through ONE reducer. The series
+        bucket spreads a day over ``files_per_day`` writers while
+        keeping each series clustered in one file per day (the write
+        round-robin distribution of m3dbseriesfamily.go:156-168, minus
+        the read-side merge cost).
         """
         ts_as_time = self._ts_expr(df)
         out = df.withColumn(DATE_COL, F.to_date(ts_as_time))
+        bucket = F.pmod(F.hash(F.col(SERIES)), F.lit(files_per_day))
         # sortWithinPartitions (not orderBy): no global shuffle on ingest,
         # just per-file clustering for stats-based skipping.
-        out = out.repartition(DATE_COL).sortWithinPartitions(SERIES, TS)
+        out = out.repartition(F.col(DATE_COL), bucket).sortWithinPartitions(SERIES, TS)
         (
             out.write.mode(mode)
             .option("mergeSchema", "true")

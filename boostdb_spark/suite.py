@@ -1173,6 +1173,81 @@ def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_ewma",
+    """
+    WITH s AS (SELECT event_type,
+                      list(value ORDER BY ts, event_id) AS vals
+               FROM events GROUP BY event_type)
+    SELECT event_type,
+           list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+    FROM s
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA per series (alpha=0.25 — chosen binary-exact so
+    1-alpha is bit-identical in both engines): the inherently
+    sequential recursion done as a deterministic left fold over the
+    per-series ordered array. ewma_final operator; one shuffle."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.ewma_final(
+        t["events"],
+        alpha=0.25,
+        value_col="value",
+        series_cols=("event_type",),
+        ts_col="ts",
+        order_extra=("event_id",),
+    )
+
+
+@_q(
+    "agg_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase hash agg — a
+    distinct physical shape vs plain agg). The approx path at 100 TB is
+    approx_count_distinct (HLL); the exact form is the oracle
+    contract."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
+    "agg_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event-type counts. Explicit value
+    list keeps the schema static (a dynamic pivot needs a driver-side
+    distinct pass — an anti-pattern at scale); the oracle is the
+    equivalent conditional aggregation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@_q(
     "subquery_scalar",
     """
     SELECT event_id, value FROM events

@@ -170,6 +170,26 @@ def test_stream_stream_join_equals_batch(spark, landing):
     assert len(_rows(got, cols)) > 0
 
 
+def test_streaming_dedup_within_watermark(spark, landing, tmp_path):
+    """Streaming exactly-once dedup: a source that replays every event
+    twice must come out with each event_id once — dropDuplicates keyed
+    on event_id with state bounded by the watermark (the streaming
+    analog of dedup_exact)."""
+    doubled = str(tmp_path / "doubled")
+    src = spark.read.parquet(landing)
+    src.union(src).repartition(2).write.parquet(doubled)
+
+    sdf = (
+        file_stream(spark, doubled)
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _run_to_memory(sdf, "dedup_t", "append")
+    got = spark.table("dedup_t")
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+
+
 def test_stream_write_then_read_family(spark, landing, tmp_path):
     fam = SeriesFamily(spark, "test", "stream_fam", str(tmp_path / "families"))
     src = file_stream(spark, landing, max_files_per_trigger=2).select(
