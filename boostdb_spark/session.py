@@ -95,9 +95,19 @@ class BoostSession:
     symbol tables core/symtable.go:28-55) has no Spark analog by design.
     """
 
-    def __init__(self, spark: SparkSession | None = None):
+    def __init__(self, spark: SparkSession | None = None, storage_root: str = "/tmp/boostdb"):
         self.spark = spark or get_spark()
+        self.storage_root = storage_root
         self._registered: dict[str, str] = {}
+
+    def series_family(self, domain: str, family: str):
+        """Get a series-family handle under this session's storage root —
+        the ``NewM3DBSeriesFamily`` analog (client/m3dbseriesfamily.go:
+        17-50): resolve ``domain.family`` to a writable/fetchable table.
+        """
+        from boostdb_spark.sources.seriesfamily import SeriesFamily
+
+        return SeriesFamily(self.spark, domain, family, self.storage_root)
 
     # ---------------------------------------------------------------- catalog
     def register_parquet(self, name: str, path: str) -> DataFrame:

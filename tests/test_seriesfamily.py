@@ -12,6 +12,18 @@ def family(spark, tmp_path):
     return SeriesFamily(spark, "bTestDomain", "bTestSF", str(tmp_path))
 
 
+def test_session_series_family_handle(spark, tmp_path):
+    """BoostSession.series_family: the NewM3DBSeriesFamily analog —
+    session-rooted handle that writes and fetches."""
+    from boostdb_spark.session import BoostSession
+
+    bs = BoostSession(spark, storage_root=str(tmp_path))
+    fam = bs.series_family("bTestDomain", "bTestSF")
+    fam.write(_fixture_df(spark))
+    assert fam.fetch("cpu_utilization").count() == 10
+    assert fam.qualified_name == "bTestDomain.bTestSF"
+
+
 def _fixture_df(spark):
     # the reference e2e fixture: 10 points of cpu_utilization with tags
     # dc/env and per-point host attribute (executor_test.go:127-177)
