@@ -19,6 +19,7 @@ from boostdb_spark.streaming.slices import (
     foreach_slice,
     time_slices,
 )
+from boostdb_spark.streaming.rollup import continuous_rollup
 
 __all__ = [
     "read_family_stream",
@@ -30,4 +31,5 @@ __all__ = [
     "time_slices",
     "execute_sliced",
     "foreach_slice",
+    "continuous_rollup",
 ]

@@ -170,6 +170,35 @@ def test_stream_stream_join_equals_batch(spark, landing):
     assert len(_rows(got, cols)) > 0
 
 
+def test_continuous_rollup_converges_to_batch(spark, landing, tmp_path):
+    """Continuous rollup: multi-batch streaming maintenance of an
+    hourly rollup table must converge to the batch bucket aggregation
+    (update-mode state accumulates across batches; dynamic partition
+    overwrite keeps only each window's LATEST totals)."""
+    from boostdb_spark.streaming import continuous_rollup, tumbling_agg
+
+    rollup = str(tmp_path / "rollup")
+    sdf = file_stream(spark, landing, max_files_per_trigger=1)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+    ]
+    q = continuous_rollup(
+        sdf, rollup, checkpoint=str(tmp_path / "ckpt"), duration="1 hour",
+        keys=["event_type"], aggs=aggs, ts_col="ts",
+        watermark="365 days",  # never finalize: every window stays updatable
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(rollup)
+    want = tumbling_agg(spark.read.parquet(landing), "1 hour", ["event_type"],
+                        aggs, ts_col="ts")
+    cols = ["win_start", "win_end", "event_type", "n", "total"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w and len(g) > 0
+
+
 def test_streaming_dedup_within_watermark(spark, landing, tmp_path):
     """Streaming exactly-once dedup: a source that replays every event
     twice must come out with each event_id once — dropDuplicates keyed
