@@ -343,6 +343,24 @@ class _Parser:
         if kind == "kw" and v == "null":
             return Expr("lit", value=None)
         if kind == "name":
+            # aggregate-call operand (HAVING count(*) > 2, HAVING avg(x) < y)
+            if v.lower() in self._AGG_FUNCS and self.peek() == ("op", "("):
+                self.next()
+                func = v.lower()
+                if self.accept_op("*"):
+                    if func != "count":
+                        raise ValueError(f"{func}(*) is not valid; only count(*)")
+                    parts: tuple[str, ...] = ()
+                else:
+                    k2, inner = self.next()
+                    if k2 != "name":
+                        raise ValueError(
+                            f"expected column in {func}(...), got {inner!r}"
+                        )
+                    parts = tuple(inner.split("."))
+                if not self.accept_op(")"):
+                    raise ValueError(f"unbalanced parenthesis in {func}(...)")
+                return Expr("ref", value=FieldRef(parts, None, func))
             return Expr("ref", value=FieldRef(tuple(v.split("."))))
         raise ValueError(f"unexpected operand {v!r}")
 
@@ -398,14 +416,24 @@ class _Resolver:
         return f"{ref.func}_{base}" if ref.func else base
 
 
-def _compile_expr(e: Expr, res: _Resolver) -> Column:
+def _expr_refs(e: Expr):
+    """All FieldRefs in an expression tree (pre-order)."""
+    if e.kind == "ref":
+        yield e.value
+    for c in e.children:
+        yield from _expr_refs(c)
+
+
+def _compile_expr(e: Expr, res: _Resolver, name_of=None) -> Column:
     if e.kind == "lit":
         return F.lit(e.value)
     if e.kind == "ref":
+        if name_of is not None:  # post-aggregation scope (HAVING)
+            return F.col(name_of(e.value))
         _, col = res.resolve(e.value)
         return F.col(col)
     if e.kind == "cmp":
-        left, right = (_compile_expr(c, res) for c in e.children)
+        left, right = (_compile_expr(c, res, name_of) for c in e.children)
         return {
             "=": left == right,
             "!=": left != right,
@@ -415,22 +443,26 @@ def _compile_expr(e: Expr, res: _Resolver) -> Column:
             ">=": left >= right,
         }[e.op]
     if e.kind == "and":
-        return _compile_expr(e.children[0], res) & _compile_expr(e.children[1], res)
+        return _compile_expr(e.children[0], res, name_of) & _compile_expr(
+            e.children[1], res, name_of
+        )
     if e.kind == "or":
-        return _compile_expr(e.children[0], res) | _compile_expr(e.children[1], res)
+        return _compile_expr(e.children[0], res, name_of) | _compile_expr(
+            e.children[1], res, name_of
+        )
     if e.kind == "not":
-        return ~_compile_expr(e.children[0], res)
+        return ~_compile_expr(e.children[0], res, name_of)
     if e.kind == "isnull":
-        return _compile_expr(e.children[0], res).isNull()
+        return _compile_expr(e.children[0], res, name_of).isNull()
     if e.kind == "in":
-        return _compile_expr(e.children[0], res).isin(
+        return _compile_expr(e.children[0], res, name_of).isin(
             *[c.value for c in e.children[1:]]
         )
     if e.kind == "between":
-        a, lo, hi = (_compile_expr(c, res) for c in e.children)
+        a, lo, hi = (_compile_expr(c, res, name_of) for c in e.children)
         return a.between(lo, hi)
     if e.kind == "like":
-        return _compile_expr(e.children[0], res).like(e.children[1].value)
+        return _compile_expr(e.children[0], res, name_of).like(e.children[1].value)
     raise ValueError(f"unknown expr kind {e.kind}")
 
 
@@ -477,11 +509,15 @@ def plan(
         for alias, col, func in sel
         if func
     ]
+    post_name = None
+    hidden: dict[tuple, str] = {}
     if q.group_by or aggs:
         gcols = [
             F.col(res.resolve(g)[1]).alias(res.default_name(g)) for g in q.group_by
         ]
         gphys = {res.resolve(g)[1] for g in q.group_by}
+        gnames = {res.default_name(g) for g in q.group_by}
+        out_names = {alias for alias, _, _ in sel}
         # plain non-grouped select fields default to AVG (GROUP BY is a
         # declared-only stub in the reference, query/base/expression.go:
         # 22-25; explicit count/sum/avg/min/max calls override this)
@@ -490,6 +526,52 @@ def plan(
             for alias, col, func in sel
             if not func and col is not None and col not in gphys
         ]
+
+        def post_name(ref: FieldRef) -> str:
+            """Resolve a ref in post-aggregation scope (HAVING / ORDER BY):
+            select aliases and group-by names pass through; aggregate
+            calls match a select entry or become a hidden aggregate
+            (registered before .agg(), dropped after)."""
+            if ref.func is None:
+                if len(ref.parts) == 1 and (
+                    ref.parts[0] in out_names or ref.parts[0] in gnames
+                ):
+                    return ref.parts[0]
+                col = res.resolve(ref)[1]
+                for g in q.group_by:
+                    if res.resolve(g)[1] == col:
+                        return res.default_name(g)
+                raise ValueError(
+                    f"{'.'.join(ref.parts)} is neither grouped nor aggregated"
+                )
+            col = res.resolve(ref)[1] if ref.parts else None
+            for alias, scol, fn2 in sel:
+                if fn2 == ref.func and scol == col:
+                    return alias
+            if ref.func == "avg":  # matches the default-AVG select fields
+                for alias, scol, fn2 in sel:
+                    if fn2 is None and scol == col and col not in gphys:
+                        return alias
+            key = (ref.func, col)
+            if key not in hidden:
+                name = f"_h_{ref.func}_{col or 'star'}"
+                hidden[key] = name
+                aggs.append(
+                    (
+                        agg_map[ref.func](F.col(col))
+                        if col is not None
+                        else F.count(F.lit(1))
+                    ).alias(name)
+                )
+            return hidden[key]
+
+        # pre-register hidden aggregates referenced by HAVING / ORDER BY
+        if q.having is not None:
+            for ref in _expr_refs(q.having):
+                post_name(ref)
+        for ref, _ in q.order_by:
+            post_name(ref)
+
         if gcols:
             df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
         else:
@@ -498,16 +580,21 @@ def plan(
         df = df.select(*[F.col(col).alias(alias) for alias, col, _ in sel])
 
     if q.having is not None:
-        df = df.filter(_compile_expr(q.having, res))
+        df = df.filter(_compile_expr(q.having, res, name_of=post_name))
     if q.order_by:
         order = []
         for ref, desc in q.order_by:
-            name = res.default_name(ref)
-            target = name if name in df.columns else res.resolve(ref)[1]
+            if post_name is not None:
+                target = post_name(ref)
+            else:
+                name = res.default_name(ref)
+                target = name if name in df.columns else res.resolve(ref)[1]
             order.append(F.col(target).desc() if desc else F.col(target).asc())
         df = df.orderBy(*order)
     if q.limit is not None:
         df = df.limit(q.limit)
+    if hidden:
+        df = df.drop(*hidden.values())
     return df
 
 

@@ -1345,5 +1345,29 @@ def udaf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dialect_having",
+    """
+    SELECT user_id, count(*) AS n
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    HAVING count(*) > 1 AND max(value) < 99.5
+    """,
+)
+def dialect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING through the dialect front with a select-alias ref AND a
+    hidden aggregate (max not in the select list — registered before
+    .agg, dropped after the filter). Completes the declared-stub Having
+    surface (query/base/expression.go:26-28) end-to-end. Thresholds use
+    count/max only — order-independent, so the oracle hash is exact."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id, count(*) AS n FROM boost.events "
+        "GROUP BY click.user_id HAVING n > 1 AND max(click) < 99.5",
+        EVENTS_BINDING,
+    )
+
+
 # LLM-data-pipeline entries register themselves via _q on import
 from boostdb_spark import suite_llm  # noqa: E402,F401  (registry side effect)

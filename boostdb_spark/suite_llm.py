@@ -356,3 +356,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     with_payload = mm.attach_binary_payload(t["documents"])
     return mm.extract_media_meta(with_payload)
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, unnest(range(0, greatest(n_chars % 100, 1), 7))::BIGINT AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: (video, n_frames) -> one row per
+    sampled frame index (every 7th), pure sequence+explode — the
+    distributed expansion that precedes any per-frame decode
+    (frame_sample_plan operator; n_frames stands in via n_chars%100,
+    floored at 1 so every doc yields frame 0)."""
+    t = load_tables(spark, sf_dir)
+    vids = t["documents"].select(
+        "doc_id", F.greatest(F.col("n_chars") % 100, F.lit(1)).alias("n_frames")
+    )
+    return mm.frame_sample_plan(vids, every_n=7)

@@ -143,3 +143,64 @@ def test_plan_pushes_filters_to_scan(spark):
     plan_str = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan_str
     assert "IsNotNull(event_type)" in plan_str or "event_type" in plan_str
+
+
+def test_parse_having_aggregate_call():
+    q = parse(
+        "SELECT a.host, count(*) AS n FROM d.f GROUP BY a.host "
+        "HAVING count(*) > 2 AND avg(a) < 50 ORDER BY avg(a) DESC"
+    )
+    assert q.having is not None and q.having.kind == "and"
+    refs = list(sugar._expr_refs(q.having))
+    assert [r.func for r in refs] == ["count", "avg"]
+    assert q.order_by[0][0].func == "avg"
+
+
+def test_plan_having_and_orderby_aggregates(spark):
+    """HAVING over select-alias, matched aggregate, and a hidden
+    aggregate (avg not in the select list) all resolve; ORDER BY an
+    aggregate call sorts by it; hidden columns are dropped."""
+    import tests.conftest as cfg
+    import pyspark.sql.functions as F
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    df = sugar.query(
+        spark,
+        "SELECT click.user_id, count(*) AS n FROM boost.events "
+        "GROUP BY click.user_id HAVING n > 1 AND avg(click) < 90 "
+        "ORDER BY max(click) DESC, click.user_id LIMIT 5",
+        EVENTS_BINDING,
+    )
+    assert df.columns == ["user_id", "n"]  # hidden aggs dropped
+    got = [(r["user_id"], r["n"]) for r in df.collect()]
+    ev = spark.table("events").filter("event_type = 'click'")
+    want_df = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("a"),
+            F.max("value").alias("m"),
+        )
+        .filter("n > 1 AND a < 90")
+        .orderBy(F.col("m").desc(), F.col("user_id"))
+        .limit(5)
+    )
+    want = [(r["user_id"], r["n"]) for r in want_df.collect()]
+    assert got == want and len(got) > 0
+
+
+def test_plan_having_rejects_ungrouped_column(spark):
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    with pytest.raises(ValueError, match="neither grouped nor aggregated"):
+        sugar.query(
+            spark,
+            "SELECT count(*) AS n FROM boost.events "
+            "GROUP BY click.user_id HAVING click.event_id > 5",
+            EVENTS_BINDING,
+        )
