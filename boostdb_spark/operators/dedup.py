@@ -67,23 +67,40 @@ def exact_dedup(
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingles as strings (tokens joined by a space).
+    """Word n-gram shingles as strings (tokens joined by a space),
+    computed in one Arrow-batched pandas UDF.
 
-    Built as a zip_with chain over n shifted slices of the token array
-    — NOT element_at(toks, i) inside a transform lambda: lambda-interior
-    references to a computed array re-evaluate the whole tokenization
-    per element in Spark's interpreted higher-order-function path,
-    which turned this O(tokens) expression into O(tokens^2) regex work.
-    Sibling slice references evaluate once per row each.
+    Why not a pure array expression: every expression form runs on
+    Spark's interpreted higher-order-function path — element_at(toks,i)
+    inside a transform lambda re-evaluates the tokenization per element
+    (O(tokens^2) regex work), and the zip_with-over-shifted-slices form,
+    while O(tokens), still paid interpreted per-element lambda dispatch
+    that dominated the whole MinHash pipeline (~half its wall-clock).
+    A per-batch Python loop over pre-split tokens is several times
+    faster and constructs exactly the oracle's list_transform shingles.
     """
-    toks = tokens(col)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    out = F.slice(toks, 1, m)
-    for j in range(1, n):
-        out = F.zip_with(
-            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return out
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = _re.compile(r"[^a-z0-9]+")
+
+    @pandas_udf("array<string>")
+    def _sh(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [w for w in pat.split(t.lower()) if w]
+            out.append(
+                [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            )
+        import pandas as _pd
+
+        return _pd.Series(out)
+
+    return _sh(col)
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -231,6 +248,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    # materialize the banded signatures once: the self-join's two
+    # branches are structurally identical but get NO ReusedExchange
+    # under AQE, so without this the whole signature pipeline (the
+    # dominant cost) executes twice. localCheckpoint (not .cache) —
+    # O(docs*bands) rows on executor storage, freed by the context
+    # cleaner when the plan is GC'd, no unpersist bookkeeping leaked
+    # across a long session.
+    banded = banded.localCheckpoint(eager=False)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -238,16 +263,20 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verification of candidates only; shingles cached — the set
-    # feeds sizes and both join sides (3 subplans)
-    ds = _doc_shingles(df, id_col, text_col, n).cache()
+    # exact verification of candidates only; shingle set materialized
+    # once (feeds sizes and both join sides — 3 subplans) via
+    # localCheckpoint, GC-cleaned rather than leaking cached blocks
+    ds = _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     a = ds.withColumnsRenamed({"id": "id_a"})
     b = ds.withColumnsRenamed({"id": "id_b"})
+    # intersect via EQUI-join on (id_b, shingle): the candidate pair
+    # expands to |sh_a| rows, each probing b's hash table — never the
+    # |sh_a| x |sh_b| blowup of joining both sides by id and filtering
+    # shingle equality afterwards (that shape was quadratic per pair)
     common = (
         cand.join(a, "id_a")
-        .join(b.withColumnRenamed("sh", "sh_b"), "id_b")
-        .filter(F.col("sh") == F.col("sh_b"))
+        .join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )

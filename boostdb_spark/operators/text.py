@@ -144,3 +144,30 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: (acc * 31 + x) % MOD_P,
     )
     return df.withColumn("fingerprint", fp)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the expansion step before embedding/training-window generation in
+    an LLM data pipeline. One row per (doc, chunk): (id, chunk_id,
+    chunk_off, chunk).
+
+    Pure sequence+posexplode+substring: whole-stage codegen end to end,
+    no shuffle, output linear in total text volume — the plan scales by
+    partition count alone. ``len_col`` (precomputed length, e.g.
+    ``n_chars``) lets the scan skip reading lengths from the text.
+    """
+    n = F.length(F.col(text_col)) if len_col is None else F.col(len_col)
+    offs = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.posexplode(offs).alias("chunk_id", "chunk_off"))
+        .withColumn("chunk", F.expr(f"substring({text_col}, chunk_off + 1, {int(chunk_size)})"))
+        .drop(text_col)
+    )

@@ -349,6 +349,59 @@ def ewma_final(
     )
 
 
+def ewma_rows(
+    df: DataFrame,
+    alpha: float,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    order_extra: Sequence[str] = (),
+    out_col: str = "ewma",
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-row EWMA: every row gets its running smoothed value
+    (s_0 = v_0; s_i = alpha*v_i + (1-alpha)*s_{i-1} in time order).
+
+    The recursion is sequential per series, so it runs as an
+    Arrow-batched ``applyInPandas`` over the series key — ONE shuffle,
+    O(n) per group (vs O(n^2) for the pure-SQL window+fold form). The
+    loop spells out exactly ``alpha*v + (1-alpha)*acc`` so results are
+    bit-identical to a left fold of the same doubles in any engine.
+    Per-group memory is O(series length), the same bound as
+    :func:`ewma_final`; at 100 TB downsample per series first
+    (``resample_first_last`` exists for exactly that) or bound the
+    window with a streaming variant.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order_cols = [ts_col, *order_extra]
+    if keep_cols is None:
+        keep_cols = [*series_cols, *order_cols]
+    need = list(dict.fromkeys([*series_cols, *order_cols, *keep_cols, value_col]))
+    proj = df.select(*need)
+    schema = StructType(
+        [proj.schema[c] for c in keep_cols]
+        + [StructField(out_col, DoubleType(), True)]
+    )
+    a = float(alpha)
+    keep = list(keep_cols)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy()
+        out = np.empty(len(vals))
+        acc = 0.0
+        for i in range(len(vals)):
+            acc = vals[i] if i == 0 else a * vals[i] + (1.0 - a) * acc
+            out[i] = acc
+        res = pdf[keep].copy()
+        res[out_col] = out
+        return res
+
+    return proj.groupBy(*series_cols).applyInPandas(fn, schema)
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

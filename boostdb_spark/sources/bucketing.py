@@ -1,0 +1,74 @@
+"""Bucketed (co-located) tables: pre-shuffle once at write time, join
+shuffle-free forever after.
+
+The reference distributes writes over ``distributionFactor`` physical
+shards per logical series (client/m3dbseriesfamily.go:156-168) purely
+for write parallelism — reads merge all shards back. Bucketing is the
+Spark-native generalization that actually pays off at read time: rows
+are hash-partitioned into N buckets ON A KEY at write time, and every
+subsequent equi-join or aggregation on that key reads the co-located
+buckets with NO Exchange in the plan. At 100 TB this turns the
+fact-to-fact join — normally the single biggest shuffle in the
+pipeline — into a zipped per-bucket merge join.
+
+Rules of thumb encoded here:
+
+- bucket count should be sized so one bucket of the LARGEST table fits
+  an executor's working memory (~hundreds of MB of parquet per bucket);
+  both join sides must use the SAME count for exchange-free joins.
+- ``sortBy`` the bucket key (plus time) so the join is a pure merge —
+  no per-bucket hash table — and row-group stats stay selective.
+- bucketing metadata lives in the session catalog (``saveAsTable``);
+  plain ``.parquet(path)`` writes cannot carry it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed parquet table registered in the
+    session catalog. ``sort_cols`` defaults to the bucket key."""
+    if sort_cols is None:
+        sort_cols = list(bucket_cols)
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on ``on`` with the same bucket count.
+
+    The plan this produces (and tests/test_bucketing.py asserts) is a
+    SortMergeJoin with ZERO shuffle exchanges — each task zips bucket i
+    of both sides. The join disables broadcast promotion so the
+    exchange-free property is visible and stable even for small test
+    tables; at real scale the optimizer would keep the merge join
+    anyway (both sides huge).
+    """
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("merge").join(right.hint("merge"), list(on), how)

@@ -1200,6 +1200,38 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_ewma_rows",
+    """
+    WITH s AS (
+      SELECT event_type, event_id,
+             list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events)
+    SELECT event_type, event_id,
+           list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+    FROM s
+    """,
+)
+def ts_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row EWMA (every row carries its running smoothed value, not
+    just the final per-series state): Arrow-batched applyInPandas with
+    an explicit O(n) fold loop per series — bit-identical to the
+    oracle's O(n^2) window+list_reduce at a fraction of the work.
+    ewma_rows operator; one shuffle."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.ewma_rows(
+        t["events"],
+        alpha=0.25,
+        value_col="value",
+        series_cols=("event_type",),
+        ts_col="ts",
+        order_extra=("event_id",),
+        keep_cols=["event_type", "event_id"],
+    )
+
+
+@_q(
     "agg_count_distinct",
     """
     SELECT event_type,
@@ -1342,6 +1374,33 @@ def udaf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["events"].groupBy("event_type").agg(
         pandas_udaf_range(F.col("value")).alias("vrange")
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT event_type, user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-analytics form next
+    to agg_rollup/agg_cube, SURVEY.md section 2.4): three independent
+    aggregations in ONE pass over the scan — Spark expands the sets
+    map-side, so the input is read once instead of unioning three
+    groupBys. Decimal-cast sum for cross-engine order-independence."""
+    t = load_tables(spark, sf_dir)
+    t["events"].createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS total
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
     )
 
 

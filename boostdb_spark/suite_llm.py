@@ -376,3 +376,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.greatest(F.col("n_chars") % 100, F.lit(1)).alias("n_frames")
     )
     return mm.frame_sample_plan(vids, every_n=7)
+
+
+@_q(
+    "doc_chunk",
+    """
+    WITH offs AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(n_chars, 1), 150)) AS chunk_off
+      FROM documents)
+    SELECT doc_id,
+           CAST(chunk_off / 150 AS BIGINT) AS chunk_id,
+           chunk_off,
+           substr(text, CAST(chunk_off AS INT) + 1, 200) AS chunk
+    FROM offs
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (size 200, stride 150) — the
+    doc -> training-window expansion of an LLM pipeline. Pure
+    sequence+posexplode+substring, whole-stage codegen, zero shuffle
+    (chunk_documents operator)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        tx.chunk_documents(
+            t["documents"], chunk_size=200, stride=150, len_col="n_chars"
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+        .withColumn("chunk_off", F.col("chunk_off").cast("long"))
+    )
