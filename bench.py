@@ -71,6 +71,8 @@ HEADLINE = [
     "ts_ewma_rows",
     "agg_grouping_sets",
     "doc_chunk",
+    "txt_token_count_bpe",
+    "multimodal_resize",
 ]
 
 

@@ -124,22 +124,60 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine >= threshold, id_a < id_b — embedding
-    near-duplicate detection. Exact all-pairs form (correctness
-    baseline); at corpus scale use lsh_ann_topk's bucketing to
-    restrict the candidate set first."""
-    a = _with_norm(df, id_col, vec_col, "id_a", "va")
-    b = _with_norm(df, id_col, vec_col, "id_b", "vb")
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (fold_dot(F.col("va"), F.col("vb"))
-             / (F.col("va_nrm") * F.col("vb_nrm"))).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    near-duplicate detection. Exact all-pairs semantics (correctness
+    baseline); at corpus scale use lsh_ann_topk's bucketing to restrict
+    the candidate set first.
+
+    Shape: the corpus is collected once into a broadcast (N, dim)
+    matrix — the same corpus-fits-in-memory assumption the previous
+    broadcast nested-loop form made — and each partition scores its
+    rows against it in one ``mapInPandas`` pass, emitting ONLY the
+    passing pairs. The N^2 candidate set is never materialized as rows
+    (the join form shipped |pairs| * 2*dim doubles through Arrow just
+    to discard almost all of them). The accumulation loops run over
+    DIMENSIONS in index order — dots and norms are bit-identical to the
+    SQL left fold, so the threshold cut matches the oracle exactly.
+    Memory per batch is O(batch * N); for corpora beyond broadcast
+    size, LSH/IVF candidate generation is the path.
+    """
+    import numpy as np
+
+    src = _spread(df).select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     )
+    rows = src.collect()
+    ids_b = np.array([r["id_a"] for r in rows], dtype="int64")
+    M = np.array([r["va"] for r in rows], dtype="float64")  # (N, dim)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids_b, M))
+    id_type = dict(src.dtypes)["id_a"]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+
+    def score(batches):
+        bids, Mt = bc.value
+        nb = np.zeros(len(Mt))
+        for i in range(Mt.shape[1]):
+            nb = nb + Mt[:, i] * Mt[:, i]
+        nb = np.sqrt(nb)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["va"].values)
+            ida = pdf["id_a"].to_numpy()
+            S = np.zeros((len(X), len(Mt)))
+            na = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                S = S + X[:, i : i + 1] * Mt[None, :, i]
+                na = na + X[:, i] * X[:, i]
+            na = np.sqrt(na)
+            C = S / (na[:, None] * nb[None, :])
+            mask = (ida[:, None] < bids[None, :]) & (C >= threshold)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": ida[ai], "id_b": bids[bi], "cos": C[ai, bi]}
+            )
+
+    return src.mapInPandas(score, out_schema)
 
 
 def _hyperplane(table_idx: int, plane_idx: int, dim: int):
@@ -321,6 +359,7 @@ def lsh_ann_topk(
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate NN top-k: multi-table sign-LSH. Both sides are
     bucketed in ``num_tables`` independent tables of ``num_planes``
@@ -328,7 +367,16 @@ def lsh_ann_topk(
     — expected num_tables*corpus/2^planes candidates per query, never
     a cross product. A pair colliding in several tables is deduped by
     the (query, match) max-aggregate before ranking. Recall < 1 by
-    construction; tune with (num_planes down | num_tables up).
+    construction; tune with (num_planes down | num_tables up |
+    probe_bits up).
+
+    ``probe_bits`` > 0 enables multi-probe: each query additionally
+    probes the buckets at Hamming distance 1 obtained by flipping each
+    of the first ``probe_bits`` plane bits. Near-miss neighbors that
+    landed one sign flip away are recovered WITHOUT extra tables — the
+    candidate volume grows by (1+probe_bits)x on the query side only,
+    while adding a table grows storage AND both join sides. The probe
+    expansion is a pure array+explode projection (codegen).
 
     Returns (query_id, match_id, cos) with <= k rows per query.
     """
@@ -336,6 +384,15 @@ def lsh_ann_topk(
         _with_norm(queries, id_col, vec_col, "query_id", "qv"),
         "qv", num_planes, dim, num_tables,
     )
+    if probe_bits:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(min(probe_bits, num_planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = _lsh_tables(
         _with_norm(corpus, id_col, vec_col, "match_id", "cv"),
         "cv", num_planes, dim, num_tables,

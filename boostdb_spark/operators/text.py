@@ -171,3 +171,18 @@ def chunk_documents(
         .withColumn("chunk", F.expr(f"substring({text_col}, chunk_off + 1, {int(chunk_size)})"))
         .drop(text_col)
     )
+
+
+#: GPT-style pre-tokenizer shape: letter runs | digit runs | punct runs
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: counts pre-tokenizer segments (letter
+    runs, digit runs, punctuation runs) — the standard first pass of a
+    BPE tokenizer, and a closer proxy for LLM token budgets than
+    whitespace splitting. One regexp_extract_all + size, JVM-side."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), 0)),
+    )

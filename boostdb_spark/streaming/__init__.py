@@ -19,7 +19,7 @@ from boostdb_spark.streaming.slices import (
     foreach_slice,
     time_slices,
 )
-from boostdb_spark.streaming.rollup import continuous_rollup
+from boostdb_spark.streaming.rollup import continuous_rollup, continuous_rollup_merged
 
 __all__ = [
     "read_family_stream",
@@ -32,4 +32,5 @@ __all__ = [
     "execute_sliced",
     "foreach_slice",
     "continuous_rollup",
+    "continuous_rollup_merged",
 ]

@@ -74,3 +74,73 @@ def continuous_rollup(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def continuous_rollup_merged(
+    stream_df: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """High-cardinality variant of :func:`continuous_rollup`: the sink
+    is partitioned by ``win_start`` ONLY, and each batch MERGES its
+    changed groups into the touched window partitions (read the
+    partition, anti-join out the keys being replaced, union the new
+    cumulative totals, rewrite). Keys live as rows inside a window
+    partition instead of one directory per (window, key) — directory
+    count is O(windows) regardless of key cardinality.
+
+    This emulates MERGE INTO on plain Parquet: the read side is
+    materialized (localCheckpoint) before the dynamic partition
+    overwrite, so Spark never overwrites a path it is still reading.
+    Idempotent under replay for the same reason as the partitioned
+    variant: update-mode emits cumulative per-(window,key) totals, so
+    re-merging a batch replaces rows with identical values. The
+    rewrite cost is O(rows in touched windows) per batch — right when
+    keys are many but each batch touches few windows; with bounded
+    keys prefer :func:`continuous_rollup`'s per-group overwrite. On a
+    transactional table format the same stream plugs into a real MERGE.
+    """
+    agg_stream = tumbling_agg(
+        stream_df, duration, list(keys), list(aggs), ts_col=ts_col, watermark=watermark
+    )
+    key_cols = ["win_start", *keys]
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        wins = [r["win_start"] for r in batch_df.select("win_start").distinct().collect()]
+        if not wins:
+            return
+        try:
+            cur = spark.read.parquet(rollup_path)
+        except Exception:  # first batch: nothing to merge yet
+            cur = None
+        merged = batch_df
+        if cur is not None:
+            keep = (
+                cur.filter(F.col("win_start").isin(wins))
+                .join(batch_df.select(*key_cols), key_cols, "left_anti")
+            )
+            merged = keep.unionByName(batch_df)
+        # break lineage from rollup_path before overwriting it
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_start")
+            .parquet(rollup_path)
+        )
+
+    return (
+        agg_stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -379,6 +379,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "txt_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))::BIGINT
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter/digit/punct runs — the
+    pre-tokenizer pass of a BPE tokenizer), next to the whitespace
+    counter txt_token_count. JVM regex, no Python."""
+    t = load_tables(spark, sf_dir)
+    return tx.token_count_bpe(t["documents"]).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+@_q(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           md5(substr(repeat(text, CAST(ceil(2048.0 / greatest(n_chars, 1)) AS INT)),
+                      1, 2048)) AS digest,
+           64 AS width, 32 AS height
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode plumbing: binary payload -> fixed-size payload
+    through the Arrow mapInPandas pipeline (resize_media; byte
+    transform is the documented stub). Compared by payload digest —
+    the documents fixture is pure ASCII, so the oracle reproduces the
+    byte-level repeat+truncate on the string side."""
+    t = load_tables(spark, sf_dir)
+    with_payload = mm.attach_binary_payload(t["documents"])
+    return mm.resize_media(with_payload, 64, 32).select(
+        "doc_id", F.md5(F.col("payload")).alias("digest"), "width", "height"
+    )
+
+
+@_q(
     "doc_chunk",
     """
     WITH offs AS (

@@ -58,3 +58,31 @@ def test_recall_sanity(spark, emb, brute, op):
     got = _run(op, emb).collect()
     hits = sum(1 for r in got if r["match_id"] in top[r["query_id"]])
     assert hits >= 3  # >= 20% overall recall on the fixture
+
+
+def test_multiprobe_lsh_recall_dominates_exact(spark, emb, brute):
+    """Multi-probe (flip-1-bit) candidates are a superset of the exact
+    bucket's candidates per table, so recall can only go up; scores
+    still match brute force exactly and the result is deterministic."""
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def pairs(probe_bits):
+        out = sim.lsh_ann_topk(
+            q, emb, k=K, dim=64, num_planes=6, num_tables=8,
+            probe_bits=probe_bits,
+        )
+        return {(r["query_id"], r["match_id"]): r["cos"] for r in out.collect()}
+
+    exact = pairs(0)
+    probed = pairs(6)
+    probed2 = pairs(6)
+    assert probed == probed2  # deterministic
+    for key, cos in probed.items():
+        assert brute[key] == cos  # scores exact
+    true_topk = {}
+    for (qid, mid), cos in brute.items():
+        true_topk.setdefault(qid, []).append((cos, mid))
+    top = {qid: {m for _, m in sorted(v, reverse=True)[:K]} for qid, v in true_topk.items()}
+    hit = lambda res: sum(1 for (qid, mid) in res if mid in top[qid])
+    assert hit(probed) >= hit(exact)
+    assert len(probed) >= len(exact) > 0

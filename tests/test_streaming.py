@@ -234,3 +234,39 @@ def test_stream_write_then_read_family(spark, landing, tmp_path):
     # streamed family is immediately readable AS a stream again
     sdf = read_family_stream(spark, fam)
     assert sdf.isStreaming
+
+
+def test_continuous_rollup_merged_converges_to_batch(spark, landing, tmp_path):
+    """Merge-based rollup sink (high-cardinality keys: user_id): same
+    convergence contract as the partitioned variant, but the table is
+    partitioned by win_start ONLY — changed keys are merged into the
+    touched window partitions, unchanged keys survive the rewrite."""
+    import os
+
+    from boostdb_spark.streaming import continuous_rollup_merged, tumbling_agg
+
+    rollup = str(tmp_path / "rollup_m")
+    sdf = file_stream(spark, landing, max_files_per_trigger=1)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+    ]
+    q = continuous_rollup_merged(
+        sdf, rollup, checkpoint=str(tmp_path / "ckpt_m"), duration="1 hour",
+        keys=["user_id"], aggs=aggs, ts_col="ts",
+        watermark="365 days",  # never finalize: every window stays updatable
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(rollup)
+    want = tumbling_agg(spark.read.parquet(landing), "1 hour", ["user_id"],
+                        aggs, ts_col="ts")
+    cols = ["win_start", "win_end", "user_id", "n", "total"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w and len(g) > 0
+    # directory layout: one level, win_start only (no per-key dirs)
+    parts = [p for p in os.listdir(rollup) if p.startswith("win_start=")]
+    assert parts, "expected win_start partition directories"
+    sub = os.listdir(os.path.join(rollup, parts[0]))
+    assert not any(s.startswith("user_id=") for s in sub)
