@@ -128,7 +128,9 @@ def ngram_jaccard_pairs(
     ubiquitous shingle is quadratic, and a shingle shared by thousands
     of documents carries no dedup signal.
     """
-    ds = _doc_shingles(df, id_col, text_col, n).cache()
+    # materialized once (feeds sizes + both join sides) and GC-cleaned;
+    # .cache() leaked storage blocks across a long session
+    ds = _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:
         rare = (
@@ -358,6 +360,9 @@ def simhash_pairs(
     chunks = sh.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "simhash", "cc.chunk", "cc.cv")
+    # materialize once: the self-join would otherwise recompute the
+    # whole fingerprint pipeline (explode + md5 + 32-way agg) per side
+    chunks = chunks.localCheckpoint(eager=False)
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "cv"])

@@ -49,6 +49,11 @@ _DEFAULTS = {
     # Arrow for any pandas interchange (vectorized UDF path)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
+    # Long-lived sessions: the context cleaner only frees shuffle files,
+    # broadcasts, and checkpointed RDDs when the JVM GCs their
+    # references; with a large heap that can take the default 30min.
+    # 5min keeps hundreds-of-queries sessions from accumulating state.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 
