@@ -295,6 +295,68 @@ def ivf_assign(
     return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
+def ivf_train_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer with Lloyd iterations (spherical
+    k-means: assign by dot product on unit vectors, re-center, re-
+    normalize). Returns ``[(centroid_id, unit_vector), ...]`` ready for
+    :func:`ivf_ann_topk`'s ``centroids`` parameter.
+
+    Deterministic end to end: seedless init (the n_centroids lowest-id
+    corpus vectors), tie-broken assignment (ivf_assign), and per-
+    dimension DECIMAL sums for the re-centering mean — exact integer
+    arithmetic, so the mean is identical regardless of partition
+    accumulation order and repeated trainings give bit-identical
+    centroids.
+
+    Scale shape per iteration: one vectorized assignment pass (Arrow
+    pandas UDF vs the broadcast centroid matrix), one posexplode +
+    hash-aggregate of (centroid, dim) partial sums — shuffle carries
+    O(n_centroids * dim) rows after partials, NOT O(corpus). Only the
+    (n_centroids x dim) sums are collected per iteration.
+    """
+    c = _with_norm(corpus, id_col, vec_col, "cid", "v")
+    seed = c.orderBy("cid").limit(n_centroids).collect()
+    centroids = [(int(r["cid"]), [x / r["v_nrm"] for x in r["v"]]) for r in seed]
+    normed = c.select(
+        "cid", F.transform("v", lambda x: x / F.col("v_nrm")).alias("v")
+    ).localCheckpoint(eager=False)  # reused every iteration
+    for _ in range(n_iter):
+        assigned = ivf_assign(normed, centroids, "v", n_probe=1).select(
+            F.element_at("list_id", 1).alias("list_id"), "v"
+        )
+        sums = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,14)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        dim = len(centroids[0][1])
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(int(r["list_id"]), [0.0] * dim)[int(r["pos"])] = (
+                float(r["s"]) / r["n"]
+            )
+        new = []
+        for cid, _old in centroids:
+            mean = acc.get(cid)
+            if mean is None:  # empty cluster: keep its previous center
+                new.append((cid, _old))
+                continue
+            nrm = sum(m * m for m in mean) ** 0.5
+            new.append((cid, [m / nrm for m in mean] if nrm > 0 else _old))
+        centroids = new
+    return centroids
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -303,6 +365,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second ANN strategy
     next to sign-LSH: corpus vectors are bucketed by nearest coarse
@@ -310,18 +373,20 @@ def ivf_ann_topk(
     only, an equi-join on list id (expected corpus*n_probe/n_centroids
     candidates per query).
 
-    Centroid selection here is deterministic-seed (the n_centroids
+    Default centroid selection is deterministic-seed (the n_centroids
     lowest-id corpus vectors, unit-normalized) so results are
-    reproducible without an RNG or a training pass; a k-means-trained
-    quantizer plugs into the same ``centroids`` list. Recall < 1 by
+    reproducible without an RNG or a training pass; pass
+    ``centroids=ivf_train_kmeans(corpus, ...)`` for a trained quantizer
+    (same list shape, better-balanced lists). Recall < 1 by
     construction. Returns (query_id, match_id, cos), <= k per query.
     """
     c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
     q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
-    seed = c.orderBy("match_id").limit(n_centroids).collect()
-    centroids = [
-        (int(r["match_id"]), [x / r["cv_nrm"] for x in r["cv"]]) for r in seed
-    ]
+    if centroids is None:
+        seed = c.orderBy("match_id").limit(n_centroids).collect()
+        centroids = [
+            (int(r["match_id"]), [x / r["cv_nrm"] for x in r["cv"]]) for r in seed
+        ]
     c_assigned = ivf_assign(c, centroids, "cv", n_probe=1).select(
         "match_id", "cv", "cv_nrm", F.element_at("list_id", 1).alias("list_id")
     )

@@ -87,6 +87,45 @@ class SeriesFamily:
             .parquet(self.path)
         )
 
+    def compact(
+        self,
+        files_per_day: int = 1,
+        dates: list | None = None,
+    ) -> None:
+        """Small-file compaction — the maintenance job continuous ingest
+        needs: streaming micro-batches append a few rows per trigger, so
+        a day accumulates hundreds of tiny files whose per-file open
+        cost dominates scans long before data volume does. Rewrites
+        each (selected) date partition into ``files_per_day`` files,
+        restoring the (series, ts) in-file clustering the bulk write
+        path produces.
+
+        ``dates`` limits the rewrite to specific ``ts_date`` values
+        (normal operation: yesterday's partition, once, after ingest
+        moves on — compaction cost stays O(one day), not O(table)).
+        Uses dynamic partition overwrite so untouched dates are never
+        rewritten; the read is materialized (localCheckpoint) first so
+        the job never overwrites files it is still reading. Same
+        atomicity caveat as any non-transactional parquet rewrite:
+        concurrent readers of the exact partition being swapped can see
+        a partial listing; run it when the partition is cold.
+        """
+        df = self.read()
+        if dates is not None:
+            df = df.filter(F.col(DATE_COL).isin([str(d) for d in dates]))
+        bucket = F.pmod(F.hash(F.col(SERIES)), F.lit(files_per_day))
+        out = (
+            df.repartition(F.col(DATE_COL), bucket)
+            .sortWithinPartitions(SERIES, TS)
+            .localCheckpoint(eager=True)
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DATE_COL)
+            .parquet(self.path)
+        )
+
     @staticmethod
     def _ts_expr(df: DataFrame):
         # integer `div`, not float `/`: ns-scale longs exceed 2^53 and

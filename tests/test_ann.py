@@ -86,3 +86,29 @@ def test_multiprobe_lsh_recall_dominates_exact(spark, emb, brute):
     hit = lambda res: sum(1 for (qid, mid) in res if mid in top[qid])
     assert hit(probed) >= hit(exact)
     assert len(probed) >= len(exact) > 0
+
+
+def test_ivf_kmeans_trained_quantizer(spark, emb, brute):
+    """Lloyd-trained coarse quantizer: training is bit-deterministic
+    (decimal re-centering sums), plugs into ivf_ann_topk, scores stay
+    exact and the recall floor holds."""
+    c1 = sim.ivf_train_kmeans(emb, n_centroids=8, n_iter=3)
+    c2 = sim.ivf_train_kmeans(emb, n_centroids=8, n_iter=3)
+    assert c1 == c2  # bit-identical retraining
+    assert len(c1) == 8 and all(len(v) == 64 for _, v in c1)
+    for _, v in c1:  # unit-normalized
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    q = emb.filter(F.col("vec_id") < 5)
+    out = sim.ivf_ann_topk(q, emb, k=K, n_probe=3, centroids=c1).collect()
+    per_query = {}
+    for r in out:
+        assert brute[(r["query_id"], r["match_id"])] == r["cos"]
+        per_query.setdefault(r["query_id"], []).append(r["cos"])
+    assert all(len(v) <= K for v in per_query.values())
+    true_topk = {}
+    for (qid, mid), cos in brute.items():
+        true_topk.setdefault(qid, []).append((cos, mid))
+    top = {qid: {m for _, m in sorted(v, reverse=True)[:K]} for qid, v in true_topk.items()}
+    hits = sum(1 for r in out if r["match_id"] in top[r["query_id"]])
+    assert hits >= 3

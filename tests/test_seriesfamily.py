@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from boostdb_spark.sources import SeriesFamily
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture
@@ -96,3 +97,56 @@ def test_partitioned_layout_prunes(spark, family):
         end=1_704_067_200_000_000_000 + 86_400_000_000_000,
     )
     assert pruned.count() == 5
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """Streaming-style many-small-file ingest, then compaction: the
+    targeted date collapses to one file per day, rows and their
+    in-file (series, ts) clustering are preserved, and untouched date
+    partitions keep their files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.sources.seriesfamily import SeriesFamily
+
+    fam = SeriesFamily(spark, "test", "compactme", str(tmp_path / "fams"))
+    src = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            F.col("event_type").alias("series"),
+            "ts",
+            "value",
+        )
+    )
+    # simulate micro-batch ingest: 6 tiny appends
+    for i in range(6):
+        fam.write(src.filter(F.pmod(F.hash("ts"), F.lit(6)) == i), files_per_day=4)
+
+    def files_per_date():
+        root = fam.path
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("ts_date="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    before = files_per_date()
+    assert before and max(before.values()) > 1
+    target = sorted(before)[0].split("=", 1)[1]
+    n_before = fam.read().count()
+
+    fam.compact(files_per_day=1, dates=[target])
+
+    after = files_per_date()
+    assert after[f"ts_date={target}"] == 1
+    for d, n in before.items():
+        if d != f"ts_date={target}":
+            assert after[d] == n  # untouched partitions not rewritten
+    assert fam.read().count() == n_before
+    # compacted rows keep (series, ts) order within the file
+    import pandas as pd  # noqa: F401
+    part = spark.read.parquet(fam.path + f"/ts_date={target}").toPandas()
+    assert list(part.sort_values(["series", "ts"]).index) == list(part.index) or len(part) <= 1
