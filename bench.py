@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_chunk",
     "txt_token_count_bpe",
     "multimodal_resize",
+    "agg_q3_topk",
+    "subquery_exists",
 ]
 
 

@@ -1428,5 +1428,82 @@ def dialect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_q3_topk",
+    """
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def agg_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact-to-fact join
+    -> grouped revenue -> global top-k. The full multi-operator
+    pipeline in one plan: both date filters push to the scans, the
+    joins pick broadcast at test SF and sort-merge on the order key at
+    scale (AQE decides from runtime sizes), and the top-k is
+    TakeOrdered (no global sort materialization). Revenue summed as
+    DECIMAL so the top-10 cut is engine-order-independent."""
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+    )
+
+
+@_q(
+    "subquery_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — the remaining declared 'Aggregate =
+    single-value subquery' form (query/base/expression.go:16-18) next
+    to subquery_scalar/subquery_in. Catalyst decorrelates it to a left
+    semi join on the correlation key; no per-row subquery execution."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("_sq_cust")
+    t["orders"].createOrReplaceTempView("_sq_ord")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _sq_cust c
+        WHERE EXISTS (SELECT 1 FROM _sq_ord o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        """
+    )
+
+
 # LLM-data-pipeline entries register themselves via _q on import
 from boostdb_spark import suite_llm  # noqa: E402,F401  (registry side effect)
