@@ -75,6 +75,9 @@ HEADLINE = [
     "multimodal_resize",
     "agg_q3_topk",
     "subquery_exists",
+    "dialect_join",
+    "doc_sample_det",
+    "doc_split_train_val",
 ]
 
 

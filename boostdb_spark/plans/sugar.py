@@ -128,6 +128,19 @@ class Expr:
 
 
 @dataclass
+class JoinClause:
+    """A parsed join — the JoinInfo the reference collects and then
+    drops on the floor (joinparser.go:84-201 parses it; AddJoinOp at
+    query/base/queryops.go:60-66 has an empty body). Here it plans."""
+
+    domain: str
+    family: str
+    alias: str | None
+    kind: str  # 'inner' | 'cross'
+    on: tuple[FieldRef, FieldRef] | None  # equi pair, None for cross
+
+
+@dataclass
 class BoostQuery:
     """IR #1 — the QueryOps analog (query/base/queryops.go:11-21)."""
 
@@ -140,6 +153,7 @@ class BoostQuery:
     having: Expr | None = None
     order_by: list[tuple[FieldRef, bool]] = field(default_factory=list)  # (ref, desc)
     limit: int | None = None
+    joins: list[JoinClause] = field(default_factory=list)
 
 
 class _Parser:
@@ -180,17 +194,26 @@ class _Parser:
         while self.accept_op(","):
             fields.append(self.parse_field())
         self.expect_kw("from")
-        kind, src = self.next()
-        if kind != "name":
-            raise ValueError(f"expected source name, got {src!r}")
-        parts = src.split(".")
-        if len(parts) != 2:
-            # single-statement, one-source rule as in parser.go:36-38
-            raise ValueError("FROM requires qualified domain.family")
-        domain, family = parts
-        alias = None
-        if self.peek()[0] == "name":
-            alias = self.next()[1]
+        domain, family, alias = self.parse_source()
+        joins: list[JoinClause] = []
+        while True:
+            if self.accept_kw("cross"):
+                self.expect_kw("join")
+                jd, jf, ja = self.parse_source()
+                joins.append(JoinClause(jd, jf, ja, "cross", None))
+                continue
+            if self.peek() == ("kw", "inner"):
+                self.next()
+                self.expect_kw("join")
+            elif not self.accept_kw("join"):
+                break
+            jd, jf, ja = self.parse_source()
+            self.expect_kw("on")
+            left = self.parse_on_ref()
+            if not self.accept_op("="):
+                raise ValueError("JOIN ... ON requires an equi pair a.x = b.y")
+            right = self.parse_on_ref()
+            joins.append(JoinClause(jd, jf, ja, "inner", (left, right)))
         where = None
         if self.accept_kw("where"):
             where = self.parse_or()
@@ -224,7 +247,29 @@ class _Parser:
             limit = int(v)
         if self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
-        return BoostQuery(fields, domain, family, alias, where, group_by, having, order_by, limit)
+        return BoostQuery(
+            fields, domain, family, alias, where, group_by, having, order_by,
+            limit, joins,
+        )
+
+    def parse_source(self) -> tuple[str, str, str | None]:
+        kind, src = self.next()
+        if kind != "name":
+            raise ValueError(f"expected source name, got {src!r}")
+        parts = src.split(".")
+        if len(parts) != 2:
+            # qualified-source rule as in parser.go:36-38
+            raise ValueError("FROM requires qualified domain.family")
+        alias = None
+        if self.peek()[0] == "name":
+            alias = self.next()[1]
+        return parts[0], parts[1], alias
+
+    def parse_on_ref(self) -> FieldRef:
+        kind, v = self.next()
+        if kind != "name" or "." not in v:
+            raise ValueError(f"ON requires source.column refs, got {v!r}")
+        return FieldRef(tuple(v.split(".")))
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
 
@@ -416,6 +461,76 @@ class _Resolver:
         return f"{ref.func}_{base}" if ref.func else base
 
 
+class _JoinResolver:
+    """Multi-source resolution for join queries. Every field ref must be
+    source-qualified (``parts[0]`` = source alias or family name); each
+    source's columns are renamed ``<src>__<col>`` before the join so
+    attribute names never collide across sources. Implements the same
+    resolve/default_name interface as :class:`_Resolver`, so the whole
+    downstream planner (WHERE/agg/HAVING/ORDER machinery) is shared."""
+
+    def __init__(self, q: BoostQuery, bindings: dict[str, SeriesFamilyBinding]):
+        self.b = bindings
+        self.sources: dict[str, tuple[str, SeriesFamilyBinding]] = {}
+        self.series: dict[str, set] = {}
+        self._register(q.domain, q.family, q.source_alias)
+        for j in q.joins:
+            self._register(j.domain, j.family, j.alias)
+
+    def _register(self, domain: str, family: str, alias: str | None) -> None:
+        key = alias or family
+        qn = f"{domain}.{family}"
+        if qn not in self.b:
+            raise ValueError(f"no binding for source {qn}")
+        if key in self.sources:
+            raise ValueError(f"duplicate source name {key!r} in FROM/JOIN")
+        self.sources[key] = (qn, self.b[qn])
+        self.series[key] = set()
+
+    def resolve(self, ref: FieldRef) -> tuple[str, str]:
+        parts = ref.parts
+        if len(parts) < 2 or parts[0] not in self.sources:
+            raise ValueError(
+                f"field {'.'.join(parts)} must be source-qualified in a join query"
+            )
+        src = parts[0]
+        b = self.sources[src][1]
+        rest = parts[1:]
+        if len(rest) == 1:
+            self.series[src].add(rest[0])
+            return rest[0], f"{src}__{b.value_col}"
+        if len(rest) == 2:
+            series, attr = rest
+            self.series[src].add(series)
+            col = b.value_col if attr == "value" else attr
+            return series, f"{src}__{col}"
+        raise ValueError(f"cannot resolve field {'.'.join(parts)}")
+
+    def resolve_on(self, ref: FieldRef) -> str:
+        """ON refs are plain ``source.column`` (the reference's
+        JoinInfo LeftSource/LeftColumn shape) — no series implied."""
+        if len(ref.parts) != 2 or ref.parts[0] not in self.sources:
+            raise ValueError(
+                f"ON ref {'.'.join(ref.parts)} must be source.column"
+            )
+        src, col = ref.parts
+        b = self.sources[src][1]
+        return f"{src}__{b.value_col if col == 'value' else col}"
+
+    def default_name(self, ref: FieldRef) -> str:
+        if ref.alias:
+            return ref.alias
+        if ref.func is not None and not ref.parts:
+            return ref.func  # count(*)
+        parts = ref.parts
+        if len(parts) >= 3:
+            base = parts[-1]
+        else:
+            b = self.sources[parts[0]][1] if parts[0] in self.sources else None
+            base = b.value_col if b is not None else parts[-1]
+        return f"{ref.func}_{base}" if ref.func else base
+
+
 def _expr_refs(e: Expr):
     """All FieldRefs in an expression tree (pre-order)."""
     if e.kind == "ref":
@@ -466,10 +581,29 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None) -> Column:
     raise ValueError(f"unknown expr kind {e.kind}")
 
 
+def _source_scan(
+    spark: SparkSession, key: str, res: "_JoinResolver", start, end
+) -> DataFrame:
+    """One join source: scan -> series filter -> implicit time range ->
+    rename every column to ``<src>__<col>``."""
+    b = res.sources[key][1]
+    df = spark.table(b.view)
+    series = sorted(res.series[key])
+    if len(series) == 1:
+        df = df.filter(F.col(b.series_col) == series[0])
+    elif series:
+        df = df.filter(F.col(b.series_col).isin(series))
+    if start is not None:
+        df = df.filter(F.col(b.ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(b.ts_col) < F.lit(end))
+    return df.select([F.col(c).alias(f"{key}__{c}") for c in df.columns])
+
+
 def plan(
     spark: SparkSession,
     q: BoostQuery,
-    binding: SeriesFamilyBinding,
+    binding: SeriesFamilyBinding | dict[str, SeriesFamilyBinding],
     start=None,
     end=None,
 ) -> DataFrame:
@@ -481,25 +615,54 @@ def plan(
     stats can skip on) -> implicit time range -> WHERE -> projection ->
     group/having/order/limit. Catalyst then pushes the filters into the
     scan — visible as PushedFilters in ``.explain``.
+
+    Join queries (the surface the reference parses but never plans,
+    queryops.go:60-66): ``binding`` may be a dict keyed by
+    ``domain.family``; a single binding serves self-joins. Each source
+    scans/filters independently, then equi- or cross-joins; Spark picks
+    the physical join strategy.
     """
-    res = _Resolver(q, binding)
+    if q.joins:
+        if isinstance(binding, dict):
+            bindings = dict(binding)
+        else:
+            bindings = {f"{q.domain}.{q.family}": binding}
+            for j in q.joins:  # a single binding serves self-joins
+                bindings.setdefault(f"{j.domain}.{j.family}", binding)
+        res = _JoinResolver(q, bindings)
+    else:
+        res = _Resolver(q, binding)
     sel: list[tuple[str, str | None, str | None]] = []  # (alias, col, aggfunc)
     for f in q.fields:
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
         sel.append((res.default_name(f), col, f.func))
     where_col = _compile_expr(q.where, res) if q.where else None
+    for g in q.group_by:  # register group-by series before the scan filter
+        if g.parts:
+            res.resolve(g)
 
-    df = spark.table(binding.view)
-    series = sorted(res.series)
-    if len(series) == 1:
-        df = df.filter(F.col(binding.series_col) == series[0])
-    elif series:
-        df = df.filter(F.col(binding.series_col).isin(series))
-    # implicit [start, end) time range (executor.go:145-147, 239-252)
-    if start is not None:
-        df = df.filter(F.col(binding.ts_col) >= F.lit(start))
-    if end is not None:
-        df = df.filter(F.col(binding.ts_col) < F.lit(end))
+    if q.joins:
+        keys = list(res.sources)
+        df = _source_scan(spark, keys[0], res, start, end)
+        for j, key in zip(q.joins, keys[1:]):
+            right = _source_scan(spark, key, res, start, end)
+            if j.kind == "cross":
+                df = df.crossJoin(right)
+            else:
+                lc, rc = res.resolve_on(j.on[0]), res.resolve_on(j.on[1])
+                df = df.join(right, F.col(lc) == F.col(rc), "inner")
+    else:
+        df = spark.table(binding.view)
+        series = sorted(res.series)
+        if len(series) == 1:
+            df = df.filter(F.col(binding.series_col) == series[0])
+        elif series:
+            df = df.filter(F.col(binding.series_col).isin(series))
+        # implicit [start, end) time range (executor.go:145-147, 239-252)
+        if start is not None:
+            df = df.filter(F.col(binding.ts_col) >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col(binding.ts_col) < F.lit(end))
     if where_col is not None:
         df = df.filter(where_col)
 

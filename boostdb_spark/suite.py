@@ -1429,6 +1429,31 @@ def dialect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_join",
+    """
+    SELECT l.event_id AS pid, r.event_id AS eid, r.value AS err_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+    """,
+)
+def dialect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN through the dialect front itself: the reference PARSES this
+    grammar (joinparser.go:84-201, parser_test.go:51-59) but drops the
+    join on the floor (AddJoinOp empty body, queryops.go:60-66) — here
+    the parsed JoinClause plans to a real equi-join with per-source
+    series filters pushed into each scan."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT a.purchase.event_id AS pid, b.error.event_id AS eid, "
+        "b.error AS err_value "
+        "FROM boost.events a JOIN boost.events b ON a.user_id = b.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "agg_q3_topk",
     """
     SELECT l_orderkey,

@@ -379,6 +379,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_sample_det",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE ({H32.format(x="CAST(doc_id AS VARCHAR)")}) % 10000 < 1000
+    """,
+)
+def doc_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content-hash bucket (NOT
+    df.sample(): per-partition RNG changes with partitioning/retries —
+    useless for reproducible training sets). Monotone: the 20% sample
+    contains this one. Pure codegen filter, pushed into the scan."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.deterministic_sample(
+        t["documents"].select("doc_id", "n_chars"), "doc_id", 0.10
+    )
+
+
+@_q(
+    "doc_split_train_val",
+    f"""
+    SELECT doc_id,
+           CASE WHEN ({H32.format(x="CAST(doc_id AS VARCHAR)")}) % 10000 < 1000
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def doc_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split keyed on doc id hash — duplicates
+    land on the same side on any cluster/partitioning; the oracle
+    reproduces the exact assignment."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.train_val_split(
+        t["documents"].select("doc_id"), "doc_id", val_fraction=0.10
+    )
+
+
+@_q(
     "txt_token_count_bpe",
     r"""
     SELECT doc_id,

@@ -204,3 +204,67 @@ def test_plan_having_rejects_ungrouped_column(spark):
             "GROUP BY click.user_id HAVING click.event_id > 5",
             EVENTS_BINDING,
         )
+
+
+def test_parse_join_clause():
+    # parser_test.go:51-59 analog: join + where parse together; ours
+    # also records the equi pair (the reference drops it, AddJoinOp
+    # empty body queryops.go:60-66)
+    q = parse(
+        "SELECT a.cpu.host, b.mem FROM d.f a JOIN d.g b ON a.host = b.host "
+        "WHERE a.cpu < 100.0"
+    )
+    assert len(q.joins) == 1
+    j = q.joins[0]
+    assert (j.domain, j.family, j.alias, j.kind) == ("d", "g", "b", "inner")
+    assert j.on[0].parts == ("a", "host") and j.on[1].parts == ("b", "host")
+    assert q.where is not None
+
+    q2 = parse("SELECT a.x.v FROM d.f a CROSS JOIN d.g b")
+    assert q2.joins[0].kind == "cross" and q2.joins[0].on is None
+
+
+def test_plan_dialect_join_executes(spark):
+    """Dialect-front join end to end: purchase-to-error self-join on
+    user_id — the implicit-join shape the reference acknowledges
+    (parser.go:145-147) — must match the DataFrame-API join."""
+    import tests.conftest as cfg
+    import pyspark.sql.functions as F
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    df = sugar.query(
+        spark,
+        "SELECT a.purchase.event_id AS pid, b.error.event_id AS eid "
+        "FROM boost.events a JOIN boost.events b ON a.user_id = b.user_id",
+        EVENTS_BINDING,
+    )
+    got = sorted((r["pid"], r["eid"]) for r in df.collect())
+    ev = spark.table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("user_id").alias("u2")
+    )
+    want = sorted(
+        (r["pid"], r["eid"])
+        for r in p.join(e, p.user_id == e.u2).select("pid", "eid").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_plan_dialect_join_unqualified_field_rejected(spark):
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    with pytest.raises(ValueError, match="source-qualified"):
+        sugar.query(
+            spark,
+            "SELECT purchase.event_id FROM boost.events a "
+            "JOIN boost.events b ON a.user_id = b.user_id",
+            EVENTS_BINDING,
+        )
