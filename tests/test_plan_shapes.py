@@ -76,3 +76,23 @@ def test_whole_stage_codegen_everywhere_cheap(spark):
         assert any(
             f"{op} [codegen id" in ln for ln in p.splitlines()
         ), f"{op} not codegen'd"
+
+
+def test_q3_pushes_filters_and_takeordered(spark):
+    p = _plan(spark, "agg_q3_topk")
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate," in p and "GreaterThan(l_shipdate," in p
+
+
+def test_dialect_join_pushes_per_source_series_filters(spark):
+    p = _plan(spark, "dialect_join")
+    # both sides scan with their own series predicate pushed
+    assert "EqualTo(event_type,purchase)" in p
+    assert "EqualTo(event_type,error)" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sampling_is_codegen_filter_no_shuffle(spark):
+    p = _plan(spark, "doc_sample_det")
+    assert "Exchange" not in p  # pure scan->filter->project pipeline
