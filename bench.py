@@ -78,6 +78,7 @@ HEADLINE = [
     "dialect_join",
     "doc_sample_det",
     "doc_split_train_val",
+    "gapfill_interp",
 ]
 
 

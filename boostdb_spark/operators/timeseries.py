@@ -172,11 +172,15 @@ def gap_fill(
     """Fill missing buckets per series between its min and max bucket.
 
     ``fill``: 'null' (emit row, NULL value), 'locf' (last observation
-    carried forward), 'zero'. INT64-ns buckets.
+    carried forward), 'zero', 'interp' (linear interpolation between
+    the nearest observed buckets; leading/trailing gaps stay NULL).
+    INT64-ns buckets.
 
     Scale: the bucket spine is generated per series with ``sequence`` +
-    ``explode`` (distributed, no driver loop); LOCF is a
-    ``last(value, ignorenulls=True)`` running window per series.
+    ``explode`` (distributed, no driver loop); LOCF/interp are running
+    windows per series — one shuffle total. Interp computes the gap
+    fraction in BUCKET UNITS (integer div by the span, then double):
+    raw ns deltas can exceed 2^53 and would round in a double.
     """
     span = bucket_seconds * NS_PER_SEC
     spine = (
@@ -200,6 +204,41 @@ def gap_fill(
         )
         return joined.withColumn(
             value_col, F.last(F.col(value_col), ignorenulls=True).over(w)
+        )
+    if fill == "interp":
+        wp = (
+            Window.partitionBy(*series_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wn = (
+            Window.partitionBy(*series_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        v = F.col(value_col)
+        known_b = F.when(v.isNotNull(), F.col("bucket"))
+        pv = F.last(v, ignorenulls=True).over(wp)
+        pb = F.last(known_b, ignorenulls=True).over(wp)
+        nv = F.first(v, ignorenulls=True).over(wn)
+        nb = F.first(known_b, ignorenulls=True).over(wn)
+        frac = (
+            F.expr(f"(bucket - _pb) div {span}").cast("double")
+            / F.expr(f"(_nb - _pb) div {span}").cast("double")
+        )
+        return (
+            joined.withColumn("_pv", pv)
+            .withColumn("_pb", pb)
+            .withColumn("_nv", nv)
+            .withColumn("_nb", nb)
+            .withColumn(
+                value_col,
+                F.when(v.isNotNull(), v).when(
+                    F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+                    F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac,
+                ),
+            )
+            .drop("_pv", "_pb", "_nv", "_nb")
         )
     raise ValueError(f"unknown fill: {fill}")
 

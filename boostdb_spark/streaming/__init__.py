@@ -13,7 +13,7 @@ from boostdb_spark.streaming.windows import (
     sliding_agg,
     tumbling_agg,
 )
-from boostdb_spark.streaming.stateful import running_aggregate
+from boostdb_spark.streaming.stateful import running_aggregate, streaming_ewma
 from boostdb_spark.streaming.slices import (
     execute_sliced,
     foreach_slice,
@@ -28,6 +28,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "running_aggregate",
+    "streaming_ewma",
     "time_slices",
     "execute_sliced",
     "foreach_slice",

@@ -100,3 +100,63 @@ def running_aggregate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("ewma", DoubleType()), StructField("n", LongType())]
+)
+
+
+def streaming_ewma(
+    df: DataFrame,
+    alpha: float,
+    key_cols: Sequence[str] = ("series",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming per-key EWMA: the sequential recursion of
+    operators/timeseries.ewma_rows carried ACROSS micro-batches in the
+    state store — s_0 = v_0, s_i = alpha*v_i + (1-alpha)*s_{i-1}, with
+    exactly the batch fold's arithmetic, so once the stream drains the
+    final state bit-matches ewma_final on the same rows.
+
+    Rows are folded in (ts, *order_extra) order WITHIN each micro-batch;
+    cross-batch correctness requires the source to deliver batches in
+    time order (true for time-partitioned landing directories and for
+    per-key-partitioned Kafka — the same assumption every streaming
+    EWMA/irate implementation makes). State is O(1) per key: (ewma, n).
+    """
+    key_cols = list(key_cols)
+    order_cols = [ts_col, *order_extra]
+    a = float(alpha)
+    out_schema = StructType(
+        [StructField(k, StringType()) for k in key_cols]
+        + [StructField("ewma", DoubleType()), StructField("n", LongType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ew, n = state.get
+        else:
+            ew, n = None, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_cols, kind="mergesort")
+        for v in batch[value_col]:
+            v = float(v)
+            ew = v if n == 0 else a * v + (1.0 - a) * ew
+            n += 1
+        state.update((ew, n))
+        row = {k: [str(kv)] for k, kv in zip(key_cols, key)}
+        row.update({"ewma": [ew], "n": [n]})
+        yield pd.DataFrame(row)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

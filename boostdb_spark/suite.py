@@ -735,6 +735,67 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "gapfill_interp",
+    """
+    WITH r AS (
+      SELECT event_type,
+             (epoch_ns(ts) - epoch_ns(ts) % 43200000000000) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS value
+      FROM events WHERE value < 30.0 GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM r GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(b0, b1, 43200000000000)) AS bucket
+      FROM bounds),
+    j AS (
+      SELECT s.event_type, s.bucket, r.value
+      FROM spine s LEFT JOIN r USING (event_type, bucket)),
+    w AS (
+      SELECT event_type, bucket, value,
+             last_value(value IGNORE NULLS) OVER wprev AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wprev AS pb,
+             first_value(value IGNORE NULLS) OVER wnext AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wnext AS nb
+      FROM j
+      WINDOW wprev AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, bucket,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) *
+                    (((bucket - pb) // 43200000000000)::DOUBLE /
+                     ((nb - pb) // 43200000000000)::DOUBLE)
+           END AS value
+    FROM w
+    """,
+)
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gap_fill(interp): linear interpolation across interior gaps of a
+    sparse 12h resample (leading/trailing gaps stay NULL). The gap
+    fraction is computed in bucket units — integer-exact before the
+    double divide — so the interpolated values hash-match the oracle
+    bit for bit."""
+    t = load_tables(spark, sf_dir)
+    res = ts_ops.bucket_agg(
+        t["events"].filter(F.col("value") < 30.0),
+        bucket_seconds=43200,
+        keys=["event_type"],
+        aggs=[
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("value")
+        ],
+    )
+    return ts_ops.gap_fill(
+        res, bucket_seconds=43200, value_col="value",
+        series_cols=("event_type",), fill="interp",
+    )
+
+
+@_q(
     "asof_join_backward",
     """
     SELECT l.event_id, l.value, r.value AS err_value, epoch_us(r.ts) AS err_ts_us

@@ -270,3 +270,56 @@ def test_continuous_rollup_merged_converges_to_batch(spark, landing, tmp_path):
     assert parts, "expected win_start partition directories"
     sub = os.listdir(os.path.join(rollup, parts[0]))
     assert not any(s.startswith("user_id=") for s in sub)
+
+
+def test_streaming_ewma_converges_to_batch(spark, tmp_path):
+    """Stateful streaming EWMA across two TIME-ORDERED micro-batches:
+    the final state per key must bit-match the batch fold (ewma_final)
+    over the same rows."""
+    import os
+    import time as _time
+
+    from boostdb_spark.operators.timeseries import ewma_final
+    from boostdb_spark.streaming import streaming_ewma
+
+    src = (
+        spark.read.parquet(EVENTS)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_type", "ts", "event_id", "value")
+    )
+    # split at the time median so each file is a contiguous time range
+    rows = src.select(F.expr("CAST(ts AS LONG)").alias("t")).agg(
+        F.expr("percentile(t, 0.5)").alias("m")
+    ).collect()
+    mid_ts = int(rows[0]["m"])
+    d = str(tmp_path / "landing_ewma")
+    first = src.filter(F.expr(f"CAST(ts AS LONG) <= {mid_ts}"))
+    second = src.filter(F.expr(f"CAST(ts AS LONG) > {mid_ts}"))
+    first.coalesce(1).write.parquet(d + "/f1")
+    _time.sleep(1.1)  # distinct mtimes: file source orders by mod time
+    second.coalesce(1).write.parquet(d + "/f2")
+
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = streaming_ewma(
+        sdf, alpha=0.25, key_cols=["event_type"], value_col="value",
+        ts_col="ts", order_extra=["event_id"],
+    )
+    _run_to_memory(out, "ewma_t", "update")
+    got_df = spark.table("ewma_t")
+    final = got_df.groupBy("event_type").agg(
+        F.max_by("ewma", "n").alias("ewma"), F.max("n").alias("n")
+    )
+    got = {r["event_type"]: (r["ewma"], r["n"]) for r in final.collect()}
+
+    want_df = ewma_final(
+        src, alpha=0.25, value_col="value", series_cols=("event_type",),
+        ts_col="ts", order_extra=("event_id",),
+    )
+    counts = {r["event_type"]: r["n"] for r in src.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    want = {r["event_type"]: (r["ewma"], counts[r["event_type"]]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
