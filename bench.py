@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_sample_det",
     "doc_split_train_val",
     "gapfill_interp",
+    "agg_unpivot",
 ]
 
 

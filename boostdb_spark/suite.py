@@ -1490,6 +1490,41 @@ def dialect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt, the inverse of agg_pivot): four
+    measure columns become (measure, val) rows via the native unpivot
+    operator — a zero-shuffle Expand node, one scan (the UNION-ALL
+    oracle scans four times; Spark's Expand emits 4 rows per input row
+    in one pass)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+    )
+
+
+@_q(
     "dialect_join",
     """
     SELECT l.event_id AS pid, r.event_id AS eid, r.value AS err_value
