@@ -268,3 +268,44 @@ def test_plan_dialect_join_unqualified_field_rejected(spark):
             "JOIN boost.events b ON a.user_id = b.user_id",
             EVENTS_BINDING,
         )
+
+
+def test_plan_dialect_join_two_bindings(spark, tmp_path):
+    """Multi-table dialect join with a bindings dict: events joined to
+    a second registered family with different canonical columns."""
+    import pyspark.sql.functions as F
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    # second family: per-user limits, series column 'metric'
+    lim = spark.createDataFrame(
+        [("quota", 7, 100.0), ("quota", 8, 50.0), ("quota", 11, 75.0)],
+        "metric STRING, user_id BIGINT, value DOUBLE",
+    ).withColumn("mts", F.lit(0).cast("long"))
+    lim.createOrReplaceTempView("user_limits")
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.limits": sugar.SeriesFamilyBinding(
+            view="user_limits", series_col="metric", value_col="value", ts_col="mts"
+        ),
+    }
+    df = sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.quota AS limit_v "
+        "FROM boost.events a JOIN boost.limits b ON a.user_id = b.user_id",
+        bindings,
+    )
+    got = sorted((r["eid"], r["limit_v"]) for r in df.collect())
+    ev = spark.table("events").filter("event_type = 'click'")
+    want = sorted(
+        (r["event_id"], r["limit_v"])
+        for r in ev.join(
+            lim.filter("metric = 'quota'").select(
+                "user_id", F.col("value").alias("limit_v")
+            ),
+            "user_id",
+        ).select("event_id", "limit_v").collect()
+    )
+    assert got == want and len(got) > 0
