@@ -40,17 +40,7 @@ def _gen32(label: str) -> int:
     return int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism before CPU-heavy
-    per-row hashing. A small input (one parquet file -> one partition)
-    would otherwise pin the whole signature computation to a single
-    core; at real scale the scan already has >= defaultParallelism
-    partitions and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from boostdb_spark.operators.common import spread as _spread  # noqa: E402
 
 
 def exact_dedup(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from boostdb_spark.operators.common import spread as _spread
+
 #: split pattern shared with the DuckDB oracles (ASCII word tokens)
 TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -57,7 +59,7 @@ def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "toks") ->
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id..., n_tokens) — whitespace/punct token counting."""
-    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+    return _spread(df).withColumn("n_tokens", F.size(tokens(F.col(text_col))))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,7 +79,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
     return (
-        df.withColumn("n_tokens", n_toks)
+        _spread(df).withColumn("n_tokens", n_toks)
         .withColumn(
             "mean_tok_len",
             F.when(n_toks > 0, tok_chars.cast("double") / n_toks),
@@ -115,7 +117,7 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang: F.size(F.filter(toks, _member_of(sw)))
         for lang, sw in LANG_STOPWORDS.items()
     }
-    out = df
+    out = _spread(df)
     for lang in langs:
         out = out.withColumn(f"score_{lang}", scores[lang])
     # argmax with first-wins tiebreak in fixed language order
@@ -143,7 +145,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % MOD_P,
     )
-    return df.withColumn("fingerprint", fp)
+    return _spread(df).withColumn("fingerprint", fp)
 
 
 def chunk_documents(
@@ -182,7 +184,7 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     runs, digit runs, punctuation runs) — the standard first pass of a
     BPE tokenizer, and a closer proxy for LLM token budgets than
     whitespace splitting. One regexp_extract_all + size, JVM-side."""
-    return df.withColumn(
+    return _spread(df).withColumn(
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), 0)),
     )

@@ -1144,9 +1144,10 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions.json_prop (the per-datapoint attribute map analog,
     core/seriesfamily.go:19-26)."""
     from boostdb_spark.functions import json_prop, ns_to_timestamp
+    from boostdb_spark.operators.common import spread as _spread
 
     t = load_tables(spark, sf_dir)
-    e = t["events"]
+    e = _spread(t["events"])  # 1-file scan would pin the JSON parse to 1 core
     ts_t = ns_to_timestamp("ts")
     return e.select(
         "event_id",
