@@ -1551,6 +1551,43 @@ def dialect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_join_multi",
+    """
+    SELECT l.event_id AS eid, r.o_totalprice AS open_price,
+           r.o_orderkey AS okey
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') r
+      ON l.user_id = r.o_custkey
+    """,
+)
+def dialect_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN across two DIFFERENT series families through the dialect
+    front, each with its own binding (the reference's JoinInfo carries
+    distinct left/right sources, joinparser.go:84-201, but AddJoinOp
+    drops them, queryops.go:60-66). Per-source series filters
+    (event_type='click', o_orderstatus='O') push into each scan; the
+    per-family canonical column names (value/o_totalprice, ts/
+    o_orderdate) resolve independently per binding."""
+    load_tables(spark, sf_dir)
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.orders": sugar.SeriesFamilyBinding(
+            view="orders",
+            series_col="o_orderstatus",
+            value_col="o_totalprice",
+            ts_col="o_orderdate",
+        ),
+    }
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.O AS open_price, "
+        "b.O.o_orderkey AS okey "
+        "FROM boost.events a JOIN boost.orders b ON a.user_id = b.o_custkey",
+        bindings,
+    )
+
+
+@_q(
     "agg_q3_topk",
     """
     SELECT l_orderkey,
