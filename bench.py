@@ -80,6 +80,8 @@ HEADLINE = [
     "doc_split_train_val",
     "gapfill_interp",
     "agg_unpivot",
+    "txt_repetition",
+    "dialect_join_multi",
 ]
 
 

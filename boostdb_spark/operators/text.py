@@ -148,6 +148,36 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _spread(df).withColumn("fingerprint", fp)
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    n-gram occurrences that are repeats of an earlier n-gram
+    (dup_ngram_frac) and the share taken by the single most frequent
+    n-gram (top_ngram_frac) — standard corpus-quality pre-filters for
+    LLM training data.
+
+    Shape: shingle-explode -> count per (doc, n-gram) -> per-doc
+    aggregate. Both groupBys partial-aggregate map-side, so the
+    shuffles carry one row per distinct (doc, n-gram) and then one per
+    doc — never the raw occurrence stream. Documents with fewer than
+    ``n`` tokens have no n-grams and drop out (no repetition signal is
+    definable for them)."""
+    from boostdb_spark.operators.dedup import shingles  # local: dedup imports us
+
+    sh = _spread(df).select(
+        F.col(id_col).alias(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    per = sh.groupBy(id_col, "sh").agg(F.count("*").alias("c"))
+    total = F.sum("c")
+    return per.groupBy(id_col).agg(
+        total.cast("long").alias("n_ngrams"),
+        ((total - F.count("*")).cast("double") / total).alias("dup_ngram_frac"),
+        (F.max("c").cast("double") / total).alias("top_ngram_frac"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int,

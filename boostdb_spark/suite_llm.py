@@ -90,6 +90,26 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "txt_repetition",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    u AS (SELECT doc_id, unnest({SHINGLES3.format(t='t')}) AS sh FROM d),
+    per AS (SELECT doc_id, sh, count(*) AS c FROM u GROUP BY doc_id, sh)
+    SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+           (sum(c) - count(*))::DOUBLE / sum(c) AS dup_ngram_frac,
+           max(c)::DOUBLE / sum(c) AS top_ngram_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-trigram
+    fraction, top-trigram share) — the standard repetition pre-filter
+    for LLM corpora."""
+    t = load_tables(spark, sf_dir)
+    return tx.repetition_features(t["documents"])
+
+
 def _langid_oracle() -> str:
     score = {
         lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in sw)})))"
