@@ -82,6 +82,7 @@ HEADLINE = [
     "agg_unpivot",
     "txt_repetition",
     "dialect_join_multi",
+    "dedup_decontaminate",
 ]
 
 

@@ -152,6 +152,50 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    ref: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, ref_id, containment) pairs
+    where containment = |shingles(doc) ∩ shingles(ref)| / |shingles(ref)|
+    >= threshold — the eval-set overlap filter (n-gram containment
+    against held-out benchmarks) that large-corpus training pipelines
+    run before training. Asymmetric by design: a short benchmark
+    prompt fully contained in a long document must flag even though
+    their Jaccard is tiny.
+
+    Scale shape: the reference set is small by definition, so its
+    distinct-shingle table is BROADCAST — the containment join is
+    map-side against each corpus partition's shingles, no corpus
+    shuffle; the only exchange is the per-(doc, ref) count aggregation,
+    partial-aggregated map-side. Self-pairs (same id on both sides)
+    are excluded."""
+    ds = _doc_shingles(df, id_col, text_col, n)
+    rs = _doc_shingles(ref, id_col, text_col, n).localCheckpoint(eager=False)
+    rsz = rs.groupBy("id").agg(F.count("*").alias("ref_sz"))
+    common = (
+        ds.select(F.col("id").alias("doc_id"), "sh")
+        .join(F.broadcast(rs.select(F.col("id").alias("ref_id"), "sh")), "sh")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .groupBy("doc_id", "ref_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            F.broadcast(rsz.withColumnsRenamed({"id": "ref_id"})), "ref_id"
+        )
+        .withColumn(
+            "containment", F.col("common").cast("double") / F.col("ref_sz")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_id", "ref_id", "containment")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     num_hashes: int = 32,

@@ -221,6 +221,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(t["documents"], threshold=0.5, n=3)
 
 
+@_q(
+    "dedup_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    ref AS (SELECT id AS ref_id, sh FROM ds WHERE id % 97 = 0),
+    rsz AS (SELECT ref_id, count(*) AS ref_sz FROM ref GROUP BY ref_id),
+    common AS (
+      SELECT d.id AS doc_id, r.ref_id, count(*) AS c
+      FROM ds d JOIN ref r USING (sh) WHERE d.id <> r.ref_id GROUP BY 1, 2)
+    SELECT doc_id, ref_id, c::DOUBLE / ref_sz AS containment
+    FROM common JOIN rsz USING (ref_id)
+    WHERE c::DOUBLE / ref_sz >= 0.5
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents containing
+    >= 50% of a held-out reference doc's trigrams (the eval-overlap
+    filter run before LLM training). The reference set here is the
+    deterministic doc_id % 97 == 0 slice standing in for an external
+    benchmark; its shingle table is broadcast, so the corpus side
+    never shuffles for the probe."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 97 == 0)
+    return dd.containment_pairs(docs, ref, threshold=0.5, n=3)
+
+
 @_q("dedup_minhash_lsh", _NGRAM_ORACLE.format(thr=0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(16 bands x 2 rows) candidates, exact-Jaccard
