@@ -83,6 +83,8 @@ HEADLINE = [
     "txt_repetition",
     "dialect_join_multi",
     "dedup_decontaminate",
+    "dedup_groups",
+    "txt_normalize",
 ]
 
 

@@ -152,6 +152,62 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id,
+    group_id) where group_id = the smallest doc id reachable through
+    the pair graph — the step that turns pairwise dedup output into
+    keep/drop groups (keep group_id, drop the rest).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup clusters are almost
+    cliques, so 2-3 rounds in practice, bounded by ``max_iter``.
+    Each round is one equi-join + partial-aggregated min, with
+    ``localCheckpoint`` truncating the lineage so the plan stays flat
+    across iterations; convergence is detected by the monotonically
+    decreasing label sum. (At extreme scale with high-diameter graphs
+    the alternating large-star/small-star variant halves rounds; not
+    needed for dedup-shaped cluster graphs.) Only documents appearing
+    in some pair are returned — singletons are their own group."""
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # both directions; id_a < id_b in the input, so no duplicate edges
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.withColumnsRenamed({"id": "dst", "label": "nl"}), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh.withColumnsRenamed({"src": "id"}), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     ref: DataFrame,

@@ -148,6 +148,31 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _spread(df).withColumn("fingerprint", fp)
 
 
+#: scrub patterns, ordered: email before generic digit runs so the
+#: local-part digits don't get masked first. Character classes only —
+#: identical semantics under Java regex (Spark) and RE2 (DuckDB).
+SCRUB_PATTERNS = (
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    (r"\d{7,}", "<num>"),
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean"
+) -> DataFrame:
+    """Scrub + normalize: lowercase, mask PII-shaped spans (emails,
+    IPv4s, long digit runs), collapse whitespace runs, trim — the
+    cheap normalization pass a training corpus gets before dedup and
+    quality filtering. One chained regexp_replace projection, fully
+    inside whole-stage codegen; zero shuffles."""
+    c = F.lower(F.col(text_col))
+    for pat, repl in SCRUB_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

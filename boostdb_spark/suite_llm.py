@@ -90,6 +90,27 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _normalize_oracle() -> str:
+    # chain the SAME pattern list the operator uses; RE2 == Java regex
+    # for these character-class-only patterns
+    expr = "lower(text)"
+    for pat, repl in tx.SCRUB_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return (
+        "SELECT doc_id, trim(regexp_replace("
+        + expr
+        + r", '\s+', ' ', 'g')) AS clean FROM documents"
+    )
+
+
+@_q("txt_normalize", _normalize_oracle())
+def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub/normalization pass: lowercase, email/IP/digit-run PII
+    masking, whitespace collapse — single codegen projection."""
+    t = load_tables(spark, sf_dir)
+    return tx.normalize_text(t["documents"]).select("doc_id", "clean")
+
+
 @_q(
     "txt_repetition",
     f"""
@@ -247,6 +268,38 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     ref = docs.filter(F.col("doc_id") % 97 == 0)
     return dd.containment_pairs(docs, ref, threshold=0.5, n=3)
+
+
+@_q(
+    "dedup_groups",
+    f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, src AS lab FROM (SELECT DISTINCT src FROM edges) t
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.src)
+    SELECT src AS doc_id, min(lab) AS group_id FROM reach GROUP BY src
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact 3-gram Jaccard >= 0.8) clustered into
+    keep/drop groups by iterative min-label propagation — the oracle
+    computes the same components as a recursive transitive closure."""
+    t = load_tables(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(t["documents"], threshold=0.8, n=3)
+    return dd.dedup_groups(pairs)
 
 
 @_q("dedup_minhash_lsh", _NGRAM_ORACLE.format(thr=0.8))
