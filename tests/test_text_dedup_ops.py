@@ -1,0 +1,61 @@
+"""Unit tests with crafted inputs for the text-scrub and dedup-group
+operators — the parquet fixtures contain no real PII and only
+clique-shaped dup clusters, so these behaviors need synthetic cases:
+masking actually masks, and label propagation crosses multi-hop
+chains."""
+
+import pyspark.sql.functions as F
+
+from boostdb_spark.operators import dedup as dd
+from boostdb_spark.operators import text as tx
+
+
+def test_normalize_masks_pii_and_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Contact Bob.Smith+x@Example.ORG  now"),
+            (2, "server at 10.0.255.3 port 8080"),
+            (3, "card 4111111119999 but keep 123456"),
+            (4, "  mixed\tWhite\n\nspace  "),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in tx.normalize_text(df).select("doc_id", "clean").collect()
+    }
+    assert got[1] == "contact <email> now"
+    assert got[2] == "server at <ip> port 8080"
+    # 7+ digit runs masked, 6-digit run kept
+    assert got[3] == "card <num> but keep 123456"
+    assert got[4] == "mixed white space"
+
+
+def test_dedup_groups_multi_hop_chain(spark):
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round), clique
+    # {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    ).withColumn("jaccard", F.lit(1.0))
+    got = {
+        r["doc_id"]: r["group_id"] for r in dd.dedup_groups(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_containment_asymmetry(spark):
+    # ref doc fully contained in a longer corpus doc: containment 1.0
+    # even though Jaccard is small; reverse direction not flagged
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id BIGINT, text STRING",
+    )
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = dd.containment_pairs(corpus, ref, threshold=0.9, n=3).collect()
+    assert [(r["doc_id"], r["ref_id"], r["containment"]) for r in rows] == [
+        (1, 100, 1.0)
+    ]
