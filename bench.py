@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_decontaminate",
     "dedup_groups",
     "txt_normalize",
+    "pipeline_curate",
 ]
 
 

@@ -90,17 +90,17 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _normalize_oracle() -> str:
+def _clean_expr() -> str:
     # chain the SAME pattern list the operator uses; RE2 == Java regex
     # for these character-class-only patterns
     expr = "lower(text)"
     for pat, repl in tx.SCRUB_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-    return (
-        "SELECT doc_id, trim(regexp_replace("
-        + expr
-        + r", '\s+', ' ', 'g')) AS clean FROM documents"
-    )
+    return rf"trim(regexp_replace({expr}, '\s+', ' ', 'g'))"
+
+
+def _normalize_oracle() -> str:
+    return f"SELECT doc_id, {_clean_expr()} AS clean FROM documents"
 
 
 @_q("txt_normalize", _normalize_oracle())
@@ -588,4 +588,80 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("chunk_id", F.col("chunk_id").cast("long"))
         .withColumn("chunk_off", F.col("chunk_off").cast("long"))
+    )
+
+
+# ===========================================================================
+# End-to-end corpus curation (the composed flagship of this section)
+# ===========================================================================
+
+
+def _curate_oracle() -> str:
+    return f"""
+    WITH clean AS (SELECT doc_id, {_clean_expr()} AS text FROM documents),
+    d AS (SELECT doc_id, text, {TOKS} AS toks FROM clean),
+    feat AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             CASE WHEN len(text) > 0 THEN
+               len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)
+             END AS alpha_ratio
+      FROM d),
+    shu AS (SELECT doc_id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    per AS (SELECT doc_id, sh, count(*) AS c FROM shu GROUP BY 1, 2),
+    rep AS (SELECT doc_id, (sum(c) - count(*))::DOUBLE / sum(c) AS dup_ngram_frac
+            FROM per GROUP BY 1),
+    ds AS (SELECT DISTINCT doc_id AS id, sh FROM shu),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT id_b AS doc_id FROM common
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.8),
+    kept AS (
+      SELECT f.doc_id, n_tokens, dup_ngram_frac
+      FROM feat f JOIN rep USING (doc_id)
+      WHERE n_tokens >= 10 AND alpha_ratio >= 0.75 AND dup_ngram_frac <= 0.005)
+    SELECT k.doc_id, k.n_tokens, k.dup_ngram_frac
+    FROM kept k ANTI JOIN dups USING (doc_id)
+    """
+
+
+@_q("pipeline_curate", _curate_oracle())
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline, end to end in ONE plan:
+    normalize/scrub -> quality + repetition features on the clean text
+    -> threshold filter (length, alpha ratio, Gopher repetition) ->
+    near-dup drop (any doc 3-gram-Jaccard >= 0.8 to an earlier doc is
+    removed — the keep-first dedup policy of large corpus builds).
+    The clean text is materialized once (localCheckpoint) and feeds
+    the feature, repetition and pair subplans; the near-dup side is a
+    left-anti join, so survivors stream through without shuffling the
+    text itself."""
+    t = load_tables(spark, sf_dir)
+    clean = (
+        tx.normalize_text(t["documents"])
+        .select("doc_id", F.col("clean").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    q = tx.quality_features(clean).select("doc_id", "n_tokens", "alpha_ratio")
+    rep = tx.repetition_features(clean).select("doc_id", "dup_ngram_frac")
+    kept = (
+        q.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("alpha_ratio") >= 0.75)
+            & (F.col("dup_ngram_frac") <= 0.005)
+        )
+    )
+    dups = (
+        dd.ngram_jaccard_pairs(clean, threshold=0.8, n=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(dups, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_ngram_frac",
     )
