@@ -324,19 +324,27 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(df, num_hashes, n, text_col, id_col)
+    # band index is a PLAN-TIME constant, so the per-band structs are a
+    # literal array of codegen'd projections — never the interpreted
+    # higher-order-function path a transform() lambda would take
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), b * r + 1, r).cast("array<string>")
-                        )
-                    ).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(F.col("sig"), b * r + 1, r).cast(
+                                    "array<string>"
+                                ),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
