@@ -4,6 +4,8 @@ from boostdb_spark.functions.scalar import (
     ns_to_timestamp,
     pandas_scale_clip,
     pandas_udaf_range,
+    ts_lit,
+    ts_ns,
     ts_parts,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "ns_to_timestamp",
     "pandas_scale_clip",
     "pandas_udaf_range",
+    "ts_lit",
+    "ts_ns",
     "ts_parts",
 ]

@@ -38,6 +38,34 @@ def ns_to_timestamp(col: Column | str) -> Column:
     return F.timestamp_micros(exact_us)
 
 
+def ts_ns(df, col: str = "ts") -> Column:
+    """Long nanoseconds from a ts column of EITHER representation —
+    INT64-ns (ns-native ingest, nanosAsLong) passes through; TIMESTAMP /
+    TIMESTAMP_NTZ converts via unix_micros (exact: µs-precision data has
+    zero sub-µs information to lose). Stays in whole-stage codegen."""
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dt in ("bigint", "long"):
+        return c
+    return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+
+
+def ts_lit(df, ns: int, col: str = "ts") -> Column:
+    """A literal comparable to ``col`` in its NATIVE dtype, from an
+    INT64-ns instant. Native-dtype comparison is what keeps the
+    predicate eligible for parquet pushdown (a cast wrapped around the
+    *column* would block PushedFilters; a cast around the *literal*
+    constant-folds away before pushdown runs)."""
+    dt = dict(df.dtypes)[col]
+    if dt in ("bigint", "long"):
+        return F.lit(ns)
+    # ceiling division ns -> µs: for a µs-grid column t and any ns bound
+    # b, both `t >= b` and `t < b` are exactly `t_us >= ceil(b/1000)` /
+    # `t_us < ceil(b/1000)` — floor would off-by-one non-aligned bounds
+    lit = F.timestamp_micros(F.lit(-((-ns) // 1000)))
+    return lit.cast(dt)
+
+
 def json_prop(col: Column | str, key: str) -> Column:
     """Extract a top-level key from a JSON attribute column as string —
     per-datapoint attribute access (core/seriesfamily.go:19-26) for
@@ -64,7 +92,29 @@ def ts_parts(ts: Column | str, prefix: str = "") -> list[Column]:
     ]
 
 
-@pandas_udf("double")
+def _lazy_pandas_udf(return_type: str):
+    """Defer ``pandas_udf`` registration to first call: pyspark 4.x
+    parses the return-type DDL at decoration time, which needs a live
+    SparkContext — and this module must stay importable session-free
+    (test collection, docs tooling)."""
+
+    def deco(fn):
+        import functools
+
+        cache: dict = {}
+
+        @functools.wraps(fn)
+        def wrapper(*cols):
+            if "udf" not in cache:
+                cache["udf"] = pandas_udf(return_type)(fn)
+            return cache["udf"](*cols)
+
+        return wrapper
+
+    return deco
+
+
+@_lazy_pandas_udf("double")
 def pandas_scale_clip(v: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batched) clip-and-scale: clip to [0, 100] then
     scale to [0, 1]. Exists to exercise/demonstrate the pandas_udf slow
@@ -75,7 +125,7 @@ def pandas_scale_clip(v: pd.Series) -> pd.Series:
     return v.clip(lower=0.0, upper=100.0) / 100.0
 
 
-@pandas_udf("double")
+@_lazy_pandas_udf("double")
 def pandas_udaf_range(v: pd.Series) -> float:  # GROUPED_AGG by signature
     """Pandas UDAF (grouped-aggregate pandas_udf, Series -> scalar):
     per-group value range (max - min). Order-independent by

@@ -273,11 +273,18 @@ def asof_join(
     rpayload = [c for c in right.columns if c not in on and c != rts]
     lts_type = dict(left.dtypes)[ts_col]
 
+    def _ns(df: DataFrame, c: str) -> Column:
+        # ns-long instant from either representation (timestamp has no
+        # direct long cast in Spark 4; µs-precision loses nothing)
+        if dict(df.dtypes)[c] in ("bigint", "long"):
+            return F.col(c).cast("long")
+        return F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)
+
     l2 = left.withColumn("_side", F.lit(1))
     r2 = right.select(
         *on,
         F.col(rts).cast(lts_type).alias(ts_col),
-        F.col(rts).cast("long").alias("_r_ts"),
+        _ns(right, rts).alias("_r_ts"),
         *[F.col(c).alias(f"_r_{c}") for c in rpayload],
     ).withColumn("_side", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
@@ -307,10 +314,11 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if tolerance_ns is not None:
+        lns = _ns(out, ts_col)
         gap = (
-            (F.col(ts_col).cast("long") - F.col("_r_ts"))
+            (lns - F.col("_r_ts"))
             if direction == "backward"
-            else (F.col("_r_ts") - F.col(ts_col).cast("long"))
+            else (F.col("_r_ts") - lns)
         )
         keep = gap <= F.lit(tolerance_ns)
         out = out.select(

@@ -593,11 +593,21 @@ def _source_scan(
         df = df.filter(F.col(b.series_col) == series[0])
     elif series:
         df = df.filter(F.col(b.series_col).isin(series))
-    if start is not None:
-        df = df.filter(F.col(b.ts_col) >= F.lit(start))
-    if end is not None:
-        df = df.filter(F.col(b.ts_col) < F.lit(end))
+    df = _time_range(df, b.ts_col, start, end)
     return df.select([F.col(c).alias(f"{key}__{c}") for c in df.columns])
+
+
+def _time_range(df: DataFrame, ts_col: str, start, end) -> DataFrame:
+    """Implicit [start, end) range (executor.go:145-147, 239-252).
+    Bounds are INT64 ns; compared in the ts column's NATIVE dtype so the
+    predicate reaches the parquet scan as PushedFilters either way."""
+    from boostdb_spark.functions.scalar import ts_lit
+
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= ts_lit(df, start, col=ts_col))
+    if end is not None:
+        df = df.filter(F.col(ts_col) < ts_lit(df, end, col=ts_col))
+    return df
 
 
 def plan(
@@ -658,11 +668,7 @@ def plan(
             df = df.filter(F.col(binding.series_col) == series[0])
         elif series:
             df = df.filter(F.col(binding.series_col).isin(series))
-        # implicit [start, end) time range (executor.go:145-147, 239-252)
-        if start is not None:
-            df = df.filter(F.col(binding.ts_col) >= F.lit(start))
-        if end is not None:
-            df = df.filter(F.col(binding.ts_col) < F.lit(end))
+        df = _time_range(df, binding.ts_col, start, end)
     if where_col is not None:
         df = df.filter(where_col)
 

@@ -22,6 +22,19 @@ from pyspark.sql import types as T
 #: formats supported for ingest/egress
 FORMATS = ("parquet", "csv", "json")
 
+# Spark's default text-format timestamp pattern carries only millis;
+# series data is µs-precision (ns-native upstream), so pin full-µs
+# patterns for both zoned and NTZ columns on write AND read.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _ts_options(rw):
+    return (
+        rw.option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+    )
+
 
 def read_any(
     spark: SparkSession,
@@ -37,6 +50,8 @@ def read_any(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if fmt in ("csv", "json"):
+        reader = _ts_options(reader)
     if fmt == "csv":
         reader = reader.option("header", "true")
         if schema is None:
@@ -51,6 +66,8 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> No
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
     writer = df.write.mode(mode)
+    if fmt in ("csv", "json"):
+        writer = _ts_options(writer)
     if fmt == "csv":
         writer = writer.option("header", "true").option("compression", "gzip")
     elif fmt == "json":

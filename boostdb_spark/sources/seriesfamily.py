@@ -176,10 +176,20 @@ class SeriesFamily:
 def apply_time_range(df: DataFrame, start=None, end=None, ts_col: str = TS) -> DataFrame:
     """``[start, end)`` half-open time-range predicate (executor.go:239-252).
 
-    Works for TimestampType and INT64-ns ``ts`` columns alike.
+    Works for TimestampType and INT64-ns ``ts`` columns alike; INT64-ns
+    bounds against a timestamp column are converted literal-side so the
+    predicate still reaches the parquet scan as PushedFilters.
     """
+
+    def _lit(v):
+        if isinstance(v, int):
+            from boostdb_spark.functions.scalar import ts_lit
+
+            return ts_lit(df, v, col=ts_col)
+        return F.lit(v)
+
     if start is not None:
-        df = df.filter(F.col(ts_col) >= F.lit(start))
+        df = df.filter(F.col(ts_col) >= _lit(start))
     if end is not None:
-        df = df.filter(F.col(ts_col) < F.lit(end))
+        df = df.filter(F.col(ts_col) < _lit(end))
     return df

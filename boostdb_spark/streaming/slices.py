@@ -44,10 +44,15 @@ def time_slices(
     Each slice predicate reaches the scan (partition pruning + row-group
     skipping), so iterating all slices reads each byte once.
     """
+    from boostdb_spark.functions.scalar import ts_lit
+
     lo = start_ns
     while lo < end_ns:
         hi = min(lo + window_ns, end_ns)
-        yield lo, hi, df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+        yield lo, hi, df.filter(
+            (F.col(ts_col) >= ts_lit(df, lo, col=ts_col))
+            & (F.col(ts_col) < ts_lit(df, hi, col=ts_col))
+        )
         lo = hi
 
 

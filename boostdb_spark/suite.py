@@ -36,6 +36,45 @@ from boostdb_spark.plans.sugar import SeriesFamilyBinding
 from boostdb_spark.plans import sugar
 from boostdb_spark.session import load_tables
 
+
+def _ns_events(t) -> DataFrame:
+    """events with ts as INT64 ns regardless of the fixture's physical
+    type (the driver has shipped it both as TIMESTAMP(NANOS) parquet —
+    long under nanosAsLong — and as timestamp[us]). Bucket arithmetic
+    downstream is pure integer math either way, matching the DuckDB
+    oracle's epoch_ns() bit-for-bit."""
+    from boostdb_spark.functions.scalar import ts_ns
+
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] not in ("bigint", "long"):
+        ev = ev.withColumn("ts", ts_ns(ev, "ts"))
+    return ev
+
+
+def ts_lit(df, ns: int, col: str = "ts"):
+    from boostdb_spark.functions import scalar
+
+    return scalar.ts_lit(df, ns, col=col)
+
+
+def _ts_us(df, col: str = "ts"):
+    """INT64 µs from a ts column of either representation — matches the
+    oracle's epoch_us(ts)."""
+    dt = dict(df.dtypes)[col]
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _ts_t(df, col: str = "ts"):
+    """TimestampType(µs) from a ts column of either representation."""
+    dt = dict(df.dtypes)[col]
+    if dt in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        return ns_to_timestamp(col)
+    return F.col(col)
+
 # Implicit time range for the flagship query: [2024-01-05, 2024-01-20) UTC,
 # in nanoseconds — the reference passes start/end programmatically, never
 # in SQL (query/executor/executor.go:145-147).
@@ -113,10 +152,11 @@ def scan_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     is µs (DuckDB truncates parquet ns timestamps to µs; the engine
     itself keeps full ns precision internally)."""
     t = load_tables(spark, sf_dir)
+    ev = t["events"]
     return (
-        t["events"]
-        .filter((F.col("ts") >= S_NS) & (F.col("ts") < E_NS))
-        .select("event_id", F.expr("ts div 1000").alias("ts_us"), "value")
+        ev
+        .filter((F.col("ts") >= ts_lit(ev, S_NS)) & (F.col("ts") < ts_lit(ev, E_NS)))
+        .select("event_id", _ts_us(ev).alias("ts_us"), "value")
     )
 
 
@@ -584,7 +624,8 @@ def window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (which truncates parquet ns to µs) is bit-identical; the
     operator itself defaults to ns ticks."""
     t = load_tables(spark, sf_dir)
-    ev = t["events"].withColumn("ts_us", F.expr("ts div 1000"))
+    ev = t["events"]
+    ev = ev.withColumn("ts_us", _ts_us(ev))
     return ts_ops.rate(
         ev,
         value_col="value",
@@ -659,7 +700,7 @@ def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregation."""
     t = load_tables(spark, sf_dir)
     return ts_ops.bucket_agg(
-        t["events"],
+        _ns_events(t),
         bucket_seconds=3600,
         keys=["event_type"],
         aggs=[
@@ -687,7 +728,7 @@ def resample_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. (ts is unique per series in the fixture, so first/last are
     well-defined.)"""
     t = load_tables(spark, sf_dir)
-    bdf = ts_ops.time_bucket(t["events"], 21600)
+    bdf = ts_ops.time_bucket(_ns_events(t), 21600)
     return bdf.groupBy("event_type", "bucket").agg(
         F.min_by("value", "ts").alias("first_value"),
         F.max_by("value", "ts").alias("last_value"),
@@ -720,7 +761,7 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence+explode, LOCF via last(ignorenulls) running window."""
     t = load_tables(spark, sf_dir)
     res = ts_ops.bucket_agg(
-        t["events"].filter(F.col("value") < 30.0),
+        _ns_events(t).filter(F.col("value") < 30.0),
         bucket_seconds=43200,
         keys=["event_type"],
         aggs=[
@@ -781,7 +822,7 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit for bit."""
     t = load_tables(spark, sf_dir)
     res = ts_ops.bucket_agg(
-        t["events"].filter(F.col("value") < 30.0),
+        _ns_events(t).filter(F.col("value") < 30.0),
         bucket_seconds=43200,
         keys=["event_type"],
         aggs=[
@@ -820,7 +861,7 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.col("value_right").alias("err_value"),
-        F.expr("ts_right div 1000").alias("err_ts_us"),
+        _ts_us(joined, "ts_right").alias("err_ts_us"),
     )
 
 
@@ -832,9 +873,11 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_with_time(t) -> DataFrame:
-    """events with ts as TimestampType (µs, truncated from ns exactly as
-    DuckDB truncates TIMESTAMP(NANOS) parquet)."""
-    return t["events"].withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    """events with ts_t as TimestampType (µs — when the fixture is
+    ns-native this truncates exactly as DuckDB truncates TIMESTAMP(NANOS)
+    parquet; when it is already timestamp[us] it passes through)."""
+    ev = t["events"]
+    return ev.withColumn("ts_t", _ts_t(ev).cast("timestamp"))
 
 
 @_q(
@@ -985,7 +1028,7 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.col("value_right").alias("next_err_value"),
-        F.expr("ts_right div 1000").alias("next_err_ts_us"),
+        _ts_us(out, "ts_right").alias("next_err_ts_us"),
     )
 
 
@@ -1061,7 +1104,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ABSENT in the reference, SURVEY.md 2.3.) Band compared at µs
     precision on both sides — DuckDB truncates the ns parquet ts."""
     t = load_tables(spark, sf_dir)
-    e = t["events"].withColumn("ts_us", F.expr("ts div 1000"))
+    e = t["events"]
+    e = e.withColumn("ts_us", _ts_us(e))
     l = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_us").alias("p_us")
     )
@@ -1143,12 +1187,12 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM built-ins inside whole-stage codegen. json access via
     functions.json_prop (the per-datapoint attribute map analog,
     core/seriesfamily.go:19-26)."""
-    from boostdb_spark.functions import json_prop, ns_to_timestamp
+    from boostdb_spark.functions import json_prop
     from boostdb_spark.operators.common import spread as _spread
 
     t = load_tables(spark, sf_dir)
     e = _spread(t["events"])  # 1-file scan would pin the JSON parse to 1 core
-    ts_t = ns_to_timestamp("ts")
+    ts_t = _ts_t(e)
     return e.select(
         "event_id",
         F.upper("event_type").alias("type_u"),
@@ -1177,10 +1221,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, year): all 4 grouping-set combinations in
     one pass — completes the reference's declared-but-stub GROUP BY
     surface (query/base/expression.go:22-25) the way rollup does."""
-    from boostdb_spark.functions import ns_to_timestamp
-
     t = load_tables(spark, sf_dir)
-    e = t["events"].withColumn("y", F.year(ns_to_timestamp("ts")).cast("int"))
+    e = t["events"]
+    e = e.withColumn("y", F.year(_ts_t(e)).cast("int"))
     return e.cube("event_type", "y").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),

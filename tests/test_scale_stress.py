@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from boostdb_spark.operators import dedup as dd
 from boostdb_spark.operators import timeseries as ts_ops
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, ts_as_timestamp
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("BOOST_STRESS"), reason="set BOOST_STRESS=1 to run"
@@ -51,8 +51,8 @@ def test_asof_join_5m_rows(spark):
 def test_session_windows_5m_rows(spark):
     from boostdb_spark.streaming.windows import session_agg
 
-    e = _events_x(spark, 50).withColumn(
-        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    e = ts_as_timestamp(_events_x(spark, 50)).withColumn(
+        "ts_t", F.col("ts").cast("timestamp")
     )
     out = session_agg(e, "30 minutes", ["user_id"], [F.count("*").alias("n")],
                       ts_col="ts_t")

@@ -6,7 +6,7 @@ import pyspark.sql.functions as F
 
 from boostdb_spark.streaming import execute_sliced, foreach_slice, time_slices
 from boostdb_spark.streaming.ingest import file_stream
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, to_ns
 
 EVENTS = f"{SF_DIR}/events.parquet"
 NS = 1_000_000_000
@@ -14,7 +14,7 @@ NS = 1_000_000_000
 
 def test_time_slices_partition_exactly(spark):
     df = spark.read.parquet(EVENTS)
-    lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi = (to_ns(v) for v in df.agg(F.min("ts"), F.max("ts")).collect()[0])
     window = 7 * 86400 * NS  # 1-week slices
     counts = []
     spans = []
@@ -30,7 +30,7 @@ def test_time_slices_partition_exactly(spark):
 
 def test_execute_sliced_counts(spark):
     df = spark.read.parquet(EVENTS)
-    lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi = (to_ns(v) for v in df.agg(F.min("ts"), F.max("ts")).collect()[0])
     seen = []
     n = execute_sliced(
         df, lo, hi + 1, 10 * 86400 * NS, lambda sdf, s, e: seen.append(sdf.count())

@@ -19,7 +19,7 @@ from boostdb_spark.streaming import (
     tumbling_agg,
 )
 from boostdb_spark.streaming.ingest import file_stream, read_family_stream
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, ts_as_timestamp
 
 EVENTS = f"{SF_DIR}/events.parquet"
 
@@ -30,8 +30,7 @@ def landing(spark, tmp_path_factory):
     ts (micros) — the shape a streaming source needs."""
     d = str(tmp_path_factory.mktemp("landing") / "events")
     (
-        spark.read.parquet(EVENTS)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_as_timestamp(spark.read.parquet(EVENTS))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(d)
@@ -282,19 +281,17 @@ def test_streaming_ewma_converges_to_batch(spark, tmp_path):
     from boostdb_spark.operators.timeseries import ewma_final
     from boostdb_spark.streaming import streaming_ewma
 
-    src = (
-        spark.read.parquet(EVENTS)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_type", "ts", "event_id", "value")
+    src = ts_as_timestamp(spark.read.parquet(EVENTS)).select(
+        "event_type", "ts", "event_id", "value"
     )
     # split at the time median so each file is a contiguous time range
-    rows = src.select(F.expr("CAST(ts AS LONG)").alias("t")).agg(
+    rows = src.select(F.unix_micros("ts").alias("t")).agg(
         F.expr("percentile(t, 0.5)").alias("m")
     ).collect()
     mid_ts = int(rows[0]["m"])
     d = str(tmp_path / "landing_ewma")
-    first = src.filter(F.expr(f"CAST(ts AS LONG) <= {mid_ts}"))
-    second = src.filter(F.expr(f"CAST(ts AS LONG) > {mid_ts}"))
+    first = src.filter(F.unix_micros("ts") <= mid_ts)
+    second = src.filter(F.unix_micros("ts") > mid_ts)
     first.coalesce(1).write.parquet(d + "/f1")
     _time.sleep(1.1)  # distinct mtimes: file source orders by mod time
     second.coalesce(1).write.parquet(d + "/f2")
