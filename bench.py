@@ -85,6 +85,9 @@ HEADLINE = [
     "dedup_decontaminate",
     "dedup_groups",
     "txt_normalize",
+    "ts_zscore_anomaly",
+    "ts_latest_point",
+    "emb_centroid",
     "pipeline_curate",
 ]
 

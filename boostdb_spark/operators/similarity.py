@@ -483,3 +483,50 @@ def lsh_ann_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def centroid_per_group(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    order_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group embedding centroid in LONG form: (group, pos, centroid,
+    n) — one row per (group, vector dimension). The mean-vector
+    primitive behind IVF coarse-quantizer (re)training, cluster
+    summarization, and class prototypes.
+
+    Determinism: per-dimension values are summed as an explicit
+    left-to-right fold in ``order_col`` order (same contract as the
+    suite's dot products / ewma folds) — bit-identical across engines
+    and partitionings. DECIMAL sums don't work here: arbitrary float
+    payloads need ~45 fractional digits for an exact decimal image,
+    and high-scale decimal->double casts are not correctly rounded in
+    every engine.
+
+    Scale: one posexplode (narrow) + one hash aggregate on (group,
+    pos). The fold materializes each (group, dim) value list once
+    inside the aggregate — fine up to millions of rows per group; for
+    billions-per-group, switch to a plain double sum and drop the
+    cross-engine bit-exactness claim.
+    """
+    x = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("ord"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    agg = x.groupBy("grp", "pos").agg(
+        F.array_sort(F.collect_list(F.struct("ord", "v"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s = F.aggregate(
+        F.col("_a"),
+        F.lit(0.0),
+        lambda acc, t: acc + t["v"].cast("double"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("pos").cast("long").alias("pos"),
+        (s / F.col("n")).alias("centroid"),
+        "n",
+    )

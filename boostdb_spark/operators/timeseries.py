@@ -470,3 +470,46 @@ def topk_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def zscore_anomaly(
+    df: DataFrame,
+    window_rows: int = 20,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    order_extra: Sequence[str] = (),
+    threshold: float = 3.0,
+    out_col: str = "z",
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each point scored against the
+    mean/std of the ``window_rows`` rows BEFORE it (self excluded) per
+    series — the classic monitoring-TSDB outlier primitive the
+    reference's 'rich time-series functions' goal implies (reference
+    README.md:8). Excluding the current row matters: with the point
+    inside its own window, z is bounded by (n-1)/sqrt(n), so a window
+    of 10 could never flag at threshold 3 no matter how extreme the
+    spike.
+
+    Determinism contract (suite rules): the frame's sum and
+    sum-of-squares accumulate as DECIMAL (exact, order-independent),
+    and mean/variance derive from them with one fixed double formula.
+    Rows with an incomplete history or zero variance score NULL.
+
+    Scale shape: one shuffle on the series key, O(window) state per
+    row; all arithmetic in whole-stage codegen.
+    """
+    w = (
+        _series_window(series_cols, ts_col, order_extra)
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(value_col).over(w)
+    s = F.sum(v.cast("decimal(18,6)")).over(w).cast("double")
+    ss = F.sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - 1)
+    z = F.when((n >= window_rows) & (var > 0), (v - mean) / F.sqrt(var))
+    return df.withColumn(out_col, z).withColumn(
+        "is_anomaly", F.abs(F.col(out_col)) > F.lit(threshold)
+    )

@@ -1059,6 +1059,86 @@ def window_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_zscore_anomaly",
+    """
+    WITH w AS (
+      SELECT event_id, value,
+             count(value) OVER win AS n,
+             sum(CAST(value AS DECIMAL(18,6))) OVER win AS s,
+             sum(CAST(value * value AS DECIMAL(28,12))) OVER win AS ss
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id,
+           round(CASE WHEN n >= 20
+                 AND (CAST(ss AS DOUBLE)
+                      - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     / (n - 1) > 0
+                THEN (value - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                            / (n - 1))
+           END, 6) AS z,
+           abs(CASE WHEN n >= 20
+                 AND (CAST(ss AS DOUBLE)
+                      - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     / (n - 1) > 0
+                THEN (value - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                            / (n - 1))
+           END) > 3.0 AS is_anomaly
+    FROM w
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zscore_anomaly(): each point scored against the mean/std of the
+    20 rows before it (self excluded) per series, |z| > 3 flag — the
+    monitoring-TSDB outlier primitive. Frame sums
+    accumulate as DECIMAL; z is rounded to 6dp for the cross-engine
+    hash (the double->DECIMAL cast of v*v truncates in DuckDB but
+    rounds in Spark — 1-ulp noise, far below the rounding step; same
+    precedent as the suite's stddev rule). The flag derives from the
+    UNROUNDED z on both sides."""
+    t = load_tables(spark, sf_dir)
+    out = ts_ops.zscore_anomaly(
+        t["events"],
+        window_rows=20,
+        value_col="value",
+        series_cols=("event_type",),
+        ts_col="ts",
+        order_extra=("event_id",),
+        threshold=3.0,
+    )
+    return out.select("event_id", F.round("z", 6).alias("z"), "is_anomaly")
+
+
+@_q(
+    "ts_latest_point",
+    """
+    SELECT event_type,
+           max(epoch_us(ts)) AS last_ts_us,
+           arg_max(value, ts) AS last_value,
+           arg_max(event_id, ts) AS last_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def ts_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest datapoint per series (SELECT last(value) — the TSDB
+    staple behind dashboards and liveness checks): one hash aggregate
+    with max_by, no window shuffle, no sort. (ts is unique per series
+    in the fixture, so the argmax is well-defined.)"""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ev = ev.withColumn("_us", _ts_us(ev))
+    return ev.groupBy("event_type").agg(
+        F.max("_us").alias("last_ts_us"),
+        F.max_by("value", "_us").alias("last_value"),
+        F.max_by("event_id", "_us").alias("last_event_id"),
+    )
+
+
+@_q(
     "dialect_groupby_agg",
     """
     SELECT user_id, count(*) AS n,

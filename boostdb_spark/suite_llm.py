@@ -405,6 +405,31 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_pairs(t["embeddings"], threshold=0.4)
 
 
+@_q(
+    "emb_centroid",
+    """
+    WITH x AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+                       (acc, x) -> acc + x) / count(*) AS centroid,
+           count(*) AS n
+    FROM x GROUP BY label, pos
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long (label, pos, centroid, n)
+    form — the mean-vector primitive behind IVF coarse-quantizer
+    training and cluster prototypes. One posexplode + one hash
+    aggregate; per-dimension sums are explicit vec_id-ordered left
+    folds, bit-identical across engines (suite fold rules)."""
+    t = load_tables(spark, sf_dir)
+    return sim.centroid_per_group(t["embeddings"], group_col="label")
+
+
 @_q("ann_ivf_topk", None)  # IVF recall < 1 by design -> rows-only check
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus bucketed by

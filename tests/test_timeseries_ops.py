@@ -112,3 +112,41 @@ def test_implicit_join_no_cartesian(spark):
     df = a.crossJoin(b).filter(F.col("id") == F.col("id2"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_anomaly_flags_spike(spark):
+    # 30 flat-ish points then one huge spike: only the spike is anomalous
+    rows = [("a", i * 100, 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows.append(("a", 3000, 500.0))
+    out = ts_ops.zscore_anomaly(
+        _events(spark, rows), window_rows=10, series_cols=("key",)
+    ).collect()
+    flagged = [r.ts for r in out if r.is_anomaly]
+    assert flagged == [3000]
+    # incomplete history (first 10 rows — self excluded) scores NULL
+    assert all(r.z is None for r in out if r.ts < 1000)
+    # zero-variance window scores NULL, not a division blowup
+    const = [("c", i, 5.0) for i in range(15)]
+    out2 = ts_ops.zscore_anomaly(
+        _events(spark, const), window_rows=10, series_cols=("key",)
+    ).collect()
+    assert all(r.z is None for r in out2)
+
+
+def test_centroid_per_group_matches_hand_mean(spark):
+    from boostdb_spark.operators.similarity import centroid_per_group
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 6.0]), (3, 1, [10.0, 20.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        (r.label, r.pos): (r.centroid, r.n)
+        for r in centroid_per_group(df).collect()
+    }
+    assert got == {
+        (0, 0): (2.0, 2),
+        (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1),
+        (1, 1): (20.0, 1),
+    }
