@@ -87,6 +87,9 @@ HEADLINE = [
     "txt_normalize",
     "ts_zscore_anomaly",
     "ts_latest_point",
+    "ts_histogram",
+    "agg_approx_count_distinct",
+    "agg_approx_quantiles",
     "emb_centroid",
     "pipeline_curate",
 ]

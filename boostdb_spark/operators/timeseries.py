@@ -513,3 +513,25 @@ def zscore_anomaly(
     return df.withColumn(out_col, z).withColumn(
         "is_anomaly", F.abs(F.col(out_col)) > F.lit(threshold)
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    bin_width: float,
+    lo: float = 0.0,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+) -> DataFrame:
+    """Fixed-width value histogram per series: (series..., bin, bin_lo,
+    n) with bin = floor((v - lo)/width) — the distribution primitive
+    behind latency/size dashboards. One hash aggregate, map-side
+    combined; bin arithmetic is a single IEEE divide + floor, so a SQL
+    oracle reproduces it bit-exactly."""
+    v = F.col(value_col)
+    b = F.floor((v - F.lit(lo)) / F.lit(bin_width))
+    return (
+        df.withColumn("bin", b)
+        .groupBy(*series_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(bin_width))
+    )

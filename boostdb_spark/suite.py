@@ -1139,6 +1139,53 @@ def ts_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_histogram",
+    """
+    SELECT event_type, floor(value / 25.0) AS bin,
+           count(*) AS n, floor(value / 25.0) * 25.0 AS bin_lo
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_histogram(): fixed-width (25.0) per-series value histogram
+    — the distribution primitive behind latency/size dashboards. One
+    hash aggregate; bin = floor(v/width) is a single IEEE divide +
+    floor, bit-exact across engines."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.value_histogram(
+        t["events"], bin_width=25.0, series_cols=("event_type",)
+    ).select("event_type", F.col("bin").cast("double").alias("bin"), "n", "bin_lo")
+
+
+@_q("agg_approx_count_distinct", None)  # HLL sketch: no SQL oracle —
+# deterministic for a given input but engine-specific; error bound
+# certified by tests/test_timeseries_ops.py::test_approx_distinct_error
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale default
+    for distinct-user counts — no expand, no distinct shuffle, constant
+    memory per group. The exact form is agg_count_distinct; this entry
+    certifies the sketch path the same suite exposes."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@_q("agg_approx_quantiles", None)  # t-digest-style sketch: no SQL
+# oracle; error bound certified by tests (approx vs exact percentile)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx: the sketch-based quantile path for 100 TB
+    (bounded memory, mergeable partials). Exact interpolated
+    percentiles are agg_percentiles; this certifies the approx
+    surface."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )
+
+
+@_q(
     "dialect_groupby_agg",
     """
     SELECT user_id, count(*) AS n,

@@ -150,3 +150,53 @@ def test_centroid_per_group_matches_hand_mean(spark):
         (1, 0): (10.0, 1),
         (1, 1): (20.0, 1),
     }
+
+
+def test_value_histogram_bins(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, 24.9), ("a", 2, 25.0), ("a", 3, -0.1)],
+        "key string, ts long, value double",
+    )
+    got = {
+        (r.key, r.bin): (r.n, r.bin_lo)
+        for r in ts_ops.value_histogram(df, 25.0, series_cols=("key",)).collect()
+    }
+    assert got == {("a", 0): (2, 0.0), ("a", 1): (1, 25.0), ("a", -1): (1, -25.0)}
+
+
+def test_approx_distinct_error(spark):
+    """HLL at rsd=0.02 must land within 5% of the exact count on the
+    fixture — the bound the no-oracle suite entry relies on."""
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 2)
+
+
+def test_approx_quantile_error(spark):
+    """percentile_approx(accuracy=10000) must land within 1% of the
+    exact interpolated percentile on the fixture."""
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("approx"),
+            F.expr("percentile(value, 0.5)").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(0.01 * abs(r.exact), 1e-9)
