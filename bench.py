@@ -88,6 +88,8 @@ HEADLINE = [
     "ts_zscore_anomaly",
     "ts_latest_point",
     "ts_histogram",
+    "ts_time_weighted_avg",
+    "ts_series_correlation",
     "agg_approx_count_distinct",
     "agg_approx_quantiles",
     "emb_centroid",

@@ -535,3 +535,112 @@ def value_histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(bin_width))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-weighted average per series per bucket — the irregular-
+    sampling average (a value 'holds' until the next observation;
+    TimescaleDB's time_weight analog). Each point carries its value for
+    w = min(next_ts, bucket_end) - ts nanoseconds (the last point of a
+    series holds to its bucket's end); TWA = sum(v*w) / sum(w).
+
+    Requires INT64-ns ``ts`` (exact integer weights). Determinism: the
+    weight sum is integer-exact; the v*w sum is a ts-ordered left fold
+    (suite fold rules) so the double is bit-identical across engines.
+
+    Scale: one window shuffle on the series key (the lead), then one
+    hash aggregate; per-(series, bucket) lists are bounded by points
+    per bucket.
+    """
+    span = bucket_seconds * NS_PER_SEC
+    ts, v = F.col(ts_col), F.col(value_col)
+    w_next = F.lead(ts_col).over(_series_window(series_cols, ts_col))
+    bucket_end = (ts - (ts % F.lit(span))) + F.lit(span)
+    x = df.select(
+        *series_cols,
+        ts.alias("_t"),
+        (ts - (ts % F.lit(span))).cast("long").alias("bucket"),
+        (F.least(F.coalesce(w_next, bucket_end), bucket_end) - ts)
+        .cast("long")
+        .alias("_w"),
+        v.alias("_v"),
+    )
+    agg = x.groupBy(*series_cols, "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_t"), (F.col("_v") * F.col("_w").cast("double")).alias("_p")))
+        ).alias("_a"),
+        F.sum("_w").alias("_den"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    num = F.aggregate(F.col("_a"), F.lit(0.0), lambda acc, t: acc + t["_p"])
+    return agg.select(
+        *series_cols,
+        "bucket",
+        (num / F.col("_den").cast("double")).alias("twa"),
+        "n",
+    )
+
+
+def series_correlation(
+    df: DataFrame,
+    series_a: str,
+    series_b: str,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_col: str = "series",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pearson correlation between two series, computed on their
+    aligned per-bucket means — cross-series analytics ("do errors move
+    with clicks?"), the natural companion of the rich-time-series goal
+    (reference README.md:8). Returns one row (n, corr) where n is the
+    number of aligned buckets.
+
+    Determinism: per-bucket means use the exact decimal-sum/count
+    pattern; the five moment sums (x, y, xy, x², y²) are bucket-ordered
+    left folds over ONE sorted pair list, and corr derives from them
+    with a single fixed double formula — bit-identical across engines.
+
+    Scale: two grouped aggregates + one equi-join on bucket, then a
+    single global fold over #buckets rows (bounded: one row per bucket,
+    not per datapoint).
+    """
+    v = F.col(value_col)
+    hourly = bucket_agg(
+        df.filter(F.col(series_col).isin([series_a, series_b])),
+        bucket_seconds,
+        keys=[series_col],
+        aggs=[
+            (
+                F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("_m")
+        ],
+        ts_col=ts_col,
+    )
+    a = hourly.filter(F.col(series_col) == series_a).select("bucket", F.col("_m").alias("_x"))
+    b = hourly.filter(F.col(series_col) == series_b).select("bucket", F.col("_m").alias("_y"))
+    j = a.join(b, "bucket")
+    agg = j.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "_x", "_y"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("_a"), F.lit(0.0), expr)
+
+    sx = fold(lambda acc, t: acc + t["_x"])
+    sy = fold(lambda acc, t: acc + t["_y"])
+    sxy = fold(lambda acc, t: acc + t["_x"] * t["_y"])
+    sxx = fold(lambda acc, t: acc + t["_x"] * t["_x"])
+    syy = fold(lambda acc, t: acc + t["_y"] * t["_y"])
+    nd = F.col("n").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return agg.select("n", corr.alias("corr"))

@@ -1157,6 +1157,85 @@ def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", F.col("bin").cast("double").alias("bin"), "n", "bin_lo")
 
 
+@_q(
+    "ts_time_weighted_avg",
+    """
+    WITH x AS (
+      SELECT event_type, epoch_ns(ts) AS t, value,
+             epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket,
+             least(coalesce(lead(epoch_ns(ts)) OVER w,
+                            epoch_ns(ts) - epoch_ns(ts) % 21600000000000
+                              + 21600000000000),
+                   epoch_ns(ts) - epoch_ns(ts) % 21600000000000
+                     + 21600000000000)
+               - epoch_ns(ts) AS wgt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts)))
+    SELECT event_type, bucket,
+           list_reduce(list_prepend(0.0,
+               list(value * CAST(wgt AS DOUBLE) ORDER BY t)),
+               (acc, p) -> acc + p)
+             / CAST(sum(wgt) AS DOUBLE) AS twa,
+           count(*) AS n
+    FROM x GROUP BY event_type, bucket
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_weighted_avg(): 6h time-weighted average per series — the
+    irregular-sampling mean where a value holds until the next
+    observation (TimescaleDB time_weight analog). Integer-exact ns
+    weights; the v*w sum is a ts-ordered left fold, so the double
+    hash-matches the oracle bit for bit."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.time_weighted_avg(
+        _ns_events(t), bucket_seconds=21600, series_cols=("event_type",)
+    )
+
+
+@_q(
+    "ts_series_correlation",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY 1, 2),
+    j AS (
+      SELECT a.bucket, a.m AS x, b.m AS y
+      FROM h a JOIN h b USING (bucket)
+      WHERE a.event_type = 'click' AND b.event_type = 'error'),
+    s AS (
+      SELECT count(*) AS n,
+             list_reduce(list_prepend(0.0, list(x ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sx,
+             list_reduce(list_prepend(0.0, list(y ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sy,
+             list_reduce(list_prepend(0.0, list(x * y ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sxy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sxx,
+             list_reduce(list_prepend(0.0, list(y * y ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS syy
+      FROM j)
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+    FROM s
+    """,
+)
+def ts_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_correlation(): Pearson correlation between the hourly
+    means of the click and error series — cross-series analytics. Five
+    bucket-ordered fold sums + one fixed double formula, bit-identical
+    to the oracle (suite fold rules)."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.series_correlation(
+        _ns_events(t), "click", "error", 3600, series_col="event_type"
+    )
+
+
 @_q("agg_approx_count_distinct", None)  # HLL sketch: no SQL oracle —
 # deterministic for a given input but engine-specific; error bound
 # certified by tests/test_timeseries_ops.py::test_approx_distinct_error

@@ -200,3 +200,28 @@ def test_approx_quantile_error(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) <= max(0.01 * abs(r.exact), 1e-9)
+
+
+def test_time_weighted_avg_hand_case(spark):
+    # one series, one 10s bucket: v=10 holds 2s, v=20 holds 8s (to end)
+    NS = 1_000_000_000
+    df = _events(spark, [("a", 0, 10.0), ("a", 2 * NS, 20.0)])
+    out = ts_ops.time_weighted_avg(df, 10, series_cols=("key",)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bucket == 0 and r.n == 2
+    assert r.twa == (10.0 * 2 + 20.0 * 8) / 10.0  # 18.0
+
+
+def test_series_correlation_perfect(spark):
+    # y = 2x per bucket -> corr exactly 1.0
+    NS = 1_000_000_000
+    rows = []
+    for i, x in enumerate([1.0, 2.0, 5.0, 9.0]):
+        rows.append(("a", i * 3600 * NS, x))
+        rows.append(("b", i * 3600 * NS, 2 * x))
+    out = ts_ops.series_correlation(
+        _events(spark, rows), "a", "b", 3600, series_col="key"
+    ).collect()
+    assert out[0].n == 4
+    assert abs(out[0].corr - 1.0) < 1e-12
