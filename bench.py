@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_decontaminate",
     "dedup_groups",
     "txt_normalize",
+    "txt_vocab_topk",
+    "doc_pack_tokens",
     "ts_zscore_anomaly",
     "ts_latest_point",
     "ts_histogram",

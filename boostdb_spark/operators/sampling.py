@@ -14,7 +14,7 @@ into the scan pipeline, zero shuffle, no RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from boostdb_spark.operators.text import hash32
@@ -47,3 +47,66 @@ def train_val_split(
     partitioning."""
     is_val = _bucket(F.col(key_col), buckets) < int(val_fraction * buckets)
     return df.withColumn(out_col, F.when(is_val, "val").otherwise("train"))
+
+
+def pack_tokens(
+    df: DataFrame,
+    capacity: int,
+    n_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_docs: int = 1000,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the LLM-pretraining step
+    that lays documents end to end in ``id_col`` order and cuts the
+    stream into fixed ``capacity``-token packs (documents may span pack
+    boundaries). Returns one row per (document, pack) overlap:
+    (id, pack_id, tok_begin, tok_end) with [tok_begin, tok_end) the
+    document-local token slice that lands in that pack. Zero-token
+    documents are dropped.
+
+    A naive global running sum would be a single-partition window — a
+    non-starter at corpus scale. Instead: documents bucket by
+    ``id div bucket_docs``; per-bucket token totals (a tiny aggregate)
+    get a prefix-sum window over buckets only, and each document's
+    global offset = its bucket's offset + a within-bucket running sum —
+    the classic two-phase scan, all shuffles bounded by the bucket
+    count, results identical to the sequential layout.
+    """
+    x = df.filter(F.col(n_col) > 0).select(
+        F.col(id_col).alias("_id"), F.col(n_col).cast("long").alias("_n")
+    )
+    x = x.withColumn("_b", F.expr(f"_id div {bucket_docs}"))
+    btot = x.groupBy("_b").agg(F.sum("_n").alias("_bs"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boff = btot.withColumn("_boff", F.sum("_bs").over(wb) - F.col("_bs")).select(
+        "_b", "_boff"
+    )
+    wi = (
+        Window.partitionBy("_b")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = (
+        x.join(F.broadcast(boff), "_b")
+        .withColumn("_end", F.col("_boff") + F.sum("_n").over(wi))
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+    )
+    cap = F.lit(capacity).cast("long")
+    packs = pos.withColumn(
+        "pack_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {capacity}"), F.expr(f"(_end - 1) div {capacity}")
+            )
+        ),
+    )
+    return packs.select(
+        F.col("_id").alias(id_col),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (F.greatest(F.col("pack_id") * cap, F.col("_start")) - F.col("_start")).alias(
+            "tok_begin"
+        ),
+        (F.least((F.col("pack_id") + 1) * cap, F.col("_end")) - F.col("_start")).alias(
+            "tok_end"
+        ),
+    )

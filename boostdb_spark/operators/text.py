@@ -243,3 +243,18 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), 0)),
     )
+
+
+def vocab_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary induction: the k most frequent tokens with
+    their counts, ties broken lexicographically. One explode + one
+    hash aggregate (map-side combined — the shuffle carries one row
+    per distinct token per partition, not per occurrence) + a top-k
+    TakeOrdered; no global sort materialization."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -60,6 +60,61 @@ def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "txt_vocab_topk",
+    f"""
+    WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
+    SELECT token, count(*) AS n FROM t GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 100
+    """,
+)
+def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vocab_topk(): the 100 most frequent corpus tokens (vocabulary
+    induction). Explode -> map-side-combined count -> TakeOrdered
+    top-k; deterministic via the lexicographic tiebreak."""
+    t = load_tables(spark, sf_dir)
+    return tx.vocab_topk(t["documents"], k=100)
+
+
+@_q(
+    "doc_pack_tokens",
+    f"""
+    WITH n AS (
+      SELECT doc_id, len({TOKS})::BIGINT AS n FROM documents
+      WHERE len({TOKS}) > 0),
+    pos AS (
+      SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS e
+      FROM n),
+    packs AS (
+      SELECT doc_id, n, e, e - n AS s,
+             unnest(generate_series((e - n) // 2048, (e - 1) // 2048))
+               AS pack_id
+      FROM pos)
+    SELECT doc_id, pack_id,
+           greatest(pack_id * 2048, s) - s AS tok_begin,
+           least((pack_id + 1) * 2048, e) - s AS tok_end
+    FROM packs
+    """,
+)
+def doc_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_tokens(): concat-and-split sequence packing — documents
+    laid end to end in doc_id order, cut into 2048-token packs, one
+    row per (doc, pack) overlap with the document-local token slice.
+    The oracle is a straight global running sum; the operator computes
+    the SAME layout with a two-phase bucket-offset scan (no
+    single-partition window at scale)."""
+    from boostdb_spark.operators.sampling import pack_tokens
+
+    t = load_tables(spark, sf_dir)
+    n = tx.token_count(t["documents"]).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_tokens(n, capacity=2048)
+
+
+@_q(
     "txt_quality",
     f"""
     WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)

@@ -59,3 +59,33 @@ def test_containment_asymmetry(spark):
     assert [(r["doc_id"], r["ref_id"], r["containment"]) for r in rows] == [
         (1, 100, 1.0)
     ]
+
+
+def test_pack_tokens_layout(spark):
+    from boostdb_spark.operators.sampling import pack_tokens
+    from pyspark.sql import functions as F
+
+    # capacity 10; docs: 4, 8, 25, 0, 3 tokens (doc 3 dropped)
+    df = spark.createDataFrame(
+        [(0, 4), (1, 8), (2, 25), (3, 0), (4, 3)], "doc_id long, n_tokens long"
+    )
+    # stream layout: d0=[0,4) d1=[4,12) d2=[12,37) d4=[37,40)
+    got = sorted(
+        tuple(r)
+        for r in pack_tokens(df, capacity=10, bucket_docs=2).collect()
+    )
+    assert got == [
+        (0, 0, 0, 4),        # d0 entirely in pack 0
+        (1, 0, 0, 6),        # d1 split across packs 0/1
+        (1, 1, 6, 8),
+        (2, 1, 0, 8),        # d2 spans packs 1,2,3
+        (2, 2, 8, 18),
+        (2, 3, 18, 25),
+        (4, 3, 0, 3),        # d4 after the zero-token doc 3
+    ]
+    # every pack except the last is exactly full
+    from collections import defaultdict
+    fill = defaultdict(int)
+    for _, p, b, e in got:
+        fill[p] += e - b
+    assert fill == {0: 10, 1: 10, 2: 10, 3: 10}
