@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_groups",
     "txt_normalize",
     "txt_vocab_topk",
+    "doc_mixture_sample",
     "doc_pack_tokens",
     "ts_zscore_anomaly",
     "ts_latest_point",

@@ -110,3 +110,28 @@ def pack_tokens(
             "tok_end"
         ),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source mixture sampling — the domain-reweighting step of
+    corpus assembly ("keep all of wiki, half of books, 10% of web").
+    Each row keeps iff its content-hash bucket falls under its
+    source's rate: deterministic, monotone in every rate, and
+    independent across sources. Unlisted sources get ``default_rate``.
+
+    Scale shape: the rate lookup folds into a literal CASE expression
+    (plan-time, no join) and the whole thing is one codegen filter in
+    the scan pipeline — zero shuffle, no RNG state.
+    """
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    cut = F.floor(rate * buckets).cast("long")
+    return df.filter(_bucket(F.col(key_col), buckets) < cut)

@@ -580,6 +580,32 @@ def doc_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_mixture_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({H32.format(x="CAST(doc_id AS VARCHAR)")}) % 10000
+          < CAST(floor(CASE source WHEN 'src0' THEN 1.0
+                                   WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25
+                                   ELSE 0.1 END * 10000) AS BIGINT)
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_sample(): per-source domain reweighting (all of src0,
+    half of src1, a quarter of src2, 10% of the rest) — deterministic
+    hash-bucket cut per source, monotone in every rate. The rate map
+    folds into a literal CASE: one codegen filter, zero shuffle."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.mixture_sample(
+        t["documents"].select("doc_id", "source"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+
+
+@_q(
     "doc_split_train_val",
     f"""
     SELECT doc_id,

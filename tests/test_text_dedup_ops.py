@@ -89,3 +89,43 @@ def test_pack_tokens_layout(spark):
     for _, p, b, e in got:
         fill[p] += e - b
     assert fill == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_pack_tokens_properties(spark):
+    """Property check on random size lists: packing preserves every
+    document's token count, slices are in-document and contiguous, and
+    every pack except the last is exactly full."""
+    import random
+    from collections import defaultdict
+
+    from boostdb_spark.operators.sampling import pack_tokens
+
+    rng = random.Random(7)
+    for trial in range(3):
+        sizes = [rng.randint(0, 50) for _ in range(rng.randint(1, 60))]
+        cap = rng.choice([7, 16, 33])
+        df = spark.createDataFrame(
+            list(enumerate(sizes)), "doc_id long, n_tokens long"
+        )
+        rows = pack_tokens(df, capacity=cap, bucket_docs=5).collect()
+        per_doc = defaultdict(list)
+        for r in rows:
+            assert 0 <= r.tok_begin < r.tok_end <= sizes[r.doc_id]
+            per_doc[r.doc_id].append((r.pack_id, r.tok_begin, r.tok_end))
+        # every nonzero doc fully covered by contiguous slices in pack order
+        for d, n in enumerate(sizes):
+            slices = sorted(per_doc[d])
+            if n == 0:
+                assert slices == []
+                continue
+            assert slices[0][1] == 0 and slices[-1][2] == n
+            for (p1, _, e1), (p2, b2, _) in zip(slices, slices[1:]):
+                assert p2 == p1 + 1 and b2 == e1
+        fill = defaultdict(int)
+        for r in rows:
+            fill[r.pack_id] += r.tok_end - r.tok_begin
+        total = sum(sizes)
+        if total:
+            last = max(fill)
+            for p, f in fill.items():
+                assert f == cap or (p == last and f == total - last * cap)
