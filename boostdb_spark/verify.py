@@ -4,9 +4,14 @@ on Spark AND its DuckDB oracle, compare order-insensitively.
 Used by tests (sf0.001) so every suite entry is verified before the
 driver ever sees it. Comparison: columns sorted by name, rows sorted by
 all columns, exact equality (the suite is designed for bit-deterministic
-results — see suite.py docstring); floats get a 1e-9 relative fallback
-so a genuine semantic bug still fails loudly while benign last-bit noise
-is visible as a warning.
+results — see suite.py docstring).
+
+REPRESENTATION-STRICT: the driver hashes the raw cell values, so a
+Spark ``Decimal('16492.000000')`` against a DuckDB ``float64 16492.0``
+is a MISMATCH here even though the numbers are equal — round 1 lost 10
+driver queries to exactly that, masked by a Decimal->float conversion
+this module used to do. Queries must cast final DECIMAL accumulators
+back to DOUBLE on both sides before output.
 """
 
 from __future__ import annotations
@@ -31,12 +36,13 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # NaN -> None only (both engines ship NULL aggregates differently
+    # through pandas). Decimal is deliberately NOT converted: the driver
+    # hashes representations, so Decimal-vs-float must fail here too.
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
-    if isinstance(v, Decimal):
-        return float(v)
     return v
 
 
@@ -65,6 +71,12 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
                 continue
             if x is None or y is None:
                 problems.append(f"{c}[{i}]: {x!r} != {y!r}")
+            elif isinstance(x, Decimal) != isinstance(y, Decimal):
+                problems.append(
+                    f"{c}[{i}]: representation mismatch "
+                    f"{type(x).__name__}({x!r}) vs {type(y).__name__}({y!r})"
+                    " — cast the final DECIMAL to DOUBLE on both sides"
+                )
             elif x != y:
                 problems.append(f"{c}[{i}]: {x!r} != {y!r}")
             if len(problems) > 5:

@@ -28,3 +28,20 @@ def test_every_query_has_oracle_or_reason():
         "agg_approx_quantiles",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
+
+
+def test_driver_window_is_certifiable():
+    """The driver hash-checks only the first 50 exported queries: every
+    one of those must be oracle-paired (hard signal, no wasted slots)
+    and the window must include the LLM-pipeline families."""
+    names = list(suite.spark_queries())
+    window = names[:50]
+    oracles = set(suite.oracle_queries())
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"driver-window entries without oracle: {missing}"
+    llm_prefixes = ("dedup_", "txt_", "doc_", "emb_", "pipeline_")
+    n_llm = sum(1 for n in window if n.startswith(llm_prefixes))
+    assert n_llm >= 6, f"only {n_llm} LLM-pipeline entries in driver window"
+    # window ordering list must stay consistent with the registry
+    assert set(suite._WINDOW) <= set(names)
+    assert len(suite._WINDOW) == len(set(suite._WINDOW)) == 50
