@@ -122,62 +122,87 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, id_a < id_b — embedding
     near-duplicate detection. Exact all-pairs semantics (correctness
-    baseline); at corpus scale use lsh_ann_topk's bucketing to restrict
-    the candidate set first.
+    baseline); when approximate recall is acceptable, lsh_ann_topk's
+    bucketing restricts the candidate set far more cheaply.
 
-    Shape: the corpus is collected once into a broadcast (N, dim)
-    matrix — the same corpus-fits-in-memory assumption the previous
-    broadcast nested-loop form made — and each partition scores its
-    rows against it in one ``mapInPandas`` pass, emitting ONLY the
-    passing pairs. The N^2 candidate set is never materialized as rows
-    (the join form shipped |pairs| * 2*dim doubles through Arrow just
-    to discard almost all of them). The accumulation loops run over
-    DIMENSIONS in index order — dots and norms are bit-identical to the
-    SQL left fold, so the threshold cut matches the oracle exactly.
-    Memory per batch is O(batch * N); for corpora beyond broadcast
-    size, LSH/IVF candidate generation is the path.
+    Shape — distributed block nested-loop, NO driver-side collect:
+    rows are hashed into ``n_blocks`` blocks; every unordered block
+    pair (p <= q) becomes one cogroup task that scores |p| x |q|
+    candidates with a numpy matmul and emits ONLY the passing pairs.
+    Each input row is replicated ~n_blocks/2 times through the
+    cogroup exchange (O(N * n_blocks) transfer, vs O(N^2) for a pair
+    join), and per-task memory is two blocks, O(N/n_blocks) rows —
+    raise ``n_blocks`` as the corpus grows and every task stays
+    executor-sized while the O(N^2) arithmetic spreads over
+    n_blocks^2/2 parallel tasks. The accumulation loops run over
+    DIMENSIONS in index order — dots and norms are bit-identical to
+    the SQL left fold (and symmetric: x_i*y_i == y_i*x_i), so the
+    threshold cut matches the oracle exactly regardless of which side
+    of a block pair a row lands on.
     """
     import numpy as np
 
     src = _spread(df).select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    rows = src.collect()
-    ids_b = np.array([r["id_a"] for r in rows], dtype="int64")
-    M = np.array([r["va"] for r in rows], dtype="float64")  # (N, dim)
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((ids_b, M))
-    id_type = dict(src.dtypes)["id_a"]
+    n_blocks = max(2, n_blocks)
+    src = src.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    # row in block b is the LEFT side of block pairs (b, q>=b) and the
+    # RIGHT side of block pairs (p<=b, b): every unordered block pair
+    # is cogrouped exactly once
+    left = src.select(
+        F.col("blk").alias("p"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("q"),
+        "id",
+        "v",
+    )
+    right = src.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("p"),
+        F.col("blk").alias("q"),
+        "id",
+        "v",
+    )
+    id_type = dict(src.dtypes)["id"]
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
 
-    def score(batches):
-        bids, Mt = bc.value
-        nb = np.zeros(len(Mt))
-        for i in range(Mt.shape[1]):
-            nb = nb + Mt[:, i] * Mt[:, i]
-        nb = np.sqrt(nb)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["va"].values)
-            ida = pdf["id_a"].to_numpy()
-            S = np.zeros((len(X), len(Mt)))
-            na = np.zeros(len(X))
-            for i in range(X.shape[1]):
-                S = S + X[:, i : i + 1] * Mt[None, :, i]
-                na = na + X[:, i] * X[:, i]
-            na = np.sqrt(na)
-            C = S / (na[:, None] * nb[None, :])
-            mask = (ida[:, None] < bids[None, :]) & (C >= threshold)
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": ida[ai], "id_b": bids[bi], "cos": C[ai, bi]}
-            )
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        X = np.stack(lpdf["v"].values)
+        Y = np.stack(rpdf["v"].values)
+        ida = lpdf["id"].to_numpy()
+        idb = rpdf["id"].to_numpy()
+        S = np.zeros((len(X), len(Y)))
+        na = np.zeros(len(X))
+        nb = np.zeros(len(Y))
+        for i in range(X.shape[1]):
+            S = S + X[:, i : i + 1] * Y[None, :, i]
+            na = na + X[:, i] * X[:, i]
+            nb = nb + Y[:, i] * Y[:, i]
+        C = S / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        mask = C >= threshold
+        if key[0] == key[1]:  # within-block: dedup mirrored pairs
+            mask &= ida[:, None] < idb[None, :]
+        else:
+            mask &= ida[:, None] != idb[None, :]
+        ai, bi = np.nonzero(mask)
+        lo, hi = ida[ai], idb[bi]
+        swap = lo > hi
+        lo, hi = np.where(swap, hi, lo), np.where(swap, lo, hi)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": C[ai, bi]})
 
-    return src.mapInPandas(score, out_schema)
+    return (
+        left.groupby("p", "q")
+        .cogroup(right.groupby("p", "q"))
+        .applyInPandas(score, out_schema)
+    )
 
 
 def _hyperplane(table_idx: int, plane_idx: int, dim: int):

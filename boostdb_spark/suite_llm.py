@@ -454,8 +454,10 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs at cosine >= 0.4 (exact
-    all-pairs baseline; LSH bucketing is the scale path)."""
+    """Embedding near-duplicate pairs at cosine >= 0.4 — exact
+    all-pairs semantics via the distributed block nested-loop (block
+    pairs cogrouped, numpy-scored, no driver collect); per-task memory
+    is O(N/n_blocks), so the same plan scales by raising n_blocks."""
     t = load_tables(spark, sf_dir)
     return sim.cosine_neardup_pairs(t["embeddings"], threshold=0.4)
 

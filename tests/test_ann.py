@@ -112,3 +112,18 @@ def test_ivf_kmeans_trained_quantizer(spark, emb, brute):
     top = {qid: {m for _, m in sorted(v, reverse=True)[:K]} for qid, v in true_topk.items()}
     hits = sum(1 for r in out if r["match_id"] in top[r["query_id"]])
     assert hits >= 3
+
+
+def test_neardup_block_count_invariant(spark, emb):
+    """cosine_neardup_pairs is the distributed exact all-pairs: the
+    result must be identical for any block count (each unordered pair
+    is scored in exactly one block-pair task, with symmetric
+    bit-identical arithmetic)."""
+    def rows(n_blocks):
+        out = sim.cosine_neardup_pairs(emb, threshold=0.4, n_blocks=n_blocks)
+        return sorted(map(tuple, out.collect()))
+
+    a, b, c = rows(2), rows(7), rows(16)
+    assert a == b == c
+    assert len(a) > 0
+    assert all(x < y for x, y, _ in a)
