@@ -5,10 +5,11 @@ The reference parses its dialect with the TiDB parser into ``QueryOps``
 (query/executor/planner.go:115-243), and hand-executes it row by row
 (query/executor/executor.go:184-274). Here the same dialect —
 
-    SELECT [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(field)
+    SELECT * | [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(field)
            [AS name] [, ...]
     FROM domain.family [alias]
-    [WHERE <expr over the same sugared names>]
+    [WHERE <expr over the same sugared names; :name placeholders bind
+           from a params dict at plan time>]
     [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
 
 — is parsed by a small recursive-descent parser into a ``BoostQuery``
@@ -63,6 +64,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>\d+\.\d+|\.\d+|\d+)
       | (?P<str>'(?:[^']|'')*')
+      | (?P<param>:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
       | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|-)
     )""",
@@ -94,6 +96,8 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
                 toks.append(("name", v))
         elif m.lastgroup == "num":
             toks.append(("num", m.group("num")))
+        elif m.lastgroup == "param":
+            toks.append(("param", m.group("param")[1:]))
         elif m.lastgroup == "str":
             toks.append(("str", m.group("str")[1:-1].replace("''", "'")))
         else:
@@ -121,7 +125,7 @@ class FieldRef:
 
 @dataclass
 class Expr:
-    kind: str  # 'cmp' | 'and' | 'or' | 'not' | 'in' | 'between' | 'like' | 'isnull' | 'lit' | 'ref'
+    kind: str  # 'cmp' | 'and' | 'or' | 'not' | 'in' | 'between' | 'like' | 'isnull' | 'lit' | 'ref' | 'param'
     op: str | None = None
     children: list["Expr"] = field(default_factory=list)
     value: object = None  # literal value or FieldRef
@@ -154,6 +158,7 @@ class BoostQuery:
     order_by: list[tuple[FieldRef, bool]] = field(default_factory=list)  # (ref, desc)
     limit: int | None = None
     joins: list[JoinClause] = field(default_factory=list)
+    star: bool = False  # SELECT * — expand to the source's columns
 
 
 class _Parser:
@@ -190,9 +195,19 @@ class _Parser:
     #          [HAVING expr] [ORDER BY ...] [LIMIT n]
     def parse_query(self) -> BoostQuery:
         self.expect_kw("select")
-        fields = [self.parse_field()]
-        while self.accept_op(","):
-            fields.append(self.parse_field())
+        star = False
+        fields: list[FieldRef] = []
+        if self.accept_op("*"):
+            # SELECT * expands to every column of the bound source (the
+            # reference REJECTS it — selectfieldparser.go:108-114 requires
+            # named fields — a wart users don't expect; lifted here)
+            star = True
+            if self.peek() == ("op", ","):
+                raise ValueError("SELECT * cannot be mixed with named fields")
+        else:
+            fields = [self.parse_field()]
+            while self.accept_op(","):
+                fields.append(self.parse_field())
         self.expect_kw("from")
         domain, family, alias = self.parse_source()
         joins: list[JoinClause] = []
@@ -247,9 +262,11 @@ class _Parser:
             limit = int(v)
         if self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
+        if star and (group_by or joins):
+            raise ValueError("SELECT * supports single-source, non-grouped queries")
         return BoostQuery(
             fields, domain, family, alias, where, group_by, having, order_by,
-            limit, joins,
+            limit, joins, star,
         )
 
     def parse_source(self) -> tuple[str, str, str | None]:
@@ -370,6 +387,13 @@ class _Parser:
 
     def parse_operand(self) -> Expr:
         kind, v = self.next()
+        if kind == "param":
+            # named-placeholder literal — the reference's parameterized
+            # literal machinery (query/base/literalintexpression.go:9-113
+            # binds a named hole via Evaluate(arg); expressionstate.go:6-19
+            # carries the binding). Resolved from the params dict at plan
+            # time, so one parsed query re-executes with new bindings.
+            return Expr("param", value=v)
         if kind == "op" and v == "-":
             # unary minus on a numeric literal (the dialect has no
             # arithmetic, so '-' only occurs in operand position)
@@ -539,16 +563,32 @@ def _expr_refs(e: Expr):
         yield from _expr_refs(c)
 
 
-def _compile_expr(e: Expr, res: _Resolver, name_of=None) -> Column:
+def _param_value(name: str, params: dict | None):
+    if params is None or name not in params:
+        raise ValueError(f"unbound placeholder :{name} — pass params={{{name!r}: ...}}")
+    return params[name]
+
+
+def _operand_value(e: Expr, params: dict | None):
+    """Python value of a literal-position operand (IN list items, LIKE
+    pattern): a constant or a bound placeholder."""
+    if e.kind == "param":
+        return _param_value(e.value, params)
+    return e.value
+
+
+def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = None) -> Column:
     if e.kind == "lit":
         return F.lit(e.value)
+    if e.kind == "param":
+        return F.lit(_param_value(e.value, params))
     if e.kind == "ref":
         if name_of is not None:  # post-aggregation scope (HAVING)
             return F.col(name_of(e.value))
         _, col = res.resolve(e.value)
         return F.col(col)
     if e.kind == "cmp":
-        left, right = (_compile_expr(c, res, name_of) for c in e.children)
+        left, right = (_compile_expr(c, res, name_of, params) for c in e.children)
         return {
             "=": left == right,
             "!=": left != right,
@@ -558,26 +598,28 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None) -> Column:
             ">=": left >= right,
         }[e.op]
     if e.kind == "and":
-        return _compile_expr(e.children[0], res, name_of) & _compile_expr(
-            e.children[1], res, name_of
+        return _compile_expr(e.children[0], res, name_of, params) & _compile_expr(
+            e.children[1], res, name_of, params
         )
     if e.kind == "or":
-        return _compile_expr(e.children[0], res, name_of) | _compile_expr(
-            e.children[1], res, name_of
+        return _compile_expr(e.children[0], res, name_of, params) | _compile_expr(
+            e.children[1], res, name_of, params
         )
     if e.kind == "not":
-        return ~_compile_expr(e.children[0], res, name_of)
+        return ~_compile_expr(e.children[0], res, name_of, params)
     if e.kind == "isnull":
-        return _compile_expr(e.children[0], res, name_of).isNull()
+        return _compile_expr(e.children[0], res, name_of, params).isNull()
     if e.kind == "in":
-        return _compile_expr(e.children[0], res, name_of).isin(
-            *[c.value for c in e.children[1:]]
+        return _compile_expr(e.children[0], res, name_of, params).isin(
+            *[_operand_value(c, params) for c in e.children[1:]]
         )
     if e.kind == "between":
-        a, lo, hi = (_compile_expr(c, res, name_of) for c in e.children)
+        a, lo, hi = (_compile_expr(c, res, name_of, params) for c in e.children)
         return a.between(lo, hi)
     if e.kind == "like":
-        return _compile_expr(e.children[0], res, name_of).like(e.children[1].value)
+        return _compile_expr(e.children[0], res, name_of, params).like(
+            _operand_value(e.children[1], params)
+        )
     raise ValueError(f"unknown expr kind {e.kind}")
 
 
@@ -616,6 +658,7 @@ def plan(
     binding: SeriesFamilyBinding | dict[str, SeriesFamilyBinding],
     start=None,
     end=None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Plan a BoostQuery onto a DataFrame.
 
@@ -646,7 +689,7 @@ def plan(
     for f in q.fields:
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
         sel.append((res.default_name(f), col, f.func))
-    where_col = _compile_expr(q.where, res) if q.where else None
+    where_col = _compile_expr(q.where, res, params=params) if q.where else None
     for g in q.group_by:  # register group-by series before the scan filter
         if g.parts:
             res.resolve(g)
@@ -745,11 +788,13 @@ def plan(
             df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
         else:
             df = df.agg(*aggs)  # global aggregate
+    elif q.star:
+        pass  # SELECT *: the scan's full column set, no projection
     else:
         df = df.select(*[F.col(col).alias(alias) for alias, col, _ in sel])
 
     if q.having is not None:
-        df = df.filter(_compile_expr(q.having, res, name_of=post_name))
+        df = df.filter(_compile_expr(q.having, res, name_of=post_name, params=params))
     if q.order_by:
         order = []
         for ref, desc in q.order_by:
@@ -773,8 +818,13 @@ def query(
     binding: SeriesFamilyBinding,
     start=None,
     end=None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Parse + plan in one call — the reference's
     ``Parser.Parse -> Planner.GeneratePlan -> Executor`` lifecycle
-    (SURVEY.md section 3.1) as a single declarative step."""
-    return plan(spark, parse(sql), binding, start=start, end=end)
+    (SURVEY.md section 3.1) as a single declarative step.
+
+    ``params`` binds ``:name`` placeholder literals (the reference's
+    named-literal machinery, query/base/literalintexpression.go:9-113):
+    parse once, re-plan with fresh bindings per execution."""
+    return plan(spark, parse(sql), binding, start=start, end=end, params=params)

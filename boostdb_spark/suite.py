@@ -112,10 +112,13 @@ _WINDOW: tuple[str, ...] = (
     "projection_compute", "scalar_functions",
     # dialect front
     "dialect_groupby_agg", "dialect_having", "dialect_join",
-    # 2.3 joins
+    "dialect_params", "dialect_select_star",
+    # 2.3 joins (join_cross / asof_join_forward certified green in r1,
+    # rotated below the fold to free window slots for the new dialect
+    # entries)
     "join_inner", "join_dims", "join_implicit_where", "join_left_outer",
-    "join_semi", "join_anti", "join_cross", "join_full_outer", "join_range",
-    "asof_join_backward", "asof_join_forward",
+    "join_semi", "join_anti", "join_full_outer", "join_range",
+    "asof_join_backward",
     # 2.4 aggregation
     "agg_groupby_q1", "agg_having", "distinct_series", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_count_distinct", "agg_pivot",
@@ -172,6 +175,57 @@ def flagship_series_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_BINDING,
         start=S_NS,
         end=E_NS,
+    )
+
+
+@_q(
+    "dialect_params",
+    f"""
+    SELECT user_id, value FROM events
+    WHERE event_type = 'click' AND value < 42.5
+      AND epoch_ns(ts) >= {S_NS} AND epoch_ns(ts) < {E_NS}
+    """,
+)
+def dialect_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query with the threshold as a ``:thr`` placeholder
+    bound at plan time — the reference's named-literal parameterized
+    re-execution (query/base/literalintexpression.go:9-113 Evaluate(arg)
+    binds the hole; expressionstate.go:6-19 carries it). One parsed
+    query, fresh literal per run, same pushed-filter plan."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id, click FROM boost.events WHERE click < :thr",
+        EVENTS_BINDING,
+        start=S_NS,
+        end=E_NS,
+        params={"thr": 42.5},
+    )
+
+
+@_q(
+    "dialect_select_star",
+    """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value, props
+    FROM events WHERE event_type = 'purchase' AND value < 50.0
+    """,
+)
+def dialect_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * through the dialect: expands to the bound source's full
+    column set (the reference REQUIRES named fields —
+    selectfieldparser.go:108-114 — a parity wart lifted here). The
+    value-sugar WHERE still series-filters the scan. ts re-emitted as
+    µs ints only for the cross-engine hash (suite determinism rules:
+    raw timestamps never cross the boundary)."""
+    load_tables(spark, sf_dir)
+    df = sugar.query(
+        spark,
+        "SELECT * FROM boost.events WHERE purchase < 50.0",
+        EVENTS_BINDING,
+    )
+    return df.select(
+        "event_id", "user_id", "event_type",
+        _ts_us(df).alias("ts_us"), "value", "props",
     )
 
 

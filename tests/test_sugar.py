@@ -309,3 +309,72 @@ def test_plan_dialect_join_two_bindings(spark, tmp_path):
         ).select("event_id", "limit_v").collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# :name placeholder binding (reference named-literal machinery,
+# query/base/literalintexpression.go:9-113 / expressionstate.go:6-19)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_placeholder_operand():
+    q = parse("SELECT a FROM d.f WHERE a < :thr AND a.tag IN (:t1, 'x')")
+    assert q.where.kind == "and"
+    cmp_, in_ = q.where.children
+    assert cmp_.children[1].kind == "param"
+    assert cmp_.children[1].value == "thr"
+    assert in_.children[1].kind == "param"
+
+
+def test_plan_placeholder_binds_and_rebinds(spark):
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    sql = "SELECT click.event_id FROM boost.events WHERE click < :thr"
+    for thr in (10.0, 50.0):
+        got = {
+            r["event_id"]
+            for r in sugar.query(
+                spark, sql, EVENTS_BINDING, params={"thr": thr}
+            ).collect()
+        }
+        want = {
+            r["event_id"]
+            for r in spark.table("events")
+            .filter(f"event_type = 'click' AND value < {thr}")
+            .collect()
+        }
+        assert got == want
+
+
+def test_plan_unbound_placeholder_rejected(spark):
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    with pytest.raises(ValueError, match="unbound placeholder :thr"):
+        sugar.query(
+            spark,
+            "SELECT click FROM boost.events WHERE click < :thr",
+            EVENTS_BINDING,
+        )
+
+
+# ---------------------------------------------------------------------------
+# SELECT * (rejected by the reference, selectfieldparser.go:108-114)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_select_star():
+    q = parse("SELECT * FROM d.f WHERE a < 5")
+    assert q.star and q.fields == []
+    with pytest.raises(ValueError, match="single-source"):
+        parse("SELECT * FROM d.f GROUP BY a")
+
+
+def test_plan_select_star_expands_all_columns(spark):
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    df = sugar.query(
+        spark, "SELECT * FROM boost.events WHERE click < 20.0", EVENTS_BINDING
+    )
+    assert set(df.columns) == set(spark.table("events").columns)
+    want = spark.table("events").filter("event_type = 'click' AND value < 20.0")
+    assert df.count() == want.count() > 0
