@@ -40,13 +40,22 @@ def ns_to_timestamp(col: Column | str) -> Column:
 
 def ts_ns(df, col: str = "ts") -> Column:
     """Long nanoseconds from a ts column of EITHER representation —
-    INT64-ns (ns-native ingest, nanosAsLong) passes through; TIMESTAMP /
-    TIMESTAMP_NTZ converts via unix_micros (exact: µs-precision data has
-    zero sub-µs information to lose). Stays in whole-stage codegen."""
+    INT64-ns (ns-native ingest, nanosAsLong) passes through; TIMESTAMP
+    converts via unix_micros (epoch-based, zone-independent);
+    TIMESTAMP_NTZ via wall-clock ``timestampdiff`` against the NTZ
+    epoch — a cast to TIMESTAMP would apply the session time zone and
+    silently shift every bound under a non-UTC session. Exact (µs data
+    has zero sub-µs information) and stays in whole-stage codegen."""
     dt = dict(df.dtypes)[col]
     c = F.col(col)
     if dt in ("bigint", "long"):
         return c
+    if dt == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+        return us * F.lit(1000)
     return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
 
 
@@ -62,7 +71,15 @@ def ts_lit(df, ns: int, col: str = "ts") -> Column:
     # ceiling division ns -> µs: for a µs-grid column t and any ns bound
     # b, both `t >= b` and `t < b` are exactly `t_us >= ceil(b/1000)` /
     # `t_us < ceil(b/1000)` — floor would off-by-one non-aligned bounds
-    lit = F.timestamp_micros(F.lit(-((-ns) // 1000)))
+    us = -((-ns) // 1000)
+    if dt == "timestamp_ntz":
+        # NTZ literal built from the UTC wall string: a TIMESTAMP ->
+        # NTZ cast would shift by the session zone offset
+        from datetime import datetime, timedelta
+
+        wall = datetime(1970, 1, 1) + timedelta(microseconds=us)
+        return F.expr(f"TIMESTAMP_NTZ'{wall.isoformat(sep=' ')}'")
+    lit = F.timestamp_micros(F.lit(us))
     return lit.cast(dt)
 
 

@@ -72,6 +72,14 @@ def pack_tokens(
     the classic two-phase scan, all shuffles bounded by the bucket
     count, results identical to the sequential layout.
     """
+    id_dt = dict(df.dtypes).get(id_col)
+    if id_dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # `_id div N` on a non-integral id yields NULL buckets and the
+        # bucket-offset join would silently drop every row
+        raise TypeError(
+            f"pack_tokens requires an integral {id_col!r} (got {id_dt}); "
+            "derive one first, e.g. xxhash64(id) or monotonically_increasing_id"
+        )
     x = df.filter(F.col(n_col) > 0).select(
         F.col(id_col).alias("_id"), F.col(n_col).cast("long").alias("_n")
     )

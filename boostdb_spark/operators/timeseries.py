@@ -271,20 +271,20 @@ def asof_join(
     on = list(on)
     rts = right_ts_col or ts_col
     rpayload = [c for c in right.columns if c not in on and c != rts]
-    lts_type = dict(left.dtypes)[ts_col]
 
-    def _ns(df: DataFrame, c: str) -> Column:
-        # ns-long instant from either representation (timestamp has no
-        # direct long cast in Spark 4; µs-precision loses nothing)
-        if dict(df.dtypes)[c] in ("bigint", "long"):
-            return F.col(c).cast("long")
-        return F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)
+    from boostdb_spark.functions.scalar import ts_ns
 
-    l2 = left.withColumn("_side", F.lit(1))
+    # Both sides' ordering column goes through the ns conversion — a
+    # cast between long and timestamp (epoch-SECONDS semantics) would
+    # mis-scale the ordering when the two sides carry different ts
+    # dtypes, so the window never orders on a casted ts.
+    l2 = left.withColumn("_ord_ns", ts_ns(left, ts_col)).withColumn(
+        "_side", F.lit(1)
+    )
     r2 = right.select(
         *on,
-        F.col(rts).cast(lts_type).alias(ts_col),
-        _ns(right, rts).alias("_r_ts"),
+        ts_ns(right, rts).alias("_ord_ns"),
+        ts_ns(right, rts).alias("_r_ts"),
         *[F.col(c).alias(f"_r_{c}") for c in rpayload],
     ).withColumn("_side", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
@@ -292,14 +292,14 @@ def asof_join(
     if direction == "backward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .orderBy(F.col("_ord_ns").asc(), F.col("_side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .orderBy(F.col("_ord_ns").asc(), F.col("_side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
@@ -308,13 +308,14 @@ def asof_join(
 
     filled = u.select(
         *left.columns,
+        F.col("_ord_ns"),
         F.col("_side"),
         pick(F.col("_r_ts")).over(w).alias("_r_ts"),
         *[pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}") for c in rpayload],
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if tolerance_ns is not None:
-        lns = _ns(out, ts_col)
+        lns = F.col("_ord_ns")
         gap = (
             (lns - F.col("_r_ts"))
             if direction == "backward"
@@ -329,7 +330,7 @@ def asof_join(
     for c in rpayload:
         new = f"{c}{suffix}" if c in left.columns else c
         out = out.withColumnRenamed(f"_r_{c}", new)
-    return out.withColumnRenamed("_r_ts", f"{ts_col}{suffix}")
+    return out.drop("_ord_ns").withColumnRenamed("_r_ts", f"{ts_col}{suffix}")
 
 
 def moving_agg(

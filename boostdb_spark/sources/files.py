@@ -29,11 +29,18 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 _TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
-def _ts_options(rw):
-    return (
+def _ts_options(rw, *, read: bool = False):
+    rw = (
         rw.option("timestampFormat", _TS_FMT)
         .option("timestampNTZFormat", _TS_NTZ_FMT)
     )
+    if read:
+        # a pinned pattern alone would silently NULL externally-produced
+        # timestamps that carry millis or no fraction (e.g.
+        # '2024-01-01T00:00:00Z') in PERMISSIVE mode; the fallback keeps
+        # Spark's lenient parser for non-matching values
+        rw = rw.option("enableDateTimeParsingFallback", "true")
+    return rw
 
 
 def read_any(
@@ -51,7 +58,7 @@ def read_any(
     if schema is not None:
         reader = reader.schema(schema)
     if fmt in ("csv", "json"):
-        reader = _ts_options(reader)
+        reader = _ts_options(reader, read=True)
     if fmt == "csv":
         reader = reader.option("header", "true")
         if schema is None:

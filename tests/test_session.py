@@ -30,3 +30,23 @@ def test_register_parquet_single(spark, tmp_path):
     src.write.parquet(p)
     bs.register_parquet("tiny", p)
     assert bs.sql("SELECT count(*) AS n FROM tiny").collect()[0]["n"] == 5
+
+
+def test_ts_helpers_zone_independent(spark):
+    """ts_ns / ts_lit on TIMESTAMP_NTZ must not shift with the session
+    time zone (ADVICE r1: a cast to TIMESTAMP applies the zone)."""
+    from boostdb_spark.functions.scalar import ts_lit, ts_ns
+
+    df = spark.sql("SELECT TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts")
+    expect_ns = 1_704_067_200 * 10**9
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ns = df.select(ts_ns(df, "ts").alias("ns")).collect()[0]["ns"]
+            hit = df.filter(df.ts == ts_lit(df, expect_ns)).count()
+            results[tz] = (ns, hit)
+        assert all(v == (expect_ns, 1) for v in results.values()), results
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

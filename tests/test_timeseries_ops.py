@@ -225,3 +225,37 @@ def test_series_correlation_perfect(spark):
     ).collect()
     assert out[0].n == 4
     assert abs(out[0].corr - 1.0) < 1e-12
+
+
+def test_asof_mixed_ts_dtypes(spark):
+    """Left carries ns-longs, right carries timestamps (or vice versa):
+    the window must order on converted ns, never on a long<->timestamp
+    cast (epoch-seconds semantics would mis-scale one side)."""
+    base_ns = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z
+    left = _events(
+        spark,
+        [("a", base_ns + 100_000_000_000, 1.0),  # +100 s
+         ("a", base_ns + 200_000_000_000, 2.0)],  # +200 s
+    )
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:01:30", 10.0),  # +90 s
+         ("a", "2024-01-01 00:02:30", 20.0)],  # +150 s
+        "key string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        ts_ops.asof_join(left, right, on=["key"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.value, r.value_right) for r in out] == [(1.0, 10.0), (2.0, 20.0)]
+    # and the as-of ts is the matched right instant in ns
+    assert out[0].ts_right == base_ns + 90 * 10**9
+    assert out[1].ts_right == base_ns + 150 * 10**9
+
+    # flipped: left timestamps, right ns-longs
+    out2 = (
+        ts_ops.asof_join(right, left, on=["key"], direction="forward")
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.value, r.value_right) for r in out2] == [(10.0, 1.0), (20.0, 2.0)]
