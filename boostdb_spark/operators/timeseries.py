@@ -360,6 +360,52 @@ def moving_agg(
     return df.withColumn(out_col or f"moving_{how}", fns[how].over(w))
 
 
+def _ewma_bucketed(
+    df: DataFrame,
+    alpha: float,
+    value_col: str,
+    series_cols: Sequence[str],
+    ts_col: str,
+    order_extra: Sequence[str],
+    bucket_rows: int,
+):
+    """Shared front of the bounded-memory EWMA paths: rows get a
+    per-series time-ordered bucket index ((row_number-1) div
+    bucket_rows — a streaming window, no per-group materialization),
+    then per-(series, bucket) affine summaries of the recursion.
+
+    The EWMA step s -> alpha*v + (1-alpha)*s is affine in s, so a whole
+    bucket composes to s -> d*s + p with d = (1-alpha)^n (sequential
+    multiply fold) and p = the fold seeded from 0 — the classic
+    parallel-scan (Blelloch) treatment of a linear recurrence. Bucket 0
+    instead folds with the reference seeding s_0 = v_0, so its summary
+    IS its outgoing state. Returns (summaries, series_cols) where
+    summaries = (series..., _bk, _d, _p).
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_extra]]
+    wrn = Window.partitionBy(*series_cols).orderBy(*order)
+    bdf = df.withColumn(
+        "_bk", ((F.row_number().over(wrn) - 1) / F.lit(bucket_rows)).cast("long")
+    )
+    key = F.struct(
+        F.col(ts_col), *[F.col(c) for c in order_extra], F.col(value_col).alias("_v")
+    )
+    vals = F.transform(F.sort_array(F.collect_list(key)), lambda s: s["_v"])
+    a, b = F.lit(alpha), F.lit(1.0 - alpha)
+    seeded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: a * v + b * acc,
+    )
+    from_zero = F.aggregate(vals, F.lit(0.0), lambda acc, v: a * v + b * acc)
+    decay = F.aggregate(vals, F.lit(1.0), lambda acc, _: acc * b)
+    summaries = bdf.groupBy(*series_cols, "_bk").agg(
+        F.when(F.col("_bk") == 0, seeded).otherwise(from_zero).alias("_p"),
+        F.when(F.col("_bk") == 0, F.lit(0.0)).otherwise(decay).alias("_d"),
+    )
+    return bdf, summaries
+
+
 def ewma_final(
     df: DataFrame,
     alpha: float,
@@ -368,19 +414,41 @@ def ewma_final(
     ts_col: str = "ts",
     order_extra: Sequence[str] = (),
     out_col: str = "ewma",
+    bucket_rows: int | None = None,
 ) -> DataFrame:
     """Final exponentially-weighted moving average per series:
     s_0 = v_0; s_i = alpha*v_i + (1-alpha)*s_{i-1} over the
     time-ordered values. Returns one row per series.
 
-    EWMA is an inherently sequential recursion, so it's computed as a
-    left fold over the per-series ordered value array
-    (sort_array(collect_list(struct(ts, ..., v))) -> aggregate) — a
-    deterministic order even though collect_list itself is not.
-    ONE shuffle (the groupBy); per-series state is O(series length), so
-    this is for bounded series (downsample first at 100 TB — resample()
-    exists for exactly that).
+    EWMA is an inherently sequential recursion. Default path: a left
+    fold over the per-series ordered value array
+    (sort_array(collect_list(struct(ts, ..., v))) -> aggregate) —
+    deterministic order, bit-identical to any engine's sequential fold,
+    but O(series length) memory per group.
+
+    ``bucket_rows`` set: the bounded-memory parallel-scan path — rows
+    bucket in time order, each bucket folds sequentially into an affine
+    summary (d, p), and a per-series fold over the ~n/bucket_rows
+    summaries composes them (bucket 0 carries the v_0 seeding). Peak
+    per-group state drops from O(n) to O(max(bucket_rows,
+    n/bucket_rows)). The boundary composition d*s + p re-associates the
+    arithmetic, so results can differ from the sequential fold in the
+    last ~2 ulps — use the default path when bit-exact cross-engine
+    hashes matter and series are bounded (resample() first at 100 TB).
     """
+    if bucket_rows is not None:
+        _, summaries = _ewma_bucketed(
+            df, alpha, value_col, series_cols, ts_col, order_extra, bucket_rows
+        )
+        bs = F.sort_array(
+            F.collect_list(F.struct(F.col("_bk"), F.col("_d"), F.col("_p")))
+        )
+        compose = F.aggregate(
+            bs,
+            F.lit(0.0),
+            lambda acc, t: t["_d"] * acc + t["_p"],
+        )
+        return summaries.groupBy(*series_cols).agg(compose.alias(out_col))
     key = F.struct(
         F.col(ts_col), *[F.col(c) for c in order_extra], F.col(value_col).alias("_v")
     )
@@ -406,6 +474,7 @@ def ewma_rows(
     order_extra: Sequence[str] = (),
     out_col: str = "ewma",
     keep_cols: Sequence[str] | None = None,
+    bucket_rows: int | None = None,
 ) -> DataFrame:
     """Per-row EWMA: every row gets its running smoothed value
     (s_0 = v_0; s_i = alpha*v_i + (1-alpha)*s_{i-1} in time order).
@@ -415,10 +484,18 @@ def ewma_rows(
     O(n) per group (vs O(n^2) for the pure-SQL window+fold form). The
     loop spells out exactly ``alpha*v + (1-alpha)*acc`` so results are
     bit-identical to a left fold of the same doubles in any engine.
-    Per-group memory is O(series length), the same bound as
-    :func:`ewma_final`; at 100 TB downsample per series first
-    (``resample_first_last`` exists for exactly that) or bound the
-    window with a streaming variant.
+    Per-group memory is O(series length) on the default path.
+
+    ``bucket_rows`` set: the bounded-memory parallel-scan path. Rows
+    bucket per series in time order; per-bucket affine summaries
+    (see :func:`_ewma_bucketed`) give every bucket its exact-shape
+    incoming state via an exclusive prefix fold over the
+    ~n/bucket_rows summaries; the per-row loop then runs per
+    (series, bucket) group, O(bucket_rows) Arrow memory per task, all
+    buckets in parallel. Boundary composition re-associates the
+    arithmetic (last-ulps divergence from the sequential fold) — keep
+    the default path for bit-exact cross-engine hashes on bounded
+    series.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -427,13 +504,78 @@ def ewma_rows(
     if keep_cols is None:
         keep_cols = [*series_cols, *order_cols]
     need = list(dict.fromkeys([*series_cols, *order_cols, *keep_cols, value_col]))
-    proj = df.select(*need)
+    schema_src = df.select(*need)
     schema = StructType(
-        [proj.schema[c] for c in keep_cols]
+        [schema_src.schema[c] for c in keep_cols]
         + [StructField(out_col, DoubleType(), True)]
     )
     a = float(alpha)
     keep = list(keep_cols)
+
+    if bucket_rows is not None:
+        bdf, summaries = _ewma_bucketed(
+            df, alpha, value_col, series_cols, ts_col, order_extra, bucket_rows
+        )
+        # exclusive prefix over bucket summaries: incoming state of
+        # bucket k = composition of buckets < k (null for bucket 0 —
+        # the v_0 seeding happens inside the group loop)
+        bs = F.sort_array(
+            F.collect_list(F.struct(F.col("_bk"), F.col("_d"), F.col("_p")))
+        )
+        init = F.struct(
+            F.lit(0.0).alias("s"),
+            F.array().cast("array<struct<_bk:long,_sin:double>>").alias("arr"),
+        )
+        pre = F.aggregate(
+            bs,
+            init,
+            lambda acc, t: F.struct(
+                (t["_d"] * acc["s"] + t["_p"]).alias("s"),
+                F.concat(
+                    acc["arr"],
+                    F.array(
+                        F.struct(
+                            t["_bk"].alias("_bk"),
+                            F.when(t["_bk"] == 0, F.lit(None).cast("double"))
+                            .otherwise(acc["s"])
+                            .alias("_sin"),
+                        )
+                    ),
+                ).alias("arr"),
+            ),
+        )["arr"]
+        incoming = (
+            summaries.groupBy(*series_cols)
+            .agg(pre.alias("_pre"))
+            .select(*series_cols, F.explode("_pre").alias("_e"))
+            .select(*series_cols, F.col("_e._bk").alias("_bk"),
+                    F.col("_e._sin").alias("_sin"))
+        )
+        need_b = list(dict.fromkeys([*need, "_bk"]))
+        proj = bdf.select(*need_b).join(incoming, [*series_cols, "_bk"])
+
+        def fn_b(pdf):
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            vals = pdf[value_col].to_numpy()
+            out = np.empty(len(vals))
+            sin = pdf["_sin"].iloc[0]
+            acc = 0.0
+            seeded = sin is not None and not (isinstance(sin, float) and np.isnan(sin))
+            if seeded:
+                acc = float(sin)
+            for i in range(len(vals)):
+                if i == 0 and not seeded:
+                    acc = vals[0]
+                else:
+                    acc = a * vals[i] + (1.0 - a) * acc
+                out[i] = acc
+            res = pdf[keep].copy()
+            res[out_col] = out
+            return res
+
+        return proj.groupBy(*series_cols, "_bk").applyInPandas(fn_b, schema)
+
+    proj = df.select(*need)
 
     def fn(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")

@@ -72,3 +72,43 @@ def test_minhash_100k_docs(spark):
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=16, n=3)
     # replicated copies are exact dups: jaccard 1.0 pairs must surface
     assert pairs.filter(F.col("jaccard") >= 0.999).limit(1).count() == 1
+
+
+def test_ewma_bucketed_matches_sequential(spark):
+    """Bounded-memory EWMA (parallel-scan over bucket summaries) vs the
+    exact sequential fold: same rows, values within fp-reassociation
+    noise, while no task ever holds more than bucket_rows rows of one
+    series. One series is 100k rows with bucket_rows=500 -> 200 bucket
+    tasks per series."""
+    n, series = 100_000, 3
+    df = (
+        spark.range(n * series)
+        .select(
+            (F.col("id") % series).cast("string").alias("series"),
+            (F.col("id") / series).cast("long").alias("ts"),
+            (F.sin(F.col("id").cast("double")) * 100).alias("value"),
+        )
+    )
+    seq = {
+        tuple(r[:1]): r["ewma"]
+        for r in ts_ops.ewma_final(df, 0.25, series_cols=("series",)).collect()
+    }
+    buck = {
+        tuple(r[:1]): r["ewma"]
+        for r in ts_ops.ewma_final(
+            df, 0.25, series_cols=("series",), bucket_rows=500
+        ).collect()
+    }
+    assert seq.keys() == buck.keys()
+    for k in seq:
+        assert abs(seq[k] - buck[k]) <= 1e-9 * max(1.0, abs(seq[k])), k
+
+    rows_seq = ts_ops.ewma_rows(df, 0.25, series_cols=("series",)).collect()
+    rows_buck = ts_ops.ewma_rows(
+        df, 0.25, series_cols=("series",), bucket_rows=500
+    ).collect()
+    a = {(r["series"], r["ts"]): r["ewma"] for r in rows_seq}
+    b = {(r["series"], r["ts"]): r["ewma"] for r in rows_buck}
+    assert a.keys() == b.keys() and len(a) == n * series
+    worst = max(abs(a[k] - b[k]) / max(1.0, abs(a[k])) for k in a)
+    assert worst <= 1e-9, worst
