@@ -2,11 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``). North-star extension beyond the reference.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic stub (``_fake_decode``) — the Spark-side
-plumbing (schema contract, Arrow batching, partition-local processing,
-binary payload handling) is real and tested. Swapping in PIL/ffmpeg is
-a one-function change inside the batch iterator.
+Capability layering:
+
+- **Metadata extraction is REAL for PNG / JPEG / WAV** — container
+  headers carry the dimensions/stream parameters, parsed with pure
+  stdlib (no codec): PNG IHDR, JPEG SOFn markers, RIFF/WAVE fmt chunk.
+- **Pixel-level transforms** (resize) use PIL when importable; without
+  codecs, real media raises ``NotImplementedError`` (never silently
+  fake-transformed).
+- Non-media payloads (the fixture's utf-8 text blobs) go through the
+  clearly-marked deterministic stubs so the Arrow plumbing stays
+  oracle-testable in a codec-less container.
 
 Scale shape: mapInPandas streams Arrow batches partition-locally — no
 shuffle, no driver involvement; 100 TB of blobs processes at scan
@@ -22,6 +28,58 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # real pixel codec, if the environment carries one
+    from PIL import Image as _PILImage  # noqa: N814
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+#: JPEG start-of-frame markers that carry dimensions (all SOFn except
+#: DHT/DAC/RST which reuse the range)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_media_header(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, media_type) for a REAL media container, parsed
+    from its header bytes — pure stdlib, no codec required. Returns
+    None when the payload is not a recognized container. For WAV audio
+    the pair is (channels, sample_rate): the stream-geometry analog of
+    pixel dimensions.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        # IHDR is always the first chunk: width/height at bytes 16..24
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            "image/png",
+        )
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),  # width
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),  # height
+                    "image/jpeg",
+                )
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # no length field
+                i += 2
+                continue
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        raise ValueError("JPEG payload with no SOF marker (truncated?)")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 28:
+        return (
+            int.from_bytes(payload[22:24], "little"),  # channels
+            int.from_bytes(payload[24:28], "little"),  # sample rate
+            "audio/wav",
+        )
+    return None
 
 #: metadata schema produced by extract_media_meta
 MEDIA_META_SCHEMA = T.StructType(
@@ -44,17 +102,26 @@ def attach_binary_payload(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB decode: deterministic fake dimensions derived from the
-    payload size. Replace with a real decoder (PIL.Image.open /
-    soundfile / av) when codecs are available.
+    """STUB for NON-media payloads only (the fixture's text blobs):
+    deterministic fake dimensions derived from the payload size.
 
     Raises NotImplementedError for payloads that look like real media
-    containers — this stub must never silently 'decode' actual media.
-    """
+    containers — those must route through :func:`parse_media_header`
+    (which _decode_meta does); this stub must never silently 'decode'
+    actual media."""
     if payload[:4] in (b"\x89PNG", b"RIFF", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError("real media decoding unavailable in this container")
+        raise NotImplementedError("media payloads route via parse_media_header")
     n = len(payload)
     return n % 640, (n * 7) % 480, "text/plain"
+
+
+def _decode_meta(payload: bytes) -> tuple[int, int, str]:
+    """Real header parse for real containers; size-derived stub for the
+    fixture's non-media payloads."""
+    hdr = parse_media_header(payload)
+    if hdr is not None:
+        return hdr
+    return _fake_decode(payload)
 
 
 def extract_media_meta(
@@ -67,7 +134,7 @@ def extract_media_meta(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            decoded = [_fake_decode(bytes(p)) for p in payloads]
+            decoded = [_decode_meta(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -109,14 +176,25 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """STUB resize: deterministic fake — repeat/truncate the payload to
-    exactly width*height bytes (the size contract a real thumbnail
-    pipeline cares about). Replace with PIL ``Image.resize`` when
-    codecs are available; raises on real media containers like
-    _fake_decode so it never silently 'resizes' actual images."""
-    if payload[:4] in (b"\x89PNG", b"RIFF", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError("real media decoding unavailable in this container")
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Resize one payload: real PIL resize (re-encoded PNG) when the
+    codec is importable and the payload is a real image; deterministic
+    stub (repeat/truncate to exactly width*height bytes — the size
+    contract a thumbnail pipeline cares about) for the fixture's
+    non-media payloads; NotImplementedError for real media without a
+    codec — never a silent fake 'resize' of actual images."""
+    hdr = parse_media_header(payload)
+    if hdr is not None:
+        if HAS_PIL and hdr[2].startswith("image/"):
+            import io
+
+            img = _PILImage.open(io.BytesIO(payload)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        raise NotImplementedError(
+            f"pixel decode for {hdr[2]} needs PIL (unavailable)"
+        )
     n = width * height
     reps = -(-n // max(len(payload), 1))
     return (payload * reps)[:n]
@@ -134,9 +212,8 @@ def resize_media(
     resample stage. Same mapInPandas contract as extract_media_meta:
     Arrow batches in and out, partition-local, zero shuffle — 100 TB of
     blobs runs at scan speed with the transform pipelined into the
-    read. The byte-level transform is a clearly-marked stub
-    (_fake_resize); the Spark plumbing (binary in/out through Arrow,
-    schema, batching) is the real, tested part."""
+    read. Per-payload behavior (real PIL resize / stub / refuse) is
+    _resize_payload's capability contract."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -144,7 +221,7 @@ def resize_media(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload": [
-                        _fake_resize(bytes(p), width, height)
+                        _resize_payload(bytes(p), width, height)
                         for p in pdf[payload_col]
                     ],
                     "width": width,

@@ -39,9 +39,25 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as a bucketed parquet table registered in the
-    session catalog. ``sort_cols`` defaults to the bucket key."""
+    session catalog. ``sort_cols`` defaults to the bucket key.
+
+    Idempotent across sessions: drops a previous catalog entry AND any
+    orphaned managed-table directory (a fresh session's catalog doesn't
+    know about last session's location, and saveAsTable refuses to
+    reuse it — LOCATION_ALREADY_EXISTS)."""
     if sort_cols is None:
         sort_cols = list(bucket_cols)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    if path is None:
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(
+                f"{wh.path}/{table.lower()}", ignore_errors=True
+            )
     w = (
         df.write.mode(mode)
         .format("parquet")

@@ -380,6 +380,54 @@ def join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join through the bucketed-write path: both sides are
+    written bucketed on the order key (sources/bucketing.py — the Spark
+    generalization of the reference's distributionFactor sharding,
+    client/m3dbseriesfamily.go:156-168), then merge-joined with ZERO
+    Exchange below the join (tests/test_bucketing.py and
+    test_plan_shapes.py assert the plan). At 100 TB this is THE shuffle
+    eliminated: pre-partition once at ingest, every orderkey join after
+    is a zipped per-bucket merge."""
+    from boostdb_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    nb = 8
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "suite_orders_bkt", ["o_orderkey"], nb,
+    )
+    write_bucketed(
+        t["lineitem"].select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "suite_lineitem_bkt", ["o_orderkey"], nb,
+    )
+    joined = bucketed_join(
+        spark, "suite_orders_bkt", "suite_lineitem_bkt", on=["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@_q(
     "join_implicit_where",
     """
     SELECT c_mktsegment, count(*) AS n_ord

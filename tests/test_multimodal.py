@@ -1,0 +1,89 @@
+"""Multimodal operators: REAL header parsing for PNG/JPEG/WAV built
+in-memory from stdlib (no codec needed), the non-media stub path, and
+the capability contract of the resize stage."""
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from boostdb_spark.operators import multimodal as mm
+
+
+def _png(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG built with stdlib only."""
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    """JPEG header bytes through SOF0 (enough for dimension parsing)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(channels: int, rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * 4)
+    return buf.getvalue()
+
+
+def test_parse_media_header_real_containers():
+    assert mm.parse_media_header(_png(31, 17)) == (31, 17, "image/png")
+    assert mm.parse_media_header(_jpeg(640, 480)) == (640, 480, "image/jpeg")
+    assert mm.parse_media_header(_wav(2, 44100)) == (2, 44100, "audio/wav")
+    assert mm.parse_media_header(b"just some text bytes") is None
+
+
+def test_extract_media_meta_mixed_batch(spark):
+    rows = [
+        (1, _png(8, 4)),
+        (2, _jpeg(320, 200)),
+        (3, _wav(1, 16000)),
+        (4, b"plain text payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.extract_media_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["media_type"]) == (8, 4, "image/png")
+    assert (got[2]["width"], got[2]["height"], got[2]["media_type"]) == (320, 200, "image/jpeg")
+    assert (got[3]["width"], got[3]["height"], got[3]["media_type"]) == (1, 16000, "audio/wav")
+    assert got[4]["media_type"] == "text/plain"
+    assert got[4]["n_bytes"] == len(b"plain text payload")
+
+
+def test_resize_capability_contract(spark):
+    # non-media payloads: deterministic stub honoring the size contract
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    out = mm.resize_media(df, 4, 3).collect()[0]
+    assert len(out["payload"]) == 12 and (out["width"], out["height"]) == (4, 3)
+
+    if mm.HAS_PIL:
+        img_df = spark.createDataFrame(
+            [(2, _png(8, 4))], "doc_id long, payload binary"
+        )
+        r = mm.resize_media(img_df, 4, 2).collect()[0]
+        assert mm.parse_media_header(bytes(r["payload"]))[:2] == (4, 2)
+    else:
+        with pytest.raises(Exception, match="needs PIL"):
+            mm._resize_payload(_png(8, 4), 4, 2)

@@ -96,3 +96,18 @@ def test_dialect_join_pushes_per_source_series_filters(spark):
 def test_sampling_is_codegen_filter_no_shuffle(spark):
     p = _plan(spark, "doc_sample_det")
     assert "Exchange" not in p  # pure scan->filter->project pipeline
+
+
+def test_bucketed_join_entry_shuffle_free(spark):
+    """The join_bucketed_colocated suite entry: ZERO Exchange below the
+    SortMergeJoin — the bucketed layout replaces the join shuffle; the
+    only Exchange in the whole plan is the post-join aggregation."""
+    import re
+
+    df = suite.spark_queries()["join_bucketed_colocated"](spark, SF_DIR)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in tree
+    below_join = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in below_join  # both sides scan co-located buckets
+    assert len([ln for ln in below_join.splitlines() if "Scan parquet" in ln]) == 2
+    assert len(re.findall(r"\bExchange\b", tree)) == 1  # final agg only
