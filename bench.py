@@ -97,6 +97,12 @@ HEADLINE = [
     "agg_approx_quantiles",
     "emb_centroid",
     "pipeline_curate",
+    "dialect_params",
+    "dialect_select_star",
+    "join_bucketed_colocated",
+    "txt_redact_pii",
+    "txt_tfidf_topk",
+    "window_navigation",
 ]
 
 

@@ -16,7 +16,7 @@ BIGINT``), and all arithmetic is integer or single-expression double.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from boostdb_spark.operators.common import spread as _spread
@@ -257,4 +257,78 @@ def vocab_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
+    )
+
+
+#: PII patterns shared with the DuckDB oracles — constructs restricted
+#: to the Java-regex/RE2 common subset (no lookaround, no backrefs)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Replace common PII shapes (emails, IPv4s, international-format
+    phone numbers, SSNs) with typed placeholder tags — the scrubbing
+    pass every training-data pipeline runs before tokenization.
+
+    A chain of ``regexp_replace`` expressions, fully JVM-codegen, zero
+    shuffle: 100 TB redacts at scan speed. Patterns use only the
+    Java/RE2 common regex subset so the DuckDB oracle applies the
+    identical automaton. Order matters (email before phone: the digits
+    in 'user+1@x.com' must not half-match) and is fixed by
+    PII_PATTERNS."""
+    col = F.col(text_col)
+    for _name, pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return df.withColumn(out_col, col)
+
+
+def tf_idf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, token, tf, df, tfidf)
+    with smooth idf = ln((N+1)/(df+1)) + 1 (sklearn's convention) and
+    raw term counts for tf. The relevance-weighting primitive behind
+    keyword extraction and sparse retrieval indexes.
+
+    Shape: one explode -> (doc, token) count aggregate; token document
+    frequencies from a second aggregate over distinct (doc, token) —
+    shuffles carry per-distinct-token rows (map-side combined), never
+    per occurrence; the doc count is a broadcast scalar. Top-k per doc
+    is one window over the (small) per-doc term set. tfidf is rounded
+    (6dp) for cross-engine hashing: ln() may differ in the last ulp
+    between engines."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -1827,6 +1827,44 @@ def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "window_navigation",
+    """
+    SELECT event_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+           round(percent_rank() OVER (PARTITION BY event_type
+               ORDER BY value, event_id), 9) AS pct_rnk,
+           round(cume_dist() OVER (PARTITION BY event_type
+               ORDER BY value, event_id), 9) AS cum_d
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation / distribution window functions (lag, lead,
+    first_value, percent_rank, cume_dist) — completes the analytic
+    window surface next to window_rank_ntile. All orderings carry the
+    event_id tiebreak so offsets are deterministic; the rational
+    distribution functions are rounded at 9dp (the (rank-1)/(n-1)
+    divide can differ in the last ulp between engines)."""
+    t = load_tables(spark, sf_dir)
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t["events"].select(
+        "event_id",
+        F.lag("value").over(wt).alias("prev_value"),
+        F.lead("value").over(wt).alias("next_value"),
+        F.first("value").over(wf).alias("first_v"),
+        F.round(F.percent_rank().over(wv), 9).alias("pct_rnk"),
+        F.round(F.cume_dist().over(wv), 9).alias("cum_d"),
+    )
+
+
+@_q(
     "udaf_grouped_range",
     """
     SELECT event_type, max(value) - min(value) AS vrange

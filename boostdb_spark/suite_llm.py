@@ -773,3 +773,52 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "dup_ngram_frac",
     )
+
+
+def _redact_oracle() -> str:
+    expr = "text"
+    for _name, pat, tag in tx.PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{tag}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+@_q("txt_redact_pii", _redact_oracle())
+def txt_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with typed placeholder tags (emails, IPv4s,
+    intl-format phones, SSNs) — a regexp_replace chain in codegen; the
+    oracle applies the identical Java/RE2-common-subset patterns with
+    DuckDB's 'g' flag."""
+    t = load_tables(spark, sf_dir)
+    return tx.redact_pii(t["documents"]).select("doc_id", "redacted")
+
+
+@_q(
+    "txt_tfidf_topk",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    s AS (SELECT doc_id, token, tf, df,
+                 round(tf * (ln((n.n + 1)::DOUBLE / (df + 1)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfq USING (token) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+          FROM s)
+    SELECT doc_id, token, tf, df, tfidf FROM r WHERE rn <= 5
+    """,
+)
+def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smooth idf, sklearn
+    convention) — keyword extraction / sparse-retrieval weighting.
+    Both engines rank on the 6dp-rounded score so last-ulp ln()
+    differences can't reorder the cut."""
+    t = load_tables(spark, sf_dir)
+    out = tx.tf_idf_topk(t["documents"], k=5)
+    return out.select(
+        "doc_id", "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+    )
