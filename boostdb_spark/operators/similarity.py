@@ -515,6 +515,7 @@ def centroid_per_group(
     group_col: str = "label",
     vec_col: str = "embedding",
     order_col: str = "vec_id",
+    bucket_rows: int | None = None,
 ) -> DataFrame:
     """Per-group embedding centroid in LONG form: (group, pos, centroid,
     n) — one row per (group, vector dimension). The mean-vector
@@ -531,15 +532,49 @@ def centroid_per_group(
 
     Scale: one posexplode (narrow) + one hash aggregate on (group,
     pos). The fold materializes each (group, dim) value list once
-    inside the aggregate — fine up to millions of rows per group; for
-    billions-per-group, switch to a plain double sum and drop the
-    cross-engine bit-exactness claim.
+    inside the aggregate — fine up to millions of rows per group.
+
+    ``bucket_rows`` set: the bounded-memory two-level fold — rows
+    bucket per (group, pos) in ``order_col`` order, each bucket folds
+    its own ordered list (<= bucket_rows values), and a second ordered
+    fold sums the ~n/bucket_rows bucket partials. Same one-pass
+    shuffle count; peak state per aggregate drops to
+    O(max(bucket_rows, n/bucket_rows)). Summation is re-associated at
+    bucket boundaries (last-ulps divergence from the flat fold) — use
+    the default for bit-exact cross-engine hashes on bounded groups.
     """
     x = df.select(
         F.col(group_col).alias("grp"),
         F.col(order_col).alias("ord"),
         F.posexplode(vec_col).alias("pos", "v"),
     )
+    if bucket_rows is not None:
+        wrn = Window.partitionBy("grp", "pos").orderBy("ord")
+        xb = x.withColumn(
+            "_bk", ((F.row_number().over(wrn) - 1) / F.lit(bucket_rows)).cast("long")
+        )
+        part = xb.groupBy("grp", "pos", "_bk").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("ord", "v"))),
+                F.lit(0.0),
+                lambda acc, t: acc + t["v"].cast("double"),
+            ).alias("_p"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        agg = part.groupBy("grp", "pos").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("_bk"), F.col("_p")))),
+                F.lit(0.0),
+                lambda acc, t: acc + t["_p"],
+            ).alias("_s"),
+            F.sum("_n").alias("n"),
+        )
+        return agg.select(
+            F.col("grp").alias(group_col),
+            F.col("pos").cast("long").alias("pos"),
+            (F.col("_s") / F.col("n")).alias("centroid"),
+            "n",
+        )
     agg = x.groupBy("grp", "pos").agg(
         F.array_sort(F.collect_list(F.struct("ord", "v"))).alias("_a"),
         F.count(F.lit(1)).alias("n"),

@@ -112,3 +112,26 @@ def test_ewma_bucketed_matches_sequential(spark):
     assert a.keys() == b.keys() and len(a) == n * series
     worst = max(abs(a[k] - b[k]) / max(1.0, abs(a[k])) for k in a)
     assert worst <= 1e-9, worst
+
+
+def test_centroid_bucketed_matches_flat(spark):
+    """Bounded-memory centroid (two-level ordered fold) vs the flat
+    ordered fold: identical groups/counts, values within
+    fp-reassociation noise."""
+    from boostdb_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").withColumn(
+        "label", (F.col("vec_id") % 4).cast("string")
+    )
+    flat = {
+        (r["label"], r["pos"]): (r["centroid"], r["n"])
+        for r in sim.centroid_per_group(emb).collect()
+    }
+    buck = {
+        (r["label"], r["pos"]): (r["centroid"], r["n"])
+        for r in sim.centroid_per_group(emb, bucket_rows=100).collect()
+    }
+    assert flat.keys() == buck.keys() and len(flat) > 0
+    for k in flat:
+        assert flat[k][1] == buck[k][1]
+        assert abs(flat[k][0] - buck[k][0]) <= 1e-9 * max(1.0, abs(flat[k][0])), k
