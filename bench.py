@@ -103,6 +103,8 @@ HEADLINE = [
     "txt_redact_pii",
     "txt_tfidf_topk",
     "window_navigation",
+    "ts_irate",
+    "ts_histogram_quantile",
 ]
 
 

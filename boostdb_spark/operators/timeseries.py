@@ -787,3 +787,97 @@ def series_correlation(
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
     return agg.select("n", corr.alias("corr"))
+
+
+def irate(
+    df: DataFrame,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    per_seconds: float = 1.0,
+    counter: bool = True,
+) -> DataFrame:
+    """Instantaneous rate per series (Prometheus ``irate``): the rate
+    between the LAST TWO samples only — the spike-sensitive companion
+    to the window-average ``rate``. ``counter=True`` applies the
+    standard reset rule (a drop between the two samples means the
+    counter restarted: the increase is just the last value).
+
+    Requires INT64-ns ``ts``. Returns one row per series with >= 2
+    samples: (series..., ts_ns, irate).
+
+    Shape: one window shuffle on the series key to pick the top-2
+    samples (row_number, streaming frame — no per-series
+    materialization), then a 2-row-per-series pivot aggregate.
+    """
+    w = Window.partitionBy(*series_cols).orderBy(F.col(ts_col).desc())
+    top2 = df.select(*series_cols, ts_col, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    ).filter(F.col("_rn") <= 2)
+    g = top2.groupBy(*series_cols).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col(ts_col))).alias("_t1"),
+        F.max(F.when(F.col("_rn") == 1, F.col(value_col))).alias("_v1"),
+        F.max(F.when(F.col("_rn") == 2, F.col(ts_col))).alias("_t0"),
+        F.max(F.when(F.col("_rn") == 2, F.col(value_col))).alias("_v0"),
+    ).filter(F.col("_t0").isNotNull())
+    delta = (
+        F.when(counter and (F.col("_v1") < F.col("_v0")), F.col("_v1")).otherwise(
+            F.col("_v1") - F.col("_v0")
+        )
+        if counter
+        else F.col("_v1") - F.col("_v0")
+    )
+    span_s = (F.col("_t1") - F.col("_t0")).cast("double") / F.lit(1e9)
+    return g.select(
+        *series_cols,
+        F.col("_t1").alias("ts_ns"),
+        (delta * F.lit(float(per_seconds)) / span_s).alias("irate"),
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    bin_width: float,
+    series_cols: Sequence[str] = ("series",),
+    bin_lo_col: str = "bin_lo",
+    count_col: str = "n",
+) -> DataFrame:
+    """Prometheus-style ``histogram_quantile``: the q-quantile estimate
+    from fixed-width bucket counts (the output shape of
+    :func:`value_histogram`), linearly interpolated within the bucket
+    that crosses rank q*total. Composes as
+    ``histogram_quantile(value_histogram(df, w), q, w)``.
+
+    Determinism: rank arithmetic is integer (counts), the final
+    interpolation is one fixed expression tree — a SQL oracle
+    reproduces it bit-exactly.
+
+    Shape: one running-count window per series over its (small) bucket
+    set, then a min_by pick of the crossing bucket — no per-series
+    value materialization ever; the raw data was already reduced by
+    the histogram aggregate.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*series_cols)
+    x = hist.select(
+        *series_cols,
+        F.col(bin_lo_col).alias("_lo"),
+        F.col(count_col).alias("_n"),
+    ).withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_total", F.sum("_n").over(wall)
+    )
+    rank = F.lit(float(q)) * F.col("_total").cast("double")
+    crossing = x.filter(F.col("_cum").cast("double") >= rank)
+    est = F.col("_lo") + (
+        (rank - (F.col("_cum") - F.col("_n")).cast("double"))
+        / F.col("_n").cast("double")
+    ) * F.lit(float(bin_width))
+    return (
+        crossing.groupBy(*series_cols)
+        .agg(F.min_by(est, F.col("_lo")).alias("quantile"))
+    )

@@ -1312,6 +1312,76 @@ def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_irate",
+    """
+    WITH e AS (SELECT event_type, epoch_ns(ts) AS t, value FROM events),
+    r AS (SELECT event_type, t, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY t DESC) AS rn
+          FROM e),
+    g AS (SELECT event_type,
+                 max(CASE WHEN rn = 1 THEN t END) AS t1,
+                 max(CASE WHEN rn = 1 THEN value END) AS v1,
+                 max(CASE WHEN rn = 2 THEN t END) AS t0,
+                 max(CASE WHEN rn = 2 THEN value END) AS v0
+          FROM r WHERE rn <= 2 GROUP BY event_type)
+    SELECT event_type, t1 AS ts_ns,
+           (CASE WHEN v1 < v0 THEN v1 ELSE v1 - v0 END) * 1.0
+             / ((t1 - t0) / 1000000000.0) AS irate
+    FROM g WHERE t0 IS NOT NULL
+    """,
+)
+def ts_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """irate(): instantaneous rate from each series' last two samples
+    (Prometheus convention incl. counter-reset handling) — the
+    spike-sensitive liveness metric. One row_number window shuffle +
+    a 2-row pivot aggregate; ts is unique per series in the fixture so
+    the top-2 pick is deterministic. ts pre-truncated to µs-grid ns to
+    match DuckDB's parquet timestamp precision."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ev = ev.withColumn("ts", _ts_us(ev) * F.lit(1000))
+    return ts_ops.irate(ev, series_cols=("event_type",), counter=True)
+
+
+@_q(
+    "ts_histogram_quantile",
+    """
+    WITH h AS (
+      SELECT event_type, floor(value / 25.0) * 25.0 AS lo, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, lo, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY lo
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM h),
+    x AS (
+      SELECT event_type, lo, n, cum, total,
+             lo + ((0.95 * CAST(total AS DOUBLE)
+                    - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE)) * 25.0
+               AS est
+      FROM c WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(total AS DOUBLE))
+    SELECT event_type, arg_min(est, lo) AS quantile
+    FROM x GROUP BY event_type
+    """,
+)
+def ts_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(): p95 estimated from fixed-width bucket
+    counts with in-bucket linear interpolation (the Prometheus
+    histogram_quantile convention), composed directly over
+    value_histogram's output — the raw values are never re-scanned.
+    Integer rank arithmetic + one fixed interpolation expression, so
+    the SQL oracle is bit-exact."""
+    t = load_tables(spark, sf_dir)
+    h = ts_ops.value_histogram(
+        t["events"], bin_width=25.0, series_cols=("event_type",)
+    )
+    return ts_ops.histogram_quantile(
+        h, q=0.95, bin_width=25.0, series_cols=("event_type",)
+    )
+
+
+@_q(
     "ts_time_weighted_avg",
     """
     WITH x AS (
