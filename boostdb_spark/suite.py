@@ -428,6 +428,33 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_skew_salted",
+    """
+    SELECT n_name, count(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.py::salted_join):
+    the probe side scatters each hot key over salt_buckets reducers by
+    joining on (key, salt) with the build side replicated per bucket —
+    the explicit escape hatch when one key exceeds a partition even
+    under AQE skew splitting. Certified here to produce EXACTLY the
+    plain-join result (customer keyed on the 25-value nationkey — a
+    genuinely skewed key distribution)."""
+    from boostdb_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    out = salted_join(
+        t["customer"].select("c_custkey", F.col("c_nationkey").alias("nk")),
+        t["nation"].select(F.col("n_nationkey").alias("nk"), "n_name"),
+        on="nk", salt_buckets=8,
+    )
+    return out.groupBy("n_name").agg(F.count("*").alias("n_cust"))
+
+
+@_q(
     "join_implicit_where",
     """
     SELECT c_mktsegment, count(*) AS n_ord

@@ -85,3 +85,45 @@ def test_string_literal_escaping(s):
         return  # unlexable chars outside the literal grammar are fine
     cmp_ = q.where
     assert cmp_.kind == "cmp" and cmp_.children[1].value == s
+
+
+@given(
+    name=IDENT,
+    value=st.one_of(
+        st.integers(-10**6, 10**6),
+        st.floats(-1e6, 1e6, allow_nan=False),
+        st.text(alphabet="abcxyz ", max_size=12),
+    ),
+    op=st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+)
+@settings(max_examples=100, deadline=None)
+def test_placeholder_parses_and_binds_any_value(spark, name, value, op):
+    """:name placeholders parse anywhere a literal can appear, and the
+    compiled predicate embeds exactly the bound value."""
+    q = sugar.parse(f"SELECT a FROM d.f WHERE a {op} :{name}")
+    cmp_ = q.where
+    assert cmp_.kind == "cmp" and cmp_.children[1].kind == "param"
+    assert cmp_.children[1].value == name
+    # unbound -> loud failure naming the hole
+    try:
+        sugar._compile_expr(
+            cmp_, sugar._Resolver(q, sugar.SeriesFamilyBinding(view="v")), params={}
+        )
+        raise AssertionError("unbound placeholder did not raise")
+    except ValueError as e:
+        assert name in str(e)
+    col = sugar._compile_expr(
+        cmp_, sugar._Resolver(q, sugar.SeriesFamilyBinding(view="v")),
+        params={name: value},
+    )
+    assert col is not None
+
+
+@given(preds=st.lists(predicates(), min_size=0, max_size=2))
+@settings(max_examples=50, deadline=None)
+def test_select_star_parse_space(preds):
+    sql = "SELECT * FROM d.f"
+    if preds:
+        sql += " WHERE " + " and ".join(preds)
+    q = sugar.parse(sql)
+    assert q.star and q.fields == []
