@@ -105,6 +105,9 @@ HEADLINE = [
     "window_navigation",
     "ts_irate",
     "ts_histogram_quantile",
+    "join_skew_salted",
+    "dialect_orderby_limit",
+    "scan_zordered",
 ]
 
 

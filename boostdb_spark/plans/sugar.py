@@ -800,6 +800,14 @@ def plan(
         for ref, desc in q.order_by:
             if post_name is not None:
                 target = post_name(ref)
+            elif (
+                ref.func is None
+                and len(ref.parts) == 1
+                and ref.parts[0] in df.columns
+            ):
+                # a select alias / output column name wins over value
+                # sugar (ORDER BY eid must not resolve to the value col)
+                target = ref.parts[0]
             else:
                 name = res.default_name(ref)
                 target = name if name in df.columns else res.resolve(ref)[1]

@@ -204,6 +204,29 @@ def dialect_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_orderby_limit",
+    """
+    SELECT event_id AS eid, value AS v FROM events
+    WHERE event_type = 'click'
+    ORDER BY v DESC, eid ASC LIMIT 20
+    """,
+)
+def dialect_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY (select aliases, mixed directions) + LIMIT through the
+    dialect front — the declared-stub OrderBy/Limit surface
+    (query/base/expression.go:29-32) end to end. Alias resolution must
+    NOT fall through to value sugar (ORDER BY eid orders by event_id,
+    not the series value)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click AS v FROM boost.events "
+        "ORDER BY v DESC, eid ASC LIMIT 20",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "dialect_select_star",
     """
     SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value, props
@@ -382,6 +405,47 @@ def join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (applicationId, sf_dir, buckets) combos whose bucketed suite tables
 #: already exist in this session's catalog
 _BUCKETED_WRITTEN: set = set()
+
+#: sf_dirs whose z-ordered events copy exists for this session
+_ZORDER_WRITTEN: set = set()
+
+
+@_q(
+    "scan_zordered",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 20.0 AND 45.0
+    """,
+)
+def scan_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided selective scan against a z-order-clustered copy of the
+    events table (sources/zorder.py — Morton-interleaved (user_id,
+    value), range-partitioned + sorted files): BOTH predicates reach
+    parquet as PushedFilters AND both columns' row-group min/max stats
+    are narrow, so the 100 TB scan skips most row groups on either
+    dimension. Layout is ingest-time work (written once per session+SF,
+    like the bucketed tables); the certified result is the exact filter
+    semantics over the re-clustered copy."""
+    import os
+
+    from boostdb_spark.sources.zorder import zorder_write
+
+    t = load_tables(spark, sf_dir)
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, f"suite_events_z_{os.path.basename(sf_dir.rstrip('/'))}")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZORDER_WRITTEN:
+        zorder_write(
+            t["events"].select("event_id", "user_id", "value"),
+            path, cols=["user_id", "value"], num_files=8,
+        )
+        _ZORDER_WRITTEN.add(key)
+    z = spark.read.parquet(path)
+    return z.filter(
+        F.col("user_id").between(100, 160) & F.col("value").between(20.0, 45.0)
+    )
 
 
 @_q(

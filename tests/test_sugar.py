@@ -378,3 +378,25 @@ def test_plan_select_star_expands_all_columns(spark):
     assert set(df.columns) == set(spark.table("events").columns)
     want = spark.table("events").filter("event_type = 'click' AND value < 20.0")
     assert df.count() == want.count() > 0
+
+
+def test_orderby_alias_not_value_sugar(spark):
+    """ORDER BY a select alias must target that output column, not fall
+    through name sugar to the series value column."""
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    df = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click AS v FROM boost.events "
+        "ORDER BY eid DESC LIMIT 5",
+        EVENTS_BINDING,
+    )
+    got = [r["eid"] for r in df.collect()]
+    want = sorted(
+        (
+            r["event_id"]
+            for r in spark.table("events").filter("event_type='click'").collect()
+        ),
+        reverse=True,
+    )[:5]
+    assert got == want
