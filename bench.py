@@ -134,6 +134,9 @@ def main() -> None:
     registry["join_bucketed_colocated"](spark, sf_dir).write.mode(
         "overwrite"
     ).format("noop").save()
+    registry["scan_zordered"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
