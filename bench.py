@@ -108,6 +108,8 @@ HEADLINE = [
     "join_skew_salted",
     "dialect_orderby_limit",
     "scan_zordered",
+    "agg_q5_local_revenue",
+    "agg_q14_promo_share",
 ]
 
 
