@@ -48,11 +48,20 @@ def test_dim_joins_broadcast(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "ann_lsh_topk"],
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "ann_lsh_topk",
+        "agg_q5_local_revenue",
+        "agg_q14_promo_share",
+        "join_skew_salted",
+        "emb_neardup_cosine",
+    ],
 )
 def test_candidate_joins_are_equi_not_cartesian(spark, name):
-    """LSH bands / pigeonhole chunks / shingle buckets must join on
-    keys — never a cross product over documents."""
+    """LSH bands / pigeonhole chunks / shingle buckets / multi-table
+    pipelines must join on keys — never a cross product."""
     p = _plan(spark, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
