@@ -110,6 +110,7 @@ HEADLINE = [
     "scan_zordered",
     "agg_q5_local_revenue",
     "agg_q14_promo_share",
+    "scan_time_sliced",
 ]
 
 

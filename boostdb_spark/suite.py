@@ -204,6 +204,38 @@ def dialect_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scan_time_sliced",
+    f"""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'click' AND value < 100.0
+      AND epoch_ns(ts) >= {S_NS} AND epoch_ns(ts) < {E_NS}
+    """,
+)
+def scan_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's time-sliced execution loop (executor.go:239-252
+    advances an executionWindowSize window until endTime;
+    streaming/slices.py::time_slices) driven over the flagship scan:
+    the span splits into four slices, each a partition-prunable
+    pushed-filter scan, and the union of the slices must equal the
+    one-shot full-range query. Each slice predicate reaches parquet,
+    so iterating every slice reads each byte once."""
+    from functools import reduce
+
+    from boostdb_spark.streaming.slices import time_slices
+
+    t = load_tables(spark, sf_dir)
+    base = t["events"].filter(
+        (F.col("event_type") == "click") & (F.col("value") < 100.0)
+    ).select("event_id", "user_id", "value", "ts")
+    window_ns = (E_NS - S_NS) // 4
+    parts = [
+        sdf.select("event_id", "user_id", "value")
+        for _lo, _hi, sdf in time_slices(base, S_NS, E_NS, window_ns)
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+@_q(
     "dialect_orderby_limit",
     """
     SELECT event_id AS eid, value AS v FROM events
