@@ -30,7 +30,14 @@ from boostdb_spark.operators.text import hash32, tokens
 
 #: modulus for the universal-hash family (Mersenne prime 2^61 - 1):
 #: with a < 2^30 and h < 2^32, a*h + b < 2^63 — no int64 overflow
-MERSENNE_P = (1 << 61) - 1
+# MinHash affine-family modulus: the smallest prime ABOVE the 32-bit
+# hash domain. The modulus must sit just over the input range so
+# a*h + b (up to ~2^62) wraps ~2^30 times — a genuine permutation per
+# (a, b). A large modulus like 2^61-1 NEVER wraps (a*h < 2p), leaving
+# the transform monotone in h: every "independent" hash then picks the
+# same argmin shingle and the 32-hash signature degenerates to ONE
+# permutation (observed as 0/32 signature agreement on J=0.98 pairs).
+MINHASH_P = (1 << 32) + 15
 
 
 def _gen32(label: str) -> int:
@@ -259,12 +266,14 @@ def minhash_signature(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig) where sig[k] = min over shingles of hash32(k || '|' ||
-    shingle).
+    """(id, sig) where sig[k] = min over shingles of
+    h_k(shingle) = (a_k * hash32(shingle) + b_k) mod MINHASH_P.
 
     Shape: explode shingles -> ONE md5 per shingle -> k universal-hash
-    variants h_k = (a_k*h + b_k) mod p (pure integer arithmetic in the
-    same codegen'd projection; the standard MinHash construction) ->
+    variants h_k = (a_k*h + b_k) mod p, with p the smallest prime
+    above the 32-bit hash domain so each (a, b) is a real permutation
+    (see MINHASH_P) — pure integer arithmetic in the same codegen'd
+    projection; the standard MinHash construction ->
     hash-aggregate k mins per doc. Map-side partial aggregation means
     the shuffle carries one k-wide row per (doc, partition), O(docs)
     bytes — NOT O(shingles) — so this scales like exact_dedup. Two
@@ -289,7 +298,7 @@ def minhash_signature(
     hashed = base.select(
         "id",
         *[
-            ((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"_h{k}")
+            ((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_h{k}")
             for k, (a, b) in enumerate(coefs)
         ],
     )

@@ -129,3 +129,20 @@ def test_pack_tokens_properties(spark):
             last = max(fill)
             for p, f in fill.items():
                 assert f == cap or (p == last and f == total - last * cap)
+
+
+def test_minhash_family_is_independent(spark):
+    """Regression for the degenerate affine family: with a modulus far
+    above the 32-bit hash domain the transform never wraps, every hash
+    picks the same argmin shingle, and signature agreement on a
+    J~=0.98 pair collapses to ~0/32. A real permutation family must
+    give per-hash agreement ~= Jaccard."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = base + " extraword extratail"  # J ~= 58/62 over 3-shingles
+    df = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string"
+    )
+    sig = {r["id"]: r["sig"] for r in dd.minhash_signature(df, 32, 3).collect()}
+    agree = sum(1 for x, y in zip(sig[1], sig[2]) if x == y)
+    # E[agree] = 32 * J ~= 29; independence bounds the tail far above 20
+    assert agree >= 20, f"signature agreement {agree}/32 — family degenerate?"
