@@ -320,3 +320,45 @@ def test_streaming_ewma_converges_to_batch(spark, tmp_path):
     counts = {r["event_type"]: r["n"] for r in src.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
     want = {r["event_type"]: (r["ewma"], counts[r["event_type"]]) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_write_checkpoint_restart_exactly_once(spark, landing, tmp_path):
+    """Kill-and-resume durability: drain half the landing files, stop,
+    land more files, restart from the SAME checkpoint — the family must
+    end up with every source row exactly once (the checkpoint replaces
+    the reference's Wait() durability barrier; no duplicates on
+    restart, no holes)."""
+    import os
+
+    stage = str(tmp_path / "staged_landing")
+    os.makedirs(stage)
+    files = sorted(
+        f for f in os.listdir(landing) if f.endswith(".parquet")
+    )
+    assert len(files) >= 4
+    half, rest = files[:2], files[2:]
+    for f in half:
+        shutil.copy(os.path.join(landing, f), os.path.join(stage, f))
+
+    fam = SeriesFamily(spark, "test", "restart_fam", str(tmp_path / "families"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        src = file_stream(spark, stage, max_files_per_trigger=1).select(
+            F.col("event_type").alias("series"), "ts", "value", "event_id"
+        )
+        q = stream_write(fam, src, checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    drain()  # first run: half the files
+    n1 = fam.fetch().count()
+    for f in rest:  # more data lands while the stream is DOWN
+        shutil.copy(os.path.join(landing, f), os.path.join(stage, f))
+    drain()  # restart from the same checkpoint
+
+    got = fam.fetch()
+    src_ids = {r["event_id"] for r in spark.read.parquet(landing).collect()}
+    got_ids = [r["event_id"] for r in got.collect()]
+    assert n1 > 0 and len(got_ids) > n1
+    assert len(got_ids) == len(set(got_ids)) == len(src_ids)  # exactly once
+    assert set(got_ids) == src_ids
