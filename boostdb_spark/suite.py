@@ -11,6 +11,12 @@ Numeric-determinism rules used throughout (so hashes match bit-for-bit):
   in both engines -> no rounding needed.
 - SUMs of doubles depend on accumulation order -> both sides cast to
   DECIMAL first (exact integer arithmetic, order-independent).
+- A DECIMAL accumulator must NEVER reach the output: Spark ships
+  Decimal objects through Arrow where DuckDB ships float64 — equal
+  values, different representations, different driver hashes (10
+  round-1 queries failed exactly this). Cast every final decimal sum
+  to DOUBLE on BOTH sides; verify.py is representation-strict to
+  catch regressions locally.
 - AVG is computed as CAST(decimal-sum AS DOUBLE)/count on both sides —
   exact, order-independent, no rounding boundary to straddle. STDDEV is
   rounded (2 places); its FP noise is far below the rounding step.

@@ -127,3 +127,19 @@ def test_select_star_parse_space(preds):
         sql += " WHERE " + " and ".join(preds)
     q = sugar.parse(sql)
     assert q.star and q.fields == []
+
+
+@given(
+    junk=st.text(
+        alphabet="abcdef SELECT FROM WHERE ().,*:<>='0123456789", max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_parser_never_crashes_only_raises_value_error(junk):
+    """Malformed input must surface as ValueError (the dialect's parse
+    error contract, matching the reference's parse-time error return) —
+    never an IndexError/AttributeError/infinite loop."""
+    try:
+        sugar.parse(junk)
+    except ValueError:
+        pass  # the contract
