@@ -111,6 +111,7 @@ HEADLINE = [
     "agg_q5_local_revenue",
     "agg_q14_promo_share",
     "scan_time_sliced",
+    "doc_shuffle_det",
 ]
 
 

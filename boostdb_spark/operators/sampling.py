@@ -143,3 +143,39 @@ def mixture_sample(
         rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
     cut = F.floor(rate * buckets).cast("long")
     return df.filter(_bucket(F.col(key_col), buckets) < cut)
+
+
+def shuffle_rank(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    buckets: int = 1024,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Deterministic global shuffle order for training epochs: every
+    row gets its 0-based position under ORDER BY (hash32(key), key) —
+    a reproducible pseudo-random permutation of the corpus that is
+    identical on any cluster and any partitioning (``orderBy(rand())``
+    is neither).
+
+    Scale shape — the two-phase global-rank scan (same pattern as
+    pack_tokens): rows bucket by the TOP bits of the hash (so bucket
+    order == hash order), per-bucket counts (a tiny aggregate) take a
+    prefix-sum window over the bucket ids only, and each row's rank =
+    its bucket's offset + its within-bucket row_number. No
+    single-partition pass ever sees more than one bucket's rows;
+    shuffles are bounded by the bucket count.
+    """
+    span = (1 << 32) // buckets
+    h = hash32(F.col(key_col).cast("string"))
+    x = df.withColumn("_h", h).withColumn("_b", F.expr(f"_h div {span}"))
+    counts = x.groupBy("_b").agg(F.count("*").alias("_n"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boff = counts.withColumn("_off", F.sum("_n").over(wb) - F.col("_n")).select(
+        "_b", "_off"
+    )
+    wi = Window.partitionBy("_b").orderBy("_h", key_col)
+    return (
+        x.join(F.broadcast(boff), "_b")
+        .withColumn(out_col, F.col("_off") + F.row_number().over(wi) - 1)
+        .select(*df.columns, out_col)
+    )

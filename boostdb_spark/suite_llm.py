@@ -822,3 +822,26 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("long").alias("df"),
         "tfidf",
     )
+
+
+@_q(
+    "doc_shuffle_det",
+    f"""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY {H32.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+           ) - 1 AS rank
+    FROM documents
+    """,
+)
+def doc_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shuffle_rank(): deterministic global shuffle order for training
+    epochs — each document's 0-based position under ORDER BY
+    (hash32(id), id). The oracle is a straight global row_number; the
+    operator computes the SAME permutation with the two-phase
+    bucket-offset scan, so no task ever ranks more than one hash
+    bucket's rows."""
+    from boostdb_spark.operators.sampling import shuffle_rank
+
+    t = load_tables(spark, sf_dir)
+    return shuffle_rank(t["documents"].select("doc_id"), key_col="doc_id")
