@@ -135,3 +135,37 @@ def test_centroid_bucketed_matches_flat(spark):
     for k in flat:
         assert flat[k][1] == buck[k][1]
         assert abs(flat[k][0] - buck[k][0]) <= 1e-9 * max(1.0, abs(flat[k][0])), k
+
+
+def test_salted_join_under_heavy_skew(spark):
+    """5M-row probe where ONE key owns half the rows: the salted join
+    must equal the plain join exactly while spreading the hot key over
+    salt_buckets reducers (the plain plan would put ~2.5M rows on one
+    task)."""
+    from boostdb_spark.operators.joins import salted_join
+
+    n = 5_000_000
+    probe = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(1000)))
+        .alias("k"),
+        F.col("id").alias("rid"),
+    )
+    build = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+    salted = salted_join(probe, build, on="k", salt_buckets=32)
+    agg_s = {
+        (r["k"], r["n"], round(r["s"], 3))
+        for r in salted.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .collect()
+    }
+    plain = probe.join(build, "k")
+    agg_p = {
+        (r["k"], r["n"], round(r["s"], 3))
+        for r in plain.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .collect()
+    }
+    assert agg_s == agg_p and len(agg_s) > 0

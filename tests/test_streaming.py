@@ -362,3 +362,56 @@ def test_stream_write_checkpoint_restart_exactly_once(spark, landing, tmp_path):
     assert n1 > 0 and len(got_ids) > n1
     assert len(got_ids) == len(set(got_ids)) == len(src_ids)  # exactly once
     assert set(got_ids) == src_ids
+
+
+def test_stateful_state_survives_restart(spark, landing, tmp_path):
+    """applyInPandasWithState state-store recovery: drain half the
+    files, stop, drain the rest from the same checkpoint — the final
+    per-key running aggregate must equal the batch aggregate over ALL
+    data (state restored, not restarted from zero)."""
+    import os
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    files = sorted(f for f in os.listdir(landing) if f.endswith(".parquet"))
+    half, rest = files[:2], files[2:]
+    for f in half:
+        shutil.copy(os.path.join(landing, f), os.path.join(stage, f))
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        src = file_stream(spark, stage, max_files_per_trigger=1).withColumn(
+            "series", F.col("event_type")
+        )
+        out = running_aggregate(src, key_cols=["series"], value_col="value")
+
+        def write_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    for f in rest:
+        shutil.copy(os.path.join(landing, f), os.path.join(stage, f))
+    drain()
+
+    got = spark.read.parquet(sink)
+    final = got.groupBy("series").agg(
+        F.max_by("n", "n").alias("n"), F.max_by("total", "n").alias("total")
+    )
+    want = (
+        spark.read.parquet(landing)
+        .groupBy(F.col("event_type").alias("series"))
+        .agg(F.count("value").alias("n"), F.sum("value").alias("total"))
+    )
+    g = {r["series"]: (r["n"], round(r["total"], 6)) for r in final.collect()}
+    w = {r["series"]: (r["n"], round(r["total"], 6)) for r in want.collect()}
+    assert g == w and len(g) > 0
