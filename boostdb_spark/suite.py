@@ -112,31 +112,37 @@ def _q(name: str, oracle: str | None):
 # plus the LLM-pipeline families (dedup / text / sampling / similarity /
 # curation); everything else follows in registration order and keeps its
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
+# Rotation policy: entries the driver certified green in a PRIOR round
+# rotate below the fold so never-certified entries get hard signal —
+# cumulative driver-certified coverage grows every round. Rotated out
+# after r1 green: where_extended, projection_compute, setop_intersect,
+# setop_except, join_full_outer, join_anti, asof_join_backward (+
+# forward), join_cross, udf_vectorized.
 _WINDOW: tuple[str, ...] = (
     # 2.1/2.2 scan + projection + predicates
-    "flagship_series_scan", "scan_timerange", "where_ops", "where_extended",
-    "projection_compute", "scalar_functions",
-    # dialect front
+    "flagship_series_scan", "scan_timerange", "where_ops",
+    "scalar_functions",
+    # dialect front (params/star/orderby-limit are new in r2)
     "dialect_groupby_agg", "dialect_having", "dialect_join",
-    "dialect_params", "dialect_select_star",
-    # 2.3 joins (join_cross / asof_join_forward certified green in r1,
-    # rotated below the fold to free window slots for the new dialect
-    # entries)
+    "dialect_params", "dialect_select_star", "dialect_orderby_limit",
+    # 2.3 joins
     "join_inner", "join_dims", "join_implicit_where", "join_left_outer",
-    "join_semi", "join_anti", "join_full_outer", "join_range",
-    "asof_join_backward",
-    # 2.4 aggregation
+    "join_semi", "join_range",
+    # 2.4 aggregation (q5 is the r2 multi-join pipeline)
     "agg_groupby_q1", "agg_having", "distinct_series", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_count_distinct", "agg_pivot",
-    "agg_percentiles",
+    "agg_percentiles", "agg_q5_local_revenue",
     # 2.5 set ops / order-limit / subqueries / windows / UDF surface
-    "setop_union", "setop_intersect", "setop_except", "orderby_limit_topk",
-    "subquery_exists", "window_rank_ntile", "window_running_sum",
+    "setop_union", "orderby_limit_topk", "subquery_exists",
+    "window_rank_ntile", "window_navigation", "window_running_sum",
     "window_moving_avg", "time_bucket_agg", "window_sliding_agg",
-    "window_session_agg", "udf_vectorized", "udaf_grouped_range",
+    "window_session_agg", "udaf_grouped_range",
+    # 2.6 time-series (irate / histogram_quantile are new in r2)
+    "ts_irate", "ts_histogram_quantile",
     # LLM-pipeline families
-    "dedup_exact", "dedup_minhash_lsh", "txt_quality", "doc_sample_det",
-    "doc_pack_tokens", "emb_centroid", "emb_cosine_topk", "pipeline_curate",
+    "dedup_exact", "dedup_minhash_lsh", "txt_quality", "txt_redact_pii",
+    "txt_tfidf_topk", "doc_sample_det", "doc_pack_tokens",
+    "doc_shuffle_det", "emb_centroid", "emb_cosine_topk", "pipeline_curate",
 )
 
 
