@@ -112,6 +112,7 @@ HEADLINE = [
     "agg_q14_promo_share",
     "scan_time_sliced",
     "doc_shuffle_det",
+    "seriesfamily_roundtrip",
 ]
 
 
@@ -141,6 +142,9 @@ def main() -> None:
     registry["scan_zordered"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    registry["seriesfamily_roundtrip"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

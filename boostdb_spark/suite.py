@@ -453,6 +453,50 @@ _BUCKETED_WRITTEN: set = set()
 #: sf_dirs whose z-ordered events copy exists for this session
 _ZORDER_WRITTEN: set = set()
 
+#: sf_dirs whose suite series-family copy exists for this session
+_FAMILY_WRITTEN: set = set()
+
+
+@_q(
+    "seriesfamily_roundtrip",
+    f"""
+    SELECT event_type AS series, epoch_us(ts) AS ts_us, value, user_id
+    FROM events
+    WHERE event_type IN ('click', 'error')
+      AND epoch_ns(ts) >= {S_NS} AND epoch_ns(ts) < {E_NS}
+    """,
+)
+def seriesfamily_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write path end to end, driver-certified: events WRITTEN
+    through SeriesFamily.write (date-partitioned parquet, per-file
+    (series, ts) clustering — the WriteTagged re-expression,
+    client/m3dbseriesfamily.go:147-185) then FETCHED back with a
+    series + time-range predicate (Fetch + merge-iterator analog,
+    m3dbseriesfamily.go:188-222). The round trip must reproduce the
+    source rows exactly. Write happens once per session+SF (ingest
+    amortization, like the bucketed/z-ordered layouts)."""
+    import os
+    from urllib.parse import urlparse
+
+    from boostdb_spark.sources.seriesfamily import SeriesFamily
+
+    t = load_tables(spark, sf_dir)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fam = SeriesFamily(spark, "suite", f"events_rt_{tag}", f"{wh}/suite_families")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FAMILY_WRITTEN:
+        ev = t["events"]
+        src = ev.select(
+            F.col("event_type").alias("series"), "ts", "value", "user_id"
+        )
+        fam.write(src, mode="overwrite")
+        _FAMILY_WRITTEN.add(key)
+    out = fam.fetch(series=["click", "error"], start=S_NS, end=E_NS)
+    return out.select(
+        "series", _ts_us(out).alias("ts_us"), "value", "user_id"
+    )
+
 
 @_q(
     "scan_zordered",
