@@ -119,14 +119,14 @@ def _q(name: str, oracle: str | None):
 # setop_except, join_full_outer, join_anti, asof_join_backward (+
 # forward), join_cross, udf_vectorized.
 _WINDOW: tuple[str, ...] = (
-    # 2.1/2.2 scan + projection + predicates
-    "flagship_series_scan", "scan_timerange", "where_ops",
-    "scalar_functions",
+    # 2.1/2.2 scan + write-path round trip + projection + predicates
+    "flagship_series_scan", "scan_timerange", "seriesfamily_roundtrip",
+    "where_ops", "scalar_functions",
     # dialect front (params/star/orderby-limit are new in r2)
     "dialect_groupby_agg", "dialect_having", "dialect_join",
     "dialect_params", "dialect_select_star", "dialect_orderby_limit",
-    # 2.3 joins
-    "join_inner", "join_dims", "join_implicit_where", "join_left_outer",
+    # 2.3 joins (join_implicit_where r1-certified, rotated out)
+    "join_inner", "join_dims", "join_left_outer",
     "join_semi", "join_range",
     # 2.4 aggregation (q5 is the r2 multi-join pipeline)
     "agg_groupby_q1", "agg_having", "distinct_series", "agg_rollup",
