@@ -400,3 +400,43 @@ def test_orderby_alias_not_value_sugar(spark):
         reverse=True,
     )[:5]
     assert got == want
+
+
+def test_placeholders_in_list_between_having(spark):
+    """Placeholders everywhere a literal can sit: IN lists (mixed with
+    constants), both BETWEEN bounds, and HAVING thresholds — each must
+    match the equivalent constant query."""
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    df = sugar.query(
+        spark,
+        "SELECT click.event_id FROM boost.events "
+        "WHERE click.user_id IN (:u1, 7, :u2)",
+        EVENTS_BINDING, params={"u1": 11, "u2": 42},
+    )
+    want = spark.table("events").filter(
+        "event_type='click' AND user_id IN (11, 7, 42)"
+    )
+    assert df.count() == want.count() > 0
+
+    df2 = sugar.query(
+        spark,
+        "SELECT click FROM boost.events WHERE click BETWEEN :lo AND :hi",
+        EVENTS_BINDING, params={"lo": 10.0, "hi": 20.0},
+    )
+    want2 = spark.table("events").filter(
+        "event_type='click' AND value BETWEEN 10.0 AND 20.0"
+    )
+    assert df2.count() == want2.count() > 0
+
+    df3 = sugar.query(
+        spark,
+        "SELECT click.user_id, count(*) AS n FROM boost.events "
+        "GROUP BY click.user_id HAVING n > :thr",
+        EVENTS_BINDING, params={"thr": 2},
+    )
+    want3 = (
+        spark.table("events").filter("event_type='click'")
+        .groupBy("user_id").count().filter("count > 2")
+    )
+    assert df3.count() == want3.count() > 0
