@@ -406,8 +406,11 @@ def test_placeholders_in_list_between_having(spark):
     """Placeholders everywhere a literal can sit: IN lists (mixed with
     constants), both BETWEEN bounds, and HAVING thresholds — each must
     match the equivalent constant query."""
+    from boostdb_spark.session import load_tables
     from boostdb_spark.suite import EVENTS_BINDING
+    from tests.conftest import SF_DIR
 
+    load_tables(spark, SF_DIR)
     df = sugar.query(
         spark,
         "SELECT click.event_id FROM boost.events "
