@@ -28,4 +28,4 @@ from boostdb_spark.session import BoostSession, get_spark
 
 __all__ = ["BoostSession", "get_spark"]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
