@@ -113,6 +113,8 @@ HEADLINE = [
     "scan_time_sliced",
     "doc_shuffle_det",
     "seriesfamily_roundtrip",
+    "txt_unigram_logprob",
+    "txt_ngram_novelty",
 ]
 
 

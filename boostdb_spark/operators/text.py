@@ -332,3 +332,75 @@ def tf_idf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (documents far below the corpus-typical score are
+    boilerplate/garbage; far above are repetitive). Returns
+    (doc_id, n_tokens, mean_logprob), rounded 6dp (ln() can differ in
+    the last ulp across engines).
+
+    Shape: one explode + token-count aggregate builds the LM
+    (per-distinct-token shuffle, map-side combined); the corpus total
+    is a broadcast scalar; scoring is an equi-join back on token and a
+    per-doc avg — two shuffles total, nothing driver-side but one
+    scalar."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = toks.count()
+    scored = toks.join(vocab, "token").select(
+        "doc_id", F.log(F.col("tok_n") / F.lit(float(total))).alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("mean_logprob"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the document's
+    DISTINCT n-grams whose first corpus occurrence (lowest ``id_col``)
+    is this document — the incremental-contribution signal behind
+    novelty-ordered data selection (a document whose shingles all
+    appeared earlier adds little; near-1 novelty means fresh content).
+    Returns (doc_id, n_ngrams, novel_ngrams, novelty).
+
+    Shape: distinct (doc, shingle) explode -> min-doc-per-shingle
+    aggregate (per-distinct-shingle shuffle, map-side combined) ->
+    equi-join back -> per-doc ratio. Integer arithmetic end to end —
+    bit-exact oracle."""
+    from boostdb_spark.operators.dedup import shingles
+
+    ds = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+    )
+    first = ds.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ds.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_ngrams"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("novel_ngrams").cast("double") / F.col("n_ngrams"),
+        )
+    )

@@ -845,3 +845,47 @@ def doc_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return shuffle_rank(t["documents"].select("doc_id"), key_col="doc_id")
+
+
+@_q(
+    "txt_unigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS tok_n FROM t GROUP BY token),
+    tot AS (SELECT count(*) AS total FROM t)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(ln(tok_n / CAST(total AS DOUBLE))), 6) AS mean_logprob
+    FROM t JOIN v USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap perplexity proxy for quality filtering.
+    Both engines average the identical per-token ln values; 6dp
+    rounding absorbs last-ulp ln and summation-order noise."""
+    t = load_tables(spark, sf_dir)
+    return tx.unigram_logprob(t["documents"])
+
+
+@_q(
+    "txt_ngram_novelty",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    u AS (SELECT DISTINCT doc_id, unnest({SHINGLES3.format(t='t')}) AS sh FROM d),
+    fs AS (SELECT sh, min(doc_id) AS first_doc FROM u GROUP BY sh)
+    SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS novel_ngrams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) AS novelty
+    FROM u JOIN fs USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (fraction of the doc's distinct
+    trigrams first seen in it, by doc_id order) — novelty-ordered data
+    selection. Integer arithmetic; bit-exact oracle."""
+    t = load_tables(spark, sf_dir)
+    return tx.ngram_novelty(t["documents"])
