@@ -115,6 +115,7 @@ HEADLINE = [
     "seriesfamily_roundtrip",
     "txt_unigram_logprob",
     "txt_ngram_novelty",
+    "doc_source_overlap",
 ]
 
 

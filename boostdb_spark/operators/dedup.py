@@ -28,8 +28,6 @@ import hashlib
 
 from boostdb_spark.operators.text import hash32, tokens
 
-#: modulus for the universal-hash family (Mersenne prime 2^61 - 1):
-#: with a < 2^30 and h < 2^32, a*h + b < 2^63 — no int64 overflow
 # MinHash affine-family modulus: the smallest prime ABOVE the 32-bit
 # hash domain. The modulus must sit just over the input range so
 # a*h + b (up to ~2^62) wraps ~2^30 times — a genuine permutation per
@@ -488,4 +486,55 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every source pair
+    (a < b), the distinct-shingle intersection size and Jaccard — the
+    corpus-level contamination diagnostic (how much of web is already
+    in wiki, etc.) that decides dedup/mixture policy before any
+    per-document work. Returns (source_a, source_b, n_common, n_a,
+    n_b, jaccard).
+
+    Shape: distinct (source, shingle) explode (the per-source shingle
+    VOCABULARY, far smaller than the corpus), self-equi-join on
+    shingle for intersections, tiny per-source totals broadcast back.
+    Integer arithmetic — bit-exact oracle. Sources are few; shingle
+    vocabulary dominates and shuffles once, map-side combined.
+    """
+    ss = (
+        _spread(df)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds totals + both join sides
+    )
+    totals = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        ss.alias("a")
+        .join(ss.alias("b"), "sh")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "n_common", "n_a", "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
     )

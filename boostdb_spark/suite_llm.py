@@ -889,3 +889,30 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection. Integer arithmetic; bit-exact oracle."""
     t = load_tables(spark, sf_dir)
     return tx.ngram_novelty(t["documents"])
+
+
+@_q(
+    "doc_source_overlap",
+    f"""
+    WITH d AS (SELECT source, {TOKS} AS t FROM documents),
+    s AS (SELECT DISTINCT source AS src,
+                 unnest({SHINGLES3.format(t='t')}) AS sh FROM d),
+    tot AS (SELECT src, count(*) AS n_sh FROM s GROUP BY src),
+    i AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+          FROM s a JOIN s b USING (sh) WHERE a.src < b.src
+          GROUP BY a.src, b.src)
+    SELECT source_a, source_b, n_common,
+           ta.n_sh AS n_a, tb.n_sh AS n_b,
+           n_common::DOUBLE / (ta.n_sh + tb.n_sh - n_common) AS jaccard
+    FROM i
+    JOIN tot ta ON ta.src = source_a
+    JOIN tot tb ON tb.src = source_b
+    """,
+)
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source trigram overlap matrix — the corpus-level
+    contamination diagnostic that decides dedup/mixture policy.
+    Distinct per-source shingle vocabularies self-join on shingle;
+    integer arithmetic, bit-exact oracle."""
+    t = load_tables(spark, sf_dir)
+    return dd.source_overlap(t["documents"])
