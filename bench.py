@@ -116,6 +116,8 @@ HEADLINE = [
     "txt_unigram_logprob",
     "txt_ngram_novelty",
     "doc_source_overlap",
+    "ts_autocorr",
+    "emb_outliers",
 ]
 
 

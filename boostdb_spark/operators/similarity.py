@@ -590,3 +590,53 @@ def centroid_per_group(
         (s / F.col("n")).alias("centroid"),
         "n",
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group embedding outliers: the k vectors farthest (L2) from
+    their own group's centroid — mislabel/outlier screening for
+    labeled embedding sets and the quality check after clustering.
+    Returns (group, id, dist) with exactly k rows per group (ties
+    broken by id).
+
+    Determinism: the centroid comes from :func:`centroid_per_group`'s
+    ordered folds; the squared distance is a dimension-ordered fold of
+    (v - c)^2 — bit-identical across engines. Scale: one posexplode +
+    equi-join on (group, dim) + per-(group, id) fold bounded by dim,
+    then a per-group top-k window. Never materializes more than one
+    vector's dimensions per fold.
+    """
+    cent = centroid_per_group(df, group_col, vec_col, id_col).select(
+        F.col(group_col).alias("_g"), "pos", "centroid"
+    )
+    x = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "_v"),
+    )
+    j = x.join(cent, ["_g", "pos"]).withColumn(
+        "_d2", (F.col("_v") - F.col("centroid")) * (F.col("_v") - F.col("centroid"))
+    )
+    agg = j.groupBy("_g", "_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("_d2")))),
+            F.lit(0.0),
+            lambda acc, t: acc + t["_d2"],
+        ).alias("_s")
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_s").desc(), F.col("_id").asc())
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.sqrt(F.col("_s")).alias("dist"),
+        )
+    )

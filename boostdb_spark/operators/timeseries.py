@@ -881,3 +881,62 @@ def histogram_quantile(
         crossing.groupBy(*series_cols)
         .agg(F.min_by(est, F.col("_lo")).alias("quantile"))
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    lag_buckets: int,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-k autocorrelation of each series' bucket-mean sequence —
+    the seasonality/persistence diagnostic (daily cycle shows as high
+    autocorr at k = 24h/bucket). Returns (series..., n, autocorr) with
+    n the number of aligned (t, t-lag) bucket pairs.
+
+    Same determinism contract as :func:`series_correlation`: exact
+    decimal bucket means, five bucket-ordered fold sums per series,
+    one fixed double formula. Scale: one bucket aggregate, a
+    self-equi-join on (series, shifted bucket), and a per-series fold
+    over #buckets rows.
+    """
+    v = F.col(value_col)
+    hourly = bucket_agg(
+        df,
+        bucket_seconds,
+        keys=list(series_cols),
+        aggs=[
+            (
+                F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("_m")
+        ],
+        ts_col=ts_col,
+    )
+    shift = lag_buckets * bucket_seconds * NS_PER_SEC
+    a = hourly.select(*series_cols, "bucket", F.col("_m").alias("_x"))
+    b = hourly.select(
+        *series_cols,
+        (F.col("bucket") + F.lit(shift)).alias("bucket"),
+        F.col("_m").alias("_y"),
+    )
+    j = a.join(b, [*series_cols, "bucket"])
+    agg = j.groupBy(*series_cols).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "_x", "_y"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("_a"), F.lit(0.0), expr)
+
+    sx = fold(lambda acc, t: acc + t["_x"])
+    sy = fold(lambda acc, t: acc + t["_y"])
+    sxy = fold(lambda acc, t: acc + t["_x"] * t["_y"])
+    sxx = fold(lambda acc, t: acc + t["_x"] * t["_x"])
+    syy = fold(lambda acc, t: acc + t["_y"] * t["_y"])
+    nd = F.col("n").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return agg.select(*series_cols, "n", corr.alias("autocorr"))

@@ -1741,6 +1741,51 @@ def ts_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_autocorr",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.bucket, a.m AS x, b.m AS y
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type
+       AND a.bucket = b.bucket + 24 * 3600000000000),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             list_reduce(list_prepend(0.0, list(x ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sx,
+             list_reduce(list_prepend(0.0, list(y ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sy,
+             list_reduce(list_prepend(0.0, list(x * y ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sxy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sxx,
+             list_reduce(list_prepend(0.0, list(y * y ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS syy
+      FROM j GROUP BY event_type)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS autocorr
+    FROM s
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """autocorrelation(): lag-24h autocorrelation of each series'
+    hourly means — the seasonality/persistence diagnostic (a daily
+    cycle shows as high autocorr at k=24). Same fold determinism as
+    ts_series_correlation; self-equi-join on the shifted bucket."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.autocorrelation(
+        _ns_events(t), lag_buckets=24, bucket_seconds=3600,
+        series_cols=("event_type",),
+    )
+
+
 @_q("agg_approx_count_distinct", None)  # HLL sketch: no SQL oracle —
 # deterministic for a given input but engine-specific; error bound
 # certified by tests/test_timeseries_ops.py::test_approx_distinct_error

@@ -916,3 +916,39 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, bit-exact oracle."""
     t = load_tables(spark, sf_dir)
     return dd.source_overlap(t["documents"])
+
+
+@_q(
+    "emb_outliers",
+    """
+    WITH x AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings),
+    c AS (
+      SELECT label, pos,
+             list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+                         (acc, y) -> acc + y) / count(*) AS centroid
+      FROM x GROUP BY label, pos),
+    d AS (
+      SELECT x.label, x.vec_id,
+             list_reduce(list_prepend(0.0,
+               list((x.v - c.centroid) * (x.v - c.centroid) ORDER BY x.pos)),
+               (acc, y) -> acc + y) AS s
+      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      GROUP BY x.label, x.vec_id),
+    r AS (
+      SELECT label, vec_id, sqrt(s) AS dist,
+             row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id ASC)
+               AS rn
+      FROM d)
+    SELECT label, vec_id, dist FROM r WHERE rn <= 5
+    """,
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top-5 embedding outliers by L2 distance to the label
+    centroid — mislabel screening. Centroid and distance are ordered
+    folds (suite fold rules), so both engines rank identical doubles."""
+    t = load_tables(spark, sf_dir)
+    return sim.centroid_outliers(t["embeddings"], k=5, group_col="label")
