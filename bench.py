@@ -118,6 +118,7 @@ HEADLINE = [
     "doc_source_overlap",
     "ts_autocorr",
     "emb_outliers",
+    "pipeline_assemble",
 ]
 
 

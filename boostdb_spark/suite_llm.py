@@ -952,3 +952,62 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds (suite fold rules), so both engines rank identical doubles."""
     t = load_tables(spark, sf_dir)
     return sim.centroid_outliers(t["embeddings"], k=5, group_col="label")
+
+
+@_q(
+    "pipeline_assemble",
+    f"""
+    WITH dd AS (
+      SELECT md5(text) AS digest, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)),
+    kept AS (
+      SELECT d.doc_id, d.source, d.text FROM documents d
+      JOIN dd ON d.doc_id = dd.keep_id),
+    sampled AS (
+      SELECT doc_id, {TOKS} AS toks FROM kept
+      WHERE ({H32.format(x="CAST(doc_id AS VARCHAR)")}) % 10000
+            < CASE source WHEN 'wiki' THEN 10000
+                          WHEN 'books' THEN 5000 ELSE 2500 END),
+    n AS (
+      SELECT doc_id, len(toks)::BIGINT AS n FROM sampled WHERE len(toks) > 0),
+    pos AS (
+      SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS e
+      FROM n),
+    packs AS (
+      SELECT doc_id, n, e, e - n AS s,
+             unnest(generate_series((e - n) // 1024, (e - 1) // 1024))
+               AS pack_id
+      FROM pos)
+    SELECT doc_id, pack_id,
+           greatest(pack_id * 1024, s) - s AS tok_begin,
+           least((pack_id + 1) * 1024, e) - s AS tok_end
+    FROM packs
+    """,
+)
+def pipeline_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ASSEMBLY pipeline end to end in ONE plan — the
+    counterpart of pipeline_curate's clean/filter half: exact dedup
+    (keep-first by digest) -> per-source mixture sampling (keep all
+    wiki, half books, quarter of the rest) -> sequence packing into
+    1024-token packs. Every stage is the already-certified operator;
+    the composition proves they chain without materialization
+    boundaries (one declarative plan, dedup's shuffle + the packing's
+    bucket-offset scan are the only exchanges)."""
+    from boostdb_spark.operators import sampling as sp
+    from boostdb_spark.operators.dedup import exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    sampled = sp.mixture_sample(
+        kept, rates={"wiki": 1.0, "books": 0.5}, source_col="source",
+        key_col="doc_id", default_rate=0.25,
+    )
+    n = tx.token_count(sampled).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return sp.pack_tokens(n, capacity=1024)
