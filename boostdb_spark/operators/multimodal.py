@@ -59,26 +59,55 @@ def parse_media_header(payload: bytes) -> tuple[int, int, str] | None:
             "image/png",
         )
     if payload[:3] == b"\xff\xd8\xff":
+        # Marker scan per ITU-T.81 B.1.1: any number of 0xFF fill bytes
+        # may precede a marker; TEM/SOI/RSTn are standalone (no length
+        # segment); SOS starts entropy-coded data and EOI ends the
+        # stream — a SOF must appear before either, so both terminate
+        # the scan.
+        n = len(payload)
         i = 2
-        while i + 9 <= len(payload) and payload[i] == 0xFF:
-            marker = payload[i + 1]
+        while i < n and payload[i] == 0xFF:
+            while i < n and payload[i] == 0xFF:  # fill bytes
+                i += 1
+            if i >= n:
+                break
+            marker = payload[i]
+            i += 1
             if marker in _JPEG_SOF:
+                if i + 7 > n:
+                    break
                 return (
-                    int.from_bytes(payload[i + 7 : i + 9], "big"),  # width
-                    int.from_bytes(payload[i + 5 : i + 7], "big"),  # height
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),  # width
+                    int.from_bytes(payload[i + 3 : i + 5], "big"),  # height
                     "image/jpeg",
                 )
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # no length field
-                i += 2
-                continue
-            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker == 0x01 or marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                continue  # standalone marker, no length field
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF will follow
+                break
+            if i + 2 > n:
+                break
+            seglen = int.from_bytes(payload[i : i + 2], "big")
+            if seglen < 2:
+                break  # corrupt length — stop rather than desync
+            i += seglen
         raise ValueError("JPEG payload with no SOF marker (truncated?)")
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 28:
-        return (
-            int.from_bytes(payload[22:24], "little"),  # channels
-            int.from_bytes(payload[24:28], "little"),  # sample rate
-            "audio/wav",
-        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # Walk RIFF chunks to the 'fmt ' chunk — it need not be first
+        # (LIST/INFO chunks legally precede it); chunks are word-aligned
+        n = len(payload)
+        i = 12
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and clen >= 16 and i + 16 <= n:
+                return (
+                    int.from_bytes(payload[i + 10 : i + 12], "little"),  # channels
+                    int.from_bytes(payload[i + 12 : i + 16], "little"),  # rate
+                    "audio/wav",
+                )
+            i += 8 + clen + (clen & 1)
+        return None
     return None
 
 #: metadata schema produced by extract_media_meta

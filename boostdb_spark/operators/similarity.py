@@ -419,7 +419,10 @@ def ivf_ann_topk(
         "query_id", "qv", "qv_nrm", F.explode("list_id").alias("list_id")
     )
     scored = (
-        q_assigned.join(c_assigned, "list_id")
+        # queries are the broadcast-sized side by construction (a probe
+        # set vs the corpus): broadcasting pins a shuffle-free
+        # hash join — the corpus streams, no exchange, no AQE replan
+        F.broadcast(q_assigned).join(c_assigned, "list_id")
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
@@ -488,7 +491,10 @@ def lsh_ann_topk(
         "cv", num_planes, dim, num_tables,
     )
     scored = (
-        q.join(c, ["tbl", "bucket"])
+        # queries are the broadcast-sized side by construction (a probe
+        # set vs the corpus): broadcasting pins a shuffle-free
+        # hash join — the corpus streams, no exchange, no AQE replan
+        F.broadcast(q).join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",

@@ -74,7 +74,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "select", "from", "where", "and", "or", "not", "in", "between", "like",
     "is", "null", "as", "group", "by", "having", "order", "limit", "asc",
-    "desc", "join", "inner", "cross", "on", "true", "false",
+    "desc", "join", "inner", "cross", "on", "true", "false", "over",
+    "partition",
 }
 
 
@@ -112,6 +113,17 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
 
 
 @dataclass
+class WindowSpec:
+    """An OVER (PARTITION BY ... ORDER BY ...) clause — the analytic
+    extension of the dialect (completes the 'rich time-series functions
+    on a SQL-like front' north star, reference README.md:8; nothing in
+    the reference parses OVER)."""
+
+    partition_by: list["FieldRef"] = field(default_factory=list)
+    order_by: list[tuple["FieldRef", bool]] = field(default_factory=list)
+
+
+@dataclass
 class FieldRef:
     """A sugared column reference (selectfieldparser.go:100-135),
     optionally wrapped in an aggregate call — the syntax the reference
@@ -121,6 +133,7 @@ class FieldRef:
     parts: tuple[str, ...]
     alias: str | None = None  # AS name (parsed but unused in ref, :88)
     func: str | None = None  # count/sum/avg/min/max; parts=() for count(*)
+    window: "WindowSpec | None" = None  # fn(...) OVER (...) analytic form
 
 
 @dataclass
@@ -289,6 +302,7 @@ class _Parser:
         return FieldRef(tuple(v.split(".")))
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
+    _RANK_FUNCS = ("rank", "dense_rank", "row_number")
 
     def parse_field(self) -> FieldRef:
         kind, v = self.next()
@@ -309,13 +323,54 @@ class _Parser:
                 parts = tuple(inner.split("."))
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        elif v.lower() in self._RANK_FUNCS and self.accept_op("("):
+            func = v.lower()
+            parts = ()
+            if not self.accept_op(")"):
+                raise ValueError(f"{func}() takes no arguments")
+        window = None
+        if func is not None and self.accept_kw("over"):
+            window = self.parse_window()
+        if window is None and func in self._RANK_FUNCS:
+            raise ValueError(f"{func}() requires an OVER (...) clause")
         alias = None
         if self.accept_kw("as"):
             k2, a = self.next()
             if k2 != "name":
                 raise ValueError("expected alias after AS")
             alias = a
-        return FieldRef(parts, alias, func)
+        return FieldRef(parts, alias, func, window)
+
+    def parse_window(self) -> WindowSpec:
+        if not self.accept_op("("):
+            raise ValueError("OVER requires a parenthesized window spec")
+        spec = WindowSpec()
+        if self.accept_kw("partition"):
+            self.expect_kw("by")
+            spec.partition_by.append(self.parse_plain_ref())
+            while self.accept_op(","):
+                spec.partition_by.append(self.parse_plain_ref())
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                ref = self.parse_plain_ref()
+                desc = False
+                if self.accept_kw("desc"):
+                    desc = True
+                else:
+                    self.accept_kw("asc")
+                spec.order_by.append((ref, desc))
+                if not self.accept_op(","):
+                    break
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced parenthesis in OVER (...)")
+        return spec
+
+    def parse_plain_ref(self) -> FieldRef:
+        kind, v = self.next()
+        if kind != "name":
+            raise ValueError(f"expected column reference, got {v!r}")
+        return FieldRef(tuple(v.split(".")))
 
     # WHERE grammar (whereparser.go:132-290 + the declared-absent ops)
     def parse_or(self) -> Expr:
@@ -685,14 +740,25 @@ def plan(
         res = _JoinResolver(q, bindings)
     else:
         res = _Resolver(q, binding)
-    sel: list[tuple[str, str | None, str | None]] = []  # (alias, col, aggfunc)
+    sel: list[tuple[str, str | None, str | None, FieldRef]] = []
     for f in q.fields:
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
-        sel.append((res.default_name(f), col, f.func))
+        sel.append((res.default_name(f), col, f.func, f))
     where_col = _compile_expr(q.where, res, params=params) if q.where else None
     for g in q.group_by:  # register group-by series before the scan filter
         if g.parts:
             res.resolve(g)
+    windowed = any(f.window is not None for f in q.fields)
+    if windowed and (q.group_by or any(
+        f.func and f.window is None for f in q.fields
+    )):
+        raise ValueError("window functions cannot mix with GROUP BY/aggregates")
+    for f in q.fields:  # register window-ref series before the scan filter
+        if f.window is not None:
+            for p in f.window.partition_by:
+                res.resolve(p)
+            for o, _ in f.window.order_by:
+                res.resolve(o)
 
     if q.joins:
         keys = list(res.sources)
@@ -718,8 +784,8 @@ def plan(
     agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
     aggs = [
         (agg_map[func](F.col(col)) if col is not None else F.count(F.lit(1))).alias(alias)
-        for alias, col, func in sel
-        if func
+        for alias, col, func, ref in sel
+        if func and ref.window is None
     ]
     post_name = None
     hidden: dict[tuple, str] = {}
@@ -729,13 +795,13 @@ def plan(
         ]
         gphys = {res.resolve(g)[1] for g in q.group_by}
         gnames = {res.default_name(g) for g in q.group_by}
-        out_names = {alias for alias, _, _ in sel}
+        out_names = {alias for alias, _, _, _ in sel}
         # plain non-grouped select fields default to AVG (GROUP BY is a
         # declared-only stub in the reference, query/base/expression.go:
         # 22-25; explicit count/sum/avg/min/max calls override this)
         aggs += [
             F.avg(col).alias(alias)
-            for alias, col, func in sel
+            for alias, col, func, _ in sel
             if not func and col is not None and col not in gphys
         ]
 
@@ -757,11 +823,11 @@ def plan(
                     f"{'.'.join(ref.parts)} is neither grouped nor aggregated"
                 )
             col = res.resolve(ref)[1] if ref.parts else None
-            for alias, scol, fn2 in sel:
+            for alias, scol, fn2, _ in sel:
                 if fn2 == ref.func and scol == col:
                     return alias
             if ref.func == "avg":  # matches the default-AVG select fields
-                for alias, scol, fn2 in sel:
+                for alias, scol, fn2, _ in sel:
                     if fn2 is None and scol == col and col not in gphys:
                         return alias
             key = (ref.func, col)
@@ -788,10 +854,45 @@ def plan(
             df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
         else:
             df = df.agg(*aggs)  # global aggregate
+    elif windowed:
+        # analytic select: each fn(...) OVER (...) compiles to a Spark
+        # Window — partitioned (and, for ranking/navigation, ordered)
+        # per its spec; plain fields project through unchanged
+        from pyspark.sql import Window as _W
+
+        rank_map = {
+            "rank": F.rank, "dense_rank": F.dense_rank,
+            "row_number": F.row_number,
+        }
+        proj = []
+        for alias, col, func, ref in sel:
+            if ref.window is None:
+                proj.append(F.col(col).alias(alias))
+                continue
+            wspec = _W.partitionBy(
+                *[F.col(res.resolve(p)[1]) for p in ref.window.partition_by]
+            )
+            if ref.window.order_by:
+                wspec = wspec.orderBy(
+                    *[
+                        F.col(res.resolve(o)[1]).desc()
+                        if d
+                        else F.col(res.resolve(o)[1]).asc()
+                        for o, d in ref.window.order_by
+                    ]
+                )
+            if func in rank_map:
+                c = rank_map[func]().over(wspec)
+            elif col is None:
+                c = F.count(F.lit(1)).over(wspec)
+            else:
+                c = agg_map[func](F.col(col)).over(wspec)
+            proj.append(c.alias(alias))
+        df = df.select(*proj)
     elif q.star:
         pass  # SELECT *: the scan's full column set, no projection
     else:
-        df = df.select(*[F.col(col).alias(alias) for alias, col, _ in sel])
+        df = df.select(*[F.col(col).alias(alias) for alias, col, _, _ in sel])
 
     if q.having is not None:
         df = df.filter(_compile_expr(q.having, res, name_of=post_name, params=params))

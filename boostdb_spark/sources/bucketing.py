@@ -48,16 +48,30 @@ def write_bucketed(
     if sort_cols is None:
         sort_cols = list(bucket_cols)
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    parts = [p.strip("`") for p in table.split(".")]
+    quoted = ".".join(f"`{p}`" for p in parts)
+    existed = spark.catalog.tableExists(table)
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     if path is None:
+        import os
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
-            shutil.rmtree(
-                f"{wh.path}/{table.lower()}", ignore_errors=True
-            )
+            # Managed location: <wh>/<tbl> for the default db,
+            # <wh>/<db>.db/<tbl> for a qualified name. Only delete what
+            # the catalog drop just orphaned OR a leftover directory
+            # from a previous session's managed table at that exact
+            # computed location (LOCATION_ALREADY_EXISTS otherwise).
+            if len(parts) == 1:
+                loc = os.path.join(wh.path, parts[0].lower())
+            else:
+                loc = os.path.join(
+                    wh.path, f"{parts[-2].lower()}.db", parts[-1].lower()
+                )
+            if existed or os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     w = (
         df.write.mode(mode)
         .format("parquet")

@@ -114,35 +114,48 @@ def _q(name: str, oracle: str | None):
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Rotated out
-# after r1 green: where_extended, projection_compute, setop_intersect,
-# setop_except, join_full_outer, join_anti, asof_join_backward (+
-# forward), join_cross, udf_vectorized.
+# cumulative driver-certified coverage grows every round. Round-3
+# window: the 39 entries that have never had a driver CORRECTNESS row
+# (the full r1+r2 remainder + this round's ts_ewma_bucketed /
+# emb_centroid_bucketed / dialect_window) + 11 previously-certified
+# canaries spanning every family, so rotated-out surface keeps hard
+# regression signal (ADVICE r2). Green here = every oracle-paired
+# entry in the registry has been driver-certified at least once.
 _WINDOW: tuple[str, ...] = (
-    # 2.1/2.2 scan + write-path round trip + projection + predicates
-    "flagship_series_scan", "scan_timerange", "seriesfamily_roundtrip",
-    "where_ops", "scalar_functions",
-    # dialect front (params/star/orderby-limit are new in r2)
-    "dialect_groupby_agg", "dialect_having", "dialect_join",
-    "dialect_params", "dialect_select_star", "dialect_orderby_limit",
-    # 2.3 joins (join_implicit_where r1-certified, rotated out)
-    "join_inner", "join_dims", "join_left_outer",
-    "join_semi", "join_range",
-    # 2.4 aggregation (q5 is the r2 multi-join pipeline)
-    "agg_groupby_q1", "agg_having", "distinct_series", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_count_distinct", "agg_pivot",
-    "agg_percentiles", "agg_q5_local_revenue",
-    # 2.5 set ops / order-limit / subqueries / windows / UDF surface
-    "setop_union", "orderby_limit_topk", "subquery_exists",
-    "window_rank_ntile", "window_navigation", "window_running_sum",
-    "window_moving_avg", "time_bucket_agg", "window_sliding_agg",
-    "window_session_agg", "udaf_grouped_range",
-    # 2.6 time-series (irate / histogram_quantile are new in r2)
-    "ts_irate", "ts_histogram_quantile",
-    # LLM-pipeline families
-    "dedup_exact", "dedup_minhash_lsh", "txt_quality", "txt_redact_pii",
-    "txt_tfidf_topk", "doc_sample_det", "doc_pack_tokens",
-    "doc_shuffle_det", "emb_centroid", "emb_cosine_topk", "pipeline_curate",
+    # --- never-certified: layouts / scans / dialect ---
+    "scan_time_sliced", "scan_zordered", "join_bucketed_colocated",
+    "join_skew_salted", "dialect_join_multi", "dialect_window",
+    # --- never-certified: subqueries / aggregation shapes ---
+    "subquery_scalar", "subquery_in", "agg_unpivot",
+    "agg_q3_topk", "agg_q14_promo_share",
+    # --- never-certified: time-series + bounded-memory twins ---
+    "ts_autocorr", "ts_ewma_rows", "ts_ewma_bucketed", "udtf_tokenize",
+    # --- never-certified: text analysis ---
+    "txt_token_count", "txt_token_count_bpe", "txt_vocab_topk",
+    "txt_normalize", "txt_repetition", "txt_langid", "txt_fingerprint",
+    "txt_unigram_logprob", "txt_ngram_novelty",
+    # --- never-certified: dedup family ---
+    "dedup_ngram_jaccard", "dedup_decontaminate", "dedup_groups",
+    "dedup_simhash",
+    # --- never-certified: similarity / embeddings ---
+    "emb_neardup_cosine", "emb_outliers", "emb_centroid_bucketed",
+    # --- never-certified: multimodal ---
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    # --- never-certified: sampling / packing / pipelines ---
+    "doc_mixture_sample", "doc_split_train_val", "doc_chunk",
+    "doc_source_overlap", "pipeline_assemble",
+    # --- certified canaries (r1/r2 green), one per family ---
+    "flagship_series_scan",   # scan + dialect front + implicit range
+    "dialect_params",         # placeholder binding
+    "join_inner",             # equi join
+    "asof_join_backward",     # time-series join (r1)
+    "agg_groupby_q1",         # grouped aggregation
+    "agg_q5_local_revenue",   # multi-join TPC-H shape
+    "window_rank_ntile",      # ranking windows
+    "ts_irate",               # time-series functions
+    "dedup_exact",            # dedup family
+    "txt_quality",            # text family
+    "emb_cosine_topk",        # similarity family
 )
 
 
@@ -267,6 +280,38 @@ def dialect_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT click.event_id AS eid, click AS v FROM boost.events "
         "ORDER BY v DESC, eid ASC LIMIT 20",
         EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_window",
+    f"""
+    SELECT user_id, value AS v,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+    WHERE event_type = 'click' AND value < 100.0
+      AND epoch_ns(ts) >= {S_NS} AND epoch_ns(ts) < {E_NS}
+    """,
+)
+def dialect_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the dialect front: ``fn(...) OVER
+    (PARTITION BY ... ORDER BY ...)`` parses into a WindowSpec and
+    plans onto a Spark Window — the analytic completion of the SQL
+    north star ('rich time-series functions' on a SQL-like front,
+    reference README.md:8; the reference's parser has no OVER). rank
+    handles value ties identically in both engines by definition;
+    count(*) OVER is order-free."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id AS user_id, click AS v, "
+        "rank() OVER (PARTITION BY click.user_id ORDER BY click DESC) AS rnk, "
+        "count(*) OVER (PARTITION BY click.user_id) AS n "
+        "FROM boost.events WHERE click < 100.0",
+        EVENTS_BINDING,
+        start=S_NS,
+        end=E_NS,
     )
 
 
@@ -555,29 +600,34 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_plan_shapes.py assert the plan). At 100 TB this is THE shuffle
     eliminated: pre-partition once at ingest, every orderkey join after
     is a zipped per-bucket merge."""
+    import os
+
     from boostdb_spark.sources.bucketing import bucketed_join, write_bucketed
 
     t = load_tables(spark, sf_dir)
     nb = 8
     # bucketing is INGEST-time work: write once per (session, sf_dir)
     # and re-run the read-side join against the existing layout —
-    # exactly the amortization a production pipeline gets
+    # exactly the amortization a production pipeline gets. The SF tag
+    # is part of the TABLE NAME (not just the cache key) so a session
+    # that touches several sf_dirs never reads another SF's layout.
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    orders_tbl = f"suite_orders_bkt_{tag}"
+    lineitem_tbl = f"suite_lineitem_bkt_{tag}"
     cache_key = (spark.sparkContext.applicationId, sf_dir, nb)
     if cache_key not in _BUCKETED_WRITTEN:
         write_bucketed(
             t["orders"].select("o_orderkey", "o_orderpriority"),
-            "suite_orders_bkt", ["o_orderkey"], nb,
+            orders_tbl, ["o_orderkey"], nb,
         )
         write_bucketed(
             t["lineitem"].select(
                 "l_orderkey", "l_extendedprice", "l_discount"
             ).withColumnRenamed("l_orderkey", "o_orderkey"),
-            "suite_lineitem_bkt", ["o_orderkey"], nb,
+            lineitem_tbl, ["o_orderkey"], nb,
         )
         _BUCKETED_WRITTEN.add(cache_key)
-    joined = bucketed_join(
-        spark, "suite_orders_bkt", "suite_lineitem_bkt", on=["o_orderkey"]
-    )
+    joined = bucketed_join(spark, orders_tbl, lineitem_tbl, on=["o_orderkey"])
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.sum(
@@ -650,7 +700,7 @@ def agg_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "agg_q14_promo_share",
     """
-    SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
            / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
@@ -2067,23 +2117,59 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ts_ewma_rows",
     """
-    WITH s AS (
-      SELECT event_type, event_id,
-             list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS vals
-      FROM events)
-    SELECT event_type, event_id,
-           list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
-    FROM s
+    WITH o AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events),
+    b AS (SELECT *, rn // 64 AS bk, rn % 64 AS j FROM o),
+    s AS (
+      SELECT event_type, bk,
+             CASE WHEN bk = 0
+               THEN list_reduce(list(value ORDER BY rn),
+                                (acc, v) -> 0.25 * v + 0.75 * acc)
+               ELSE list_reduce(list_prepend(0.0, list(value ORDER BY rn)),
+                                (acc, v) -> 0.25 * v + 0.75 * acc) END AS p,
+             CASE WHEN bk = 0 THEN 0.0
+               ELSE list_reduce(list_prepend(1.0, list(value ORDER BY rn)),
+                                (acc, v) -> acc * 0.75) END AS d
+      FROM b GROUP BY event_type, bk),
+    sl AS (SELECT event_type,
+                  list(struct_pack(d := d, p := p) ORDER BY bk) AS ss
+           FROM s GROUP BY event_type),
+    inc AS (
+      SELECT s.event_type, s.bk,
+             (list_reduce(
+                list_prepend(struct_pack(d := 1.0, p := 0.0),
+                             list_slice(sl.ss, 1, s.bk)),
+                (acc, x) -> struct_pack(d := 1.0,
+                                        p := x.d * acc.p + x.p))).p AS sin
+      FROM s JOIN sl USING (event_type)),
+    bl AS (SELECT event_type, bk, list(value ORDER BY rn) AS vals
+           FROM b GROUP BY event_type, bk)
+    SELECT b.event_type, b.event_id,
+           CASE WHEN b.bk = 0
+             THEN list_reduce(list_slice(bl.vals, 1, b.j + 1),
+                              (acc, v) -> 0.25 * v + 0.75 * acc)
+             ELSE list_reduce(
+                    list_prepend(i.sin, list_slice(bl.vals, 1, b.j + 1)),
+                    (acc, v) -> 0.25 * v + 0.75 * acc) END AS ewma
+    FROM b
+    JOIN bl ON b.event_type = bl.event_type AND b.bk = bl.bk
+    JOIN inc i ON b.event_type = i.event_type AND b.bk = i.bk
     """,
 )
 def ts_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row EWMA (every row carries its running smoothed value, not
-    just the final per-series state): Arrow-batched applyInPandas with
-    an explicit O(n) fold loop per series — bit-identical to the
-    oracle's O(n^2) window+list_reduce at a fraction of the work.
-    ewma_rows operator; one shuffle."""
+    """Per-row EWMA through the BOUNDED-MEMORY parallel-scan path
+    (bucket_rows=64): rows bucket per series in time order, per-bucket
+    affine summaries (d, p) compose into each bucket's incoming state,
+    and the Arrow fold loop runs per (series, bucket) — O(bucket_rows)
+    peak group memory, all buckets parallel, the plan that survives a
+    100x single-series scale-up. The oracle performs the IDENTICAL
+    two-level fold (same bucket boundaries, same affine composition
+    d*s + p, same seeding), so the comparison stays bit-exact with no
+    rounding tolerance. The flat bit-exact-vs-naive-fold variant stays
+    as ts_ewma's default path."""
     t = load_tables(spark, sf_dir)
     return ts_ops.ewma_rows(
         t["events"],
@@ -2093,6 +2179,55 @@ def ts_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         order_extra=("event_id",),
         keep_cols=["event_type", "event_id"],
+        bucket_rows=64,
+    )
+
+
+@_q(
+    "ts_ewma_bucketed",
+    """
+    WITH o AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events),
+    b AS (SELECT *, rn // 64 AS bk FROM o),
+    s AS (
+      SELECT event_type, bk,
+             CASE WHEN bk = 0
+               THEN list_reduce(list(value ORDER BY rn),
+                                (acc, v) -> 0.25 * v + 0.75 * acc)
+               ELSE list_reduce(list_prepend(0.0, list(value ORDER BY rn)),
+                                (acc, v) -> 0.25 * v + 0.75 * acc) END AS p,
+             CASE WHEN bk = 0 THEN 0.0
+               ELSE list_reduce(list_prepend(1.0, list(value ORDER BY rn)),
+                                (acc, v) -> acc * 0.75) END AS d
+      FROM b GROUP BY event_type, bk)
+    SELECT event_type,
+           (list_reduce(list(struct_pack(d := d, p := p) ORDER BY bk),
+                        (acc, x) -> struct_pack(d := x.d,
+                                                p := x.d * acc.p + x.p))).p
+             AS ewma
+    FROM s GROUP BY event_type
+    """,
+)
+def ts_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-series EWMA via the bounded-memory parallel-scan
+    composition (Blelloch treatment of the linear recurrence
+    s_i = a*v_i + (1-a)*s_{i-1}): per-bucket sequential folds to
+    affine summaries (d, p), then an ordered fold d*s + p over the
+    ~n/64 summaries. Peak per-group state O(max(64, n/64)) vs O(n)
+    for ts_ewma's flat fold. Oracle mirrors the exact same two-level
+    fold — bit-exact, no rounding."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.ewma_final(
+        t["events"],
+        alpha=0.25,
+        value_col="value",
+        series_cols=("event_type",),
+        ts_col="ts",
+        order_extra=("event_id",),
+        bucket_rows=64,
     )
 
 

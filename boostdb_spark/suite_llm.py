@@ -487,6 +487,48 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_per_group(t["embeddings"], group_col="label")
 
 
+@_q(
+    "emb_centroid_bucketed",
+    """
+    WITH x AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings),
+    b AS (
+      SELECT label, pos, v, vec_id,
+             (row_number() OVER (PARTITION BY label, pos
+                                 ORDER BY vec_id) - 1) // 16 AS bk
+      FROM x),
+    part AS (
+      SELECT label, pos, bk,
+             list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+                         (acc, y) -> acc + y) AS p,
+             count(*) AS n
+      FROM b GROUP BY label, pos, bk)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           list_reduce(list_prepend(0.0, list(p ORDER BY bk)),
+                       (acc, y) -> acc + y) / CAST(sum(n) AS BIGINT)
+             AS centroid,
+           CAST(sum(n) AS BIGINT) AS n
+    FROM part GROUP BY label, pos
+    """,
+)
+def emb_centroid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via the BOUNDED-MEMORY two-level fold
+    (bucket_rows=16): rows bucket per (label, dim) in vec_id order,
+    each bucket folds its own <=16-value ordered list, and a second
+    ordered fold sums the bucket partials — peak per-aggregate state
+    O(max(16, n/16)) vs O(n) for emb_centroid's flat fold; the plan
+    that survives a 100x per-label scale-up. The oracle performs the
+    IDENTICAL bucketed summation (same boundaries, same order), so the
+    comparison stays bit-exact with no rounding tolerance."""
+    t = load_tables(spark, sf_dir)
+    return sim.centroid_per_group(
+        t["embeddings"], group_col="label", bucket_rows=16
+    )
+
+
 @_q("ann_ivf_topk", None)  # IVF recall < 1 by design -> rows-only check
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus bucketed by

@@ -56,6 +56,43 @@ def test_parse_media_header_real_containers():
     assert mm.parse_media_header(b"just some text bytes") is None
 
 
+def test_parse_jpeg_marker_edge_cases():
+    """ITU-T.81 B.1.1 scan rules: 0xFF fill bytes may pad any marker,
+    TEM (0x01) is standalone, and SOS/EOI terminate the header scan."""
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 99, 77, 1) + b"\x01\x11\x00"
+    # fill bytes before the SOF marker
+    assert mm.parse_media_header(b"\xff\xd8\xff\xff\xff" + sof0[1:]) == (
+        77, 99, "image/jpeg",
+    )
+    # standalone TEM marker between segments
+    assert mm.parse_media_header(b"\xff\xd8" + b"\xff\x01" + sof0) == (
+        77, 99, "image/jpeg",
+    )
+    # SOS before any SOF: scan must stop at entropy data, not walk into
+    # it (the old fixed-step scan read garbage dimensions here)
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = b"\x12\x34\x56\xff\x00\x9a"  # stuffed 0xFF00 inside
+    with pytest.raises(ValueError, match="no SOF"):
+        mm.parse_media_header(b"\xff\xd8\xff\xe1" + struct.pack(">H", 4)
+                              + b"ab" + sos + entropy)
+
+
+def test_parse_wav_chunk_walk():
+    """The fmt chunk need not sit at offset 12 — a LIST/INFO chunk may
+    legally precede it; fixed-offset parsing returned garbage here."""
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16
+    )
+    listc = b"LIST" + struct.pack("<I", 10) + b"INFOabcdef"
+    data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", 4 + len(listc) + len(fmt) + len(data)) \
+        + b"WAVE" + listc + fmt + data
+    assert mm.parse_media_header(wav) == (2, 22050, "audio/wav")
+    # no fmt chunk at all -> None, not garbage
+    nofmt = b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+    assert mm.parse_media_header(nofmt) is None
+
+
 def test_extract_media_meta_mixed_batch(spark):
     rows = [
         (1, _png(8, 4)),
