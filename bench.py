@@ -162,13 +162,16 @@ def main() -> None:
     times.update(_stream_benchmarks(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
+    # headline fields LAST: the driver records only the tail of the
+    # output, so the summary must survive front-truncation of this line
     print(
         json.dumps(
             {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
                 "queries": times,
+                "metric": "suite_wall_seconds",
+                "unit": "sec",
+                "n_queries": len(times),
+                "value": total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

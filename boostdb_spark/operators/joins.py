@@ -63,3 +63,49 @@ def salted_join(
     )
     out = probe_s.join(build_s, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def auto_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    sample_fraction: float = 0.05,
+    max_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`salted_join` with the bucket count DERIVED from the data:
+    a seeded sample of the probe side estimates the heaviest key's row
+    share p_max; that key needs ~p_max * shuffle_partitions reducers to
+    be no worse than the average partition, so salt_buckets =
+    clamp(ceil(p_max * P), 1, max_buckets). When the estimate says the
+    key distribution is near-uniform (p_max <= 2/P — AQE territory),
+    the plain join plans instead: no replication cost for nothing.
+
+    Cost model: the sample is ONE extra job producing two scalars
+    (never a key list on the driver); at 100 TB use a smaller
+    ``sample_fraction`` — the estimate only has to get the ORDER of
+    the skew right, the clamp absorbs the rest. Output is identical to
+    ``probe.join(build, on, how)`` regardless of the derived count
+    (salting never changes join semantics, only placement).
+    """
+    import math
+
+    on_l = [on] if isinstance(on, str) else list(on)
+    spark = probe.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    stats = (
+        probe.select(*on_l)
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*on_l)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .first()
+    )
+    if not stats or not stats["tot"]:
+        return probe.join(build, on=on_l, how=how)
+    share = stats["mx"] / stats["tot"]
+    if share <= 2.0 / n_part:
+        return probe.join(build, on=on_l, how=how)
+    buckets = min(max_buckets, max(2, math.ceil(share * n_part)))
+    return salted_join(probe, build, on_l, salt_buckets=buckets, how=how)

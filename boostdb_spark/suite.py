@@ -759,6 +759,48 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_skew_auto",
+    """
+    SELECT event_type, count(*) AS n, type_label
+    FROM events JOIN (
+      SELECT DISTINCT event_type AS et,
+             concat('series_', event_type) AS type_label
+      FROM events) d ON event_type = et
+    GROUP BY event_type, type_label
+    """,
+)
+def join_skew_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-skew salted join (operators/joins.py::auto_salted_join):
+    the salt bucket count derives from a seeded sampled key histogram
+    — p_max * shuffle_partitions, clamped — instead of a caller
+    constant, and near-uniform inputs plan the PLAIN join (no
+    replication tax). events keyed on the 5-value event_type is
+    maximally skewed relative to 32 reducers, so this entry certifies
+    the salted path end to end against the plain-join oracle."""
+    from boostdb_spark.operators.joins import auto_salted_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type")
+    dim = ev.distinct().select(
+        F.col("event_type").alias("et"),
+        F.concat(F.lit("series_"), F.col("event_type")).alias("type_label"),
+    )
+    # event_id rides along so the salt hash (over all probe columns)
+    # varies WITHIN a hot key — key-only rows would all salt identically
+    out = auto_salted_join(
+        t["events"].select(
+            "event_id", "event_type", F.col("event_type").alias("et")
+        ),
+        dim,
+        on="et",
+        sample_fraction=0.2,
+    )
+    return out.groupBy("event_type", "type_label").agg(
+        F.count("*").alias("n")
+    ).select("event_type", "n", "type_label")
+
+
+@_q(
     "join_implicit_where",
     """
     SELECT c_mktsegment, count(*) AS n_ord
@@ -2122,7 +2164,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) - 1 AS rn
       FROM events),
-    b AS (SELECT *, rn // 64 AS bk, rn % 64 AS j FROM o),
+    b AS (SELECT *, rn // 512 AS bk, rn % 512 AS j FROM o),
     s AS (
       SELECT event_type, bk,
              CASE WHEN bk = 0
@@ -2161,11 +2203,13 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row EWMA through the BOUNDED-MEMORY parallel-scan path
-    (bucket_rows=64): rows bucket per series in time order, per-bucket
+    (bucket_rows=512): rows bucket per series in time order, per-bucket
     affine summaries (d, p) compose into each bucket's incoming state,
     and the Arrow fold loop runs per (series, bucket) — O(bucket_rows)
     peak group memory, all buckets parallel, the plan that survives a
-    100x single-series scale-up. The oracle performs the IDENTICAL
+    100x single-series scale-up. 512 balances the memory bound against
+    per-group Arrow overhead (64 cost 5x the wall time at sf0.1).
+    The oracle performs the IDENTICAL
     two-level fold (same bucket boundaries, same affine composition
     d*s + p, same seeding), so the comparison stays bit-exact with no
     rounding tolerance. The flat bit-exact-vs-naive-fold variant stays
@@ -2179,7 +2223,7 @@ def ts_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         order_extra=("event_id",),
         keep_cols=["event_type", "event_id"],
-        bucket_rows=64,
+        bucket_rows=512,
     )
 
 

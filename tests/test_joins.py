@@ -43,6 +43,41 @@ def test_salted_left_equals_plain(spark):
     assert any(r[-1] is None for r in got)  # unmatched left rows survive
 
 
+def test_auto_salted_skewed_input_salts_and_matches(spark):
+    """One key owning ~70% of rows: the sampled histogram must derive
+    buckets > 1 (plan contains the salt join key) and the result must
+    still equal the plain join exactly."""
+    from boostdb_spark.operators.joins import auto_salted_join
+
+    probe = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("k"),
+        F.col("id").alias("pid"),
+    )
+    build = probe.select("k").distinct().withColumn("bval", F.length("k"))
+    out = auto_salted_join(probe, build, "k", sample_fraction=0.5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "_salt" in plan, "skewed input should take the salted path"
+    assert _sorted_rows(out) == _sorted_rows(probe.join(build, "k"))
+
+
+def test_auto_salted_uniform_input_plans_plain(spark):
+    """Near-uniform keys: the estimator must conclude AQE territory and
+    return the UNSALTED join (no build replication for nothing)."""
+    from boostdb_spark.operators.joins import auto_salted_join
+
+    probe = spark.range(0, 20000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        F.col("id").alias("pid"),
+    )
+    build = probe.select("k").distinct().withColumn("bval", F.length("k"))
+    out = auto_salted_join(probe, build, "k", sample_fraction=0.5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "_salt" not in plan, "uniform input must not pay salting"
+    assert _sorted_rows(out) == _sorted_rows(probe.join(build, "k"))
+
+
 def test_broadcast_join_plan(spark):
     e, d = _events(spark), _dim(spark)
     plan = broadcast_join(e, d, "event_type")._jdf.queryExecution().executedPlan().toString()
