@@ -6,8 +6,12 @@ The reference parses its dialect with the TiDB parser into ``QueryOps``
 (query/executor/executor.go:184-274). Here the same dialect —
 
     SELECT * | [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(field)
+           | rank()|dense_rank()|row_number()|lag(f)|lead(f)|agg(f)
+             OVER (PARTITION BY ... [ORDER BY ... [DESC]])
            [AS name] [, ...]
     FROM domain.family [alias]
+         [ [INNER|LEFT [OUTER]|CROSS] JOIN domain.family [alias]
+           ON a.x = b.y ]...
     [WHERE <expr over the same sugared names; :name placeholders bind
            from a params dict at plan time>]
     [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
@@ -75,7 +79,7 @@ _KEYWORDS = {
     "select", "from", "where", "and", "or", "not", "in", "between", "like",
     "is", "null", "as", "group", "by", "having", "order", "limit", "asc",
     "desc", "join", "inner", "cross", "on", "true", "false", "over",
-    "partition",
+    "partition", "left", "outer",
 }
 
 
@@ -153,7 +157,7 @@ class JoinClause:
     domain: str
     family: str
     alias: str | None
-    kind: str  # 'inner' | 'cross'
+    kind: str  # 'inner' | 'left' | 'cross'
     on: tuple[FieldRef, FieldRef] | None  # equi pair, None for cross
 
 
@@ -230,8 +234,15 @@ class _Parser:
                 jd, jf, ja = self.parse_source()
                 joins.append(JoinClause(jd, jf, ja, "cross", None))
                 continue
+            kind = "inner"
             if self.peek() == ("kw", "inner"):
                 self.next()
+                self.expect_kw("join")
+            elif self.accept_kw("left"):
+                # LEFT [OUTER] JOIN — the outer completion of the
+                # declared join grammar (ref parses inner/cross only)
+                kind = "left"
+                self.accept_kw("outer")
                 self.expect_kw("join")
             elif not self.accept_kw("join"):
                 break
@@ -241,7 +252,7 @@ class _Parser:
             if not self.accept_op("="):
                 raise ValueError("JOIN ... ON requires an equi pair a.x = b.y")
             right = self.parse_on_ref()
-            joins.append(JoinClause(jd, jf, ja, "inner", (left, right)))
+            joins.append(JoinClause(jd, jf, ja, kind, (left, right)))
         where = None
         if self.accept_kw("where"):
             where = self.parse_or()
@@ -303,6 +314,7 @@ class _Parser:
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
     _RANK_FUNCS = ("rank", "dense_rank", "row_number")
+    _NAV_FUNCS = ("lag", "lead")
 
     def parse_field(self) -> FieldRef:
         kind, v = self.next()
@@ -328,10 +340,18 @@ class _Parser:
             parts = ()
             if not self.accept_op(")"):
                 raise ValueError(f"{func}() takes no arguments")
+        elif v.lower() in self._NAV_FUNCS and self.accept_op("("):
+            func = v.lower()
+            k2, inner = self.next()
+            if k2 != "name":
+                raise ValueError(f"expected column in {func}(...), got {inner!r}")
+            parts = tuple(inner.split("."))
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in {func}(...)")
         window = None
         if func is not None and self.accept_kw("over"):
             window = self.parse_window()
-        if window is None and func in self._RANK_FUNCS:
+        if window is None and func in (*self._RANK_FUNCS, *self._NAV_FUNCS):
             raise ValueError(f"{func}() requires an OVER (...) clause")
         alias = None
         if self.accept_kw("as"):
@@ -769,7 +789,7 @@ def plan(
                 df = df.crossJoin(right)
             else:
                 lc, rc = res.resolve_on(j.on[0]), res.resolve_on(j.on[1])
-                df = df.join(right, F.col(lc) == F.col(rc), "inner")
+                df = df.join(right, F.col(lc) == F.col(rc), j.kind)
     else:
         df = spark.table(binding.view)
         series = sorted(res.series)
@@ -864,6 +884,7 @@ def plan(
             "rank": F.rank, "dense_rank": F.dense_rank,
             "row_number": F.row_number,
         }
+        nav_map = {"lag": F.lag, "lead": F.lead}
         proj = []
         for alias, col, func, ref in sel:
             if ref.window is None:
@@ -883,6 +904,8 @@ def plan(
                 )
             if func in rank_map:
                 c = rank_map[func]().over(wspec)
+            elif func in nav_map:
+                c = nav_map[func](F.col(col)).over(wspec)
             elif col is None:
                 c = F.count(F.lit(1)).over(wspec)
             else:

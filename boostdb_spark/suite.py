@@ -2608,6 +2608,69 @@ def dialect_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_join_left",
+    """
+    SELECT l.event_id AS eid, r.o_orderkey AS okey
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') r
+      ON l.user_id = r.o_custkey
+    """,
+)
+def dialect_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT [OUTER] JOIN through the dialect front — the outer
+    completion of the reference's declared join grammar (joinparser.go
+    parses inner/cross only; AddJoinOp drops even those,
+    queryops.go:60-66). Per-source series filters still apply at SCAN
+    level (the dialect's series selection is a source property, so
+    filter-before-join is the defined semantic); unmatched left rows
+    survive with NULL right columns."""
+    load_tables(spark, sf_dir)
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.orders": sugar.SeriesFamilyBinding(
+            view="orders",
+            series_col="o_orderstatus",
+            value_col="o_totalprice",
+            ts_col="o_orderdate",
+        ),
+    }
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.O.o_orderkey AS okey "
+        "FROM boost.events a LEFT JOIN boost.orders b "
+        "ON a.user_id = b.o_custkey",
+        bindings,
+    )
+
+
+@_q(
+    "dialect_window_nav",
+    """
+    SELECT event_id AS eid,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+           lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_v
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def dialect_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (lag/lead) through the dialect
+    front: value sugar inside OVER — `lag(click)` navigates the click
+    series' value column partitioned by the user attribute, ordered by
+    the unique event_id so neighbor assignment is deterministic."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "lag(click) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id) AS prev_v, "
+        "lead(click) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id) AS next_v "
+        "FROM boost.events",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "agg_q3_topk",
     """
     SELECT l_orderkey,

@@ -443,3 +443,53 @@ def test_placeholders_in_list_between_having(spark):
         .groupBy("user_id").count().filter("count > 2")
     )
     assert df3.count() == want3.count() > 0
+
+
+def test_parse_window_spec():
+    q = parse(
+        "SELECT rank() OVER (PARTITION BY s.host ORDER BY s DESC) AS r "
+        "FROM d.s"
+    )
+    f = q.fields[0]
+    assert f.func == "rank" and f.window is not None
+    assert [p.parts for p in f.window.partition_by] == [("s", "host")]
+    assert f.window.order_by[0][1] is True  # DESC
+
+
+def test_parse_rank_requires_over():
+    with pytest.raises(ValueError, match="OVER"):
+        parse("SELECT rank() FROM d.s")
+
+
+def test_parse_nav_funcs_take_column_and_require_over():
+    q = parse("SELECT lag(s) OVER (PARTITION BY s.h ORDER BY s.i) FROM d.s")
+    assert q.fields[0].func == "lag" and q.fields[0].parts == ("s",)
+    with pytest.raises(ValueError, match="OVER"):
+        parse("SELECT lead(s) FROM d.s")
+
+
+def test_parse_left_join():
+    q = parse(
+        "SELECT a.s.x FROM d.f a LEFT OUTER JOIN d.g b ON a.s.x = b.t.y"
+    )
+    assert q.joins[0].kind == "left"
+    q2 = parse("SELECT a.s.x FROM d.f a LEFT JOIN d.g b ON a.s.x = b.t.y")
+    assert q2.joins[0].kind == "left"
+
+
+def test_window_cannot_mix_with_groupby(spark):
+    from tests.conftest import SF_DIR
+
+    b = SeriesFamilyBinding(
+        view="events", series_col="event_type", value_col="value", ts_col="ts"
+    )
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    with pytest.raises(ValueError, match="window functions cannot mix"):
+        sugar.query(
+            spark,
+            "SELECT click.user_id, rank() OVER (PARTITION BY click.user_id "
+            "ORDER BY click) FROM d.e GROUP BY click.user_id",
+            b,
+        )
