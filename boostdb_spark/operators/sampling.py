@@ -145,6 +145,51 @@ def mixture_sample(
     return df.filter(_bucket(F.col(key_col), buckets) < cut)
 
 
+def repeat_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    buckets: int = 10_000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic multi-epoch upsampling — the other half of mixture
+    construction next to :func:`mixture_sample` (down-sampling): a
+    source with weight 3.5 repeats every doc 3 times and half the docs
+    a 4th time ("epochs" in pretraining-mixture terms, e.g. repeating
+    high-quality sources). Every row emits epochs 1..floor(w), plus
+    epoch ceil(w) iff the (key, epoch)-hash bucket falls under
+    frac(w) — reproducible across runs/partitionings, monotone in
+    every weight, no RNG.
+
+    Scale shape: the weight lookup folds to a literal CASE, the copies
+    come from one ``explode(sequence(...))`` projection and one codegen
+    filter — zero shuffle, output size sum(w_s * n_s) by construction.
+    """
+    wt = F.lit(float(default_weight))
+    for src, w in sorted(weights.items()):
+        wt = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(wt)
+    cw = F.ceil(wt).cast("int")
+    ks = F.when(cw >= 1, F.sequence(F.lit(1), cw)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.withColumn(epoch_col, F.explode(ks))
+    frac_cut = F.floor((wt - F.floor(wt)) * buckets).cast("long")
+    keep = (F.col(epoch_col) <= F.floor(wt).cast("int")) | (
+        _bucket(
+            F.concat(
+                F.col(key_col).cast("string"),
+                F.lit(":"),
+                F.col(epoch_col).cast("string"),
+            ),
+            buckets,
+        )
+        < frac_cut
+    )
+    return out.filter(keep)
+
+
 def shuffle_rank(
     df: DataFrame,
     key_col: str = "doc_id",

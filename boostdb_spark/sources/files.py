@@ -8,10 +8,11 @@ matrix is built in; these helpers pin the engine's conventions
 format round-trips a series-family DataFrame identically.
 
 Scale notes: CSV/JSON are ingest/egress formats here — internal storage
-is always Parquet (columnar, statistics, dictionary encoding). CSV and
-JSON scans ARE splittable by byte-range (uncompressed), but carry no
-row-group statistics or projection pushdown, so conversion-on-ingest is
-the 100 TB posture.
+is always columnar (Parquet default; ORC supported for ecosystems
+standardized on it — stripe statistics and pushdown are equivalent).
+CSV and JSON scans ARE splittable by byte-range (uncompressed), but
+carry no row-group statistics or projection pushdown, so
+conversion-on-ingest is the 100 TB posture.
 """
 
 from __future__ import annotations
@@ -19,8 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: formats supported for ingest/egress
-FORMATS = ("parquet", "csv", "json")
+#: formats supported for ingest/egress. parquet/orc are the columnar
+#: pair (row-group/stripe statistics, dictionary encoding, projection
+#: pushdown); csv/json are text ingest/egress only.
+FORMATS = ("parquet", "orc", "csv", "json")
 
 # Spark's default text-format timestamp pattern carries only millis;
 # series data is µs-precision (ns-native upstream), so pin full-µs

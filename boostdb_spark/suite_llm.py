@@ -650,6 +650,43 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_repeat_epochs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 3.5 WHEN 'src1' THEN 2.0
+                         ELSE 0.5 END AS wt
+      FROM documents),
+    e AS (
+      SELECT doc_id, source, wt,
+             CAST(unnest(generate_series(1, CAST(ceil(wt) AS INT))) AS INT)
+               AS epoch
+      FROM w)
+    SELECT doc_id, source, epoch FROM e
+    WHERE epoch <= CAST(floor(wt) AS INT)
+       OR ({H32.format(x="concat(CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))")})
+          % 10000 < CAST(floor((wt - floor(wt)) * 10000) AS BIGINT)
+    """,
+)
+def doc_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repeat_epochs(): deterministic multi-epoch UPSAMPLING — the
+    complement of mixture_sample's down-sampling ("repeat src0 3.5x,
+    src1 twice, half of the rest"). floor(w) full copies per doc plus
+    a frac(w) hash-selected extra epoch, keyed on (doc_id, epoch):
+    reproducible, monotone in every weight, no RNG. One
+    explode(sequence) projection + one codegen filter, zero shuffle —
+    output size is sum(w_s * n_s) by construction."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.repeat_epochs(
+        t["documents"].select("doc_id", "source"),
+        weights={"src0": 3.5, "src1": 2.0},
+        default_weight=0.5,
+    )
+
+
+@_q(
     "doc_split_train_val",
     f"""
     SELECT doc_id,

@@ -67,6 +67,16 @@ def test_candidate_joins_are_equi_not_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_candidate_join_broadcasts_queries(spark, name):
+    """The ANN candidate join must broadcast the (tiny by construction)
+    query side — shuffle-free hash join, corpus streams, no AQE replan.
+    Guards the r2 ann_lsh_topk wall-time regression fix."""
+    p = _plan(spark, name)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_asof_join_single_shuffle_no_range_explosion(spark):
     p = _plan(spark, "asof_join_backward")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -11,7 +11,7 @@ from tests.conftest import SF_DIR
 EVENTS = f"{SF_DIR}/events.parquet"
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_roundtrip(spark, tmp_path, fmt):
     src = spark.read.parquet(EVENTS).select(
         "event_id", "ts", "user_id", "event_type", "value"
