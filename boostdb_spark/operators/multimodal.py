@@ -206,14 +206,21 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """Resize one payload: real PIL resize (re-encoded PNG) when the
-    codec is importable and the payload is a real image; deterministic
-    stub (repeat/truncate to exactly width*height bytes — the size
-    contract a thumbnail pipeline cares about) for the fixture's
-    non-media payloads; NotImplementedError for real media without a
-    codec — never a silent fake 'resize' of actual images."""
+    """Resize one payload: REAL pixel path for PNG via the pure-stdlib
+    codec (media_codec: inflate + unfilter -> nearest-neighbor ->
+    deterministic re-encode); PIL for JPEG when importable;
+    deterministic stub (repeat/truncate to exactly width*height bytes —
+    the size contract a thumbnail pipeline cares about) for the
+    fixture's non-media payloads; NotImplementedError for real media
+    with no available decoder — never a silent fake 'resize' of actual
+    images."""
     hdr = parse_media_header(payload)
     if hdr is not None:
+        if hdr[2] == "image/png":
+            from boostdb_spark.operators import media_codec as mc
+
+            arr = mc.decode_png(payload)
+            return mc.encode_png(mc.resize_nearest(arr, width, height))
         if HAS_PIL and hdr[2].startswith("image/"):
             import io
 
@@ -227,6 +234,147 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     n = width * height
     reps = -(-n // max(len(payload), 1))
     return (payload * reps)[:n]
+
+
+#: schema produced by pixel_stats
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+    ]
+)
+
+
+def pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel decode: PNG payload -> (doc_id, width, height,
+    sum_px) where sum_px is the integer sum over all pixel bytes —
+    exact (no float), so it pairs with an analytic SQL oracle. Runs
+    the full stdlib codec path (zlib inflate + scanline unfilter) in
+    Arrow-batched mapInPandas workers, partition-local."""
+    from boostdb_spark.operators import media_codec as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = mc.decode_png(bytes(p))
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr.sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_px"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+#: schema produced by audio_features
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode: PCM-16 WAV payload -> per-clip features
+    (sample count, geometry, integer peak/sum amplitude, duration).
+    All-integer outputs pair with an analytic SQL oracle; the decode
+    walks RIFF chunks and parses PCM frames with numpy — stdlib only,
+    inside mapInPandas (zero shuffle, scan-speed at 100 TB)."""
+    from boostdb_spark.operators import media_codec as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                a, rate = mc.decode_wav_pcm16(bytes(p))
+                n = a.shape[0]
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        a.shape[1],
+                        rate,
+                        n * 1000 // rate,
+                        int(abs(a.astype("int64")).max(initial=0)),
+                        int(a.sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "channels",
+                    "sample_rate",
+                    "duration_ms",
+                    "peak_abs",
+                    "sum_amp",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synth_media_payloads(
+    df: DataFrame, kind: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministically synthesize REAL media containers from row ids
+    — the fixture generator for the real-codec paths (no media files
+    ship with the testdata). ``kind='png'``: horizontal-gradient
+    grayscale PNG, height 6 + id%5, width 8 + id%9, pixel(y, x) =
+    id%128 + x (no mod-256 wrap, so oracles stay integer-analytic).
+    ``kind='wav'``: mono PCM-16 ramp, 64 + id%129 samples starting at
+    (id*7)%1000, rate 8000 + (id%3)*4000."""
+    import numpy as np
+
+    from boostdb_spark.operators import media_codec as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                if kind == "png":
+                    h, w, base = 6 + i % 5, 8 + i % 9, i % 128
+                    row = (base + np.arange(w, dtype=np.int64)).astype(np.uint8)
+                    payloads.append(mc.encode_png(np.tile(row, (h, 1))))
+                elif kind == "wav":
+                    n, base = 64 + i % 129, (i * 7) % 1000
+                    rate = 8000 + (i % 3) * 4000
+                    samples = (base + np.arange(n, dtype=np.int64)).astype("<i2")
+                    payloads.append(mc.encode_wav_pcm16(samples, rate))
+                else:
+                    raise ValueError(f"unknown media kind {kind!r}")
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def resize_media(

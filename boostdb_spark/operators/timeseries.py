@@ -940,3 +940,136 @@ def autocorrelation(
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
     return agg.select(*series_cols, "n", corr.alias("autocorr"))
+
+
+def linear_trend(
+    df: DataFrame,
+    bucket_seconds: int,
+    predict_seconds: float = 0.0,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-series least-squares trend over bucketed means — Prometheus
+    ``deriv()`` (the slope) and ``predict_linear()`` (the extrapolated
+    value ``predict_seconds`` past each series' last bucket) in one
+    pass. Returns (series..., n, slope, intercept, predict).
+
+    Determinism: per-bucket means use the exact decimal-sum/count
+    pattern; the four moment sums fold left-to-right over ONE
+    bucket-sorted list with x = seconds since the series' first bucket
+    (small, well-conditioned doubles); slope/intercept/predict are
+    fixed double formulas — bit-identical to a SQL oracle.
+
+    Scale: one grouped aggregate to bucket means (dense keys, no
+    skew), then one fold over #buckets rows per series — bounded by
+    the time range, never by datapoint count.
+    """
+    v = F.col(value_col)
+    means = bucket_agg(
+        df,
+        bucket_seconds,
+        keys=list(series_cols),
+        aggs=[
+            (
+                F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("_m")
+        ],
+        ts_col=ts_col,
+    )
+    agg = means.groupBy(*series_cols).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "_m"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b0 = F.element_at(F.col("_a"), 1)["bucket"].cast("double")
+    bN = F.element_at(F.col("_a"), -1)["bucket"].cast("double")
+
+    def fold(expr):
+        return F.aggregate(F.col("_a"), F.lit(0.0), expr)
+
+    def x_of(t):
+        return (t["bucket"].cast("double") - b0) / F.lit(1e9)
+
+    sx = fold(lambda acc, t: acc + x_of(t))
+    sy = fold(lambda acc, t: acc + t["_m"])
+    sxy = fold(lambda acc, t: acc + x_of(t) * t["_m"])
+    sxx = fold(lambda acc, t: acc + x_of(t) * x_of(t))
+    nd = F.col("n").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    x_pred = (bN - b0) / F.lit(1e9) + F.lit(float(predict_seconds))
+    return agg.select(
+        *series_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (intercept + slope * x_pred).alias("predict"),
+    )
+
+
+def quantile_over_time(
+    df: DataFrame,
+    q: float,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact linearly-interpolated q-quantile of each series per
+    tumbling bucket (Prometheus ``quantile_over_time``). Unlike
+    ``percentile_approx`` this is exact AND engine-reproducible: the
+    bucket's values are sorted into an array and the standard
+    ``pos = q*(n-1)`` interpolation is one fixed double expression, so
+    a SQL oracle matches bit-for-bit.
+
+    Scale: one shuffle to (bucket, series); per-group memory is one
+    bucket's sample list — bounded by bucket width, not series length
+    (pick bucket_seconds so samples-per-bucket fits a task; this is
+    the same contract as any exact per-window quantile).
+    """
+    bdf = time_bucket(
+        df.filter(F.col(value_col).isNotNull()), bucket_seconds, ts_col=ts_col
+    )
+    agg = bdf.groupBy("bucket", *series_cols).agg(
+        F.array_sort(F.collect_list(F.col(value_col).cast("double"))).alias("_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pos = F.lit(float(q)) * (F.col("n").cast("double") - F.lit(1.0))
+    lo = F.floor(pos).cast("long")
+    frac = pos - lo.cast("double")
+    v_lo = F.element_at(F.col("_v"), (lo + 1).cast("int"))
+    v_hi = F.element_at(
+        F.col("_v"), F.least(lo + 2, F.col("n")).cast("int")
+    )
+    return agg.select(
+        "bucket",
+        *series_cols,
+        "n",
+        (v_lo + frac * (v_hi - v_lo)).alias("quantile"),
+    )
+
+
+def counter_changes(
+    df: DataFrame,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Prometheus ``changes()`` and ``resets()`` per series: the number
+    of consecutive-sample value changes, and of decreases (counter
+    restarts). Pure integer counts over one lag window — bit-exact by
+    construction.
+
+    Shape: one window shuffle on the series key (streaming lag frame,
+    no per-series materialization), then a grouped count.
+    """
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    x = df.select(*series_cols, ts_col, value_col).withColumn(
+        "_chg", (prev.isNotNull() & (F.col(value_col) != prev)).cast("long")
+    ).withColumn(
+        "_rst", (prev.isNotNull() & (F.col(value_col) < prev)).cast("long")
+    )
+    return x.groupBy(*series_cols).agg(
+        F.sum("_chg").alias("changes"), F.sum("_rst").alias("resets")
+    )

@@ -115,12 +115,15 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-3
-# window: the 39 entries that have never had a driver CORRECTNESS row
-# (the full r1+r2 remainder + this round's ts_ewma_bucketed /
-# emb_centroid_bucketed / dialect_window) + 11 previously-certified
-# canaries spanning every family, so rotated-out surface keeps hard
-# regression signal (ADVICE r2). Green here = every oracle-paired
-# entry in the registry has been driver-certified at least once.
+# window: the 45 oracle-paired entries that have never had a driver
+# CORRECTNESS row (the full r1+r2 remainder + this round's
+# ts_ewma_bucketed / emb_centroid_bucketed / dialect_window /
+# dialect_join_left / dialect_window_nav / join_skew_auto /
+# doc_repeat_epochs / multimodal_pixels / multimodal_audio) + 5
+# previously-certified canaries spanning the core families, so
+# rotated-out surface keeps hard regression signal (ADVICE r2). Green
+# here = EVERY oracle-paired entry in the registry has been
+# driver-certified at least once (120/120 cumulative).
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: layouts / scans / dialect ---
     "scan_time_sliced", "scan_zordered", "join_bucketed_colocated",
@@ -139,23 +142,20 @@ _WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     # --- never-certified: similarity / embeddings ---
     "emb_neardup_cosine", "emb_outliers", "emb_centroid_bucketed",
-    # --- never-certified: multimodal ---
+    # --- never-certified: multimodal (incl. the real-codec paths) ---
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_pixels", "multimodal_audio",
     # --- never-certified: sampling / packing / pipelines ---
     "doc_mixture_sample", "doc_split_train_val", "doc_chunk",
-    "doc_source_overlap", "pipeline_assemble",
+    "doc_source_overlap", "pipeline_assemble", "doc_repeat_epochs",
+    # --- never-certified: round-3 additions ---
+    "join_skew_auto", "dialect_join_left", "dialect_window_nav",
     # --- certified canaries (r1/r2 green), one per family ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
-    "join_inner",             # equi join
-    "asof_join_backward",     # time-series join (r1)
     "agg_groupby_q1",         # grouped aggregation
-    "agg_q5_local_revenue",   # multi-join TPC-H shape
-    "window_rank_ntile",      # ranking windows
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    "txt_quality",            # text family
-    "emb_cosine_topk",        # similarity family
 )
 
 
@@ -1876,6 +1876,121 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns_events(t), lag_buckets=24, bucket_seconds=3600,
         series_cols=("event_type",),
     )
+
+
+@_q(
+    "ts_linear_trend",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM events GROUP BY 1, 2),
+    h2 AS (
+      SELECT event_type, bucket, m,
+             (CAST(bucket AS DOUBLE)
+              - CAST(min(bucket) OVER (PARTITION BY event_type) AS DOUBLE))
+             / 1e9 AS x
+      FROM h),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             (CAST(max(bucket) AS DOUBLE) - CAST(min(bucket) AS DOUBLE)) / 1e9
+               + 14400.0 AS x_pred,
+             list_reduce(list_prepend(0.0, list(x ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sx,
+             list_reduce(list_prepend(0.0, list(m ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sy,
+             list_reduce(list_prepend(0.0, list(x * m ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sxy,
+             list_reduce(list_prepend(0.0, list(x * x ORDER BY bucket)),
+                         (acc, v) -> acc + v) AS sxx
+      FROM h2 GROUP BY event_type)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE)
+           + (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) * x_pred AS predict
+    FROM s
+    """,
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear_trend(): per-series least-squares slope over hourly means
+    (Prometheus deriv) plus the 4h-ahead extrapolation (predict_linear)
+    — capacity-planning parity for the rich-time-series north star.
+    Moment sums are bucket-ordered folds with x = seconds since the
+    series' first bucket; slope/intercept/predict are fixed double
+    formulas, bit-identical to the oracle."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.linear_trend(
+        _ns_events(t), bucket_seconds=3600, predict_seconds=14400.0,
+        series_cols=("event_type",),
+    )
+
+
+@_q(
+    "ts_quantile_over_time",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT bucket, event_type, count(*) AS n, list(v ORDER BY v) AS vs
+      FROM b GROUP BY 1, 2)
+    SELECT bucket, event_type, n,
+           vs[CAST(floor(0.9 * (CAST(n AS DOUBLE) - 1.0)) AS BIGINT) + 1]
+           + (0.9 * (CAST(n AS DOUBLE) - 1.0)
+              - CAST(CAST(floor(0.9 * (CAST(n AS DOUBLE) - 1.0)) AS BIGINT)
+                     AS DOUBLE))
+             * (vs[least(CAST(floor(0.9 * (CAST(n AS DOUBLE) - 1.0)) AS BIGINT)
+                         + 2, n)]
+                - vs[CAST(floor(0.9 * (CAST(n AS DOUBLE) - 1.0)) AS BIGINT) + 1])
+             AS quantile
+    FROM g
+    """,
+)
+def ts_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_over_time(): exact interpolated p90 of each series per
+    6h bucket — the exact companion to the sketch-based
+    agg_approx_quantiles. Sorted-array indexing + one fixed
+    interpolation expression; per-task memory is one bucket's samples
+    (bounded by bucket width, not series length)."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.quantile_over_time(
+        _ns_events(t), q=0.9, bucket_seconds=21600, series_cols=("event_type",)
+    )
+
+
+@_q(
+    "ts_changes_resets",
+    """
+    WITH x AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY epoch_ns(ts)) AS pv
+      FROM events)
+    SELECT event_type,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND value <> pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS resets
+    FROM x GROUP BY event_type
+    """,
+)
+def ts_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counter_changes(): Prometheus changes() + resets() per series —
+    consecutive-sample change and counter-restart counts. One lag
+    window (streaming frame) + grouped integer sums; ts is unique per
+    series in the fixture so the lag order is deterministic."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.counter_changes(_ns_events(t), series_cols=("event_type",))
 
 
 @_q("agg_approx_count_distinct", None)  # HLL sketch: no SQL oracle —

@@ -750,6 +750,62 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_pixels",
+    """
+    SELECT doc_id, 12 AS width, 8 AS height,
+           8 * (12 * (doc_id % 128)
+                + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, 12),
+                      i -> least(CAST(floor((i + 0.5) * (8 + doc_id % 9) / 12.0)
+                                      AS BIGINT),
+                                 (8 + doc_id % 9) - 1))),
+                    (acc, x) -> acc + x)) AS sum_px
+    FROM documents
+    """,
+)
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL pixel path, no codec library: synthesize a
+    gradient grayscale PNG per doc (real zlib-deflated, CRC-chunked
+    container), resize it 12x8 through the stdlib decode -> nearest ->
+    re-encode pipeline, decode AGAIN and emit the exact integer pixel
+    sum. The oracle derives the same sum analytically (gradient +
+    pixel-center nearest mapping), so a single wrong byte anywhere in
+    inflate/unfilter/resize/deflate flips the hash. All stages are
+    Arrow-batched mapInPandas: partition-local, zero shuffle."""
+    t = load_tables(spark, sf_dir)
+    payloads = mm.synth_media_payloads(t["documents"], kind="png")
+    resized = mm.resize_media(payloads, 12, 8)
+    return mm.pixel_stats(resized)
+
+
+@_q(
+    "multimodal_audio",
+    """
+    SELECT doc_id,
+           (64 + doc_id % 129)::BIGINT AS n_samples,
+           1::INT AS channels,
+           (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
+           ((64 + doc_id % 129) * 1000) // (8000 + (doc_id % 3) * 4000)
+             AS duration_ms,
+           ((doc_id * 7) % 1000) + (64 + doc_id % 129) - 1 AS peak_abs,
+           (64 + doc_id % 129) * ((doc_id * 7) % 1000)
+             + ((64 + doc_id % 129) * (64 + doc_id % 129 - 1)) // 2 AS sum_amp
+    FROM documents
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL audio path: synthesize a mono PCM-16 WAV ramp
+    per doc (real RIFF container), decode it back through the chunk
+    walk + numpy frame parse, and emit all-integer clip features
+    (sample count, rate, floor-division duration, peak, amplitude
+    sum). The oracle reproduces every feature analytically from the
+    ramp parameters. mapInPandas both ways — scan-speed at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    payloads = mm.synth_media_payloads(t["documents"], kind="wav")
+    return mm.audio_features(payloads)
+
+
+@_q(
     "doc_chunk",
     """
     WITH offs AS (
