@@ -1073,3 +1073,74 @@ def counter_changes(
     return x.groupBy(*series_cols).agg(
         F.sum("_chg").alias("changes"), F.sum("_rst").alias("resets")
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Double exponential smoothing per series (Prometheus
+    ``holt_winters`` / Holt's linear method) over bucketed means:
+
+        s0 = y[0]; b = y[1] - y[0]
+        for t >= 1:  s1 = a*y[t] + (1-a)*(s0 + b)
+                     b  = B*(s1 - s0) + (1-B)*b;  s0 = s1
+
+    Returns (series..., n, level, trend) — the final smoothed level
+    and per-bucket trend. A single-sample series yields (y0, 0.0).
+
+    Determinism: the recurrence is inherently sequential, so it runs
+    as ONE left fold over the bucket-sorted mean list with an
+    ``array<double>`` accumulator [i, s, b] — the identical expression
+    tree a SQL oracle evaluates, bit-for-bit.
+
+    Scale: the fold is over per-bucket means (bounded by the time
+    range, not datapoint count); the raw scan reduces map-side first.
+    For unbucketed per-row smoothing at unbounded series length, use
+    ewma_rows-style bucketed scans instead.
+    """
+    a, b_ = float(alpha), float(beta)
+    v = F.col(value_col)
+    means = bucket_agg(
+        df,
+        bucket_seconds,
+        keys=list(series_cols),
+        aggs=[
+            (
+                F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("_m")
+        ],
+        ts_col=ts_col,
+    )
+    agg = means.groupBy(*series_cols).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "_m"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def step(acc, t):
+        y = t["_m"]
+        i, s, tr = acc[0], acc[1], acc[2]
+        first = i == F.lit(0.0)
+        b0 = F.when(i == F.lit(1.0), y - s).otherwise(tr)
+        s1 = F.lit(a) * y + F.lit(1.0 - a) * (s + b0)
+        b1 = F.lit(b_) * (s1 - s) + F.lit(1.0 - b_) * b0
+        return F.when(first, F.array(F.lit(1.0), y, F.lit(0.0))).otherwise(
+            F.array(i + F.lit(1.0), s1, b1)
+        )
+
+    acc = F.aggregate(
+        F.col("_a"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        step,
+    )
+    return agg.select(
+        *series_cols,
+        "n",
+        acc[1].alias("level"),
+        acc[2].alias("trend"),
+    )

@@ -1993,6 +1993,51 @@ def ts_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.counter_changes(_ns_events(t), series_cols=("event_type",))
 
 
+@_q(
+    "ts_holt_winters",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0],
+                            list_transform(list(m ORDER BY bucket), y -> [y])),
+               (acc, y) -> CASE WHEN acc[1] = 0.0
+                 THEN [1.0, y[1], 0.0]
+                 ELSE [acc[1] + 1.0,
+                       0.5 * y[1] + 0.5 * (acc[2]
+                         + (CASE WHEN acc[1] = 1.0
+                                 THEN y[1] - acc[2] ELSE acc[3] END)),
+                       0.25 * ((0.5 * y[1] + 0.5 * (acc[2]
+                                 + (CASE WHEN acc[1] = 1.0
+                                         THEN y[1] - acc[2] ELSE acc[3] END)))
+                               - acc[2])
+                       + 0.75 * (CASE WHEN acc[1] = 1.0
+                                      THEN y[1] - acc[2] ELSE acc[3] END)]
+                 END) AS acc
+      FROM h GROUP BY event_type)
+    SELECT event_type, n, acc[2] AS level, acc[3] AS trend
+    FROM g
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holt_winters(): double exponential smoothing (Holt's linear
+    method, a=0.5, B=0.25 — dyadic so the 1-a literals are float-exact
+    cross-engine) over hourly means per series. The sequential
+    recurrence runs as ONE declarative left fold with an array<double>
+    accumulator [i, level, trend] — no UDF, no driver loop; the oracle
+    evaluates the identical expression tree."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.holt_winters(
+        _ns_events(t), alpha=0.5, beta=0.25, bucket_seconds=3600,
+        series_cols=("event_type",),
+    )
+
+
 @_q("agg_approx_count_distinct", None)  # HLL sketch: no SQL oracle —
 # deterministic for a given input but engine-specific; error bound
 # certified by tests/test_timeseries_ops.py::test_approx_distinct_error
