@@ -805,6 +805,49 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(payloads)
 
 
+#: media dirs written this session: {(app_id, sf_dir)}
+_MEDIA_WRITTEN: set = set()
+
+
+@_q(
+    "multimodal_binaryfile",
+    """
+    SELECT doc_id,
+           (8 + doc_id % 9)::INT AS width,
+           (6 + doc_id % 5)::INT AS height,
+           (6 + doc_id % 5)
+             * ((8 + doc_id % 9) * (doc_id % 128)
+                + ((8 + doc_id % 9) * (8 + doc_id % 9 - 1)) // 2) AS sum_px
+    FROM documents
+    """,
+)
+def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-file INGEST through Spark's binaryFile source: real PNG
+    files written one-per-blob by the distributed media sink
+    (sources/media.py), listed back with pathGlobFilter, ids recovered
+    from file names, pixels decoded by the stdlib codec. The oracle
+    derives each file's exact integer pixel sum analytically from the
+    gradient parameters — a wrong byte in the file round trip or the
+    decode flips the hash. File write is ingest-time work (once per
+    session+SF, like the bucketed/z-ordered layouts)."""
+    import os
+    from urllib.parse import urlparse
+
+    from boostdb_spark.sources.media import read_media_dir, write_media_files
+
+    t = load_tables(spark, sf_dir)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(wh, f"suite_media_{tag}")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEDIA_WRITTEN:
+        payloads = mm.synth_media_payloads(t["documents"], kind="png")
+        write_media_files(payloads, path, ext="png")
+        _MEDIA_WRITTEN.add(key)
+    files = read_media_dir(spark, path, glob="*.png")
+    return mm.pixel_stats(files)
+
+
 @_q(
     "doc_chunk",
     """

@@ -32,3 +32,21 @@ def test_csv_infer_reads_rows(spark, tmp_path):
     back = read_any(spark, path, "csv")
     assert back.count() == src.count()
     assert back.filter(F.col("value").isNotNull()).count() == src.count()
+
+
+def test_media_binaryfile_roundtrip(spark, tmp_path):
+    """write_media_files -> read_media_dir round trip: ids recovered
+    from names, payload bytes exact, glob filters at listing time."""
+    from boostdb_spark.sources.media import read_media_dir, write_media_files
+
+    rows = [(7, b"\x89PNGfake7"), (42, b"\x89PNGfake42"), (9, b"not-png")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    write_media_files(df, str(tmp_path / "m"), ext="png")
+    # also drop a file the glob must skip
+    (tmp_path / "m" / "stray.txt").write_bytes(b"zzz")
+
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in read_media_dir(spark, str(tmp_path / "m"), glob="*.png").collect()
+    }
+    assert out == {7: b"\x89PNGfake7", 42: b"\x89PNGfake42", 9: b"not-png"}
