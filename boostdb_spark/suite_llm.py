@@ -529,6 +529,53 @@ def emb_centroid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xa,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale, xa,
+             CASE WHEN scale = 0.0
+                  THEN list_transform(xa, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(xa, x ->
+                         greatest(CAST(-127 AS BIGINT),
+                                  least(CAST(127 AS BIGINT),
+                                        CAST(floor(x * (127.0 / scale) + 0.5)
+                                             AS BIGINT))))
+             END AS qv
+      FROM s)
+    SELECT vec_id, scale,
+           list_min(qv) AS q_min, list_max(qv) AS q_max,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                       (a, b) -> a + b) AS q_sum,
+           CASE WHEN scale = 0.0 THEN 0.0 ELSE
+             list_reduce(list_prepend(0.0, list_transform(xa, x ->
+               abs(x - CAST(greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                    CAST(floor(x * (127.0 / scale) + 0.5)
+                                         AS BIGINT))) AS DOUBLE)
+                        * (scale / 127.0)))),
+               (a, b) -> a + b)
+           END AS err_l1
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding store (4x
+    compression: float32 -> int8 + one scale/vector) with exact audit
+    stats — q range/sum and the L1 dequantization error, all
+    index-ordered folds and floor(x+0.5) rounding so the oracle is
+    bit-exact. Pure codegen HOF projection: narrow map, zero shuffle
+    (operators/similarity.py::quantize_int8)."""
+    t = load_tables(spark, sf_dir)
+    return sim.quantize_int8(t["embeddings"]).drop("q")
+
+
 @_q("ann_ivf_topk", None)  # IVF recall < 1 by design -> rows-only check
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus bucketed by

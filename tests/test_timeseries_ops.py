@@ -259,3 +259,66 @@ def test_asof_mixed_ts_dtypes(spark):
         .collect()
     )
     assert [(r.value, r.value_right) for r in out2] == [(10.0, 1.0), (20.0, 2.0)]
+
+
+def test_linear_trend_known_values(spark):
+    """Perfect line y = 2x + 1 over 1s buckets -> slope 2, intercept 1,
+    predict extrapolates exactly."""
+    import boostdb_spark.operators.timeseries as ts
+
+    rows = [("a", i * 1_000_000_000, 2.0 * i + 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    r = ts.linear_trend(df, bucket_seconds=1, predict_seconds=3.0).collect()[0]
+    assert r["n"] == 5
+    assert abs(r["slope"] - 2.0) < 1e-12
+    assert abs(r["intercept"] - 1.0) < 1e-12
+    # last x = 4s, predict at x = 7 -> y = 15
+    assert abs(r["predict"] - 15.0) < 1e-12
+
+
+def test_quantile_over_time_interpolation(spark):
+    import boostdb_spark.operators.timeseries as ts
+
+    rows = [("a", i * 1_000_000_000, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = ts.quantile_over_time(df, q=0.5, bucket_seconds=10).collect()
+    assert len(out) == 1
+    # pos = 0.5*3 = 1.5 -> 20 + 0.5*(30-20) = 25
+    assert abs(out[0]["quantile"] - 25.0) < 1e-12
+
+
+def test_counter_changes_and_resets(spark):
+    import boostdb_spark.operators.timeseries as ts
+
+    vals = [1.0, 1.0, 2.0, 5.0, 3.0, 3.0, 4.0]  # changes: 4 (2,5,3,4); resets: 1 (5->3)
+    rows = [("a", i * 10, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    r = ts.counter_changes(df).collect()[0]
+    assert (r["changes"], r["resets"]) == (4, 1)
+
+
+def test_holt_winters_matches_reference_loop(spark):
+    """The declarative fold must equal the straight-line Python loop."""
+    import boostdb_spark.operators.timeseries as ts
+
+    vals = [3.0, 5.0, 4.0, 8.0, 6.0, 9.0]
+    a, b = 0.5, 0.25
+    s, tr = vals[0], vals[1] - vals[0]
+    for y in vals[1:]:
+        s1 = a * y + (1 - a) * (s + tr)
+        tr = b * (s1 - s) + (1 - b) * tr
+        s = s1
+    rows = [("x", i * 1_000_000_000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    r = ts.holt_winters(df, alpha=a, beta=b, bucket_seconds=1).collect()[0]
+    assert r["n"] == 6
+    assert r["level"] == s  # bit-exact: identical expression order
+    assert r["trend"] == tr
+
+
+def test_holt_winters_single_sample(spark):
+    import boostdb_spark.operators.timeseries as ts
+
+    df = spark.createDataFrame([("x", 0, 7.5)], "series string, ts long, value double")
+    r = ts.holt_winters(df, alpha=0.5, beta=0.25, bucket_seconds=1).collect()[0]
+    assert (r["level"], r["trend"]) == (7.5, 0.0)
