@@ -130,3 +130,31 @@ def test_bucketed_join_entry_shuffle_free(spark):
     assert "Exchange" not in below_join  # both sides scan co-located buckets
     assert len([ln for ln in below_join.splitlines() if "Scan parquet" in ln]) == 2
     assert len(re.findall(r"\bExchange\b", tree)) == 1  # final agg only
+
+
+def test_quantize_int8_is_narrow_map(spark):
+    """Quantization must stay a pure projection: no shuffle, no UDF —
+    all HOF expressions inside the scan stage."""
+    p = _plan(spark, "emb_quantize_int8")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_multimodal_pixel_entries_have_no_shuffle(spark):
+    """The codec pipelines are mapInPandas chains — partition-local,
+    zero Exchange end to end."""
+    for name in ("multimodal_pixels", "multimodal_audio"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+
+
+def test_ts_linear_trend_single_shuffle_pair(spark):
+    """Bucket-mean agg + per-series fold: exactly the two aggregate
+    exchanges (bucket means, then series fold) — no window, no join."""
+    import re
+
+    p = _plan(spark, "ts_linear_trend")
+    assert "Join" not in p
+    # formatted mode lists each node in the tree AND a details section:
+    # count the numbered detail headers only
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
