@@ -82,7 +82,7 @@ def _stream_benchmarks(spark, sf_dir: str) -> dict[str, float]:
     work = tempfile.mkdtemp(prefix="boost_bench_stream_")
     landing = os.path.join(work, "landing")
     (
-        ev.select("event_type", "ts", "value", "event_id")
+        ev.select("event_type", "ts", "value", "event_id", "user_id")
         .repartition(8)
         .write.mode("overwrite")
         .parquet(landing)
@@ -135,6 +135,30 @@ def _stream_benchmarks(spark, sf_dir: str) -> dict[str, float]:
         ),
         "update",
     )
+
+    def stream_stream_join(src):
+        # watermarked interval join: purchases enriched with the errors
+        # that follow within 1h — the stream-stream state path
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+        )
+        errors = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .filter(F.col("event_type") == "error")
+            .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        )
+        cond = (
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        return purchases.withWatermark("p_ts", "0 seconds").join(
+            errors.withWatermark("e_ts", "0 seconds"), cond
+        )
+
+    run("stream_stream_join", stream_stream_join, "append")
     shutil.rmtree(work, ignore_errors=True)
     return times
 
