@@ -7,9 +7,11 @@ Capability layering:
 - **Metadata extraction is REAL for PNG / JPEG / WAV** — container
   headers carry the dimensions/stream parameters, parsed with pure
   stdlib (no codec): PNG IHDR, JPEG SOFn markers, RIFF/WAVE fmt chunk.
-- **Pixel-level transforms** (resize) use PIL when importable; without
-  codecs, real media raises ``NotImplementedError`` (never silently
-  fake-transformed).
+- **Pixel-level transforms** (resize/stats) are REAL for both image
+  containers with zero dependencies: PNG via the stdlib zlib codec
+  (media_codec.py), baseline JPEG via the pure-numpy DCT codec
+  (jpeg_codec.py). Unsupported subsets (progressive JPEG, 16-bit PNG)
+  raise ``NotImplementedError`` — never silently fake-transformed.
 - Non-media payloads (the fixture's utf-8 text blobs) go through the
   clearly-marked deterministic stubs so the Arrow plumbing stays
   oracle-testable in a codec-less container.
@@ -28,14 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # real pixel codec, if the environment carries one
-    from PIL import Image as _PILImage  # noqa: N814
-
-    HAS_PIL = True
-except ImportError:
-    _PILImage = None
-    HAS_PIL = False
 
 #: JPEG start-of-frame markers that carry dimensions (all SOFn except
 #: DHT/DAC/RST which reuse the range)
@@ -205,32 +199,41 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def decode_image(payload: bytes):
+    """REAL pixel decode for any recognized image container -> uint8
+    numpy array: PNG via the stdlib inflate+unfilter codec, baseline
+    JPEG via the pure-numpy DCT codec. Raises for non-image payloads
+    and (NotImplementedError) for unsupported container subsets —
+    never a silent wrong decode."""
+    hdr = parse_media_header(payload)
+    if hdr is None or not hdr[2].startswith("image/"):
+        raise ValueError(f"not an image payload ({hdr[2] if hdr else 'raw'})")
+    if hdr[2] == "image/png":
+        from boostdb_spark.operators import media_codec as mc
+
+        return mc.decode_png(payload)
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    return jc.decode_jpeg(payload)
+
+
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """Resize one payload: REAL pixel path for PNG via the pure-stdlib
-    codec (media_codec: inflate + unfilter -> nearest-neighbor ->
-    deterministic re-encode); PIL for JPEG when importable;
-    deterministic stub (repeat/truncate to exactly width*height bytes —
-    the size contract a thumbnail pipeline cares about) for the
-    fixture's non-media payloads; NotImplementedError for real media
-    with no available decoder — never a silent fake 'resize' of actual
-    images."""
+    """Resize one payload: REAL pixel path for BOTH image containers —
+    PNG via the stdlib codec (inflate + unfilter), baseline JPEG via
+    the pure-numpy DCT codec — nearest-neighbor resampled and
+    re-encoded as deterministic PNG. Deterministic stub (repeat/
+    truncate to exactly width*height bytes — the size contract a
+    thumbnail pipeline cares about) for the fixture's non-media
+    payloads; audio payloads refuse (resize is undefined) — never a
+    silent fake 'resize' of real media."""
     hdr = parse_media_header(payload)
     if hdr is not None:
-        if hdr[2] == "image/png":
+        if hdr[2].startswith("image/"):
             from boostdb_spark.operators import media_codec as mc
 
-            arr = mc.decode_png(payload)
+            arr = decode_image(payload)
             return mc.encode_png(mc.resize_nearest(arr, width, height))
-        if HAS_PIL and hdr[2].startswith("image/"):
-            import io
-
-            img = _PILImage.open(io.BytesIO(payload)).resize((width, height))
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            return buf.getvalue()
-        raise NotImplementedError(
-            f"pixel decode for {hdr[2]} needs PIL (unavailable)"
-        )
+        raise NotImplementedError(f"resize undefined for {hdr[2]}")
     n = width * height
     reps = -(-n // max(len(payload), 1))
     return (payload * reps)[:n]
@@ -253,15 +256,14 @@ def pixel_stats(
     """REAL pixel decode: PNG payload -> (doc_id, width, height,
     sum_px) where sum_px is the integer sum over all pixel bytes —
     exact (no float), so it pairs with an analytic SQL oracle. Runs
-    the full stdlib codec path (zlib inflate + scanline unfilter) in
+    the full codec path (PNG inflate+unfilter or baseline-JPEG DCT) in
     Arrow-batched mapInPandas workers, partition-local."""
-    from boostdb_spark.operators import media_codec as mc
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                arr = mc.decode_png(bytes(p))
+                arr = decode_image(bytes(p))
                 rows.append(
                     (
                         int(doc_id),
@@ -342,10 +344,14 @@ def synth_media_payloads(
     ship with the testdata). ``kind='png'``: horizontal-gradient
     grayscale PNG, height 6 + id%5, width 8 + id%9, pixel(y, x) =
     id%128 + x (no mod-256 wrap, so oracles stay integer-analytic).
+    ``kind='jpeg'``: solid gray baseline JPEG, same dims, level
+    2*(id%128) — even levels survive the Annex-K quantizer EXACTLY, so
+    the lossy codec still pairs with an exact analytic oracle.
     ``kind='wav'``: mono PCM-16 ramp, 64 + id%129 samples starting at
     (id*7)%1000, rate 8000 + (id%3)*4000."""
     import numpy as np
 
+    from boostdb_spark.operators import jpeg_codec as jc
     from boostdb_spark.operators import media_codec as mc
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -357,6 +363,11 @@ def synth_media_payloads(
                     h, w, base = 6 + i % 5, 8 + i % 9, i % 128
                     row = (base + np.arange(w, dtype=np.int64)).astype(np.uint8)
                     payloads.append(mc.encode_png(np.tile(row, (h, 1))))
+                elif kind == "jpeg":
+                    h, w, g = 6 + i % 5, 8 + i % 9, 2 * (i % 128)
+                    payloads.append(
+                        jc.encode_jpeg_gray(np.full((h, w), g, dtype=np.uint8))
+                    )
                 elif kind == "wav":
                     n, base = 64 + i % 129, (i * 7) % 1000
                     rate = 8000 + (i % 3) * 4000

@@ -852,6 +852,29 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(payloads)
 
 
+@_q(
+    "multimodal_jpeg",
+    """
+    SELECT doc_id, 12 AS width, 8 AS height,
+           96 * (2 * (doc_id % 128)) AS sum_px
+    FROM documents
+    """,
+)
+def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL JPEG path, no codec library: a solid-gray
+    baseline JPEG per doc (real DCT + Annex-K quantizer + huffman
+    entropy coding, operators/jpeg_codec.py), decoded back through the
+    pure-numpy baseline decoder, nearest-resized, re-encoded as PNG and
+    pixel-summed. Even gray levels survive the quantizer exactly, so
+    the lossy codec still certifies against an exact analytic oracle
+    (sum = 12*8 * 2*(doc_id%128)). Arrow-batched mapInPandas chain —
+    partition-local, zero shuffle."""
+    t = load_tables(spark, sf_dir)
+    payloads = mm.synth_media_payloads(t["documents"], kind="jpeg")
+    resized = mm.resize_media(payloads, 12, 8)
+    return mm.pixel_stats(resized)
+
+
 #: media dirs written this session: {(app_id, sf_dir)}
 _MEDIA_WRITTEN: set = set()
 

@@ -122,9 +122,23 @@ def test_resize_capability_contract(spark):
     r = mm.resize_media(img_df, 4, 2).collect()[0]
     assert mm.parse_media_header(bytes(r["payload"]))[:2] == (4, 2)
 
-    if not mm.HAS_PIL:  # JPEG still needs a DCT codec
-        with pytest.raises(Exception, match="needs PIL"):
-            mm._resize_payload(_jpeg(8, 4), 4, 2)
+    # real JPEG: resized through the pure-numpy DCT codec
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+    from boostdb_spark.operators import media_codec as mc
+
+    jp = jc.encode_jpeg_gray(np.full((8, 4), 90, dtype=np.uint8))
+    out = mm._resize_payload(jp, 4, 2)
+    assert (mc.decode_png(out) == 90).all()
+
+    # truncated JPEG (header only, no scan): refused, not faked
+    with pytest.raises(Exception):
+        mm._resize_payload(_jpeg(8, 4), 4, 2)
+
+    # audio: resize undefined — refused
+    with pytest.raises(NotImplementedError, match="audio"):
+        mm._resize_payload(_wav(1, 8000), 4, 2)
 
 
 # --- pure-stdlib codecs (media_codec) --------------------------------------
@@ -272,3 +286,61 @@ def test_resize_payload_real_png_pixel_path():
     out = mm._resize_payload(mc.encode_png(arr), 4, 4)
     decoded = mc.decode_png(out)
     assert (decoded == mc.resize_nearest(arr, 4, 4)).all()
+
+
+# --- baseline JPEG codec (jpeg_codec) --------------------------------------
+
+
+def test_jpeg_even_gray_levels_roundtrip_exactly():
+    """Even gray levels hit the Annex-K quantizer on integer DC steps:
+    the full encode->decode round trip is IDENTITY for all 128 of
+    them (the basis of the multimodal_jpeg analytic oracle)."""
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    for g in range(0, 256, 2):
+        arr = np.full((6, 10), g, dtype=np.uint8)
+        out = jc.decode_jpeg(jc.encode_jpeg_gray(arr))
+        assert out.shape == (6, 10)
+        u = np.unique(out)
+        assert len(u) == 1 and u[0] == g, (g, u)
+
+
+def test_jpeg_smooth_gradient_small_error():
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    x = np.linspace(0, 255, 64)
+    arr = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg_gray(arr))
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= 8 and err.mean() < 2
+
+
+def test_jpeg_encoder_deterministic_and_header_parseable():
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    p1, p2 = jc.encode_jpeg_gray(arr), jc.encode_jpeg_gray(arr.copy())
+    assert p1 == p2
+    # the multimodal header parser reads the SOF dims from our stream
+    assert mm.parse_media_header(p1) == (23, 17, "image/jpeg")
+    out = jc.decode_jpeg(p1)
+    assert out.shape == (17, 23)
+
+
+def test_jpeg_refuses_progressive():
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    payload = bytearray(jc.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jc.decode_jpeg(bytes(payload))
