@@ -344,3 +344,59 @@ def test_jpeg_refuses_progressive():
     payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(NotImplementedError, match="baseline"):
         jc.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_color_420_dc_only_decode():
+    """Hand-built 4:2:0 YCbCr JPEG (one 16x16 MCU, DC-only blocks, all
+    components on huffman/quant table 0): covers the color decode path
+    — MCU interleave, chroma upsampling, YCbCr->RGB — with analytic
+    expectations."""
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    qy, qcb, qcr = 12, -6, 20  # quantized DC per component
+    q00 = int(jc._Q_LUMA[0, 0])  # 16
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(jc._Q_LUMA[jc._ZZ[k]]) for k in range(64)))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16)
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(jc._DC_LUMA_BITS) + bytes(jc._DC_LUMA_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(jc._AC_LUMA_BITS) + bytes(jc._AC_LUMA_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    dc_codes = jc._encode_codes(jc._DC_LUMA_BITS, jc._DC_LUMA_VALS)
+    ac_codes = jc._encode_codes(jc._AC_LUMA_BITS, jc._AC_LUMA_VALS)
+    w = jc._BitWriter()
+
+    def dc_block(diff):
+        t, bits_v = jc._magnitude(diff)
+        code, ln = dc_codes[t]
+        w.write(code, ln)
+        if t:
+            w.write(bits_v, t)
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+
+    # MCU: 4 Y blocks (diff qy then 0,0,0 — per-component DC prediction),
+    # then Cb, Cr (each its own predictor)
+    dc_block(qy); dc_block(0); dc_block(0); dc_block(0)
+    dc_block(qcb)
+    dc_block(qcr)
+    w.flush()
+
+    payload = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+               + bytes(w.out) + b"\xff\xd9")
+    out = jc.decode_jpeg(payload)
+    assert out.shape == (16, 16, 3)
+
+    y = qy * q00 / 8.0 + 128
+    cb = qcb * q00 / 8.0
+    cr = qcr * q00 / 8.0
+    exp = [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+    exp = [int(np.clip(np.floor(v + 0.5), 0, 255)) for v in exp]
+    got = np.unique(out.reshape(-1, 3), axis=0)
+    assert got.shape[0] == 1 and list(got[0]) == exp, (got, exp)
