@@ -9,7 +9,8 @@ Scope (ITU-T.81 baseline DCT, JFIF):
   quant tables, restart markers. Progressive (SOF2), arithmetic
   coding, and 12-bit raise ``NotImplementedError`` — never a wrong
   silent decode.
-- **encode**: grayscale 4:4:4 baseline with the Annex K example
+- **encode**: grayscale 4:4:4 (``encode_jpeg_gray``) and RGB 4:2:0
+  YCbCr (``encode_jpeg_color``) baseline with the Annex K example
   tables. Deterministic: fixed tables, ``floor(x+0.5)`` rounding,
   no RNG — equal arrays encode to equal bytes on every platform.
 
@@ -422,6 +423,157 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
         + seg(0xC0, sof)
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + bytes(bwr.out)
+        + b"\xff\xd9"
+    )
+
+
+#: Annex K.1 chrominance quantization table
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3 typical chrominance huffman tables
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_block(bwr, block, q, pred, dc_codes, ac_codes) -> int:
+    """DCT + quantize + entropy-code one 8x8 block; returns the new DC
+    predictor (shared by the gray and color encoders)."""
+    coef = _DCT @ block @ _DCT.T
+    qc = np.floor(coef / q + 0.5).astype(np.int64)
+    dc = int(qc[0, 0])
+    t, bits_v = _magnitude(dc - pred)
+    code, ln = dc_codes[t]
+    bwr.write(code, ln)
+    if t:
+        bwr.write(bits_v, t)
+    zz_vals = [int(qc[_ZZ[k]]) for k in range(1, 64)]
+    last_nz = 0
+    for k, v in enumerate(zz_vals, start=1):
+        if v != 0:
+            last_nz = k
+    run = 0
+    for k, v in enumerate(zz_vals, start=1):
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bwr.write(code, ln)
+            run -= 16
+        t, bits_v = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | t]
+        bwr.write(code, ln)
+        bwr.write(bits_v, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bwr.write(code, ln)
+    return dc
+
+
+def encode_jpeg_color(arr: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 -> deterministic 4:2:0 YCbCr baseline JFIF
+    bytes (Annex K luminance + chrominance tables, BT.601 forward
+    transform, 2x2 box-average chroma subsampling)."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects an (H, W, 3) RGB array")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    # pad to whole MCUs (16x16), edge-replicate
+    mh, mw = -(-h // 16) * 16, -(-w // 16) * 16
+    pad = ((0, mh - h), (0, mw - w))
+    y, cb, cr = (np.pad(p, pad, mode="edge") for p in (y, cb, cr))
+    # 2x2 box-average chroma subsample
+    cb = cb.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+
+    dc_l = _encode_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _encode_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _encode_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _encode_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ql, qc_ = _Q_LUMA.astype(np.float64), _Q_CHROMA.astype(np.float64)
+    bwr = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mh // 16):
+        for mx in range(mw // 16):
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    pred[0] = _encode_block(
+                        bwr, y[y0 : y0 + 8, x0 : x0 + 8], ql, pred[0], dc_l, ac_l
+                    )
+            c0, cx0 = my * 8, mx * 8
+            pred[1] = _encode_block(
+                bwr, cb[c0 : c0 + 8, cx0 : cx0 + 8], qc_, pred[1], dc_c, ac_c
+            )
+            pred[2] = _encode_block(
+                bwr, cr[c0 : c0 + 8, cx0 : cx0 + 8], qc_, pred[2], dc_c, ac_c
+            )
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt0 = bytes([0]) + bytes(int(_Q_LUMA[_ZZ[k]]) for k in range(64))
+    dqt1 = bytes([1]) + bytes(int(_Q_CHROMA[_ZZ[k]]) for k in range(64))
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    dht = (
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+        + seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS))
+        + seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS))
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    app0 = b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt0)
+        + seg(0xDB, dqt1)
+        + seg(0xC0, sof)
+        + dht
         + seg(0xDA, sos)
         + bytes(bwr.out)
         + b"\xff\xd9"

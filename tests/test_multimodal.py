@@ -400,3 +400,37 @@ def test_jpeg_color_420_dc_only_decode():
     exp = [int(np.clip(np.floor(v + 0.5), 0, 255)) for v in exp]
     got = np.unique(out.reshape(-1, 3), axis=0)
     assert got.shape[0] == 1 and list(got[0]) == exp, (got, exp)
+
+
+def test_jpeg_color_encoder_roundtrip():
+    """Full-color 4:2:0 encode -> decode: neutral solid colors are
+    exact, smooth gradients stay within JPEG-typical error."""
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    solid = np.full((20, 30, 3), 120, dtype=np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg_color(solid))
+    assert out.shape == (20, 30, 3) and (out == 120).all()
+
+    x = np.linspace(0, 255, 48)
+    arr = np.clip(
+        np.stack([np.tile(x, (48, 1)), np.tile(x, (48, 1)).T,
+                  np.full((48, 48), 100.0)], axis=-1),
+        0, 255,
+    ).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg_color(arr))
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.mean() < 4 and err.max() <= 25
+
+    # odd (non-MCU-aligned) dims crop correctly; output is deterministic
+    odd = arr[:19, :25]
+    o1 = jc.encode_jpeg_color(odd)
+    assert jc.decode_jpeg(o1).shape == (19, 25, 3)
+    assert o1 == jc.encode_jpeg_color(odd.copy())
+    # the multimodal pipeline decodes it too (resize path)
+    assert mm.parse_media_header(o1) == (25, 19, "image/jpeg")
+    resized = mm._resize_payload(o1, 5, 4)
+    from boostdb_spark.operators import media_codec as mc
+
+    assert mc.decode_png(resized).shape == (4, 5, 3)
