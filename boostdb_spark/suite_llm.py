@@ -852,6 +852,25 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(payloads)
 
 
+@_q("txt_bpe_train", None)  # iterative argmax loop: not SQL-expressible —
+# determinism + equivalence to the classic sequential algorithm are
+# pinned by tests/test_text_dedup_ops.py::test_bpe_train_matches_reference
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the
+    corpus collapses to the distinct-word table once, then each merge
+    round is one pair-explode hash aggregate with a single-row argmax
+    collect (scalar-only driver traffic) and a declarative fold
+    rewrite — vocabulary-bounded work per round regardless of corpus
+    size. Deterministic merge order (count desc, pair asc)."""
+    from boostdb_spark.operators import bpe
+
+    t = load_tables(spark, sf_dir)
+    merges = bpe.train_bpe(t["documents"], num_merges=12)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
 @_q(
     "multimodal_jpeg",
     """

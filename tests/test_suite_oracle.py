@@ -26,6 +26,9 @@ def test_every_query_has_oracle_or_reason():
         "ann_ivf_topk",
         "agg_approx_count_distinct",
         "agg_approx_quantiles",
+        # iterative argmax loop, not SQL-expressible; equivalence to the
+        # classic sequential algorithm pinned in test_text_dedup_ops.py
+        "txt_bpe_train",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 

@@ -146,3 +146,71 @@ def test_minhash_family_is_independent(spark):
     agree = sum(1 for x, y in zip(sig[1], sig[2]) if x == y)
     # E[agree] = 32 * J ~= 29; independence bounds the tail far above 20
     assert agree >= 20, f"signature agreement {agree}/32 — family degenerate?"
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed merge loop must reproduce the classic
+    sequential BPE algorithm (count desc, lexicographic tie-break)
+    exactly — merge for merge."""
+    import re
+    from collections import Counter
+
+    from boostdb_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest"),
+        (2, "new newer newest"),
+        (3, "low low new wider"),
+        (4, "the newest of the new"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe.train_bpe(df, num_merges=15)
+
+    words = Counter()
+    for _, t in rows:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            words[w] += 1
+    vocab = {tuple(list(w) + [bpe.END]): n for w, n in words.items()}
+    ref = []
+    for rank in range(15):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc or max(pc.values()) < 2:
+            break
+        mx = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == mx)[0]
+        ref.append((rank, a, b, mx))
+        newv = {}
+        for syms, n in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            newv[tuple(out)] = newv.get(tuple(out), 0) + n
+        vocab = newv
+    assert got == ref
+    # retraining is bit-deterministic
+    assert bpe.train_bpe(df, num_merges=15) == got
+
+
+def test_bpe_apply_uses_merge_ranks(spark):
+    from boostdb_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "unseen word")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(df.filter("doc_id = 1"), num_merges=10)
+    out = {r["doc_id"]: list(r["tokens"]) for r in bpe.apply_bpe(df, merges).collect()}
+    # the learned merges (l+o, lo+w, low+e) apply by rank: "low" ->
+    # [low, ▁], "lower"/"lowest" -> lowe + suffix pieces
+    assert out[1][:2] == ["low", bpe.END]
+    assert out[1][2] == "lowe"
+    # unseen words fall back to single characters but still terminate
+    assert out[2][-1] == bpe.END and all(t for t in out[2])
