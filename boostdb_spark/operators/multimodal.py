@@ -368,6 +368,16 @@ def synth_media_payloads(
                     payloads.append(
                         jc.encode_jpeg_gray(np.full((h, w), g, dtype=np.uint8))
                     )
+                elif kind == "jpeg_color":
+                    # neutral solid RGB (r=g=b): chroma quantizes to
+                    # exactly 0, even luma survives the quantizer -> the
+                    # LOSSY color path still has an exact analytic oracle
+                    h, w, g = 6 + i % 5, 8 + i % 9, 2 * (i % 128)
+                    payloads.append(
+                        jc.encode_jpeg_color(
+                            np.full((h, w, 3), g, dtype=np.uint8)
+                        )
+                    )
                 elif kind == "wav":
                     n, base = 64 + i % 129, (i * 7) % 1000
                     rate = 8000 + (i % 3) * 4000

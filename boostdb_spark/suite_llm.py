@@ -894,6 +894,29 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(resized)
 
 
+@_q(
+    "multimodal_jpeg_color",
+    """
+    SELECT doc_id,
+           (8 + doc_id % 9)::INT AS width,
+           (6 + doc_id % 5)::INT AS height,
+           3 * (6 + doc_id % 5) * (8 + doc_id % 9) * (2 * (doc_id % 128))
+             AS sum_px
+    FROM documents
+    """,
+)
+def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLOR JPEG path end to end: neutral solid-RGB 4:2:0 YCbCr
+    baseline JPEG per doc (chroma quantizes to exactly 0; even luma
+    survives the Annex-K quantizer), decoded through the full color
+    branch — MCU interleave, chroma upsampling, YCbCr->RGB — and
+    pixel-summed. sum_px = 3 channels * h * w * gray, exact despite
+    the lossy codec."""
+    t = load_tables(spark, sf_dir)
+    payloads = mm.synth_media_payloads(t["documents"], kind="jpeg_color")
+    return mm.pixel_stats(payloads)
+
+
 #: media dirs written this session: {(app_id, sf_dir)}
 _MEDIA_WRITTEN: set = set()
 
