@@ -46,6 +46,7 @@ WARMUP = [
     "join_bucketed_colocated",
     "scan_zordered",
     "seriesfamily_roundtrip",
+    "multimodal_binaryfile",  # one-file-per-blob media dir write
 ]
 
 
