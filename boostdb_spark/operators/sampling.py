@@ -14,6 +14,8 @@ into the scan pipeline, zero shuffle, no RNG state.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -223,4 +225,34 @@ def shuffle_rank(
         x.join(F.broadcast(boff), "_b")
         .withColumn(out_col, F.col("_off") + F.row_number().over(wi) - 1)
         .select(*df.columns, out_col)
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cap: int,
+    key_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic per-group quota capping — the anti-spam /
+    domain-balance half of corpus curation ("no source contributes
+    more than N documents"): rank rows within each group by
+    (hash32(key), key) — a reproducible pseudo-random order, so the
+    kept subset is an unbiased deterministic sample of the group, not
+    its head — and keep ``rank <= cap``. Monotone like
+    deterministic_sample: raising the cap only ADDS documents.
+
+    Scale: one window shuffle on the group key with a streaming
+    row_number frame. A pathologically dominant group concentrates on
+    one reducer; for that shape pre-thin with deterministic_sample
+    (hash-bucket filter, no shuffle) to ~cap-scale first — the
+    composition preserves determinism because both order by the same
+    hash.
+    """
+    h = hash32(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= cap)
     )

@@ -852,6 +852,33 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(payloads)
 
 
+@_q(
+    "doc_cap_per_source",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ({H32.format(x="CAST(doc_id AS VARCHAR)")}) ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, source, rn::BIGINT AS rk FROM r WHERE rn <= 100
+    """,
+)
+def doc_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (<=100 docs/source) in deterministic
+    hash order — the domain-balance curation step; the kept subset is
+    an unbiased reproducible sample of each source, monotone in the
+    cap (operators/sampling.py::cap_per_group). One window shuffle,
+    streaming row_number frame."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.cap_per_group(t["documents"], ["source"], cap=100).select(
+        "doc_id", "source", "rk"
+    )
+
+
 @_q("txt_bpe_train", None)  # iterative argmax loop: not SQL-expressible —
 # determinism + equivalence to the classic sequential algorithm are
 # pinned by tests/test_text_dedup_ops.py::test_bpe_train_matches_reference
