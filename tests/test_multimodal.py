@@ -434,3 +434,73 @@ def test_jpeg_color_encoder_roundtrip():
     from boostdb_spark.operators import media_codec as mc
 
     assert mc.decode_png(resized).shape == (4, 5, 3)
+
+
+# --- codec property tests --------------------------------------------------
+
+
+def test_png_roundtrip_property():
+    """Property: every uint8 array (any dims 1..40, 1..4 channels)
+    survives encode->decode bit-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boostdb_spark.operators import media_codec as mc
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.integers(1, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def check(h, w, ch, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+        assert (mc.decode_png(mc.encode_png(arr)) == arr).all()
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boostdb_spark.operators import media_codec as mc
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        ch=st.integers(1, 4),
+        rate=st.sampled_from([8000, 22050, 44100, 48000]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(
+            -32768, 32768, size=(n, ch), dtype=np.int16
+        )
+        a, r = mc.decode_wav_pcm16(mc.encode_wav_pcm16(s, rate, channels=ch))
+        assert r == rate and (a == s).all()
+
+    check()
+
+
+def test_codec_corrupt_inputs_raise_not_garbage():
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+    from boostdb_spark.operators import media_codec as mc
+
+    good = mc.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(Exception):
+        mc.decode_png(good[:30])  # truncated IDAT
+    with pytest.raises(ValueError):
+        mc.decode_png(b"\x89PNG\r\n\x1a\x00garbage")  # bad signature tail
+    with pytest.raises(ValueError):
+        mc.decode_wav_pcm16(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    jp = jc.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(Exception):
+        jc.decode_jpeg(jp[: len(jp) // 2])  # truncated entropy data
