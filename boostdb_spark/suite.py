@@ -1386,6 +1386,48 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "asof_join_tolerance",
+    """
+    WITH j AS (
+      SELECT l.event_id, l.value, l.ts AS l_ts, r.value AS r_val, r.ts AS r_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND r.ts <= l.ts)
+    SELECT event_id, value,
+           CASE WHEN r_ts IS NOT NULL
+                 AND epoch_ns(l_ts) - epoch_ns(r_ts) <= 3600000000000
+                THEN r_val END AS err_value,
+           CASE WHEN r_ts IS NOT NULL
+                 AND epoch_ns(l_ts) - epoch_ns(r_ts) <= 3600000000000
+                THEN epoch_us(r_ts) END AS err_ts_us
+    FROM j
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join() with a max-gap tolerance (pandas merge_asof
+    semantics): matches further than 1h behind the left row are nulled
+    — the left row survives (left-join contract) but stale state never
+    leaks in. Same single-shuffle union+window plan; tolerance is a
+    post-window conditional projection."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    joined = ts_ops.asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        tolerance_ns=3600 * 1_000_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "value",
+        F.col("value_right").alias("err_value"),
+        _ts_us(joined, "ts_right").alias("err_ts_us"),
+    )
+
+
 # ===========================================================================
 # 2.6 — streaming window semantics, certified in batch mode (the SAME
 # helper builds the streaming plans; tests/test_streaming.py proves
