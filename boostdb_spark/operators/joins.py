@@ -109,3 +109,61 @@ def auto_salted_join(
         return probe.join(build, on=on_l, how=how)
     buckets = min(max_buckets, max(2, math.ceil(share * n_part)))
     return salted_join(probe, build, on_l, salt_buckets=buckets, how=how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    bucket: int,
+    left_range: tuple[str, str] = ("start", "end"),
+    right_range: tuple[str, str] = ("start", "end"),
+    suffix: str = "_right",
+    pair_key: Sequence[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join at scale: pairs of rows (same equi-keys
+    ``on``) whose [start, end] ranges intersect. The naive plan is a
+    theta join (cartesian per key group); this one explodes each
+    interval into the fixed-width time buckets it covers and equi-joins
+    on (keys..., bucket) — candidate volume is bounded by
+    intervals-per-bucket, never |L|x|R|, and the no-cartesian guard
+    holds. A pair spanning several shared buckets appears once
+    (dropDuplicates on the pair's natural key: both ranges).
+
+    Pick ``bucket`` near the typical interval length: much smaller
+    multiplies the explode fanout, much larger multiplies candidates
+    per bucket — the standard binned-range-join tradeoff (same knob as
+    any interval index).
+
+    Ranges are numeric (e.g. INT64 ns); closed-interval overlap:
+    ``l.start <= r.end AND r.start <= l.end``. ``pair_key`` names the
+    columns that uniquely identify a pair for the multi-bucket dedup
+    (default: every output column — plain set semantics).
+    """
+    on = list(on)
+    ls, le = left_range
+    rs, re_ = right_range
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        b = F.explode(
+            F.sequence(
+                (F.col(s) - F.col(s) % bucket).cast("long"),
+                (F.col(e) - F.col(e) % bucket).cast("long"),
+                F.lit(bucket).cast("long"),
+            )
+        )
+        return df.withColumn("_bk", b)
+
+    lb = bucketed(left, ls, le)
+    rename = {
+        c: f"{c}{suffix}" for c in right.columns if c not in on and c in left.columns
+    }
+    rb = bucketed(right, rs, re_)
+    for old, new in rename.items():
+        rb = rb.withColumnRenamed(old, new)
+    rs2, re2 = rename.get(rs, rs), rename.get(re_, re_)
+    pairs = lb.join(rb, [*on, "_bk"]).filter(
+        (F.col(ls) <= F.col(re2)) & (F.col(rs2) <= F.col(le))
+    )
+    out = pairs.drop("_bk")
+    return out.dropDuplicates(list(pair_key) if pair_key else None)

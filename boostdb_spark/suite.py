@@ -1387,6 +1387,46 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_interval_overlap",
+    """
+    SELECT l.event_id AS purchase_id, r.event_id AS error_id
+    FROM (SELECT event_id, user_id, epoch_ns(ts) AS s,
+                 epoch_ns(ts) + 7200000000000 AS e
+          FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT event_id, user_id, epoch_ns(ts) AS s,
+                 epoch_ns(ts) + 3600000000000 AS e
+          FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-overlap join (operators/joins.py::
+    interval_overlap_join): purchase windows [ts, ts+2h] against error
+    windows [ts, ts+1h] per user. The theta condition becomes an
+    equi-join on (user, hour-bucket) — candidates bounded by
+    intervals-per-bucket, no per-key cartesian; multi-bucket pairs
+    dedup on the pair key. The oracle is the plain overlap theta join."""
+    from boostdb_spark.operators.joins import interval_overlap_join
+
+    ev = _ns_events(load_tables(spark, sf_dir))
+    hour = 3600 * 1_000_000_000
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("s"), (F.col("ts") + 2 * hour).alias("e"),
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("s"), (F.col("ts") + hour).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        left, right, on=["user_id"], bucket=hour,
+        left_range=("s", "e"), right_range=("s", "e"),
+        pair_key=["purchase_id", "error_id"],
+    )
+    return pairs.select("purchase_id", "error_id")
+
+
+@_q(
     "asof_join_tolerance",
     """
     WITH j AS (

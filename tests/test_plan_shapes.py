@@ -57,6 +57,7 @@ def test_dim_joins_broadcast(spark):
         "agg_q14_promo_share",
         "join_skew_salted",
         "emb_neardup_cosine",
+        "join_interval_overlap",
     ],
 )
 def test_candidate_joins_are_equi_not_cartesian(spark, name):
