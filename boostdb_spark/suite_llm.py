@@ -898,6 +898,28 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("txt_bpe_tokenize", None)  # depends on the trained merge list (the
+# iterative argmax loop above) -> rows-only; apply-algorithm equivalence
+# is pinned by tests/test_text_dedup_ops.py::test_bpe_apply_uses_merge_ranks
+def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer loop in production shape: train BPE merges on
+    a deterministic 10% hash-sample of the corpus (train-on-sample is
+    the standard economy at 100 TB — the merge table is vocabulary
+    statistics, not corpus-sized), broadcast the ranked merges, and
+    tokenize EVERY document via Arrow-batched apply_bpe. Output is the
+    deterministic per-doc token count."""
+    from boostdb_spark.operators import bpe
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    sample = sp.deterministic_sample(
+        docs.withColumn("_k", F.col("doc_id").cast("string")), "_k", 0.1
+    )
+    merges = bpe.train_bpe(sample, num_merges=10)
+    return bpe.apply_bpe(docs, merges).select("doc_id", "n_tokens")
+
+
 @_q(
     "multimodal_jpeg",
     """

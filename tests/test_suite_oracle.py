@@ -29,6 +29,7 @@ def test_every_query_has_oracle_or_reason():
         # iterative argmax loop, not SQL-expressible; equivalence to the
         # classic sequential algorithm pinned in test_text_dedup_ops.py
         "txt_bpe_train",
+        "txt_bpe_tokenize",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 
