@@ -1144,3 +1144,49 @@ def holt_winters(
         acc[1].alias("level"),
         acc[2].alias("trend"),
     )
+
+
+def mad_over_time(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Median absolute deviation of each series per tumbling bucket —
+    the robust spread statistic (outlier-resistant alternative to
+    stddev for alerting thresholds). Exact: median and MAD both come
+    from sorted arrays with the standard ``pos = (n-1)/2`` linear
+    interpolation, a fixed double expression tree a SQL oracle
+    reproduces bit-for-bit.
+
+    Shape: ONE grouped aggregate; the deviations array derives from
+    the values array in-expression (transform + array_sort), so the
+    data is never re-scanned. Per-task memory = one bucket's samples,
+    the same contract as quantile_over_time.
+    """
+    bdf = time_bucket(
+        df.filter(F.col(value_col).isNotNull()), bucket_seconds, ts_col=ts_col
+    )
+    agg = bdf.groupBy("bucket", *series_cols).agg(
+        F.array_sort(F.collect_list(F.col(value_col).cast("double"))).alias("_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def interp(arr, n):
+        pos = (n.cast("double") - F.lit(1.0)) * F.lit(0.5)
+        lo = F.floor(pos).cast("long")
+        frac = pos - lo.cast("double")
+        v_lo = F.element_at(arr, (lo + 1).cast("int"))
+        v_hi = F.element_at(arr, F.least(lo + 2, n).cast("int"))
+        return v_lo + frac * (v_hi - v_lo)
+
+    med = interp(F.col("_v"), F.col("n"))
+    devs = F.array_sort(F.transform(F.col("_v"), lambda x: F.abs(x - med)))
+    return agg.select(
+        "bucket",
+        *series_cols,
+        "n",
+        med.alias("median"),
+        interp(devs, F.col("n")).alias("mad"),
+    )

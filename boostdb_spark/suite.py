@@ -2120,6 +2120,56 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_mad",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT bucket, event_type, count(*) AS n, list(v ORDER BY v) AS vs
+      FROM b GROUP BY 1, 2),
+    m AS (
+      SELECT bucket, event_type, n, vs,
+             vs[CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5) AS BIGINT) + 1]
+             + ((CAST(n AS DOUBLE) - 1.0) * 0.5
+                - CAST(CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5) AS BIGINT)
+                       AS DOUBLE))
+               * (vs[least(CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5)
+                                AS BIGINT) + 2, n)]
+                  - vs[CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5)
+                            AS BIGINT) + 1]) AS median
+      FROM g),
+    d AS (
+      SELECT bucket, event_type, n, median,
+             list_sort(list_transform(vs, x -> abs(x - median))) AS ds
+      FROM m)
+    SELECT bucket, event_type, n, median,
+           ds[CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5) AS BIGINT) + 1]
+           + ((CAST(n AS DOUBLE) - 1.0) * 0.5
+              - CAST(CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5) AS BIGINT)
+                     AS DOUBLE))
+             * (ds[least(CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5)
+                              AS BIGINT) + 2, n)]
+                - ds[CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5)
+                          AS BIGINT) + 1]) AS mad
+    FROM d
+    """,
+)
+def ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mad_over_time(): per-series per-6h-bucket median + median
+    absolute deviation — the robust spread statistic for alerting
+    thresholds. Both from sorted arrays with the standard interpolated
+    median (fixed double expressions); the deviations array derives
+    in-expression, no re-scan. One grouped aggregate."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.mad_over_time(
+        _ns_events(t), bucket_seconds=21600, series_cols=("event_type",)
+    )
+
+
 @_q("agg_approx_count_distinct", None)  # HLL sketch: no SQL oracle —
 # deterministic for a given input but engine-specific; error bound
 # certified by tests/test_timeseries_ops.py::test_approx_distinct_error
