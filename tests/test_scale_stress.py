@@ -169,3 +169,92 @@ def test_salted_join_under_heavy_skew(spark):
         .collect()
     }
     assert agg_s == agg_p and len(agg_s) > 0
+
+
+def test_interval_overlap_join_equals_theta(spark):
+    """Binned interval join on ~1M replicated intervals must equal the
+    naive theta join exactly — and stay an equi-join plan."""
+    from boostdb_spark.operators.joins import interval_overlap_join
+
+    hour = 3600 * 1_000_000_000
+    e = _events_x(spark, 4)
+    ns = F.col("ts").cast("long") if dict(e.dtypes)["ts"] in ("bigint", "long") else None
+    from boostdb_spark.functions.scalar import ts_ns
+
+    e = e.withColumn("tns", ts_ns(e, "ts"))
+    left = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"), "user_id",
+        F.col("tns").alias("s"), (F.col("tns") + 2 * hour).alias("e"),
+    )
+    right = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("rid"), "user_id",
+        F.col("tns").alias("s"), (F.col("tns") + hour).alias("e"),
+    )
+    binned = interval_overlap_join(
+        left, right, on=["user_id"], bucket=hour,
+        left_range=("s", "e"), right_range=("s", "e"),
+        pair_key=["lid", "rid"],
+    ).select("lid", "rid")
+    naive = left.join(
+        right.withColumnRenamed("s", "rs").withColumnRenamed("e", "re"),
+        (left["user_id"] == right["user_id"]),
+    ).filter((F.col("s") <= F.col("re")) & (F.col("rs") <= F.col("e"))).select(
+        "lid", "rid"
+    )
+    assert binned.exceptAll(naive).count() == 0
+    assert naive.exceptAll(binned).count() == 0
+    p = binned._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+
+
+def test_cap_per_group_heavy_skew_deterministic(spark):
+    """One group with ~2M rows: the cap returns exactly `cap` rows for
+    it, and the kept set is partitioning-invariant."""
+    from boostdb_spark.operators.sampling import cap_per_group
+
+    big = spark.range(2_000_000).select(
+        F.lit("hot").alias("src"), F.col("id").alias("doc_id")
+    )
+    small = spark.range(500).select(
+        F.lit("cold").alias("src"), (F.col("id") + 10_000_000).alias("doc_id")
+    )
+    df = big.unionByName(small)
+    out1 = cap_per_group(df, ["src"], cap=1000, key_col="doc_id")
+    got1 = sorted((r["src"], r["doc_id"]) for r in out1.collect())
+    got2 = sorted(
+        (r["src"], r["doc_id"])
+        for r in cap_per_group(df.repartition(64), ["src"], 1000, "doc_id").collect()
+    )
+    assert got1 == got2
+    per = {k: sum(1 for s, _ in got1 if s == k) for k in ("hot", "cold")}
+    assert per == {"hot": 1000, "cold": 500}
+
+
+def test_quantize_100k_vectors_partition_invariant(spark):
+    from boostdb_spark.operators.similarity import quantize_int8
+
+    e = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    reps = 100_000 // e.count() + 1
+    big = e.crossJoin(
+        F.broadcast(spark.range(reps).withColumnRenamed("id", "rep"))
+    ).withColumn("vec_id", F.col("vec_id") * reps + F.col("rep")).drop("rep")
+    q = quantize_int8(big).drop("q")
+    a = sorted(map(tuple, q.collect()))
+    b = sorted(map(tuple, quantize_int8(big.repartition(48)).drop("q").collect()))
+    assert a == b and len(a) >= 100_000
+
+
+def test_bpe_train_partition_invariant(spark):
+    """BPE merges must be identical regardless of shuffle-partition
+    count — the argmax tie-break is total, not partition-dependent."""
+    from boostdb_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    m1 = bpe.train_bpe(docs, num_merges=8)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        m2 = bpe.train_bpe(docs.repartition(13), num_merges=8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert m1 == m2 and len(m1) == 8
