@@ -1387,6 +1387,35 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scan_compressed_blocks",
+    """
+    SELECT event_type AS series, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type IN ('click', 'error')
+    """,
+)
+def scan_compressed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's storage heart round-tripped: series compressed
+    into Gorilla-style blocks (delta-of-delta timestamps + XOR float
+    encoding — M3DB's block scheme, operators/tscompress.py) and
+    decoded back. decode(encode(x)) must be BIT-exact, so the oracle
+    is simply the raw table — any drift in the bit packing flips the
+    hash. Both stages are partition-local Arrow passes; the only
+    shuffle is the per-series groupBy."""
+    from boostdb_spark.operators import tscompress as tc
+
+    t = load_tables(spark, sf_dir)
+    ev = _ns_events(t).filter(F.col("event_type").isin("click", "error"))
+    blocks = tc.compress_series(
+        ev, series_col="event_type", ts_col="ts", value_col="value"
+    )
+    points = tc.decompress_series(blocks)
+    # integer div: float division would round ns-scale longs
+    return points.select(
+        "series", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+
+
+@_q(
     "join_interval_overlap",
     """
     SELECT l.event_id AS purchase_id, r.event_id AS error_id

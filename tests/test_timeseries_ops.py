@@ -322,3 +322,69 @@ def test_holt_winters_single_sample(spark):
     df = spark.createDataFrame([("x", 0, 7.5)], "series string, ts long, value double")
     r = ts.holt_winters(df, alpha=0.5, beta=0.25, bucket_seconds=1).collect()[0]
     assert (r["level"], r["trend"]) == (7.5, 0.0)
+
+
+def test_gorilla_block_roundtrip_exact():
+    """Gorilla-style block codec: delta-of-delta ts + XOR values must
+    round-trip BIT-exactly on smooth, jumpy, repeated, negative, and
+    special-value series — and actually compress the smooth case."""
+    import random
+
+    from boostdb_spark.operators import tscompress as tc
+
+    rng = random.Random(3)
+    ts = sorted(
+        1_700_000_000_000_000_000 + i * 10_000_000_000 + rng.choice([0, 3])
+        for i in range(2000)
+    )
+    v, vals = 50.0, []
+    for _ in range(2000):
+        v += rng.choice([0.0, 0.0, 0.25, -0.5, 7.0])
+        vals.append(v)
+    blk = tc.encode_block(ts, vals)
+    assert tc.decode_block(blk) == (ts, vals)
+    assert len(blk) < 2000 * 16 / 3  # >3x on smooth counters
+
+    specials = [0.0, -0.0, float("inf"), float("-inf"), 1e-308, -5.5]
+    blk2 = tc.encode_block(ts[:6], specials)
+    t2, v2 = tc.decode_block(blk2)
+    assert t2 == ts[:6]
+    assert all(
+        (a == b) or (str(a) == str(b)) for a, b in zip(v2, specials)
+    )  # -0.0 == 0.0 is fine; inf compares equal
+
+
+def test_gorilla_block_roundtrip_property():
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boostdb_spark.operators import tscompress as tc
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 300), seed=st.integers(0, 2**31))
+    def check(n, seed):
+        rng = random.Random(seed)
+        t0 = rng.randrange(0, 2**60)
+        ts, t = [], t0
+        for _ in range(n):
+            ts.append(t)
+            t += rng.randrange(1, 10**10)
+        vals = [rng.uniform(-1e12, 1e12) for _ in range(n)]
+        assert tc.decode_block(tc.encode_block(ts, vals)) == (ts, vals)
+
+    check()
+
+
+def test_compress_series_spark_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators import tscompress as tc
+
+    rows = [("a", i * 1_000_000_000, float(i % 7) * 0.5) for i in range(500)]
+    rows += [("b", i * 2_000_000_000 + 5, 100.0 - i) for i in range(300)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    back = tc.decompress_series(tc.compress_series(df))
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(rows)
