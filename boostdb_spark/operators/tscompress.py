@@ -163,6 +163,7 @@ def decode_block(block: bytes) -> tuple[list[int], list[float]]:
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("series", T.StringType()),
+        T.StructField("chunk", T.LongType()),
         T.StructField("n_points", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("block", T.BinaryType()),
@@ -175,11 +176,21 @@ def compress_series(
     series_col: str = "series",
     ts_col: str = "ts",
     value_col: str = "value",
+    chunk_seconds: int | None = 6 * 3600,
 ) -> DataFrame:
-    """(series, ts int64-ns, value) -> one compressed block per series:
-    (series, n_points, n_bytes, block). For production chunking, first
-    add a time-bucket column and group on (series, bucket) so block
-    size stays bounded — same contract as any block store."""
+    """(series, ts int64-ns, value) -> compressed blocks keyed
+    (series, chunk): one block per series per ``chunk_seconds``
+    tumbling window — the M3DB block-per-(series, time-window) layout.
+    Chunking is what makes this scale: block size is bounded by the
+    window (no unbounded per-series group), and encoding parallelizes
+    over (series x chunks) tasks. ``chunk_seconds=None`` packs each
+    whole series into one block (only for small snapshots)."""
+    span = (chunk_seconds or 0) * 1_000_000_000
+    chunk = (
+        (F.col(ts_col) - F.col(ts_col) % F.lit(span)).cast("long")
+        if chunk_seconds
+        else F.lit(0).cast("long")
+    )
 
     def one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
@@ -189,14 +200,18 @@ def compress_series(
         return pd.DataFrame(
             {
                 "series": [key[0]],
+                "chunk": [int(key[1])],
                 "n_points": [len(ts)],
                 "n_bytes": [len(block)],
                 "block": [block],
             }
         )
 
-    return df.select(series_col, ts_col, value_col).groupBy(series_col).applyInPandas(
-        one, BLOCK_SCHEMA
+    return (
+        df.select(series_col, ts_col, value_col)
+        .withColumn("_chunk", chunk)
+        .groupBy(series_col, "_chunk")
+        .applyInPandas(one, BLOCK_SCHEMA)
     )
 
 
