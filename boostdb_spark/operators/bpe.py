@@ -132,11 +132,17 @@ def apply_bpe(
     merges: list[tuple[int, str, str, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    lowercase: bool = True,
 ) -> DataFrame:
     """Tokenize documents with a learned merge list -> (id, n_tokens,
     tokens). The merge table broadcasts inside an Arrow-batched
     mapInPandas (ranked-merge loop per word, the standard apply
-    algorithm) — partition-local, scan-speed."""
+    algorithm) — partition-local, scan-speed.
+
+    ``lowercase`` must MATCH the ``words_with_counts`` setting the
+    merges were trained with — mismatched pre-tokenization means no
+    learned merge ever fires and every word silently degrades to
+    characters."""
     import re
     from collections.abc import Iterator
 
@@ -144,7 +150,7 @@ def apply_bpe(
     from pyspark.sql import types as T
 
     ranks = {(a, b): r for r, a, b, _ in merges}
-    word_re = re.compile(r"[a-z0-9]+")
+    word_re = re.compile(r"[a-z0-9]+" if lowercase else r"\S+")
 
     def encode_word(word: str) -> list[str]:
         syms = list(word) + [END]
@@ -173,7 +179,13 @@ def apply_bpe(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             toks = [
-                [s for w in word_re.findall(str(t).lower()) for s in encode_word(w)]
+                [
+                    s
+                    for w in word_re.findall(
+                        str(t).lower() if lowercase else str(t)
+                    )
+                    for s in encode_word(w)
+                ]
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame(

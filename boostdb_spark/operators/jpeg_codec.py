@@ -136,7 +136,9 @@ class _BitReader:
         if self.n == 0 and not self._fill():
             raise ValueError("JPEG: entropy data exhausted")
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        bit = (self.acc >> self.n) & 1
+        self.acc &= (1 << self.n) - 1  # keep acc bounded: O(1) per bit
+        return bit
 
     def read_bits(self, k: int) -> int:
         v = 0
@@ -145,9 +147,20 @@ class _BitReader:
         return v
 
     def align_to_marker(self):
-        """Drop partial byte, consume an expected RST marker."""
+        """Drop partial-byte padding bits and consume the expected RST
+        marker. The marker may not have been seen by ``_fill`` yet
+        (fills stop early once >=24 bits are buffered), so look for it
+        directly at the stream position when needed."""
         self.acc = 0
         self.n = 0
+        if self.marker is None:
+            b = self.buf
+            if (
+                self.pos + 1 < len(b)
+                and b[self.pos] == 0xFF
+                and 0xD0 <= b[self.pos + 1] <= 0xD7
+            ):
+                self.marker = b[self.pos + 1]
         if self.marker is not None:
             self.pos += 2  # skip FF Dn
             self.marker = None
@@ -332,6 +345,8 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop flushed bits so acc stays O(1) regardless of stream size
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
@@ -372,39 +387,7 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _DCT @ block @ _DCT.T
-            qc = np.floor(coef / q + 0.5).astype(np.int64)
-            dc = int(qc[0, 0])
-            t, bits_v = _magnitude(dc - pred)
-            pred = dc
-            code, ln = dc_codes[t]
-            bwr.write(code, ln)
-            if t:
-                bwr.write(bits_v, t)
-            run = 0
-            last_nz = 0
-            zz_vals = [int(qc[_ZZ[k]]) for k in range(1, 64)]
-            for k, v in enumerate(zz_vals, start=1):
-                if v != 0:
-                    last_nz = k
-            for k, v in enumerate(zz_vals, start=1):
-                if k > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bwr.write(code, ln)
-                    run -= 16
-                t, bits_v = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | t]
-                bwr.write(code, ln)
-                bwr.write(bits_v, t)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bwr.write(code, ln)
+            pred = _encode_block(bwr, block, q, pred, dc_codes, ac_codes)
     bwr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:

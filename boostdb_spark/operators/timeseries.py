@@ -981,6 +981,17 @@ def linear_trend(
         F.array_sort(F.collect_list(F.struct("bucket", "_m"))).alias("_a"),
         F.count(F.lit(1)).alias("n"),
     )
+    # bucket is INT64-ns for long ts, a window-start TIMESTAMP otherwise
+    # (time_bucket contract) — x must be SECONDS either way, so the
+    # slope/predict units don't silently scale by 1e9 with the dtype.
+    # Order of operations (subtract raw doubles, THEN scale) is pinned:
+    # the SQL oracle computes (b - b0)/1e9 and scaling first would
+    # round differently.
+    ns_scale = _is_long_ts(df, ts_col)
+
+    def to_secs(diff):
+        return diff / F.lit(1e9) if ns_scale else diff
+
     b0 = F.element_at(F.col("_a"), 1)["bucket"].cast("double")
     bN = F.element_at(F.col("_a"), -1)["bucket"].cast("double")
 
@@ -988,7 +999,7 @@ def linear_trend(
         return F.aggregate(F.col("_a"), F.lit(0.0), expr)
 
     def x_of(t):
-        return (t["bucket"].cast("double") - b0) / F.lit(1e9)
+        return to_secs(t["bucket"].cast("double") - b0)
 
     sx = fold(lambda acc, t: acc + x_of(t))
     sy = fold(lambda acc, t: acc + t["_m"])
@@ -997,7 +1008,7 @@ def linear_trend(
     nd = F.col("n").cast("double")
     slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     intercept = (sy - slope * sx) / nd
-    x_pred = (bN - b0) / F.lit(1e9) + F.lit(float(predict_seconds))
+    x_pred = to_secs(bN - b0) + F.lit(float(predict_seconds))
     return agg.select(
         *series_cols,
         "n",

@@ -52,6 +52,9 @@ class _BitWriter:
         while self.n >= 8:
             self.n -= 8
             self.out.append((self.acc >> self.n) & 0xFF)
+        # drop flushed high bits — otherwise acc grows with the stream
+        # and every shift turns O(total bits) (quadratic encode)
+        self.acc &= (1 << self.n) - 1
 
     def write_varint(self, v: int) -> None:
         z = (v << 1) ^ (v >> 63) if v < 0 else v << 1  # zigzag
@@ -85,6 +88,7 @@ class _BitReader:
             self.n += 8
         self.n -= bits
         v = (self.acc >> self.n) & ((1 << bits) - 1)
+        self.acc &= (1 << self.n) - 1  # same O(1) bound as the writer
         return v
 
     def read_varint(self) -> int:

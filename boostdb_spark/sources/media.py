@@ -35,9 +35,11 @@ def write_media_files(
     rows as ``<id>.<ext>`` files under ``path`` (local/shared FS). One
     file per blob — the layout object stores and media dumps arrive
     in. Deterministic file names, so re-writes are idempotent."""
-    os.makedirs(path, exist_ok=True)
 
     def dump(rows) -> None:
+        # create the dir in the TASK, not the driver: on a multi-node
+        # cluster the executor's filesystem is the one that matters
+        os.makedirs(path, exist_ok=True)
         for r in rows:
             with open(os.path.join(path, f"{r[id_col]}.{ext}"), "wb") as f:
                 f.write(bytes(r[payload_col]))

@@ -504,3 +504,52 @@ def test_codec_corrupt_inputs_raise_not_garbage():
     jp = jc.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
     with pytest.raises(Exception):
         jc.decode_jpeg(jp[: len(jp) // 2])  # truncated entropy data
+
+
+def test_jpeg_restart_markers_decode():
+    """DRI/RSTn streams: hand-build a 2-MCU grayscale JPEG with a
+    restart interval of 1 (RST0 between MCUs, DC predictors reset) and
+    check the decoder reproduces both blocks."""
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    q00 = int(jc._Q_LUMA[0, 0])
+    dc_codes = jc._encode_codes(jc._DC_LUMA_BITS, jc._DC_LUMA_VALS)
+    ac_codes = jc._encode_codes(jc._AC_LUMA_BITS, jc._AC_LUMA_VALS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dc_only_mcu(qdc):
+        w = jc._BitWriter()
+        t, bits_v = jc._magnitude(qdc)  # predictor RESET: diff == dc
+        code, ln = dc_codes[t]
+        w.write(code, ln)
+        if t:
+            w.write(bits_v, t)
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+        w.flush()
+        return bytes(w.out)
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(jc._Q_LUMA[jc._ZZ[k]]) for k in range(64)))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(jc._DC_LUMA_BITS) + bytes(jc._DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(jc._AC_LUMA_BITS) + bytes(jc._AC_LUMA_VALS))
+        + seg(0xDD, (1).to_bytes(2, "big"))  # DRI: restart every MCU
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + dc_only_mcu(10)
+        + b"\xff\xd0"  # RST0
+        + dc_only_mcu(-4)
+        + b"\xff\xd9"
+    )
+    out = jc.decode_jpeg(payload)
+    assert out.shape == (8, 16)
+    import numpy as np
+
+    v0 = int(np.clip(np.floor(10 * q00 / 8.0 + 128 + 0.5), 0, 255))
+    v1 = int(np.clip(np.floor(-4 * q00 / 8.0 + 128 + 0.5), 0, 255))
+    assert (out[:, :8] == v0).all() and (out[:, 8:] == v1).all()

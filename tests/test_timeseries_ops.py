@@ -388,3 +388,20 @@ def test_compress_series_spark_roundtrip(spark):
     back = tc.decompress_series(tc.compress_series(df))
     got = sorted(map(tuple, back.collect()))
     assert got == sorted(rows)
+
+
+def test_linear_trend_timestamp_dtype(spark):
+    """linear_trend must give SECONDS-scaled slope for timestamp ts
+    too (the 1e9-off regression class): y = 2x + 1 per second."""
+    import datetime as dt
+
+    import boostdb_spark.operators.timeseries as ts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(seconds=i), 2.0 * i + 1.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    r = ts.linear_trend(df, bucket_seconds=1, predict_seconds=3.0).collect()[0]
+    assert abs(r["slope"] - 2.0) < 1e-9
+    assert abs(r["predict"] - 15.0) < 1e-9
