@@ -229,6 +229,27 @@ POINTS_SCHEMA = T.StructType(
 )
 
 
+def fetch_range(
+    blocks: DataFrame,
+    start_ns: int,
+    end_ns: int,
+    chunk_seconds: int = 6 * 3600,
+) -> DataFrame:
+    """Pruned block-store read: decode only blocks whose chunk window
+    can overlap [start_ns, end_ns), then filter rows exactly — the
+    block-skipping read path of a series store (M3DB reads only the
+    blocks covering the query range). The chunk filter is a plain
+    predicate, so with blocks persisted to parquet it pushes into the
+    scan and untouched blocks are never read OR decoded."""
+    span = chunk_seconds * 1_000_000_000
+    lo = start_ns - start_ns % span
+    pruned = blocks.filter(
+        (F.col("chunk") >= F.lit(lo)) & (F.col("chunk") < F.lit(end_ns))
+    )
+    pts = decompress_series(pruned)
+    return pts.filter((F.col("ts") >= start_ns) & (F.col("ts") < end_ns))
+
+
 def decompress_series(blocks: DataFrame) -> DataFrame:
     """(series, ..., block) -> (series, ts, value) rows — the exact
     inverse scan, partition-local mapInPandas."""

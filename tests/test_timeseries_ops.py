@@ -405,3 +405,26 @@ def test_linear_trend_timestamp_dtype(spark):
     r = ts.linear_trend(df, bucket_seconds=1, predict_seconds=3.0).collect()[0]
     assert abs(r["slope"] - 2.0) < 1e-9
     assert abs(r["predict"] - 15.0) < 1e-9
+
+
+def test_compressed_fetch_range_prunes_and_matches(spark):
+    """fetch_range must equal a plain filter on the raw rows AND decode
+    only the blocks overlapping the range."""
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators import tscompress as tc
+
+    hour = 3600 * 1_000_000_000
+    rows = [("a", i * hour // 4, float(i)) for i in range(200)]  # 50 h span
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    blocks = tc.compress_series(df, chunk_seconds=6 * 3600)
+    start, end = 10 * hour, 22 * hour
+    got = sorted(map(tuple, tc.fetch_range(blocks, start, end).collect()))
+    want = sorted((s, t, v) for s, t, v in rows if start <= t < end)
+    assert got == want
+    # pruning: only the chunks overlapping [10h, 22h) are decoded
+    span = 6 * 3600 * 1_000_000_000
+    n_pruned = blocks.filter(
+        (F.col("chunk") >= start - start % span) & (F.col("chunk") < end)
+    ).count()
+    assert n_pruned < blocks.count()
