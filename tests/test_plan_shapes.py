@@ -159,3 +159,13 @@ def test_ts_linear_trend_single_shuffle_pair(spark):
     # formatted mode lists each node in the tree AND a details section:
     # count the numbered detail headers only
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_compressed_blocks_single_shuffle(spark):
+    """Compress -> decompress is one groupBy exchange; the decode is a
+    partition-local Arrow pass (no further shuffle)."""
+    import re
+
+    p = _plan(spark, "scan_compressed_blocks")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "Join" not in p
