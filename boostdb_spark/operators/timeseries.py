@@ -1201,3 +1201,81 @@ def mad_over_time(
         med.alias("median"),
         interp(devs, F.col("n")).alias("mad"),
     )
+
+
+def prom_rate(
+    df: DataFrame,
+    range_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    counter: bool = True,
+) -> DataFrame:
+    """Prometheus ``rate(v[range])`` with FULL boundary-extrapolation
+    semantics (promql extrapolatedRate): evaluated at each series' last
+    sample, over the window ``[t_end - range, t_end]``:
+
+    - increase = sum of reset-adjusted deltas over the window samples;
+    - the sampled interval extrapolates toward each window edge by the
+      distance to the edge, capped at 1.1x the average sample spacing
+      (else half a spacing) — the part naive delta/time gets wrong;
+    - counters additionally cap start-side extrapolation where the
+      series would go below zero.
+
+    Returns (series..., n, rate) for series with >= 2 window samples.
+
+    Requires INT64-ns ``ts``. Determinism: one ts-ordered fold for the
+    increase + a fixed double formula tree — bit-identical to a SQL
+    oracle. Shape: per-series max (grouped agg) joined back, then one
+    grouped sorted fold over the window's samples; memory bounded by
+    samples-per-range like any range-vector evaluation.
+    """
+    rng_ns = range_seconds * NS_PER_SEC
+    end = df.groupBy(*series_cols).agg(F.max(ts_col).alias("_t_end"))
+    x = df.join(end, list(series_cols)).filter(
+        F.col(ts_col) >= F.col("_t_end") - F.lit(rng_ns)
+    )
+    agg = x.groupBy(*series_cols).agg(
+        F.array_sort(F.collect_list(F.struct(ts_col, value_col))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("_t_end").alias("_t_end"),
+    ).filter(F.col("n") >= 2)
+
+    first = F.element_at(F.col("_a"), 1)
+    last = F.element_at(F.col("_a"), -1)
+    v = lambda t: t[value_col].cast("double")  # noqa: E731
+
+    if counter:
+        # reset-adjusted increase: fold carrying [prev, acc]
+        def step(acc, t):
+            prev, s = acc[0], acc[1]
+            d = F.when(v(t) < prev, v(t)).otherwise(v(t) - prev)
+            return F.array(v(t), s + d)
+
+        inc = F.aggregate(
+            F.slice(F.col("_a"), 2, F.greatest(F.col("n") - 1, F.lit(0))),
+            F.array(v(first), F.lit(0.0)),
+            step,
+        )[1]
+    else:
+        inc = v(last) - v(first)
+
+    sec = lambda c: c.cast("double") / F.lit(1e9)  # noqa: E731
+    t_first, t_last = first[ts_col], last[ts_col]
+    range_start = F.col("_t_end") - F.lit(rng_ns)
+    d_start = sec(t_first - range_start)
+    d_end = sec(F.col("_t_end") - t_last)
+    si = sec(t_last - t_first)
+    avg = si / (F.col("n").cast("double") - F.lit(1.0))
+    thr = avg * F.lit(1.1)
+    # counters cannot extrapolate below zero at the window start
+    d_zero = F.when(
+        (F.lit(bool(counter))) & (inc > 0.0), si * (v(first) / inc)
+    ).otherwise(F.lit(float("inf")))
+    start_ext = F.least(
+        F.when(d_start < thr, d_start).otherwise(avg / F.lit(2.0)), d_zero
+    )
+    end_ext = F.when(d_end < thr, d_end).otherwise(avg / F.lit(2.0))
+    extr = si + start_ext + end_ext
+    rate = inc * (extr / si) / F.lit(float(range_seconds))
+    return agg.select(*series_cols, "n", rate.alias("rate"))

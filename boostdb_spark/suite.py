@@ -2150,6 +2150,64 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_prom_rate",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) AS t, CAST(value AS DOUBLE) AS v
+      FROM events),
+    mx AS (SELECT event_type, max(t) AS t_end FROM e GROUP BY event_type),
+    w AS (
+      SELECT e.event_type, e.t, e.v, mx.t_end
+      FROM e JOIN mx USING (event_type)
+      WHERE e.t >= mx.t_end - 21600000000000),
+    g AS (
+      SELECT event_type, count(*) AS n, max(t_end) AS t_end,
+             list(v ORDER BY t, v) AS vs, list(t ORDER BY t, v) AS tl
+      FROM w GROUP BY event_type),
+    f AS (
+      SELECT event_type, n, t_end, vs, tl,
+             list_reduce(
+               list_prepend([vs[1], 0.0],
+                            list_transform(vs[2:], x -> [x])),
+               (acc, y) -> [y[1], acc[2] + CASE WHEN y[1] < acc[1]
+                                                THEN y[1]
+                                                ELSE y[1] - acc[1] END]
+             )[2] AS inc,
+             CAST(tl[1] - (t_end - 21600000000000) AS DOUBLE) / 1e9 AS d_start,
+             CAST(t_end - tl[-1] AS DOUBLE) / 1e9 AS d_end,
+             CAST(tl[-1] - tl[1] AS DOUBLE) / 1e9 AS si
+      FROM g WHERE n >= 2),
+    x AS (
+      SELECT event_type, n, inc, d_start, d_end, si,
+             si / (CAST(n AS DOUBLE) - 1.0) AS avg_gap
+      FROM f)
+    SELECT event_type, n,
+           inc * ((si
+                   + least(CASE WHEN d_start < avg_gap * 1.1
+                                THEN d_start ELSE avg_gap / 2.0 END,
+                           CASE WHEN inc > 0.0
+                                THEN si * (vs_first / inc)
+                                ELSE CAST('inf' AS DOUBLE) END)
+                   + CASE WHEN d_end < avg_gap * 1.1
+                          THEN d_end ELSE avg_gap / 2.0 END)
+                  / si) / 21600.0 AS rate
+    FROM (SELECT x.*, f2.vs[1] AS vs_first
+          FROM x JOIN f f2 USING (event_type))
+    """,
+)
+def ts_prom_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prom_rate(): Prometheus rate(v[6h]) with FULL extrapolatedRate
+    semantics — reset-adjusted increase over each series' trailing
+    window, boundary extrapolation capped at 1.1x the average sample
+    spacing, counter zero-cap on the start side. One ordered fold +
+    one fixed double formula tree, bit-identical to the oracle."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.prom_rate(
+        _ns_events(t), range_seconds=21600, series_cols=("event_type",)
+    )
+
+
+@_q(
     "ts_mad",
     """
     WITH b AS (

@@ -428,3 +428,42 @@ def test_compressed_fetch_range_prunes_and_matches(spark):
         (F.col("chunk") >= start - start % span) & (F.col("chunk") < end)
     ).count()
     assert n_pruned < blocks.count()
+
+
+def test_prom_rate_matches_reference_semantics(spark):
+    """prom_rate must reproduce promql extrapolatedRate exactly:
+    reset-adjusted increase, 1.1x-spacing-capped boundary
+    extrapolation, counter zero-cap."""
+    import boostdb_spark.operators.timeseries as ts
+
+    NS = 1_000_000_000
+    samples = [(0, 10.0), (5, 20.0), (17, 3.0), (30, 9.0), (55, 21.0)]
+    df = spark.createDataFrame(
+        [("a", t * NS, v) for t, v in samples],
+        "series string, ts long, value double",
+    )
+    r = ts.prom_rate(df, range_seconds=60).collect()[0]
+
+    t_end, rng = 55.0, 60.0
+    win = [(t, v) for t, v in samples if t >= t_end - rng]
+    n = len(win)
+    inc = sum(
+        v if v < pv else v - pv
+        for (pt, pv), (t, v) in zip(win, win[1:])
+    )
+    d_start = win[0][0] - (t_end - rng)
+    d_end = t_end - win[-1][0]
+    si = float(win[-1][0] - win[0][0])
+    avg = si / (n - 1)
+    thr = avg * 1.1
+    d_zero = si * (win[0][1] / inc) if inc > 0 else float("inf")
+    start_ext = min(d_start if d_start < thr else avg / 2, d_zero)
+    end_ext = d_end if d_end < thr else avg / 2
+    want = inc * ((si + start_ext + end_ext) / si) / rng
+    assert r["n"] == n and r["rate"] == want  # bit-exact
+
+    # single-sample series are dropped (promql returns no result)
+    df1 = spark.createDataFrame(
+        [("b", 0, 1.0)], "series string, ts long, value double"
+    )
+    assert ts.prom_rate(df1, 60).count() == 0
