@@ -699,3 +699,215 @@ def quantize_int8(
         F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
         err.alias("err_l1"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rate: float | None = None,
+):
+    """Train a product quantizer (Jégou et al., TPAMI'11 — public
+    algorithm): the vector splits into ``m`` subspaces, each with its
+    own ``k``-centroid L2 k-means codebook, so a d-dim float vector
+    stores as ``m`` single-byte codes (32x compression at d=64, m=8).
+
+    Returns ``codebooks``: a list of m numpy arrays, each (k, d/m).
+
+    Deterministic end to end: seedless init (the k lowest-id vectors'
+    subvectors), decimal per-dimension sums for re-centering (order-
+    independent), ties toward the lower centroid id. ``sample_rate``
+    trains on a deterministic hash-sample — the standard economy at
+    scale (codebooks are statistics, not corpus-sized).
+
+    Shape per iteration: one vectorized assignment UDF pass + one
+    (m x k x d/m)-cell aggregate; only those sums are collected.
+    """
+    import numpy as np
+
+    from boostdb_spark.operators.text import hash32
+
+    df = corpus.select(id_col, vec_col)
+    if sample_rate is not None:
+        bucket = hash32(F.col(id_col).cast("string")) % 10_000
+        df = df.filter(bucket < int(sample_rate * 10_000))
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seed = df.orderBy(id_col).limit(k).collect()
+    vecs = np.array([[float(x) for x in r[vec_col]] for r in seed])
+    codebooks = [vecs[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+
+    xa = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    flat = df.select(xa.alias("v")).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        codes = pq_encode_codes(flat, codebooks, vec_col="v")
+        sums = (
+            codes.select(F.posexplode("v").alias("pos", "x"), "codes")
+            .select(
+                (F.col("pos") / sub).cast("int").alias("j"),
+                (F.col("pos") % sub).alias("p"),
+                F.element_at(F.col("codes"), (F.col("pos") / sub).cast("int") + 1).alias("c"),
+                "x",
+            )
+            .groupBy("j", "c", "p")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,14)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[tuple[int, int], np.ndarray] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in sums:
+            key = (int(r["j"]), int(r["c"]))
+            acc.setdefault(key, np.zeros(sub))[int(r["p"])] = float(r["s"])
+            cnt[key] = int(r["n"])  # vectors in (subspace, centroid)
+        for j in range(m):
+            for c in range(k):
+                s = acc.get((j, c))
+                if s is not None and cnt[(j, c)]:
+                    codebooks[j][c] = s / cnt[(j, c)]
+                # empty cell: keep its previous center (standard Lloyd)
+    return codebooks
+
+
+def pq_encode_codes(
+    df: DataFrame, codebooks, vec_col: str = "embedding", out_col: str = "codes"
+) -> DataFrame:
+    """Attach the PQ code array (m small ints) to each vector row: per
+    subspace, the L2-nearest codebook row (ties -> lower id).
+    Vectorized Arrow UDF against the broadcast codebook matrices."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    m = len(Cs)
+    sub = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype="float64") for x in v.values])
+        out = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ties -> lower id
+            D = -2.0 * (Xj @ Cs[j].T) + (Cs[j] ** 2).sum(axis=1)[None, :]
+            out[:, j] = D.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the corpus is stored ONLY as m-byte
+    codes; each query builds m lookup tables (k entries each) and every
+    corpus distance is m table lookups — no float vector is ever read
+    at query time. Approximate by construction (quantization error).
+    Returns (query_id, match_id, adist), <= topk per query, adist =
+    approximate squared L2.
+
+    Scale: codes stream (never collected); queries broadcast inside
+    the Arrow UDF; the only shuffle is the per-query top-k window.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    m = len(Cs)
+    sub = Cs[0].shape[1]
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    # per query: (m, k) table of squared distances to each centroid
+    tables = []
+    for r in q_rows:
+        qv = np.asarray([float(x) for x in r[vec_col]])
+        tables.append(
+            np.stack(
+                [
+                    ((Cs[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+        )
+    T = np.stack(tables)  # (n_q, m, k)
+
+    cols = np.arange(m)
+
+    @pandas_udf("array<double>")
+    def adist(codes: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype="int64") for c in codes.values])
+        # per query i: T[i][j, C[:, j]] summed over subspaces j
+        out = np.stack([T[i][cols, C].sum(axis=1) for i in range(T.shape[0])])
+        return pd.Series(list(out.T))  # (batch, n_q)
+
+    encoded = pq_encode_codes(corpus, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("match_id"), "codes"
+    )
+    scored = encoded.withColumn("_d", adist(F.col("codes")))
+    rows = []
+    for i, qid in enumerate(q_ids):
+        rows.append(
+            scored.select(
+                F.lit(qid).alias("query_id"),
+                "match_id",
+                F.element_at(F.col("_d"), i + 1).alias("adist"),
+            )
+        )
+    from functools import reduce
+
+    all_scored = reduce(lambda a, b: a.unionByName(b), rows).filter(
+        F.col("query_id") != F.col("match_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("match_id").asc()
+    )
+    cand = (
+        all_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= (topk * rerank if rerank else topk))
+        .drop("rn", "codes")
+    )
+    if not rerank:
+        return cand
+    # exact re-rank: only the topk*rerank ADC candidates per query read
+    # their float vectors back — the standard PQ recall restorer; the
+    # exact pass touches candidates, never the corpus
+    qmap = {qid: np.asarray([float(x) for x in r[vec_col]])
+            for qid, r in zip(q_ids, q_rows)}
+    from pyspark.sql.functions import pandas_udf
+
+    Q = np.stack([qmap[qid] for qid in q_ids])
+    q_index = {qid: i for i, qid in enumerate(q_ids)}
+
+    @pandas_udf("double")
+    def exact_l2(qid: pd.Series, v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype="float64") for x in v.values])
+        qi = np.array([q_index[int(i)] for i in qid], dtype="int64")
+        return pd.Series(((X - Q[qi]) ** 2).sum(axis=1))
+
+    joined = cand.join(
+        corpus.select(F.col(id_col).alias("match_id"), vec_col), "match_id"
+    )
+    exact = joined.withColumn("dist", exact_l2(F.col("query_id"), F.col(vec_col)))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("match_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "match_id", "dist")
+    )

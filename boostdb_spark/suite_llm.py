@@ -591,6 +591,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_pq_topk", None)  # PQ recall < 1 by design -> rows-only check
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_ann_topk):
+    the third ANN scale path next to sign-LSH and IVF — the corpus
+    stores as m single-byte codes per vector (32x compression), query
+    distances are m table lookups (asymmetric distance), and the top
+    candidates re-rank exactly (only candidates read float vectors).
+    Deterministic seedless training; approximate by design, hence no
+    SQL oracle — tests/test_ann.py pins determinism and recall."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    cb = sim.pq_train(e, m=8, k=16, n_iter=3)
+    return sim.pq_ann_topk(
+        e.filter(F.col("vec_id") < 5), e, cb, topk=3, rerank=4
+    )
+
+
 @_q("ann_lsh_topk", None)  # LSH recall < 1 by design -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH approximate top-k (8 tables x 6 hyperplanes,

@@ -127,3 +127,54 @@ def test_neardup_block_count_invariant(spark, emb):
     assert a == b == c
     assert len(a) > 0
     assert all(x < y for x, y, _ in a)
+
+
+def test_pq_deterministic_and_recall(spark, emb):
+    """PQ: bit-deterministic retraining/search; raw ADC recall clears a
+    floor and exact re-ranking strictly improves it."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators import similarity as sim
+
+    cb1 = sim.pq_train(emb, m=8, k=16, n_iter=3)
+    cb2 = sim.pq_train(emb, m=8, k=16, n_iter=3)
+    assert all((a == b).all() for a, b in zip(cb1, cb2))
+
+    q = emb.filter(F.col("vec_id") < 5)
+    V = {
+        int(r["vec_id"]): np.array([float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    }
+
+    def recall(rerank):
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in sim.pq_ann_topk(q, emb, cb1, topk=10, rerank=rerank).collect()
+        }
+        hits = 0
+        for qid in range(5):
+            d = sorted(
+                (np.sum((v - V[qid]) ** 2), mid)
+                for mid, v in V.items()
+                if mid != qid
+            )
+            truth = {mid for _, mid in d[:10]}
+            hits += len(truth & {m for (qq, m) in got if qq == qid})
+        return hits / 50
+
+    raw, rr = recall(0), recall(4)
+    assert raw >= 0.2       # ADC alone finds a real signal
+    assert rr >= raw + 0.2  # exact re-rank strictly lifts recall
+    assert rr >= 0.6
+
+
+def test_pq_codes_are_m_small_ints(spark, emb):
+    from boostdb_spark.operators import similarity as sim
+
+    cb = sim.pq_train(emb, m=8, k=16, n_iter=2, sample_rate=0.5)
+    codes = sim.pq_encode_codes(emb, cb).select("codes").collect()
+    for r in codes:
+        cs = list(r["codes"])
+        assert len(cs) == 8 and all(0 <= c < 16 for c in cs)

@@ -24,6 +24,7 @@ def test_every_query_has_oracle_or_reason():
     allowed_missing = {
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "agg_approx_count_distinct",
         "agg_approx_quantiles",
         # iterative argmax loop, not SQL-expressible; equivalence to the
