@@ -368,9 +368,22 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, v if v >= 0 else v + (1 << t) - 1
 
 
-def encode_jpeg_gray(arr: np.ndarray) -> bytes:
+def _scaled_table(base: "np.ndarray", quality: int) -> "np.ndarray":
+    """Scale an Annex-K quantization table to a 1-100 quality setting
+    with the libjpeg convention (integer math, deterministic):
+    S = 5000/q below 50 else 200-2q; cell = clamp((base*S+50)//100, 1, 255)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (base.astype(np.int64) * s + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def encode_jpeg_gray(arr: np.ndarray, quality: int | None = None) -> bytes:
     """(H, W) uint8 -> deterministic grayscale baseline JFIF bytes
-    (Annex K luminance tables, floor(x+0.5) coefficient rounding)."""
+    (Annex K luminance tables, floor(x+0.5) coefficient rounding).
+    ``quality`` 1-100 scales the tables with the libjpeg convention;
+    None keeps the exact Annex-K tables (the certified default)."""
     if arr.ndim != 2:
         raise ValueError("encode_jpeg_gray expects a 2-D grayscale array")
     h, w = arr.shape
@@ -383,7 +396,8 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     ac_codes = _encode_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     bwr = _BitWriter()
     pred = 0
-    q = _Q_LUMA.astype(np.float64)
+    qt = _Q_LUMA if quality is None else _scaled_table(_Q_LUMA, quality)
+    q = qt.astype(np.float64)
     for by in range(bh):
         for bx in range(bw):
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
@@ -393,7 +407,7 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
-    dqt = bytes([0]) + bytes(int(_Q_LUMA[_ZZ[k]]) for k in range(64))
+    dqt = bytes([0]) + bytes(int(qt[_ZZ[k]]) for k in range(64))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
@@ -487,10 +501,12 @@ def _encode_block(bwr, block, q, pred, dc_codes, ac_codes) -> int:
     return dc
 
 
-def encode_jpeg_color(arr: np.ndarray) -> bytes:
+def encode_jpeg_color(arr: np.ndarray, quality: int | None = None) -> bytes:
     """(H, W, 3) RGB uint8 -> deterministic 4:2:0 YCbCr baseline JFIF
     bytes (Annex K luminance + chrominance tables, BT.601 forward
-    transform, 2x2 box-average chroma subsampling)."""
+    transform, 2x2 box-average chroma subsampling). ``quality`` 1-100
+    scales both tables with the libjpeg convention; None keeps the
+    exact Annex-K tables."""
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg_color expects an (H, W, 3) RGB array")
     h, w = arr.shape[:2]
@@ -512,7 +528,9 @@ def encode_jpeg_color(arr: np.ndarray) -> bytes:
     ac_l = _encode_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _encode_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _encode_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    ql, qc_ = _Q_LUMA.astype(np.float64), _Q_CHROMA.astype(np.float64)
+    qtl = _Q_LUMA if quality is None else _scaled_table(_Q_LUMA, quality)
+    qtc = _Q_CHROMA if quality is None else _scaled_table(_Q_CHROMA, quality)
+    ql, qc_ = qtl.astype(np.float64), qtc.astype(np.float64)
     bwr = _BitWriter()
     pred = [0, 0, 0]
     for my in range(mh // 16):
@@ -535,8 +553,8 @@ def encode_jpeg_color(arr: np.ndarray) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
-    dqt0 = bytes([0]) + bytes(int(_Q_LUMA[_ZZ[k]]) for k in range(64))
-    dqt1 = bytes([1]) + bytes(int(_Q_CHROMA[_ZZ[k]]) for k in range(64))
+    dqt0 = bytes([0]) + bytes(int(qtl[_ZZ[k]]) for k in range(64))
+    dqt1 = bytes([1]) + bytes(int(qtc[_ZZ[k]]) for k in range(64))
     sof = (
         bytes([8])
         + struct.pack(">HH", h, w)

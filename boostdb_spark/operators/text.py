@@ -404,3 +404,51 @@ def ngram_novelty(
             F.col("novel_ngrams").cast("double") / F.col("n_ngrams"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own bigram LM: mean over positions of
+    ``ln(count(w_prev, w) / count(w_prev))`` — a sharper perplexity
+    proxy than the unigram score (it penalizes improbable token
+    ORDER, not just rare tokens; shuffled boilerplate scores low even
+    when its vocabulary is common). Returns (doc_id, n_bigrams,
+    mean_logprob) for documents with >= 2 tokens; rounded 6dp (ln ulp
+    across engines).
+
+    Shape: one explode builds (doc, prev, cur) pairs from the token
+    array in-expression (no self-join); bigram and prefix-unigram
+    counts are map-side-combined aggregates over DISTINCT grams;
+    scoring is two equi-joins back + a per-doc avg. Nothing
+    driver-side.
+    """
+    t = with_tokens(df, text_col).select(F.col(id_col).alias("doc_id"), "toks")
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    pairs = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("prev"),
+                    F.element_at(F.col("toks"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("big_n"))
+    # prefix counts = occurrences as a bigram PREFIX (so probabilities
+    # per prefix sum to exactly 1 — last tokens of docs don't skew it)
+    uni = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("uni_n"))
+    scored = pairs.join(big, ["prev", "cur"]).join(uni, "prev").select(
+        "doc_id",
+        F.log(F.col("big_n").cast("double") / F.col("uni_n").cast("double")).alias(
+            "logp"
+        ),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("mean_logprob"),
+    )

@@ -1225,6 +1225,34 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "txt_bigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    p AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      FROM d, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2),
+    bg AS (SELECT prev, cur, count(*) AS big_n FROM p GROUP BY prev, cur),
+    un AS (SELECT prev, count(*) AS uni_n FROM p GROUP BY prev)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(CAST(big_n AS DOUBLE) / CAST(uni_n AS DOUBLE))), 6)
+             AS mean_logprob
+    FROM p JOIN bg USING (prev, cur) JOIN un USING (prev)
+    GROUP BY doc_id
+    """,
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own bigram LM — the order-sensitive perplexity proxy
+    (shuffled boilerplate scores low even with common vocabulary).
+    In-expression bigram explode, distinct-gram aggregates, two
+    equi-joins; 6dp rounding absorbs ln ulp (same determinism rule as
+    txt_unigram_logprob)."""
+    t = load_tables(spark, sf_dir)
+    return tx.bigram_logprob(t["documents"])
+
+
+@_q(
     "txt_ngram_novelty",
     f"""
     WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),

@@ -553,3 +553,30 @@ def test_jpeg_restart_markers_decode():
     v0 = int(np.clip(np.floor(10 * q00 / 8.0 + 128 + 0.5), 0, 255))
     v1 = int(np.clip(np.floor(-4 * q00 / 8.0 + 128 + 0.5), 0, 255))
     assert (out[:, :8] == v0).all() and (out[:, 8:] == v1).all()
+
+
+def test_jpeg_quality_knob():
+    """libjpeg-convention quality scaling: default == Annex-K exactly;
+    higher quality -> lower error, lower quality -> fewer bytes."""
+    import numpy as np
+
+    from boostdb_spark.operators import jpeg_codec as jc
+
+    x = np.linspace(0, 255, 64)
+    arr = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    assert jc.encode_jpeg_gray(arr) == jc.encode_jpeg_gray(arr, quality=None)
+
+    def err(q):
+        return np.abs(
+            jc.decode_jpeg(jc.encode_jpeg_gray(arr, quality=q)).astype(int) - arr
+        ).mean()
+
+    assert err(95) < err(50) < err(10)
+    assert len(jc.encode_jpeg_gray(arr, 10)) < len(jc.encode_jpeg_gray(arr, 95))
+    # quality-50 scaling is the identity on the Annex-K base tables
+    assert (jc._scaled_table(jc._Q_LUMA, 50) == jc._Q_LUMA).all()
+    with pytest.raises(ValueError):
+        jc.encode_jpeg_gray(arr, quality=0)
+    # color path accepts the knob and stays decodable
+    carr = np.stack([arr] * 3, axis=-1)
+    assert jc.decode_jpeg(jc.encode_jpeg_color(carr, quality=80)).shape == (64, 64, 3)
