@@ -859,20 +859,17 @@ def pq_ann_topk(
         F.col(id_col).alias("match_id"), "codes"
     )
     scored = encoded.withColumn("_d", adist(F.col("codes")))
-    rows = []
-    for i, qid in enumerate(q_ids):
-        rows.append(
-            scored.select(
-                F.lit(qid).alias("query_id"),
-                "match_id",
-                F.element_at(F.col("_d"), i + 1).alias("adist"),
-            )
-        )
-    from functools import reduce
-
-    all_scored = reduce(lambda a, b: a.unionByName(b), rows).filter(
-        F.col("query_id") != F.col("match_id")
-    )
+    # ONE posexplode fans the per-query distance array out to rows —
+    # a per-query union would build n_q plan branches and re-scan the
+    # codes n_q times
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    all_scored = scored.select(
+        "match_id", F.posexplode(F.col("_d")).alias("_qi", "adist")
+    ).select(
+        F.element_at(qid_arr, F.col("_qi") + 1).alias("query_id"),
+        "match_id",
+        "adist",
+    ).filter(F.col("query_id") != F.col("match_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("match_id").asc()
     )
