@@ -84,6 +84,7 @@ def cosine_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector, the k
     nearest corpus vectors (self-matches excluded), ties broken by
@@ -94,6 +95,7 @@ def cosine_topk(
     one pass, no shuffle until the per-query top-k window on the
     (small) candidate set. For huge query sets, use lsh_ann_topk.
     """
+    _guard_query_count(queries, max_queries, "cosine_topk")
     q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
     c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
     scored = (
@@ -792,6 +794,8 @@ def pq_encode_codes(
 
     @pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="object")
         X = np.stack([np.asarray(x, dtype="float64") for x in v.values])
         out = np.empty((len(X), m), dtype="int32")
         for j in range(m):
@@ -804,6 +808,22 @@ def pq_encode_codes(
     return df.withColumn(out_col, enc(F.col(vec_col)))
 
 
+def _guard_query_count(queries: DataFrame, max_queries: int, op: str) -> None:
+    """Fail loudly when the query side exceeds the documented
+    few-queries contract, instead of driver-collecting (pq) or
+    JVM-broadcasting (cosine) whatever arrives. A ``limit(n+1)`` probe
+    — a narrow scan that stops early — not a full count."""
+    probe = queries.select(F.lit(1)).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"{op}: query side exceeds max_queries={max_queries} "
+            f"(few-queries-vs-huge-corpus contract; for bulk query sets "
+            f"use the bucketed/banded paths, e.g. lsh_ann_topk, or raise "
+            f"max_queries explicitly if the driver/executors can hold "
+            f"the per-query state)"
+        )
+
+
 def pq_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -812,6 +832,7 @@ def pq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: the corpus is stored ONLY as m-byte
     codes; each query builds m lookup tables (k entries each) and every
@@ -830,6 +851,7 @@ def pq_ann_topk(
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
     m = len(Cs)
     sub = Cs[0].shape[1]
+    _guard_query_count(queries, max_queries, "pq_ann_topk")
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [int(r[id_col]) for r in q_rows]
     # per query: (m, k) table of squared distances to each centroid
@@ -850,6 +872,8 @@ def pq_ann_topk(
 
     @pandas_udf("array<double>")
     def adist(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="object")
         C = np.stack([np.asarray(c, dtype="int64") for c in codes.values])
         # per query i: T[i][j, C[:, j]] summed over subspaces j
         out = np.stack([T[i][cols, C].sum(axis=1) for i in range(T.shape[0])])
@@ -892,6 +916,8 @@ def pq_ann_topk(
 
     @pandas_udf("double")
     def exact_l2(qid: pd.Series, v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="float64")
         X = np.stack([np.asarray(x, dtype="float64") for x in v.values])
         qi = np.array([q_index[int(i)] for i in qid], dtype="int64")
         return pd.Series(((X - Q[qi]) ** 2).sum(axis=1))

@@ -281,11 +281,20 @@ def asof_join(
     l2 = left.withColumn("_ord_ns", ts_ns(left, ts_col)).withColumn(
         "_side", F.lit(1)
     )
+    # The right side's (ts, payload...) travels as ONE struct so the
+    # LOCF below picks the whole matched row atomically: per-column
+    # F.last(ignorenulls) would stitch a NULL payload column from an
+    # OLDER right row onto the newest match — real ASOF semantics
+    # return the matched row's NULL, so the struct (non-null whenever
+    # the row is a right row, even with all-NULL payload) is the unit
+    # of carry-forward.
     r2 = right.select(
         *on,
         ts_ns(right, rts).alias("_ord_ns"),
-        ts_ns(right, rts).alias("_r_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in rpayload],
+        F.struct(
+            ts_ns(right, rts).alias("_r_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in rpayload],
+        ).alias("_r_row"),
     ).withColumn("_side", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
 
@@ -306,12 +315,13 @@ def asof_join(
     else:
         raise ValueError("direction must be 'backward' or 'forward'")
 
+    carried = pick(F.col("_r_row")).over(w)
     filled = u.select(
         *left.columns,
         F.col("_ord_ns"),
         F.col("_side"),
-        pick(F.col("_r_ts")).over(w).alias("_r_ts"),
-        *[pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}") for c in rpayload],
+        carried.getField("_r_ts").alias("_r_ts"),
+        *[carried.getField(f"_r_{c}").alias(f"_r_{c}") for c in rpayload],
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if tolerance_ns is not None:
@@ -1268,12 +1278,18 @@ def prom_rate(
     si = sec(t_last - t_first)
     avg = si / (F.col("n").cast("double") - F.lit(1.0))
     thr = avg * F.lit(1.1)
-    # counters cannot extrapolate below zero at the window start
+    # counters cannot extrapolate below zero at the window start:
+    # promql caps durationToStart by durationToZero (guarded on
+    # first >= 0) BEFORE the 1.1x-threshold comparison — applying the
+    # cap after the branch diverges whenever d_zero lands between
+    # avg/2 and the threshold while d_start exceeds it.
     d_zero = F.when(
-        (F.lit(bool(counter))) & (inc > 0.0), si * (v(first) / inc)
+        (F.lit(bool(counter))) & (inc > 0.0) & (v(first) >= 0.0),
+        si * (v(first) / inc),
     ).otherwise(F.lit(float("inf")))
-    start_ext = F.least(
-        F.when(d_start < thr, d_start).otherwise(avg / F.lit(2.0)), d_zero
+    d_start_capped = F.least(d_start, d_zero)
+    start_ext = F.when(d_start_capped < thr, d_start_capped).otherwise(
+        avg / F.lit(2.0)
     )
     end_ext = F.when(d_end < thr, d_end).otherwise(avg / F.lit(2.0))
     extr = si + start_ext + end_ext

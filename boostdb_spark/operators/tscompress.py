@@ -103,8 +103,124 @@ class _BitReader:
         return (z >> 1) ^ -(z & 1)  # un-zigzag
 
 
+def _bitlen_u32(x):
+    """Exact bit_length for a uint32 array. float64 holds 32-bit ints
+    exactly and log2 is correctly rounded, so floor(log2(x)) cannot
+    round (2^k - eps) up to k for k <= 32 (the gap ~2^-k dwarfs
+    ulp(32) = 2^-47)."""
+    import numpy as np
+
+    out = np.zeros(x.shape, dtype=np.int64)
+    nz = x != 0
+    out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    return out
+
+
+def _bitlen_u64(x):
+    import numpy as np
+
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.where(hi != 0, _bitlen_u32(hi) + 64 - 32, _bitlen_u32(lo))
+
+
 def encode_block(ts: list[int], values: list[float]) -> bytes:
-    """(sorted int64 timestamps, float64 values) -> compressed block."""
+    """(sorted int64 timestamps, float64 values) -> compressed block.
+
+    Vectorized: every per-point quantity (delta-of-delta, zigzag,
+    varint bytes, XOR lead/sig/frac) is a numpy array op, and the
+    variable-width bit-packing runs as one repeat/cumsum expansion to
+    a flat bit array + ``np.packbits`` — no per-point Python loop.
+    Bit-identical to the scalar reference :func:`_encode_block_py`
+    (pinned by a hypothesis test); the header is emitted through the
+    same ``_BitWriter`` and is always whole bytes (varints + a 64-bit
+    value), so the vectorized body starts byte-aligned."""
+    import numpy as np
+
+    if len(ts) != len(values) or not len(ts):
+        raise ValueError("encode_block needs equal-length non-empty inputs")
+    n = len(ts)
+    t = np.asarray(ts, dtype=np.int64)
+    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+
+    w = _BitWriter()
+    w.write_varint(n)
+    w.write_varint(int(t[0]))
+    w.write(int(bits[0]), 64)
+    header = w.bytes()  # whole bytes: n == 0 leftover bits
+    if n == 1:
+        return header
+
+    # --- timestamps: delta-of-delta -> zigzag -> varint bytes ---
+    deltas = np.diff(t)
+    dod = np.diff(deltas, prepend=np.int64(0))
+    u = dod.astype(np.uint64)
+    z = (u << np.uint64(1)) ^ np.where(
+        dod < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0)
+    )
+    blz = _bitlen_u64(z)
+    nb = np.maximum((blz + 6) // 7, 1)  # varint byte count, >=1
+
+    # --- values: XOR records ---
+    x = bits[1:] ^ bits[:-1]
+    nzx = x != 0
+    blx = _bitlen_u64(x)
+    tz = np.where(nzx, _bitlen_u64(x & (~x + np.uint64(1))) - 1, 0)
+    lead = (64 - blx).astype(np.uint64)
+    sig = (blx - tz).astype(np.uint64)  # 1..64 where x != 0
+    meta = np.where(
+        nzx,
+        (np.uint64(1) << np.uint64(12))
+        | (lead << np.uint64(6))
+        | (sig - np.uint64(1)),
+        np.uint64(0),
+    )
+    frac = np.where(nzx, x >> tz.astype(np.uint64), np.uint64(0))
+
+    # --- flat (value, width) field stream, per point:
+    #     nb_i varint bytes, the control/meta field, the frac field ---
+    m = n - 1
+    per_point = nb + 1 + nzx  # fields contributed by each point
+    f_start = np.cumsum(per_point) - per_point  # field index of byte 0
+    n_fields = int(per_point.sum())
+    fv = np.empty(n_fields, dtype=np.uint64)
+    fw = np.empty(n_fields, dtype=np.int64)
+
+    # varint bytes via ragged arange (no (m, nbmax) matrix)
+    tot_vb = int(nb.sum())
+    rj = np.arange(tot_vb) - np.repeat(np.cumsum(nb) - nb, nb)  # 0..nb_i-1
+    z_rep = np.repeat(z, nb)
+    cont = rj < np.repeat(nb - 1, nb)  # continuation bit
+    vb = ((z_rep >> (rj * 7).astype(np.uint64)) & np.uint64(0x7F)) | (
+        cont.astype(np.uint64) << np.uint64(7)
+    )
+    vb_pos = np.repeat(f_start, nb) + rj
+    fv[vb_pos] = vb
+    fw[vb_pos] = 8
+
+    meta_pos = f_start + nb
+    fv[meta_pos] = meta
+    fw[meta_pos] = np.where(nzx, 13, 1)
+    frac_pos = meta_pos[nzx] + 1
+    fv[frac_pos] = frac[nzx]
+    fw[frac_pos] = sig[nzx].astype(np.int64)
+
+    # --- flat bit expansion + packbits (MSB-first, like _BitWriter) ---
+    total = int(fw.sum())
+    starts = np.cumsum(fw) - fw
+    idx = np.repeat(np.arange(n_fields, dtype=np.int64), fw)
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, fw)
+    shift = (fw[idx] - 1 - j).astype(np.uint64)
+    bitarr = ((fv[idx] >> shift) & np.uint64(1)).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bitarr = np.concatenate([bitarr, np.zeros(pad, dtype=np.uint8)])
+    return header + np.packbits(bitarr).tobytes()
+
+
+def _encode_block_py(ts: list[int], values: list[float]) -> bytes:
+    """Scalar reference encoder (the spec): kept for the
+    vectorized==scalar hypothesis cross-check."""
     if len(ts) != len(values) or not ts:
         raise ValueError("encode_block needs equal-length non-empty inputs")
     w = _BitWriter()
@@ -168,6 +284,7 @@ BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("series", T.StringType()),
         T.StructField("chunk", T.LongType()),
+        T.StructField("span_ns", T.LongType()),
         T.StructField("n_points", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("block", T.BinaryType()),
@@ -197,14 +314,17 @@ def compress_series(
     )
 
     def one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(ts_col)
-        ts = [int(t) for t in pdf[ts_col]]
-        vals = [float(v) for v in pdf[value_col]]
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
         block = encode_block(ts, vals)
         return pd.DataFrame(
             {
                 "series": [key[0]],
                 "chunk": [int(key[1])],
+                "span_ns": [span],
                 "n_points": [len(ts)],
                 "n_bytes": [len(block)],
                 "block": [block],
@@ -233,20 +353,45 @@ def fetch_range(
     blocks: DataFrame,
     start_ns: int,
     end_ns: int,
-    chunk_seconds: int = 6 * 3600,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Pruned block-store read: decode only blocks whose chunk window
     can overlap [start_ns, end_ns), then filter rows exactly — the
     block-skipping read path of a series store (M3DB reads only the
     blocks covering the query range). The chunk filter is a plain
     predicate, so with blocks persisted to parquet it pushes into the
-    scan and untouched blocks are never read OR decoded."""
-    span = chunk_seconds * 1_000_000_000
-    lo = start_ns - start_ns % span
-    pruned = blocks.filter(
-        (F.col("chunk") >= F.lit(lo)) & (F.col("chunk") < F.lit(end_ns))
-    )
-    pts = decompress_series(pruned)
+    scan and untouched blocks are never read OR decoded.
+
+    The chunk span is READ FROM the blocks themselves (``span_ns``,
+    written by :func:`compress_series`) — a caller-supplied constant
+    that disagreed with the writer's span would silently mis-compute
+    the lower prune bound and drop overlapping blocks. Passing
+    ``chunk_seconds`` is now only an assertion of intent: it raises if
+    it doesn't match the recorded span. The span probe is a min/max
+    agg over one small metadata column (partial-agg, column-pruned)."""
+    row = blocks.agg(
+        F.min("span_ns").alias("lo"), F.max("span_ns").alias("hi")
+    ).first()
+    if row["lo"] is None:  # empty block table
+        return decompress_series(blocks.limit(0))
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"fetch_range: mixed chunk spans in block table "
+            f"({row['lo']} != {row['hi']} ns) — re-chunk to one span"
+        )
+    span = int(row["lo"])
+    if chunk_seconds is not None and chunk_seconds * 1_000_000_000 != span:
+        raise ValueError(
+            f"fetch_range: caller chunk_seconds={chunk_seconds} does not "
+            f"match the span recorded at write time ({span} ns)"
+        )
+    if span > 0:
+        lo = start_ns - start_ns % span
+        blocks = blocks.filter(
+            (F.col("chunk") >= F.lit(lo)) & (F.col("chunk") < F.lit(end_ns))
+        )
+    # span == 0: whole-series blocks — nothing to prune by
+    pts = decompress_series(blocks)
     return pts.filter((F.col("ts") >= start_ns) & (F.col("ts") < end_ns))
 
 

@@ -2183,11 +2183,16 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f)
     SELECT event_type, n,
            inc * ((si
-                   + least(CASE WHEN d_start < avg_gap * 1.1
-                                THEN d_start ELSE avg_gap / 2.0 END,
-                           CASE WHEN inc > 0.0
-                                THEN si * (vs_first / inc)
-                                ELSE CAST('inf' AS DOUBLE) END)
+                   + CASE WHEN least(d_start,
+                                     CASE WHEN inc > 0.0 AND vs_first >= 0.0
+                                          THEN si * (vs_first / inc)
+                                          ELSE CAST('inf' AS DOUBLE) END)
+                               < avg_gap * 1.1
+                          THEN least(d_start,
+                                     CASE WHEN inc > 0.0 AND vs_first >= 0.0
+                                          THEN si * (vs_first / inc)
+                                          ELSE CAST('inf' AS DOUBLE) END)
+                          ELSE avg_gap / 2.0 END
                    + CASE WHEN d_end < avg_gap * 1.1
                           THEN d_end ELSE avg_gap / 2.0 END)
                   / si) / 21600.0 AS rate

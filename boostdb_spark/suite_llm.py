@@ -1016,13 +1016,25 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = os.path.join(wh, f"suite_media_{tag}")
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # the dir is PER-APPLICATION: a shared path would re-list stale
+    # *.png files left by a prior session against a different or
+    # larger documents fixture and join them into certified output
+    path = os.path.join(wh, f"suite_media_{tag}_{app_id}")
+    key = (app_id, sf_dir)
     if key not in _MEDIA_WRITTEN:
         payloads = mm.synth_media_payloads(t["documents"], kind="png")
         write_media_files(payloads, path, ext="png")
         _MEDIA_WRITTEN.add(key)
     files = read_media_dir(spark, path, glob="*.png")
+    n_docs = t["documents"].count()
+    n_files = files.count()
+    if n_files != n_docs:
+        raise RuntimeError(
+            f"multimodal_binaryfile: media dir {path} holds {n_files} "
+            f"files but documents has {n_docs} rows — stale/partial sink "
+            f"output; delete the dir and re-run"
+        )
     return mm.pixel_stats(files)
 
 

@@ -178,3 +178,22 @@ def test_pq_codes_are_m_small_ints(spark, emb):
     for r in codes:
         cs = list(r["codes"])
         assert len(cs) == 8 and all(0 <= c < 16 for c in cs)
+
+
+def test_query_side_guard_fires_on_oversized_set(spark, emb):
+    """The few-queries contract is enforced, not assumed: an oversized
+    query side raises a clear error BEFORE any driver collect /
+    broadcast; below the bound behavior is unchanged."""
+    from boostdb_spark.operators import similarity as sim
+
+    cb = sim.pq_train(emb, m=8, k=16, n_iter=1)
+    big = emb  # whole table as the query side
+    n = emb.count()
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.pq_ann_topk(big, emb, cb, topk=3, max_queries=n - 1)
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.cosine_topk(big, emb, k=3, max_queries=n - 1)
+    # at or below the bound: runs normally
+    q = emb.filter(F.col("vec_id") < 3)
+    assert sim.cosine_topk(q, emb, k=2, max_queries=3).count() == 6
+    assert sim.pq_ann_topk(q, emb, cb, topk=2, max_queries=3).count() == 6

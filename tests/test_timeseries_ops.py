@@ -48,6 +48,24 @@ def test_asof_tolerance(spark):
     assert out[1].value_right is None  # gap 4100 > 200 -> nulled
 
 
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """The matched right row's NULL payload must surface as NULL — not
+    be stitched from an OLDER right row (per-column LOCF bug): the
+    right side travels as one struct so the whole matched row is the
+    unit of carry-forward."""
+    left = spark.createDataFrame(
+        [("a", 200, 1.0)], "key string, ts long, value double"
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 10.0, "old"), ("a", 150, None, "new")],
+        "key string, ts long, rv double, tag string",
+    )
+    out = ts_ops.asof_join(left, right, on=["key"]).collect()
+    assert out[0].tag == "new"  # latest right row matched...
+    assert out[0].rv is None  # ...and its NULL stays NULL
+    assert out[0].ts_right == 150
+
+
 def test_asof_plan_has_single_shuffle_no_join(spark):
     """asof is union+window: the plan must contain no Join node at all
     and exactly one exchange on the key — the 100 TB-scale property."""
@@ -354,6 +372,54 @@ def test_gorilla_block_roundtrip_exact():
     )  # -0.0 == 0.0 is fine; inf compares equal
 
 
+def test_gorilla_vectorized_encoder_matches_scalar_reference():
+    """The numpy bit-packing encoder must be BIT-identical to the
+    scalar reference encoder on arbitrary inputs."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boostdb_spark.operators import tscompress as tc
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 300), seed=st.integers(0, 2**31))
+    def check(n, seed):
+        rng = random.Random(seed)
+        t0 = rng.randrange(0, 2**60)
+        ts, t = [], t0
+        for _ in range(n):
+            ts.append(t)
+            t += rng.randrange(1, 10**10)
+        vals = [
+            rng.choice(
+                [0.0, -0.0, 1.5, rng.uniform(-1e12, 1e12), float(rng.randrange(100))]
+            )
+            for _ in range(n)
+        ]
+        assert tc.encode_block(ts, vals) == tc._encode_block_py(ts, vals)
+
+    check()
+
+
+def test_fetch_range_span_mismatch_raises(spark):
+    """A caller-supplied chunk_seconds that disagrees with the span
+    recorded at write time must raise, not silently mis-prune."""
+    import pytest as _pytest
+
+    from boostdb_spark.operators import tscompress as tc
+
+    hour = 3600 * 1_000_000_000
+    rows = [("a", i * hour, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    blocks = tc.compress_series(df, chunk_seconds=6 * 3600)
+    with _pytest.raises(ValueError, match="does not match"):
+        tc.fetch_range(blocks, 0, 10 * hour, chunk_seconds=3600).collect()
+    # matching assertion-of-intent is accepted
+    got = tc.fetch_range(blocks, 0, 10 * hour, chunk_seconds=6 * 3600)
+    assert got.count() == 10
+
+
 def test_gorilla_block_roundtrip_property():
     import random
 
@@ -456,8 +522,11 @@ def test_prom_rate_matches_reference_semantics(spark):
     si = float(win[-1][0] - win[0][0])
     avg = si / (n - 1)
     thr = avg * 1.1
-    d_zero = si * (win[0][1] / inc) if inc > 0 else float("inf")
-    start_ext = min(d_start if d_start < thr else avg / 2, d_zero)
+    # promql order: zero-cap FIRST (guarded on first >= 0), THEN the
+    # 1.1x-threshold branch on the capped distance
+    d_zero = si * (win[0][1] / inc) if inc > 0 and win[0][1] >= 0 else float("inf")
+    ds = min(d_start, d_zero)
+    start_ext = ds if ds < thr else avg / 2
     end_ext = d_end if d_end < thr else avg / 2
     want = inc * ((si + start_ext + end_ext) / si) / rng
     assert r["n"] == n and r["rate"] == want  # bit-exact
@@ -467,3 +536,25 @@ def test_prom_rate_matches_reference_semantics(spark):
         [("b", 0, 1.0)], "series string, ts long, value double"
     )
     assert ts.prom_rate(df1, 60).count() == 0
+
+
+def test_prom_rate_zero_cap_precedes_threshold(spark):
+    """The case the orderings disagree on: d_zero in (avg/2, 1.1*avg)
+    while d_start >= threshold. promql caps durationToStart by
+    durationToZero BEFORE the threshold branch, so the start-side
+    extrapolation is d_zero (1.667 s) — not avg/2 (1 s) as
+    cap-after-branch would give."""
+    import boostdb_spark.operators.timeseries as ts
+
+    NS = 1_000_000_000
+    # window [0, 60]: samples at 50..60 step 2; values sum to inc=6
+    samples = list(zip(range(50, 61, 2), [1.0, 2.0, 3.0, 4.0, 5.0, 7.0]))
+    df = spark.createDataFrame(
+        [("a", t * NS, v) for t, v in samples],
+        "series string, ts long, value double",
+    )
+    r = ts.prom_rate(df, range_seconds=60).collect()[0]
+    si, inc, avg = 10.0, 6.0, 2.0
+    d_zero = si * (1.0 / inc)  # 1.667 in (avg/2=1, 1.1*avg=2.2)
+    want = inc * ((si + d_zero + 0.0) / si) / 60.0
+    assert r["rate"] == want
