@@ -54,7 +54,30 @@ def _headline() -> list[str]:
     return [n for n in suite.spark_queries() if n not in EXCLUDE]
 
 
-def _stream_benchmarks(spark, sf_dir: str) -> dict[str, float]:
+def _progress_detail(q) -> dict:
+    """Per-micro-batch decomposition from the query's progress events:
+    wall per batch (triggerExecution), rows, and state-store commit
+    time — so a slow drain is attributable to machinery (many batches,
+    fixed commit cost) vs data (few big batches) from the bench record
+    alone."""
+    batches = []
+    commit_ms = 0
+    rows = 0
+    for p in q.recentProgress:
+        dur = p.get("durationMs") or {}
+        batches.append(int(dur.get("triggerExecution", 0)))
+        rows += int(p.get("numInputRows", 0))
+        for so in p.get("stateOperators") or []:
+            commit_ms += int(so.get("commitTimeMs", 0))
+    return {
+        "n_batches": len(batches),
+        "batch_ms": batches,
+        "state_commit_ms": commit_ms,
+        "input_rows": rows,
+    }
+
+
+def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     """Structured Streaming throughput: the SF events table replayed as
     a multi-file landing directory through availableNow micro-batches.
 
@@ -90,6 +113,17 @@ def _stream_benchmarks(spark, sf_dir: str) -> dict[str, float]:
     )
     schema = spark.read.parquet(landing).schema
     times: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+
+    # Streaming state partitioning is fixed at first checkpoint write
+    # (no AQE for state stores), and EVERY micro-batch commits EVERY
+    # state partition — the r3 decomposition showed 32 partitions x 8
+    # batches x commit cost dwarfing the actual data work at bench SF.
+    # Sizing state partitions to the load is the production knob
+    # (Spark's own structured-streaming guidance); the batch suite
+    # keeps its own shuffle setting.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def run(name: str, build, output_mode: str):
         src = (
@@ -108,8 +142,18 @@ def _stream_benchmarks(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         q.awaitTermination()
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
+        detail[name] = _progress_detail(q)
+        print(
+            f"  {name}: {times[name]}s {detail[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
 
+    # machinery floor: an aggregation-free passthrough drain over the
+    # SAME landing replay — its wall is pure micro-batch scheduling +
+    # source listing + sink cost, zero operator state; subtract it
+    # from the stateful drains to see the data-dependent part
+    run("stream_passthrough_floor", lambda src: src, "append")
     run(
         "stream_sliding_agg",
         lambda src: sliding_agg(
@@ -160,8 +204,9 @@ def _stream_benchmarks(spark, sf_dir: str) -> dict[str, float]:
         )
 
     run("stream_stream_join", stream_stream_join, "append")
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(work, ignore_errors=True)
-    return times
+    return times, detail
 
 
 def main() -> None:
@@ -169,22 +214,31 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="boostdb-bench")
     registry = suite.spark_queries()
-    headline = _headline()
-    missing = [n for n in headline if n not in registry]
-    assert not missing, f"HEADLINE out of sync with registry: {missing}"
-
-    for name in WARMUP:
-        registry[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
-    for name in headline:
-        fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
+    # SPARK_GRAFT_BENCH_ONLY=stream: run JUST the streaming drains in a
+    # fresh session — the isolated (no suite JVM pressure) number that
+    # BASELINE.md records next to the in-suite one
+    stream_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "stream"
+    if not stream_only:
+        headline = _headline()
+        missing = [n for n in headline if n not in registry]
+        assert not missing, f"HEADLINE out of sync with registry: {missing}"
 
-    times.update(_stream_benchmarks(spark, sf_dir))
+        for name in WARMUP:
+            registry[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        for name in headline:
+            fn = registry[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
+
+    stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
+    times.update(stream_times)
 
     total = round(sum(times.values()), 3)
     # headline fields LAST: the driver records only the tail of the
@@ -193,6 +247,8 @@ def main() -> None:
         json.dumps(
             {
                 "queries": times,
+                "stream_detail": stream_detail,
+                "warmup_amortized": [] if stream_only else WARMUP,
                 "metric": "suite_wall_seconds",
                 "unit": "sec",
                 "n_queries": len(times),

@@ -208,9 +208,14 @@ class _Parser:
             return True
         return False
 
+    def peek2(self):
+        return self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+
     # query := SELECT fields FROM name [alias] [WHERE expr] [GROUP BY ...]
     #          [HAVING expr] [ORDER BY ...] [LIMIT n]
-    def parse_query(self) -> BoostQuery:
+    # ``sub=True`` parses a parenthesized subquery body: the caller owns
+    # the closing ')' and the eof check is skipped.
+    def parse_query(self, sub: bool = False) -> BoostQuery:
         self.expect_kw("select")
         star = False
         fields: list[FieldRef] = []
@@ -284,7 +289,7 @@ class _Parser:
             if kind != "num":
                 raise ValueError("LIMIT requires a number")
             limit = int(v)
-        if self.peek()[0] != "eof":
+        if not sub and self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
         if star and (group_by or joins):
             raise ValueError("SELECT * supports single-source, non-grouped queries")
@@ -413,7 +418,8 @@ class _Parser:
         return self.parse_predicate()
 
     def parse_predicate(self) -> Expr:
-        if self.accept_op("("):
+        if self.peek() == ("op", "(") and self.peek2() != ("kw", "select"):
+            self.next()
             e = self.parse_or()
             if not self.accept_op(")"):
                 raise ValueError("unbalanced parenthesis")
@@ -439,12 +445,22 @@ class _Parser:
             self.next()
             if not self.accept_op("("):
                 raise ValueError("IN requires a list")
-            items = [self.parse_operand()]
-            while self.accept_op(","):
-                items.append(self.parse_operand())
-            if not self.accept_op(")"):
-                raise ValueError("unbalanced IN list")
-            e = Expr("in", children=[operand, *items])
+            if self.peek() == ("kw", "select"):
+                # IN (SELECT ...) — the reference DECLARED subqueries as
+                # Aggregate-returning expressions (query/base/
+                # expression.go:16-18) but never planned them; honored
+                # here through the dialect front as a semi-join.
+                subq = self.parse_query(sub=True)
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced subquery parenthesis")
+                e = Expr("in", children=[operand, Expr("subquery", value=subq)])
+            else:
+                items = [self.parse_operand()]
+                while self.accept_op(","):
+                    items.append(self.parse_operand())
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced IN list")
+                e = Expr("in", children=[operand, *items])
         elif t == ("kw", "between"):
             self.next()
             lo = self.parse_operand()
@@ -461,6 +477,13 @@ class _Parser:
         return Expr("not", children=[e]) if negated else e
 
     def parse_operand(self) -> Expr:
+        if self.peek() == ("op", "(") and self.peek2() == ("kw", "select"):
+            # scalar subquery operand: (SELECT agg(...) FROM ...)
+            self.next()
+            subq = self.parse_query(sub=True)
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced subquery parenthesis")
+            return Expr("subquery", value=subq)
         kind, v = self.next()
         if kind == "param":
             # named-placeholder literal — the reference's parameterized
@@ -631,11 +654,40 @@ class _JoinResolver:
 
 
 def _expr_refs(e: Expr):
-    """All FieldRefs in an expression tree (pre-order)."""
+    """All FieldRefs in an expression tree (pre-order). Subquery nodes
+    are NOT descended into — their refs resolve against the subquery's
+    own resolver when the subquery is planned."""
     if e.kind == "ref":
         yield e.value
     for c in e.children:
         yield from _expr_refs(c)
+
+
+def _has_subquery(e: Expr) -> bool:
+    return e.kind == "subquery" or any(_has_subquery(c) for c in e.children)
+
+
+def _conjuncts(e: Expr) -> list[Expr]:
+    """Flatten top-level ANDs: a AND (b AND c) -> [a, b, c]."""
+    if e.kind == "and":
+        return _conjuncts(e.children[0]) + _conjuncts(e.children[1])
+    return [e]
+
+
+def _subst_subqueries(e: Expr, names: dict[int, str]) -> Expr:
+    """Clone the tree with subquery nodes (keyed by identity) replaced
+    by physical-column refs — the planner joins the subquery result in
+    as that column first."""
+    if id(e) in names:
+        return Expr("physcol", value=names[id(e)])
+    if e.children:
+        return Expr(
+            e.kind,
+            op=e.op,
+            value=e.value,
+            children=[_subst_subqueries(c, names) for c in e.children],
+        )
+    return e
 
 
 def _param_value(name: str, params: dict | None):
@@ -653,6 +705,14 @@ def _operand_value(e: Expr, params: dict | None):
 
 
 def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = None) -> Column:
+    if e.kind == "physcol":  # pre-joined subquery result column
+        return F.col(e.value)
+    if e.kind == "subquery":
+        raise ValueError(
+            "subqueries are supported as top-level AND conjuncts of WHERE "
+            "only: x IN (SELECT ...) or a comparison against a scalar "
+            "aggregate subquery"
+        )
     if e.kind == "lit":
         return F.lit(e.value)
     if e.kind == "param":
@@ -764,7 +824,59 @@ def plan(
     for f in q.fields:
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
         sel.append((res.default_name(f), col, f.func, f))
-    where_col = _compile_expr(q.where, res, params=params) if q.where else None
+    # WHERE splits into plain conjuncts (one Catalyst filter, pushed
+    # into the scan) and subquery conjuncts: IN (SELECT ...) plans as a
+    # semi-join (NOT IN as anti-join — null-free key contract, as in
+    # Spark's own NOT IN rewrite guidance), and a comparison against a
+    # scalar aggregate subquery plans as a broadcast single-row cross
+    # join — the same decorrelated shapes the DataFrame-level
+    # subquery_in/subquery_scalar entries produce. Everything stays
+    # lazy: no driver-side collect of subquery results.
+    in_subs: list[tuple[bool, Expr, "BoostQuery"]] = []
+    scalar_conjs: list[tuple[Expr, list[Expr]]] = []
+    where_col = None
+    if q.where is not None and _has_subquery(q.where):
+        plain: list[Expr] = []
+        for c in _conjuncts(q.where):
+            neg, cc = False, c
+            if (
+                cc.kind == "not"
+                and cc.children
+                and cc.children[0].kind == "in"
+                and len(cc.children[0].children) == 2
+                and cc.children[0].children[1].kind == "subquery"
+            ):
+                neg, cc = True, cc.children[0]
+            if (
+                cc.kind == "in"
+                and len(cc.children) == 2
+                and cc.children[1].kind == "subquery"
+            ):
+                for r in _expr_refs(cc.children[0]):
+                    res.resolve(r)  # register outer series before the scan
+                in_subs.append((neg, cc.children[0], cc.children[1].value))
+            elif _has_subquery(cc):
+                if cc.kind != "cmp":
+                    raise ValueError(
+                        "subqueries are supported as top-level AND conjuncts "
+                        "of WHERE only: IN (SELECT ...) or a comparison "
+                        "against a scalar aggregate subquery"
+                    )
+                for ch in cc.children:
+                    if ch.kind != "subquery":
+                        for r in _expr_refs(ch):
+                            res.resolve(r)
+                scalar_conjs.append(
+                    (cc, [ch for ch in cc.children if ch.kind == "subquery"])
+                )
+            else:
+                plain.append(c)
+        if plain:
+            where_col = _compile_expr(plain[0], res, params=params)
+            for p in plain[1:]:
+                where_col = where_col & _compile_expr(p, res, params=params)
+    elif q.where is not None:
+        where_col = _compile_expr(q.where, res, params=params)
     for g in q.group_by:  # register group-by series before the scan filter
         if g.parts:
             res.resolve(g)
@@ -800,6 +912,47 @@ def plan(
         df = _time_range(df, binding.ts_col, start, end)
     if where_col is not None:
         df = df.filter(where_col)
+
+    def _sub_binding(sq: "BoostQuery"):
+        if isinstance(binding, dict) and not sq.joins:
+            qn = f"{sq.domain}.{sq.family}"
+            if qn not in binding:
+                raise ValueError(f"no binding for subquery source {qn}")
+            return binding[qn]
+        return binding
+
+    for neg, lhs, subq in in_subs:
+        sub_df = plan(spark, subq, _sub_binding(subq), start, end, params)
+        if len(sub_df.columns) != 1:
+            raise ValueError("IN (SELECT ...) must select exactly one column")
+        right = sub_df.toDF("__in_key")
+        df = df.join(
+            right,
+            _compile_expr(lhs, res, params=params) == right["__in_key"],
+            "left_anti" if neg else "left_semi",
+        )
+    for i, (conj, subs) in enumerate(scalar_conjs):
+        names: dict[int, str] = {}
+        for j, s in enumerate(subs):
+            sq = s.value
+            if (
+                sq.group_by
+                or len(sq.fields) != 1
+                or sq.fields[0].func is None
+                or sq.fields[0].window is not None
+            ):
+                raise ValueError(
+                    "scalar subquery must be a single ungrouped aggregate — "
+                    "the reference's Aggregate-as-expression shape "
+                    "(query/base/expression.go:16-18)"
+                )
+            name = f"__scalar_{i}_{j}"
+            sub_df = plan(spark, sq, _sub_binding(sq), start, end, params)
+            df = df.crossJoin(F.broadcast(sub_df.toDF(name)))
+            names[id(s)] = name
+        df = df.filter(
+            _compile_expr(_subst_subqueries(conj, names), res, params=params)
+        ).drop(*names.values())
 
     agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
     aggs = [

@@ -493,3 +493,148 @@ def test_window_cannot_mix_with_groupby(spark):
             "ORDER BY click) FROM d.e GROUP BY click.user_id",
             b,
         )
+
+
+def _events_binding(spark):
+    from tests.conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return SeriesFamilyBinding(
+        view="events", series_col="event_type", value_col="value", ts_col="ts"
+    )
+
+
+def test_parse_in_subquery():
+    q = parse(
+        "SELECT s.x FROM d.f WHERE s.x IN (SELECT t.y FROM d.g WHERE t > 1)"
+    )
+    assert q.where.kind == "in"
+    assert q.where.children[1].kind == "subquery"
+    sub = q.where.children[1].value
+    assert sub.family == "g" and sub.where is not None
+
+
+def test_parse_scalar_subquery():
+    q = parse("SELECT s FROM d.f WHERE s > (SELECT avg(s) FROM d.f)")
+    assert q.where.kind == "cmp"
+    assert q.where.children[1].kind == "subquery"
+    assert q.where.children[1].value.fields[0].func == "avg"
+
+
+def test_dialect_in_subquery_matches_sql(spark):
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT purchase.user_id, purchase FROM boost.events "
+                "WHERE purchase.user_id IN (SELECT signup.user_id "
+                "FROM boost.events WHERE signup > 150.0)",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT user_id, value FROM events WHERE event_type = "
+                "'purchase' AND user_id IN (SELECT user_id FROM events "
+                "WHERE event_type = 'signup' AND value > 150.0)"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dialect_not_in_subquery_matches_anti_join(spark):
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT purchase.user_id, purchase FROM boost.events "
+                "WHERE purchase.user_id NOT IN (SELECT signup.user_id "
+                "FROM boost.events WHERE signup > 150.0)",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT user_id, value FROM events WHERE event_type = "
+                "'purchase' AND user_id NOT IN (SELECT user_id FROM events "
+                "WHERE event_type = 'signup' AND value > 150.0)"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dialect_scalar_subquery_matches_sql(spark):
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT click.user_id, click FROM boost.events "
+                "WHERE click > (SELECT avg(click) FROM boost.events)",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT user_id, value FROM events WHERE event_type = "
+                "'click' AND value > (SELECT avg(value) FROM events "
+                "WHERE event_type = 'click')"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dialect_in_subquery_plans_semi_join_no_collect(spark):
+    """The IN subquery must plan as a semi-join (decorrelated), with
+    the subquery's filters pushed to its own scan."""
+    b = _events_binding(spark)
+    df = sugar.query(
+        spark,
+        "SELECT purchase.user_id FROM boost.events "
+        "WHERE purchase.user_id IN (SELECT signup.user_id "
+        "FROM boost.events WHERE signup > 150.0)",
+        b,
+    )
+    plan_s = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_s
+
+
+def test_dialect_scalar_subquery_requires_aggregate(spark):
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="ungrouped aggregate"):
+        sugar.query(
+            spark,
+            "SELECT click FROM boost.events "
+            "WHERE click > (SELECT click FROM boost.events)",
+            b,
+        ).collect()
+
+
+def test_dialect_subquery_rejected_under_or(spark):
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="top-level AND"):
+        sugar.query(
+            spark,
+            "SELECT click FROM boost.events WHERE click < 1.0 OR "
+            "click.user_id IN (SELECT signup.user_id FROM boost.events)",
+            b,
+        ).collect()
