@@ -79,7 +79,7 @@ _KEYWORDS = {
     "select", "from", "where", "and", "or", "not", "in", "between", "like",
     "is", "null", "as", "group", "by", "having", "order", "limit", "asc",
     "desc", "join", "inner", "cross", "on", "true", "false", "over",
-    "partition", "left", "outer",
+    "partition", "left", "outer", "union", "intersect", "except", "all",
 }
 
 
@@ -176,6 +176,10 @@ class BoostQuery:
     limit: int | None = None
     joins: list[JoinClause] = field(default_factory=list)
     star: bool = False  # SELECT * — expand to the source's columns
+    #: (op, rhs) chain applied left-associatively: 'union' | 'union_all'
+    #: | 'intersect' | 'except' — the set-operation completion of the
+    #: declared query surface (the reference's SQL front has none)
+    set_ops: list[tuple[str, "BoostQuery"]] = field(default_factory=list)
 
 
 class _Parser:
@@ -211,11 +215,53 @@ class _Parser:
     def peek2(self):
         return self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
 
-    # query := SELECT fields FROM name [alias] [WHERE expr] [GROUP BY ...]
-    #          [HAVING expr] [ORDER BY ...] [LIMIT n]
+    # query := core {(UNION [ALL] | INTERSECT | EXCEPT) core}
+    #          [ORDER BY ...] [LIMIT n]
+    # core  := SELECT fields FROM name [alias] [JOIN ...] [WHERE expr]
+    #          [GROUP BY ...] [HAVING expr]
     # ``sub=True`` parses a parenthesized subquery body: the caller owns
     # the closing ')' and the eof check is skipped.
     def parse_query(self, sub: bool = False) -> BoostQuery:
+        q = self.parse_core()
+        while True:  # left-associative set-op chain
+            if self.accept_kw("union"):
+                op = "union_all" if self.accept_kw("all") else "union"
+            elif self.accept_kw("intersect"):
+                op = "intersect"
+            elif self.accept_kw("except"):
+                op = "except"
+            else:
+                break
+            q.set_ops.append((op, self.parse_core()))
+        # ORDER BY / LIMIT attach to the WHOLE statement (after set ops)
+        q.order_by, q.limit = self.parse_order_limit()
+        if not sub and self.peek()[0] != "eof":
+            raise ValueError(f"trailing tokens at {self.peek()}")
+        return q
+
+    def parse_order_limit(self):
+        order_by: list[tuple[FieldRef, bool]] = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                f2 = self.parse_field()
+                desc = False
+                if self.accept_kw("desc"):
+                    desc = True
+                else:
+                    self.accept_kw("asc")
+                order_by.append((f2, desc))
+                if not self.accept_op(","):
+                    break
+        limit = None
+        if self.accept_kw("limit"):
+            kind, v = self.next()
+            if kind != "num":
+                raise ValueError("LIMIT requires a number")
+            limit = int(v)
+        return order_by, limit
+
+    def parse_core(self) -> BoostQuery:
         self.expect_kw("select")
         star = False
         fields: list[FieldRef] = []
@@ -270,32 +316,11 @@ class _Parser:
                 group_by.append(self.parse_field())
             if self.accept_kw("having"):
                 having = self.parse_or()
-        order_by: list[tuple[FieldRef, bool]] = []
-        if self.accept_kw("order"):
-            self.expect_kw("by")
-            while True:
-                f2 = self.parse_field()
-                desc = False
-                if self.accept_kw("desc"):
-                    desc = True
-                else:
-                    self.accept_kw("asc")
-                order_by.append((f2, desc))
-                if not self.accept_op(","):
-                    break
-        limit = None
-        if self.accept_kw("limit"):
-            kind, v = self.next()
-            if kind != "num":
-                raise ValueError("LIMIT requires a number")
-            limit = int(v)
-        if not sub and self.peek()[0] != "eof":
-            raise ValueError(f"trailing tokens at {self.peek()}")
         if star and (group_by or joins):
             raise ValueError("SELECT * supports single-source, non-grouped queries")
         return BoostQuery(
-            fields, domain, family, alias, where, group_by, having, order_by,
-            limit, joins, star,
+            fields, domain, family, alias, where, group_by, having, [],
+            None, joins, star,
         )
 
     def parse_source(self) -> tuple[str, str, str | None]:
@@ -810,6 +835,56 @@ def plan(
     scans/filters independently, then equi- or cross-joins; Spark picks
     the physical join strategy.
     """
+    if q.set_ops:
+        # set-operation statement: plan each core independently (each
+        # core's filters push into ITS scan), align by position, then
+        # combine — UNION dedups (union + distinct exchange), UNION ALL
+        # is a zero-shuffle concatenation, INTERSECT/EXCEPT are
+        # Spark's distinct set semantics. ORDER BY / LIMIT apply to the
+        # combined result and must name output columns.
+        import dataclasses
+
+        def _core_binding(c: "BoostQuery"):
+            if isinstance(binding, dict) and not c.joins:
+                qn = f"{c.domain}.{c.family}"
+                if qn not in binding:
+                    raise ValueError(f"no binding for set-op source {qn}")
+                return binding[qn]
+            return binding
+
+        base = dataclasses.replace(q, set_ops=[], order_by=[], limit=None)
+        df = plan(spark, base, _core_binding(base), start, end, params)
+        for op, rhs in q.set_ops:
+            rdf = plan(spark, rhs, _core_binding(rhs), start, end, params)
+            if len(rdf.columns) != len(df.columns):
+                raise ValueError(
+                    f"set-operation sides have {len(df.columns)} vs "
+                    f"{len(rdf.columns)} columns"
+                )
+            rdf = rdf.toDF(*df.columns)  # positional, like SQL
+            if op == "union_all":
+                df = df.union(rdf)
+            elif op == "union":
+                df = df.union(rdf).distinct()
+            elif op == "intersect":
+                df = df.intersect(rdf)
+            else:
+                df = df.subtract(rdf)
+        if q.order_by:
+            order = []
+            for ref, desc in q.order_by:
+                if ref.func or len(ref.parts) != 1 or ref.parts[0] not in df.columns:
+                    raise ValueError(
+                        "ORDER BY after a set operation must name an "
+                        f"output column (one of {df.columns})"
+                    )
+                col = F.col(ref.parts[0])
+                order.append(col.desc() if desc else col.asc())
+            df = df.orderBy(*order)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
     if q.joins:
         if isinstance(binding, dict):
             bindings = dict(binding)

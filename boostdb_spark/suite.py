@@ -116,14 +116,14 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 4 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 5 new r4 entries (file-format round trip,
 # bounded-error certifiable forms of the two approx sketches, dialect
-# subqueries) + 31 certified canaries spanning EVERY family (the 5
-# standing canaries plus 26 rotating), so rotated-out surface keeps
-# hard regression signal (ADVICE r2). Green here = EVERY oracle-paired
-# entry in the registry has been driver-certified at least once
-# (139/139 cumulative) — including the two sketch entries that were
-# `no_oracle` rows since r1.
+# subqueries, dialect set ops) + 30 certified canaries spanning EVERY
+# family (the 5 standing canaries plus 25 rotating), so rotated-out
+# surface keeps hard regression signal (ADVICE r2). Green here = EVERY
+# oracle-paired entry in the registry has been driver-certified at
+# least once (140/140 cumulative) — including the two sketch entries
+# that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
     "scan_compressed_blocks", "join_interval_overlap",
@@ -138,6 +138,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_approx_count_distinct",   # HLL, bounded-error certifiable form
     "agg_approx_quantiles",        # percentile sketch, rank-bound form
     "dialect_subquery",            # IN/scalar subqueries via the front
+    "dialect_setops",              # UNION/EXCEPT via the front
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -146,7 +147,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
     "scan_timerange", "scan_zordered", "join_bucketed_colocated",
-    "dialect_select_star", "dialect_join", "dialect_window",
+    "dialect_select_star", "dialect_join",
     "join_inner", "join_range", "join_skew_salted", "asof_join_backward",
     "subquery_exists", "agg_having", "agg_count_distinct", "agg_pivot",
     "agg_q3_topk", "ts_histogram_quantile", "ts_time_weighted_avg",
@@ -3181,6 +3182,33 @@ def dialect_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE purchase.user_id IN "
         "(SELECT signup.user_id FROM boost.events WHERE signup > 150.0) "
         "AND purchase > (SELECT avg(purchase) FROM boost.events)",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_setops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 150.0
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 150.0
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 180.0
+    """,
+)
+def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT through the dialect front (plans/sugar.py
+    parse_query set-op chain): each core's filters push into its own
+    scan, UNION dedups through one distinct exchange, EXCEPT is
+    Spark's distinct set difference — left-associative like the
+    oracle's default precedence. Set operations complete the declared
+    query surface the reference's SQL front never had."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id FROM boost.events WHERE click > 150.0 "
+        "UNION SELECT error.user_id FROM boost.events WHERE error > 150.0 "
+        "EXCEPT SELECT signup.user_id FROM boost.events WHERE signup > 180.0",
         EVENTS_BINDING,
     )
 

@@ -1025,16 +1025,19 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _MEDIA_WRITTEN:
         payloads = mm.synth_media_payloads(t["documents"], kind="png")
         write_media_files(payloads, path, ext="png")
+        # validate ONCE at write time (partial-sink protection); the
+        # per-application dir already rules out cross-session staleness,
+        # so steady-state reads skip the two counting jobs
+        n_docs = t["documents"].count()
+        n_files = read_media_dir(spark, path, glob="*.png").count()
+        if n_files != n_docs:
+            raise RuntimeError(
+                f"multimodal_binaryfile: media dir {path} holds {n_files} "
+                f"files but documents has {n_docs} rows — partial sink "
+                f"output; delete the dir and re-run"
+            )
         _MEDIA_WRITTEN.add(key)
     files = read_media_dir(spark, path, glob="*.png")
-    n_docs = t["documents"].count()
-    n_files = files.count()
-    if n_files != n_docs:
-        raise RuntimeError(
-            f"multimodal_binaryfile: media dir {path} holds {n_files} "
-            f"files but documents has {n_docs} rows — stale/partial sink "
-            f"output; delete the dir and re-run"
-        )
     return mm.pixel_stats(files)
 
 

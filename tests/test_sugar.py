@@ -638,3 +638,84 @@ def test_dialect_subquery_rejected_under_or(spark):
             "click.user_id IN (SELECT signup.user_id FROM boost.events)",
             b,
         ).collect()
+
+
+def test_parse_set_ops():
+    q = parse(
+        "SELECT s.x FROM d.f UNION ALL SELECT t.x FROM d.g "
+        "EXCEPT SELECT u.x FROM d.h ORDER BY x DESC LIMIT 7"
+    )
+    assert [op for op, _ in q.set_ops] == ["union_all", "except"]
+    assert q.set_ops[0][1].family == "g"
+    assert q.order_by[0][1] is True and q.limit == 7
+    # cores carry no order/limit of their own
+    assert q.set_ops[0][1].order_by == [] and q.set_ops[0][1].limit is None
+
+
+def test_dialect_union_matches_sql(spark):
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT click.user_id FROM boost.events WHERE click > 190.0 "
+                "UNION SELECT error.user_id FROM boost.events "
+                "WHERE error > 190.0",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT user_id FROM events WHERE event_type='click' AND "
+                "value > 190.0 UNION SELECT user_id FROM events WHERE "
+                "event_type='error' AND value > 190.0"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dialect_intersect_except_match_sql(spark):
+    b = _events_binding(spark)
+    for dial_op, sql_op in (("INTERSECT", "INTERSECT"), ("EXCEPT", "EXCEPT")):
+        got = sorted(
+            map(
+                tuple,
+                sugar.query(
+                    spark,
+                    "SELECT click.user_id FROM boost.events WHERE click > 150.0 "
+                    f"{dial_op} SELECT signup.user_id FROM boost.events "
+                    "WHERE signup > 150.0",
+                    b,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT user_id FROM events WHERE event_type='click' AND "
+                    f"value > 150.0 {sql_op} SELECT user_id FROM events "
+                    "WHERE event_type='signup' AND value > 150.0"
+                ).collect(),
+            )
+        )
+        assert got == want
+
+
+def test_dialect_union_all_keeps_duplicates(spark):
+    b = _events_binding(spark)
+    n1 = sugar.query(
+        spark, "SELECT click.user_id FROM boost.events", b
+    ).count()
+    both = sugar.query(
+        spark,
+        "SELECT click.user_id FROM boost.events "
+        "UNION ALL SELECT click.user_id FROM boost.events",
+        b,
+    ).count()
+    assert both == 2 * n1
