@@ -147,6 +147,60 @@ def mixture_sample(
     return df.filter(_bucket(F.col(key_col), buckets) < cut)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual/
+    multi-domain mixing rule (sampling distribution q_s proportional to
+    p_s^(1/T), the mBERT/XLM exponent-smoothing scheme): temperatures
+    above 1 upweight small sources relative to their natural share, and
+    the whole corpus downsamples to ``target_fraction`` overall.
+
+    Unlike :func:`mixture_sample` the per-source rates are DERIVED from
+    the data (one tiny per-source count aggregate), not supplied:
+    rate_s = min(1, target_fraction * N * q_s / n_s). The decision per
+    row is the same deterministic content-hash bucket cut — monotone in
+    the target fraction, reproducible on any partitioning.
+
+    Determinism contract: for T = 2 the weight is sqrt(n) (correctly
+    rounded IEEE, engine-independent); weights quantize to
+    DECIMAL(18,9) before the exact decimal normalization sum so the
+    oracle reproduces the rates bit-for-bit. Other temperatures use
+    pow(), whose last-ulp behavior is libm-specific — fine for
+    production, not for cross-engine hash certification.
+
+    Scale shape: one partial-agg count per source (rows = |sources|),
+    one broadcast join of the tiny rate table, one codegen filter. No
+    full-data shuffle.
+    """
+    alpha = 1.0 / temperature
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.sqrt(F.col("_n")) if alpha == 0.5 else F.pow(F.col("_n"), F.lit(alpha))
+    d = counts.withColumn("_d", w.cast("decimal(18,9)"))
+    tot = d.agg(
+        F.sum("_d").alias("_sum_d"), F.sum("_n").alias("_total_n")
+    )
+    rate = (
+        F.lit(float(target_fraction))
+        * F.col("_total_n")
+        * F.col("_d").cast("double")
+        / (F.col("_sum_d").cast("double") * F.col("_n"))
+    )
+    rates = d.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.floor(F.least(F.lit(1.0), rate) * buckets).cast("long").alias("_cut"),
+    )
+    out = df.join(F.broadcast(rates), source_col)
+    return out.filter(_bucket(F.col(key_col), buckets) < F.col("_cut")).drop(
+        "_cut"
+    )
+
+
 def repeat_epochs(
     df: DataFrame,
     weights: dict[str, float],

@@ -650,6 +650,71 @@ def centroid_outliers(
     )
 
 
+def matryoshka_truncate(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first
+    ``dims`` dimensions and L2-renormalize — the storage/recall dial of
+    MRL-trained embedding stores (a 64 -> 16 truncation is 4x less
+    storage and ~4x faster brute-force scoring, recoverable recall).
+
+    Pure codegen: slice + one deterministic left-fold norm + transform
+    divide; zero shuffle, fuses into the scan. The fold order matches
+    the DuckDB ``list_reduce`` oracle bit-for-bit; zero vectors pass
+    through unnormalized (no 0/0 NaN)."""
+    v = F.transform(
+        F.slice(F.col(vec_col), 1, dims), lambda x: x.cast("double")
+    )
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(nrm > 0.0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], unit.alias(out_col)
+    )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Per-dimension corpus statistics (n, mean, variance) over the
+    embedding store — the one-pass profile behind centering/whitening
+    and drift monitoring at 100 TB scale.
+
+    Values quantize to fixed point (``floor(x*scale + 0.5)``, a
+    correctly-rounded double op, engine-identical) and the sums run
+    over exact decimal INTEGERS — so the result is bit-deterministic
+    across partitionings AND engines (a double sum is order-dependent;
+    a double->DECIMAL(38,18) cast rounds differently across engines).
+    Mean/variance derive from the exact sums in one pinned double
+    formula (E[x^2] - E[x]^2), at 1/scale resolution.
+
+    Shape: posexplode to (dim, x) -> ONE partial-aggregating groupBy on
+    the dimension index (the shuffle carries |dims| rows per map
+    task, nothing else)."""
+    x = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+    q = F.floor(F.col("_x").cast("double") * scale + F.lit(0.5)).cast("long")
+    xq = x.select("dim", q.alias("_q"))
+    agg = xq.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s"),
+        F.sum(F.col("_q").cast("decimal(19,0)") * F.col("_q")).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / (F.col("n") * F.lit(float(scale)))
+    ex2 = F.col("_s2").cast("double") / (
+        F.col("n") * F.lit(float(scale) * float(scale))
+    )
+    return agg.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        (ex2 - mean * mean).alias("variance"),
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

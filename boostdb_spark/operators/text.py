@@ -98,6 +98,62 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality FILTER (Rae et al. 2021, §A1.1 —
+    the published repetition/format rule set, adapted to this corpus's
+    signals): per-document rule booleans plus the composite ``keep``
+    decision, so a pipeline can either filter on ``keep`` or audit
+    rule-level rejection rates.
+
+    Rules: word count within [min_words, max_words]; mean word length
+    within [min_mean_len, max_mean_len]; fraction of words containing
+    an alphabetic character >= min_alpha_word_ratio; at least
+    ``min_stop_hits`` DISTINCT common stopwords present (the Gopher
+    "contains 2 of 5 common words" rule).
+
+    Scale shape: pure codegen expressions over the token array — no
+    shuffle, no UDF; the filter fuses into the scan pipeline like every
+    other row-level quality signal."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.when(
+        n_words > 0, tok_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_word_ratio = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    )
+    ok_nw = (n_words >= min_words) & (n_words <= max_words)
+    ok_ml = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_aw = alpha_word_ratio >= min_alpha_word_ratio
+    ok_st = stop_hits >= min_stop_hits
+    return (
+        _spread(df)
+        .withColumn("n_words", n_words)
+        .withColumn("ok_word_count", ok_nw)
+        .withColumn("ok_mean_word_len", ok_ml)
+        .withColumn("ok_alpha_words", ok_aw)
+        .withColumn("ok_stopwords", ok_st)
+        .withColumn("keep", ok_nw & ok_ml & ok_aw & ok_st)
+    )
+
+
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID (n-gram-free heuristic: count hits
     against per-language stopword lists, argmax with a deterministic
@@ -312,15 +368,24 @@ def tf_idf_topk(
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
-    scored = tf.join(dfreq, "token").select(
+    # the doc count rides as a broadcast single-row cross join — the
+    # plan stays fully lazy (one action), no mid-plan driver collect
+    n_docs = F.broadcast(
+        df.select(F.countDistinct(F.col(id_col)).alias("_n_docs"))
+    )
+    scored = tf.join(dfreq, "token").crossJoin(n_docs).select(
         "doc_id",
         "token",
         "tf",
         "df",
         F.round(
             F.col("tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)),
+            * (
+                F.log(
+                    (F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + 1)
+                )
+                + F.lit(1.0)
+            ),
             6,
         ).alias("tfidf"),
     )

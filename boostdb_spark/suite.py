@@ -116,14 +116,15 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 5 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 9 new r4 entries (file-format round trip,
 # bounded-error certifiable forms of the two approx sketches, dialect
-# subqueries, dialect set ops) + 30 certified canaries spanning EVERY
-# family (the 5 standing canaries plus 25 rotating), so rotated-out
-# surface keeps hard regression signal (ADVICE r2). Green here = EVERY
-# oracle-paired entry in the registry has been driver-certified at
-# least once (140/140 cumulative) — including the two sketch entries
-# that were `no_oracle` rows since r1.
+# subqueries + set ops, Gopher rules, temperature mixture, matryoshka
+# truncation, per-dimension stats) + 26 certified canaries spanning
+# EVERY family (the 5 standing canaries plus 21 rotating), so
+# rotated-out surface keeps hard regression signal (ADVICE r2). Green
+# here = EVERY oracle-paired entry in the registry has been
+# driver-certified at least once (144/144 cumulative) — including the
+# two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
     "scan_compressed_blocks", "join_interval_overlap",
@@ -139,6 +140,10 @@ _WINDOW: tuple[str, ...] = (
     "agg_approx_quantiles",        # percentile sketch, rank-bound form
     "dialect_subquery",            # IN/scalar subqueries via the front
     "dialect_setops",              # UNION/EXCEPT via the front
+    "txt_gopher_rules",            # Gopher quality-filter rule set
+    "doc_temperature_mixture",     # T=2 source rebalancing
+    "emb_matryoshka",              # MRL truncation + renormalize
+    "emb_dim_stats",               # per-dimension corpus profile
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -148,11 +153,11 @@ _WINDOW: tuple[str, ...] = (
     # --- rotating canaries, every family represented ---
     "scan_timerange", "scan_zordered", "join_bucketed_colocated",
     "dialect_select_star", "dialect_join",
-    "join_inner", "join_range", "join_skew_salted", "asof_join_backward",
-    "subquery_exists", "agg_having", "agg_count_distinct", "agg_pivot",
-    "agg_q3_topk", "ts_histogram_quantile", "ts_time_weighted_avg",
+    "join_range", "join_skew_salted", "asof_join_backward",
+    "subquery_exists", "agg_having", "agg_count_distinct",
+    "agg_q3_topk", "ts_time_weighted_avg",
     "txt_quality", "txt_tfidf_topk", "dedup_minhash_lsh", "dedup_groups",
-    "emb_cosine_topk", "emb_outliers", "doc_pack_tokens",
+    "emb_outliers", "doc_pack_tokens",
     "doc_shuffle_det", "pipeline_curate",
 )
 

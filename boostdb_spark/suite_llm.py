@@ -1410,3 +1410,185 @@ def pipeline_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
     return sp.pack_tokens(n, capacity=1024)
+
+
+# ===========================================================================
+# Round-4 additions: Gopher-rule filtering, temperature mixing,
+# matryoshka truncation, embedding-store profiling
+# ===========================================================================
+
+
+@_q(
+    "txt_gopher_rules",
+    f"""
+    WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             CASE WHEN len(toks) > 0 THEN
+               list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                           (a, x) -> a + x)::DOUBLE / len(toks)
+               ELSE 0.0 END AS mean_len,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+               / len(toks) ELSE 0.0 END AS aw_ratio,
+             len(list_distinct(list_filter(toks,
+                 t -> t IN ('the','a','of','to','and','in','is'))))
+               AS stop_hits
+      FROM d)
+    SELECT doc_id, n_words,
+           (n_words >= 25 AND n_words <= 80) AS ok_word_count,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+           (aw_ratio >= 0.8) AS ok_alpha_words,
+           (stop_hits >= 2) AS ok_stopwords,
+           ((n_words >= 25 AND n_words <= 80)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND aw_ratio >= 0.8 AND stop_hits >= 2) AS keep
+    FROM f
+    """,
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_rules(): the published Gopher document-quality rule set
+    (word-count window, mean-word-length window, alphabetic-word
+    ratio, distinct-stopword floor) as per-rule booleans + composite
+    keep — thresholds tuned so the fixture corpus actually splits.
+    Pure codegen over the token array, zero shuffle."""
+    t = load_tables(spark, sf_dir)
+    return tx.gopher_rules(
+        t["documents"], min_words=25, max_words=80,
+    ).select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        "ok_word_count", "ok_mean_word_len", "ok_alpha_words",
+        "ok_stopwords", "keep",
+    )
+
+
+@_q(
+    "doc_temperature_mixture",
+    f"""
+    WITH c AS (
+      SELECT source, count(*) AS n,
+             CAST(sqrt(count(*)) AS DECIMAL(18,9)) AS d
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(d) AS sum_d, sum(n) AS total_n FROM c),
+    r AS (
+      SELECT c.source,
+             CAST(floor(least(1.0,
+                    0.5 * tot.total_n * CAST(c.d AS DOUBLE)
+                    / (CAST(tot.sum_d AS DOUBLE) * c.n)) * 10000)
+                  AS BIGINT) AS cut
+      FROM c, tot)
+    SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+    WHERE ({H32.format(x="CAST(d.doc_id AS VARCHAR)")}) % 10000 < r.cut
+    """,
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_mixture(): T=2 exponent-smoothed source rebalancing
+    (q_s ~ sqrt(p_s), the mBERT/XLM mixing rule) at an overall 50%
+    target — per-source rates DERIVED from a tiny count aggregate
+    (decimal-quantized sqrt weights for cross-engine exactness), then
+    the standard deterministic hash-bucket cut. One broadcast of the
+    |sources|-row rate table; no full-data shuffle."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.temperature_mixture(
+        t["documents"].select("doc_id", "source"),
+        temperature=2.0,
+        target_fraction=0.5,
+    ).select("doc_id", "source")
+
+
+@_q(
+    "emb_matryoshka",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+      FROM v),
+    u AS (
+      SELECT vec_id, nrm,
+             CASE WHEN nrm > 0.0 THEN list_transform(v, x -> x / nrm)
+                  ELSE v END AS uv
+      FROM n)
+    SELECT vec_id, nrm,
+           list_reduce(list_prepend(0.0,
+             list_transform(range(1, 17), i -> uv[CAST(i AS INT)] * i)),
+             (a, x) -> a + x) AS unit_checksum,
+           list_reduce(list_prepend(0.0,
+             list_transform(uv, x -> x * x)), (a, x) -> a + x) AS unit_sq
+    FROM u
+    """,
+)
+def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matryoshka_truncate(): keep the first 16 of 64 dims and
+    L2-renormalize (MRL truncation — 4x storage and scoring saving on
+    an MRL-trained store). Slice + deterministic left-fold norm +
+    transform divide. The certified row scalar-izes the unit vector
+    (the compare layer hashes cells, not arrays): the pre-norm, a
+    position-weighted checksum (catches any component or permutation
+    error), and the unit sum-of-squares — all identical fold trees on
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    v = F.transform(
+        F.slice(F.col("embedding"), 1, 16), lambda x: x.cast("double")
+    )
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    emb = t["embeddings"].withColumn("nrm", nrm)
+    u = sim.matryoshka_truncate(
+        emb.select("vec_id", "nrm", "embedding"), dims=16, out_col="uv",
+        keep_cols=("nrm",),
+    )
+    uv = F.col("uv")
+    idx = F.sequence(F.lit(1), F.lit(16))
+    checksum = F.aggregate(
+        F.zip_with(uv, idx, lambda x, i: x * i.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    unit_sq = F.aggregate(
+        F.transform(uv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return u.select(
+        "vec_id",
+        "nrm",
+        checksum.alias("unit_checksum"),
+        unit_sq.alias("unit_sq"),
+    )
+
+
+@_q(
+    "emb_dim_stats",
+    """
+    WITH x AS (
+      SELECT CAST(t.i - 1 AS INT) AS dim,
+             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS q
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i)),
+    a AS (
+      SELECT dim, count(*) AS n,
+             sum(CAST(q AS DECIMAL(38,0))) AS s,
+             sum(CAST(q AS DECIMAL(19,0)) * q) AS s2
+      FROM x GROUP BY dim)
+    SELECT dim, n,
+           CAST(s AS DOUBLE) / (n * 1000000.0) AS mean,
+           CAST(s2 AS DOUBLE) / (n * 1000000000000.0)
+             - (CAST(s AS DOUBLE) / (n * 1000000.0))
+               * (CAST(s AS DOUBLE) / (n * 1000000.0)) AS variance
+    FROM a
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_dim_stats(): one-pass per-dimension profile (n, mean,
+    variance) of the embedding store — the centering/whitening and
+    drift-monitoring primitive. posexplode -> ONE partial-aggregating
+    groupBy carrying |dims| rows per map task; decimal-exact sums make
+    the result partitioning-independent and oracle-exact."""
+    t = load_tables(spark, sf_dir)
+    return sim.embedding_dim_stats(t["embeddings"])

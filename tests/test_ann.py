@@ -197,3 +197,35 @@ def test_query_side_guard_fires_on_oversized_set(spark, emb):
     q = emb.filter(F.col("vec_id") < 3)
     assert sim.cosine_topk(q, emb, k=2, max_queries=3).count() == 6
     assert sim.pq_ann_topk(q, emb, cb, topk=2, max_queries=3).count() == 6
+
+
+def test_matryoshka_unit_norm_and_prefix(spark, emb):
+    import numpy as np
+
+    from boostdb_spark.operators import similarity as sim
+
+    out = sim.matryoshka_truncate(emb, dims=16, out_col="uv").collect()
+    orig = {r["vec_id"]: list(r["embedding"])[:16] for r in emb.collect()}
+    for r in out[:20]:
+        u = np.array(r["uv"])
+        assert abs(np.linalg.norm(u) - 1.0) < 1e-9
+        o = np.array([float(x) for x in orig[r["vec_id"]]])
+        # direction preserved: u parallel to the truncated prefix
+        assert abs(float(np.dot(u, o)) - float(np.linalg.norm(o))) < 1e-6
+
+
+def test_embedding_dim_stats_matches_numpy(spark, emb):
+    import numpy as np
+
+    from boostdb_spark.operators import similarity as sim
+
+    X = np.array(
+        [[float(x) for x in r["embedding"]] for r in emb.collect()]
+    )
+    Q = np.floor(X * 1e6 + 0.5) / 1e6  # the op's fixed-point grid
+    got = {r["dim"]: r for r in sim.embedding_dim_stats(emb).collect()}
+    assert len(got) == X.shape[1]
+    for d in (0, 7, 63):
+        assert got[d]["n"] == X.shape[0]
+        assert abs(got[d]["mean"] - Q[:, d].mean()) < 1e-9
+        assert abs(got[d]["variance"] - Q[:, d].var()) < 1e-9

@@ -214,3 +214,52 @@ def test_bpe_apply_uses_merge_ranks(spark):
     assert out[1][2] == "lowe"
     # unseen words fall back to single characters but still terminate
     assert out[2][-1] == bpe.END and all(t for t in out[2])
+
+
+def test_gopher_rules_thresholds(spark):
+    from boostdb_spark.operators import text as tx
+
+    rows = [
+        (1, "the quick brown foxes jumped over the fence and it is a "
+            "lovely spring morning in the town of dover"),
+        (2, "a b"),  # too short
+        (3, "zz " * 30),  # no stopwords, short tokens
+        (4, "1 2 3 4 5 6 7 8 9 10 " * 3),  # digits: alpha-word ratio 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in tx.gopher_rules(df, min_words=5, max_words=100).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["ok_stopwords"] is False
+    assert out[4]["ok_alpha_words"] is False
+
+
+def test_temperature_mixture_properties(spark):
+    """T=2 upweights small sources: the kept FRACTION of a small source
+    must exceed that of a big one; T=1 approximates uniform downsample;
+    determinism across partitionings."""
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators import sampling as sp
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sp.temperature_mixture(df, temperature=2.0, target_fraction=0.5)
+    kept = out.groupBy("source").count().collect()
+    k = {r["source"]: r["count"] for r in kept}
+    frac_big, frac_small = k.get("big", 0) / 900, k.get("small", 0) / 100
+    assert frac_small > frac_big  # smoothing upweights the small source
+    total = sum(k.values())
+    assert 0.35 < total / 1000 < 0.65  # overall near the target
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sp.temperature_mixture(
+            df.repartition(13), temperature=2.0, target_fraction=0.5
+        ).collect()
+    )
+    assert a == b
