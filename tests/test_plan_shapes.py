@@ -169,3 +169,65 @@ def test_compressed_blocks_single_shuffle(spark):
     p = _plan(spark, "scan_compressed_blocks")
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
     assert "Join" not in p
+
+
+def test_gopher_rules_no_key_shuffle(spark):
+    """The quality filter is a pure codegen projection: the only
+    Exchange allowed is the deliberate round-robin `_spread`
+    repartition (fixture parallelism) — never a key hash shuffle or
+    an aggregate."""
+    p = _plan(spark, "txt_gopher_rules")
+    assert "hashpartitioning" not in p
+    assert "HashAggregate" not in p and "SortMergeJoin" not in p
+
+
+def test_temperature_mixture_broadcasts_rate_table(spark):
+    """The per-source rate table joins as a broadcast; the full data
+    side must not shuffle through a SortMergeJoin."""
+    p = _plan(spark, "doc_temperature_mixture")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dialect_setops_union_all_no_exchange(spark):
+    """UNION ALL through the dialect front is a zero-shuffle
+    concatenation; plain UNION adds exactly the one distinct
+    exchange."""
+    from boostdb_spark.plans import sugar
+    from boostdb_spark.suite import EVENTS_BINDING, load_tables
+
+    load_tables(spark, SF_DIR)
+    ua = sugar.query(
+        spark,
+        "SELECT click.user_id FROM boost.events "
+        "UNION ALL SELECT error.user_id FROM boost.events",
+        EVENTS_BINDING,
+    )
+    p = ua._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Union" in p and "Exchange" not in p
+
+
+def test_dialect_subquery_pushes_both_scans(spark):
+    """Both the outer and the IN-subquery scans carry their own pushed
+    filters — decorrelation did not forfeit pushdown."""
+    p = _plan(spark, "dialect_subquery")
+    assert "LeftSemi" in p
+    assert p.count("PushedFilters: [") >= 2
+    assert "EqualTo(event_type,purchase)" in p
+    assert "EqualTo(event_type,signup)" in p
+
+
+def test_matryoshka_zero_shuffle(spark):
+    p = _plan(spark, "emb_matryoshka")
+    assert "Exchange" not in p
+
+
+def test_emb_dim_stats_partial_agg(spark):
+    """posexplode -> grouped agg with map-side partial aggregation: two
+    HashAggregate levels around one exchange on the 64-value dim key."""
+    p = _plan(spark, "emb_dim_stats")
+    assert p.count("HashAggregate") >= 2
