@@ -255,7 +255,9 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (direction='backward'; 'forward' = earliest
-    right row with ``right.ts >= left.ts``), matched on equi-keys ``on``.
+    right row with ``right.ts >= left.ts``; 'nearest' = whichever of
+    the two is closer in time, ties -> backward, pandas merge_asof
+    semantics), matched on equi-keys ``on``.
     The natural time-series completion of the reference's declared join
     surface (query/parser/joinparser.go:84-201 parses joins; the op body
     is empty, query/base/queryops.go:60-66).
@@ -304,18 +306,46 @@ def asof_join(
             .orderBy(F.col("_ord_ns").asc(), F.col("_side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        carried = F.last(F.col("_r_row"), ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
             .orderBy(F.col("_ord_ns").asc(), F.col("_side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        carried = F.first(F.col("_r_row"), ignorenulls=True).over(w)
+    elif direction == "nearest":
+        # pandas merge_asof direction='nearest': the closer of the
+        # latest-at-or-before and earliest-after right rows; ties ->
+        # backward. BOTH carries share ONE sort order (right before
+        # left at equal ts), so Spark plans a single Exchange+Sort and
+        # evaluates both frames over it — still one shuffle. The
+        # forward frame misses equal-ts right rows under this order,
+        # but gap 0 always wins via the backward carry, so nearest
+        # semantics are unaffected.
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ord_ns").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ord_ns").asc(), F.col("_side").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        back = F.last(F.col("_r_row"), ignorenulls=True).over(wb)
+        fwd = F.first(F.col("_r_row"), ignorenulls=True).over(wf)
+        lns = F.col("_ord_ns")
+        gap_b = lns - back.getField("_r_ts")
+        gap_f = fwd.getField("_r_ts") - lns
+        carried = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gap_f < gap_b, fwd)
+            .otherwise(back)
+        )
     else:
-        raise ValueError("direction must be 'backward' or 'forward'")
-
-    carried = pick(F.col("_r_row")).over(w)
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     filled = u.select(
         *left.columns,
         F.col("_ord_ns"),
@@ -326,11 +356,12 @@ def asof_join(
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if tolerance_ns is not None:
         lns = F.col("_ord_ns")
-        gap = (
-            (lns - F.col("_r_ts"))
-            if direction == "backward"
-            else (F.col("_r_ts") - lns)
-        )
+        if direction == "backward":
+            gap = lns - F.col("_r_ts")
+        elif direction == "forward":
+            gap = F.col("_r_ts") - lns
+        else:  # nearest: the chosen row's absolute distance
+            gap = F.abs(F.col("_r_ts") - lns)
         keep = gap <= F.lit(tolerance_ns)
         out = out.select(
             *left.columns,

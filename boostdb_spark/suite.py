@@ -116,15 +116,15 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 9 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 10 new r4 entries (file-format round trip,
 # bounded-error certifiable forms of the two approx sketches, dialect
 # subqueries + set ops, Gopher rules, temperature mixture, matryoshka
-# truncation, per-dimension stats) + 26 certified canaries spanning
-# EVERY family (the 5 standing canaries plus 21 rotating), so
-# rotated-out surface keeps hard regression signal (ADVICE r2). Green
-# here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (144/144 cumulative) — including the
-# two sketch entries that were `no_oracle` rows since r1.
+# truncation, per-dimension stats, as-of nearest) + 25 certified
+# canaries spanning EVERY family (the 5 standing canaries plus 20
+# rotating), so rotated-out surface keeps hard regression signal
+# (ADVICE r2). Green here = EVERY oracle-paired entry in the registry
+# has been driver-certified at least once (145/145 cumulative) —
+# including the two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
     "scan_compressed_blocks", "join_interval_overlap",
@@ -153,7 +153,7 @@ _WINDOW: tuple[str, ...] = (
     # --- rotating canaries, every family represented ---
     "scan_timerange", "scan_zordered", "join_bucketed_colocated",
     "dialect_select_star", "dialect_join",
-    "join_range", "join_skew_salted", "asof_join_backward",
+    "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists", "agg_having", "agg_count_distinct",
     "agg_q3_topk", "ts_time_weighted_avg",
     "txt_quality", "txt_tfidf_topk", "dedup_minhash_lsh", "dedup_groups",
@@ -1434,6 +1434,52 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
     joined = ts_ops.asof_join(left, right, on=["user_id"], ts_col="ts")
+    return joined.select(
+        "event_id",
+        "value",
+        F.col("value_right").alias("err_value"),
+        _ts_us(joined, "ts_right").alias("err_ts_us"),
+    )
+
+
+@_q(
+    "asof_join_nearest",
+    """
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+    p AS (
+      SELECT l.event_id, r.ts AS rts, r.value AS rval,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY abs(epoch_ns(l.ts) - epoch_ns(r.ts)),
+                        CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END
+             ) AS rn
+      FROM l JOIN r USING (user_id))
+    SELECT l.event_id, l.value,
+           p.rval AS err_value, epoch_us(p.rts) AS err_ts_us
+    FROM l LEFT JOIN (SELECT event_id, rts, rval FROM p WHERE rn = 1) p
+      USING (event_id)
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join(direction='nearest'): for each purchase, the error
+    CLOSEST in time for the same user, ties toward the earlier row —
+    pandas merge_asof nearest semantics. Both the backward and forward
+    carries evaluate over ONE sorted window pass (same partition+order
+    key), so the plan still has exactly one shuffle and no join node;
+    the oracle enumerates pairs and ranks by absolute distance."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    joined = ts_ops.asof_join(
+        left, right, on=["user_id"], ts_col="ts", direction="nearest"
+    )
     return joined.select(
         "event_id",
         "value",
