@@ -253,8 +253,9 @@ def _trailing_zeros(x: int) -> int:
     return (x & -x).bit_length() - 1
 
 
-def decode_block(block: bytes) -> tuple[list[int], list[float]]:
-    """Inverse of :func:`encode_block` — bit-exact."""
+def _decode_block_py(block: bytes) -> tuple[list[int], list[float]]:
+    """Scalar reference decoder (the spec) — kept for the
+    inlined==reference cross-check."""
     r = _BitReader(block)
     n = r.read_varint()
     t0 = r.read_varint()
@@ -276,6 +277,95 @@ def decode_block(block: bytes) -> tuple[list[int], list[float]]:
             x = frac << (64 - lead - sig)
             prev_bits ^= x
         values.append(struct.unpack(">d", struct.pack(">Q", prev_bits))[0])
+    return ts, values
+
+
+def decode_block(block: bytes) -> tuple[list[int], list[float]]:
+    """Inverse of :func:`encode_block` — bit-exact. The bit-reader
+    state is inlined into ONE loop with local variables (no method
+    calls in the ~3-reads-per-point hot path) and the float
+    reconstruction batches through numpy at the end — ~3x the
+    object-oriented reference decoder, same output (pinned by test)."""
+    import numpy as np
+
+    pos = 0
+    acc = 0
+    nb = 0  # bits held in acc
+
+    # header varints are whole bytes at a byte-aligned position
+    def hdr_varint():
+        nonlocal pos
+        z = 0
+        shift = 0
+        while True:
+            b = block[pos]
+            pos += 1
+            z |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                return (z >> 1) ^ -(z & 1)
+
+    n = hdr_varint()
+    t0 = hdr_varint()
+    first_bits = int.from_bytes(block[pos : pos + 8], "big")
+    pos += 8
+    ts = [t0]
+    out_bits = [first_bits]
+    prev_t = t0
+    prev_delta = 0
+    prev_bits = first_bits
+    ts_append = ts.append
+    bits_append = out_bits.append
+    for _ in range(n - 1):
+        # --- zigzag varint (8-bit reads) ---
+        z = 0
+        shift = 0
+        while True:
+            while nb < 8:
+                acc = (acc << 8) | block[pos]
+                pos += 1
+                nb += 8
+            nb -= 8
+            b = (acc >> nb) & 0xFF
+            acc &= (1 << nb) - 1
+            z |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        delta = prev_delta + ((z >> 1) ^ -(z & 1))
+        prev_t += delta
+        prev_delta = delta
+        ts_append(prev_t)
+        # --- control bit + optional XOR record ---
+        if nb < 1:
+            acc = (acc << 8) | block[pos]
+            pos += 1
+            nb += 8
+        nb -= 1
+        ctrl = (acc >> nb) & 1
+        acc &= (1 << nb) - 1
+        if ctrl:
+            while nb < 12:
+                acc = (acc << 8) | block[pos]
+                pos += 1
+                nb += 8
+            nb -= 12
+            meta = (acc >> nb) & 0xFFF
+            acc &= (1 << nb) - 1
+            lead = meta >> 6
+            sig = (meta & 0x3F) + 1
+            while nb < sig:
+                acc = (acc << 8) | block[pos]
+                pos += 1
+                nb += 8
+            nb -= sig
+            frac = (acc >> nb) & ((1 << sig) - 1)
+            acc &= (1 << nb) - 1
+            prev_bits ^= frac << (64 - lead - sig)
+        bits_append(prev_bits)
+    values = (
+        np.array(out_bits, dtype=np.uint64).view(np.float64).tolist()
+    )
     return ts, values
 
 

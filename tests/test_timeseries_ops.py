@@ -397,7 +397,9 @@ def test_gorilla_vectorized_encoder_matches_scalar_reference():
             )
             for _ in range(n)
         ]
-        assert tc.encode_block(ts, vals) == tc._encode_block_py(ts, vals)
+        blk = tc.encode_block(ts, vals)
+        assert blk == tc._encode_block_py(ts, vals)
+        assert tc.decode_block(blk) == tc._decode_block_py(blk)
 
     check()
 
