@@ -401,6 +401,53 @@ def moving_agg(
     return df.withColumn(out_col or f"moving_{how}", fns[how].over(w))
 
 
+def moving_time_agg(
+    df: DataFrame,
+    window_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    how: str = "avg",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing TIME-RANGE moving aggregate per series: for each row,
+    aggregate over the rows in ``[ts - window_seconds, ts]`` (current
+    row inclusive) — the time-based companion to the row-count frame of
+    :func:`moving_agg`, matching irregular sampling correctly (a
+    row-count frame over-reaches on sparse series and under-reaches on
+    dense ones).
+
+    Implemented as ONE ``rangeBetween`` window frame on the INT64-ns
+    ordering column — a single shuffle on the series key, state bounded
+    by rows-per-window. ``avg``/``sum`` accumulate through
+    DECIMAL(18,6) so frame sums are order-independent (a double frame
+    sum depends on the engine's frame-evaluation order) and the result
+    hashes against a SQL oracle; min/max/count are exact anyway.
+
+    Requires INT64-ns ``ts`` (use ``functions.scalar.ts_ns`` first for
+    timestamp columns)."""
+    from boostdb_spark.functions.scalar import ts_ns
+
+    ord_ns = ts_ns(df, ts_col)
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ord_ns)
+        .rangeBetween(-(window_seconds * NS_PER_SEC), 0)
+    )
+    v = F.col(value_col)
+    vd = v.cast("decimal(18,6)")
+    fns = {
+        "avg": lambda: F.sum(vd).over(w).cast("double") / F.count(v).over(w),
+        "sum": lambda: F.sum(vd).over(w).cast("double"),
+        "min": lambda: F.min(v).over(w),
+        "max": lambda: F.max(v).over(w),
+        "count": lambda: F.count(v).over(w),
+    }
+    if how not in fns:
+        raise ValueError(f"how must be one of {sorted(fns)}")
+    return df.withColumn(out_col or f"moving_{how}", fns[how]())
+
+
 def _ewma_bucketed(
     df: DataFrame,
     alpha: float,

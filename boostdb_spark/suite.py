@@ -116,15 +116,16 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 10 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 11 new r4 entries (file-format round trip,
 # bounded-error certifiable forms of the two approx sketches, dialect
 # subqueries + set ops, Gopher rules, temperature mixture, matryoshka
-# truncation, per-dimension stats, as-of nearest) + 25 certified
-# canaries spanning EVERY family (the 5 standing canaries plus 20
-# rotating), so rotated-out surface keeps hard regression signal
-# (ADVICE r2). Green here = EVERY oracle-paired entry in the registry
-# has been driver-certified at least once (145/145 cumulative) —
-# including the two sketch entries that were `no_oracle` rows since r1.
+# truncation, per-dimension stats, as-of nearest, time-range moving
+# window) + 24 certified canaries spanning EVERY family (the 5
+# standing canaries plus 19 rotating), so rotated-out surface keeps
+# hard regression signal (ADVICE r2). Green here = EVERY oracle-paired
+# entry in the registry has been driver-certified at least once
+# (146/146 cumulative) — including the two sketch entries that were
+# `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
     "scan_compressed_blocks", "join_interval_overlap",
@@ -155,7 +156,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_select_star", "dialect_join",
     "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists", "agg_having", "agg_count_distinct",
-    "agg_q3_topk", "ts_time_weighted_avg",
+    "agg_q3_topk", "ts_moving_time_avg",
     "txt_quality", "txt_tfidf_topk", "dedup_minhash_lsh", "dedup_groups",
     "emb_outliers", "doc_pack_tokens",
     "doc_shuffle_det", "pipeline_curate",
@@ -1439,6 +1440,37 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("value_right").alias("err_value"),
         _ts_us(joined, "ts_right").alias("err_ts_us"),
+    )
+
+
+@_q(
+    "ts_moving_time_avg",
+    """
+    SELECT event_type, epoch_us(ts) AS ts_us, value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(value) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts)
+                 RANGE BETWEEN 21600000000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_moving_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_time_agg(): trailing 6h TIME-RANGE average per series —
+    the rangeBetween frame that handles irregular sampling correctly
+    where a row-count frame cannot. One shuffle on the series key;
+    DECIMAL frame sums make the result independent of the engine's
+    frame-evaluation order, so it hashes against the oracle's
+    identical RANGE window."""
+    t = load_tables(spark, sf_dir)
+    ev = _ns_events(t)
+    out = ts_ops.moving_time_agg(
+        ev, 21600, series_cols=("event_type",), how="avg"
+    )
+    return out.select(
+        "event_type",
+        _ts_us(out).alias("ts_us"),
+        "value",
+        "moving_avg",
     )
 
 

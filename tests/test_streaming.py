@@ -415,3 +415,27 @@ def test_stateful_state_survives_restart(spark, landing, tmp_path):
     g = {r["series"]: (r["n"], round(r["total"], 6)) for r in final.collect()}
     w = {r["series"]: (r["n"], round(r["total"], 6)) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_stream_static_join_equals_batch(spark, landing):
+    """Stream-static join — the dimension-enrichment pattern: the
+    streaming fact side joins a STATIC (batch) lookup table with no
+    watermark or state store (each micro-batch joins the broadcast dim
+    independently). Streaming result == batch join."""
+    dim = spark.createDataFrame(
+        [("click", "web"), ("purchase", "commerce"), ("error", "ops")],
+        "event_type string, domain string",
+    )
+    src = file_stream(spark, landing).select("event_id", "event_type", "value")
+    joined = src.join(F.broadcast(dim), "event_type")
+    _run_to_memory(joined, "ssj_static_t", "append")
+    got = spark.table("ssj_static_t")
+
+    want = (
+        spark.read.parquet(landing)
+        .select("event_id", "event_type", "value")
+        .join(dim, "event_type")
+    )
+    cols = ["event_id", "event_type", "value", "domain"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0

@@ -632,3 +632,29 @@ def test_asof_nearest_matches_pandas(spark):
     mismatches = sum(1 for a, b in zip(got_rv, want_rv) if a != b)
     assert mismatches <= 2  # duplicate-ts/tie edge rows only
     assert mismatches / len(got_rv) < 0.02
+
+
+def test_moving_time_agg_irregular_sampling(spark):
+    """The time-range frame must include exactly the rows within the
+    trailing window — where a row-count frame would over-reach on a
+    sparse stretch."""
+    NS = 1_000_000_000
+    rows = [("a", 0, 1.0), ("a", 5 * NS, 2.0), ("a", 100 * NS, 10.0),
+            ("a", 104 * NS, 20.0)]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {
+        r.ts: r.moving_avg
+        for r in ts_ops.moving_time_agg(
+            df, 10, series_cols=("key",), how="avg"
+        ).collect()
+    }
+    assert out[0] == 1.0
+    assert out[5 * NS] == 1.5          # both rows within 10s
+    assert out[100 * NS] == 10.0       # the sparse gap resets the frame
+    assert out[104 * NS] == 15.0       # 100s row still within 10s
+    # count at equal timestamps: RANGE includes peers
+    df2 = spark.createDataFrame(
+        [("b", 0, 1.0), ("b", 0, 2.0)], "key string, ts long, value double"
+    )
+    out2 = ts_ops.moving_time_agg(df2, 10, series_cols=("key",), how="count")
+    assert [r.moving_count for r in out2.collect()] == [2, 2]
