@@ -116,16 +116,16 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 11 new r4 entries (file-format round trip,
-# bounded-error certifiable forms of the two approx sketches, dialect
-# subqueries + set ops, Gopher rules, temperature mixture, matryoshka
-# truncation, per-dimension stats, as-of nearest, time-range moving
-# window) + 24 certified canaries spanning EVERY family (the 5
-# standing canaries plus 19 rotating), so rotated-out surface keeps
-# hard regression signal (ADVICE r2). Green here = EVERY oracle-paired
-# entry in the registry has been driver-certified at least once
-# (146/146 cumulative) — including the two sketch entries that were
-# `no_oracle` rows since r1.
+# CORRECTNESS row + the 12 new r4 entries (file-format round trip,
+# bloom-filter point-lookup layout, bounded-error certifiable forms of
+# the two approx sketches, dialect subqueries + set ops, Gopher rules,
+# temperature mixture, matryoshka truncation, per-dimension stats,
+# as-of nearest, time-range moving window) + 23 certified canaries
+# spanning EVERY family (the 5 standing canaries plus 18 rotating), so
+# rotated-out surface keeps hard regression signal (ADVICE r2). Green
+# here = EVERY oracle-paired entry in the registry has been
+# driver-certified at least once (147/147 cumulative) — including the
+# two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
     "scan_compressed_blocks", "join_interval_overlap",
@@ -142,6 +142,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_subquery",            # IN/scalar subqueries via the front
     "dialect_setops",              # UNION/EXCEPT via the front
     "txt_gopher_rules",            # Gopher quality-filter rule set
+    "scan_bloom_pointlookup",      # bloom-filter data skipping
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -152,7 +153,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
-    "scan_timerange", "scan_zordered", "join_bucketed_colocated",
+    "scan_zordered", "join_bucketed_colocated",
     "dialect_select_star", "dialect_join",
     "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists", "agg_having", "agg_count_distinct",
@@ -502,6 +503,7 @@ _BUCKETED_WRITTEN: set = set()
 #: sf_dirs whose z-ordered events copy exists for this session
 _ZORDER_WRITTEN: set = set()
 _FILEFMT_WRITTEN: set = set()
+_BLOOM_WRITTEN: set = set()
 
 #: sf_dirs whose suite series-family copy exists for this session
 _FAMILY_WRITTEN: set = set()
@@ -584,6 +586,45 @@ def scan_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.filter(
         F.col("user_id").between(100, 160) & F.col("value").between(20.0, 45.0)
     )
+
+
+@_q(
+    "scan_bloom_pointlookup",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id IN (3, 77, 500, 4242, 999999999)
+    """,
+)
+def scan_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup probe against a bloom-filter parquet layout
+    (sources/bloom.py): the events table rewritten with a split-block
+    bloom filter on the high-cardinality event_id — the data-skipping
+    leg that needs NO clustering (row-group min/max can't help a
+    scattered id; the bloom filter proves absence per row group, so a
+    needle lookup at 100 TB touches only the groups whose filter
+    fires). Bloom pruning is a read-side optimization with exact
+    results — the certified rows hash against the oracle over the raw
+    table. Write is ingest-time, once per session+SF like the other
+    layouts."""
+    import os
+    from urllib.parse import urlparse
+
+    from boostdb_spark.sources.bloom import bloom_write, read_bloom
+
+    t = load_tables(spark, sf_dir)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(wh, f"suite_events_bloom_{tag}_{app_id}")
+    key = (app_id, sf_dir)
+    if key not in _BLOOM_WRITTEN:
+        bloom_write(
+            t["events"].select("event_id", "user_id", "event_type", "value"),
+            path, cols=["event_id"], expected_ndv=1_000_000, num_files=8,
+        )
+        _BLOOM_WRITTEN.add(key)
+    probe = [3, 77, 500, 4242, 999_999_999]
+    return read_bloom(spark, path).filter(F.col("event_id").isin(probe))
 
 
 @_q(
