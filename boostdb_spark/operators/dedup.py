@@ -157,6 +157,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    max_rel_dist: float = 0.4,
+    candidate_threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: (id_a, id_b, lev, rel) with
+    ``rel = levenshtein / max(len_a, len_b) <= max_rel_dist`` — the
+    character-level verifier that catches near-dups token-set measures
+    miss (transpositions, small in-place edits) and rejects pairs that
+    merely share vocabulary.
+
+    Two-stage, never all-pairs: the shingle-bucketed Jaccard join
+    (:func:`ngram_jaccard_pairs` at the LOW ``candidate_threshold``)
+    bounds the candidate set, then the exact O(len^2) Levenshtein runs
+    only on candidates with the texts joined back in. The standard
+    recall contract of every two-stage dedup applies: a true near-dup
+    pair sharing fewer than ``candidate_threshold`` of its shingles is
+    not surfaced. Levenshtein is Spark's built-in (JVM-side, unit
+    costs) — identical definition to the SQL oracle's, so pairs
+    certify exactly."""
+    cand = ngram_jaccard_pairs(
+        df, candidate_threshold, n=n, text_col=text_col, id_col=id_col,
+        max_doc_freq=max_doc_freq,
+    ).select("id_a", "id_b")
+    docs = _spread(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    )
+    out = (
+        cand.join(docs.withColumnsRenamed({"id": "id_a", "_t": "_ta"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "_t": "_tb"}), "id_b")
+        .withColumn("lev", F.levenshtein(F.col("_ta"), F.col("_tb")))
+        .withColumn(
+            "rel",
+            F.col("lev").cast("double")
+            / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)),
+        )
+        .filter(F.col("rel") <= max_rel_dist)
+    )
+    return out.select("id_a", "id_b", "lev", "rel")
+
+
 def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     group_id) where group_id = the smallest doc id reachable through

@@ -116,15 +116,15 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 12 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 13 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
-# as-of nearest, time-range moving window) + 23 certified canaries
-# spanning EVERY family (the 5 standing canaries plus 18 rotating), so
+# as-of nearest, time-range moving window, edit-distance near-dup) +
+# 22 certified canaries (the 5 standing canaries plus 17 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (147/147 cumulative) — including the
+# driver-certified at least once (148/148 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -143,6 +143,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_setops",              # UNION/EXCEPT via the front
     "txt_gopher_rules",            # Gopher quality-filter rule set
     "scan_bloom_pointlookup",      # bloom-filter data skipping
+    "dedup_levenshtein",           # edit-distance near-dup verify
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -158,7 +159,7 @@ _WINDOW: tuple[str, ...] = (
     "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists", "agg_having", "agg_count_distinct",
     "agg_q3_topk", "ts_moving_time_avg",
-    "txt_quality", "txt_tfidf_topk", "dedup_minhash_lsh", "dedup_groups",
+    "txt_quality", "txt_tfidf_topk", "dedup_minhash_lsh",
     "emb_outliers", "doc_pack_tokens",
     "doc_shuffle_det", "pipeline_curate",
 )

@@ -298,6 +298,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_levenshtein",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    cand AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+    t AS (SELECT cand.id_a, cand.id_b, ta.text AS ta, tb.text AS tb
+          FROM cand JOIN documents ta ON cand.id_a = ta.doc_id
+                    JOIN documents tb ON cand.id_b = tb.doc_id)
+    SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+           levenshtein(ta, tb)::DOUBLE / greatest(len(ta), len(tb), 1) AS rel
+    FROM t
+    WHERE levenshtein(ta, tb)::DOUBLE / greatest(len(ta), len(tb), 1) <= 0.4
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edit_distance_pairs(): character-level near-dup verification —
+    shingle-bucketed Jaccard candidates (threshold 0.2, never
+    all-pairs) verified by exact relative Levenshtein <= 0.4. Catches
+    small in-place edits token-set measures miss; unit-cost
+    levenshtein is identical JVM/DuckDB, so pairs certify exactly."""
+    t = load_tables(spark, sf_dir)
+    out = dd.edit_distance_pairs(
+        t["documents"], max_rel_dist=0.4, candidate_threshold=0.2, n=3
+    )
+    return out.withColumn("lev", F.col("lev").cast("long"))
+
+
+@_q(
     "dedup_decontaminate",
     f"""
     WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
