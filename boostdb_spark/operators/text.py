@@ -316,6 +316,71 @@ def vocab_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    phi: float,
+    text_col: str = "text",
+    k_counters: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters of the token stream — every token whose
+    count >= phi * N (N = total tokens) with its EXACT count — via the
+    classic two-pass sketch pattern:
+
+    1. per-partition Misra-Gries summaries with ``k_counters`` slots
+       (mapInPandas, O(k) memory per task, one pass, NO token-level
+       shuffle). MG guarantees any item with frequency > n_p/k in a
+       partition survives that partition's summary, so a global
+       phi-heavy token (phi >= 1/k) is guaranteed to appear in at
+       least one summary — candidates have PERFECT recall;
+    2. the tiny candidate set (<= k per partition) broadcasts back and
+       only candidate tokens are exactly recounted + thresholded.
+
+    The output is therefore EXACT (same rows as a full group-count
+    would produce) while the shuffle carries candidates only — the 100
+    TB win over vocab_topk's per-distinct-token shuffle when the
+    vocabulary is huge but the heavy set is small. Default
+    ``k_counters = ceil(2/phi)``.
+
+    Returns (token, n, frac) sorted-stable via deterministic values."""
+    import math
+
+    import pandas as pd
+
+    k = k_counters or int(math.ceil(2.0 / phi))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:  # decrement-all step, drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("_n_total"))
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.col("_n_total") * F.lit(float(phi)))
+    )
+    return exact.select(
+        "token", "n", (F.col("n").cast("double") / F.col("_n_total")).alias("frac")
+    )
+
+
 #: PII patterns shared with the DuckDB oracles — constructs restricted
 #: to the Java-regex/RE2 common subset (no lookaround, no backrefs)
 PII_PATTERNS = (

@@ -116,15 +116,16 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 13 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 14 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
-# as-of nearest, time-range moving window, edit-distance near-dup) +
-# 22 certified canaries (the 5 standing canaries plus 17 rotating), so
+# as-of nearest, time-range moving window, edit-distance near-dup,
+# Misra-Gries heavy hitters) + 21 certified canaries (the 5 standing
+# canaries plus 16 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (148/148 cumulative) — including the
+# driver-certified at least once (149/149 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -144,6 +145,7 @@ _WINDOW: tuple[str, ...] = (
     "txt_gopher_rules",            # Gopher quality-filter rule set
     "scan_bloom_pointlookup",      # bloom-filter data skipping
     "dedup_levenshtein",           # edit-distance near-dup verify
+    "txt_heavy_hitters",           # two-pass Misra-Gries frequent items
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -159,7 +161,7 @@ _WINDOW: tuple[str, ...] = (
     "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists", "agg_having", "agg_count_distinct",
     "agg_q3_topk", "ts_moving_time_avg",
-    "txt_quality", "txt_tfidf_topk", "dedup_minhash_lsh",
+    "txt_quality", "dedup_minhash_lsh",
     "emb_outliers", "doc_pack_tokens",
     "doc_shuffle_det", "pipeline_curate",
 )

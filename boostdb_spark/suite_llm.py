@@ -1449,8 +1449,33 @@ def pipeline_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Round-4 additions: Gopher-rule filtering, temperature mixing,
-# matryoshka truncation, embedding-store profiling
+# matryoshka truncation, embedding-store profiling, heavy hitters
 # ===========================================================================
+
+
+@_q(
+    "txt_heavy_hitters",
+    f"""
+    WITH d AS (SELECT {TOKS} AS toks FROM documents),
+    u AS (SELECT unnest(toks) AS token FROM d),
+    t AS (SELECT count(*) AS total FROM u)
+    SELECT token, count(*)::BIGINT AS n,
+           count(*)::DOUBLE / total AS frac
+    FROM u, t GROUP BY token, total
+    HAVING count(*) >= total * 0.03
+    """,
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heavy_hitters(): exact phi=3% frequent tokens via the two-pass
+    sketch pattern — per-partition Misra-Gries summaries (O(k) memory,
+    one pass, NO token-level shuffle; recall of global phi-heavy items
+    is guaranteed by the MG bound) followed by an exact recount of the
+    tiny broadcast candidate set. Output rows are EXACT, so the plain
+    group-count oracle certifies the whole sketch machinery; the
+    shuffle carries candidates only — the 100 TB path when the
+    vocabulary is huge but the heavy set is small."""
+    t = load_tables(spark, sf_dir)
+    return tx.heavy_hitters(t["documents"], phi=0.03)
 
 
 @_q(

@@ -263,3 +263,29 @@ def test_temperature_mixture_properties(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    """The two-pass MG pattern must return EXACTLY the >= phi*N tokens
+    with exact counts, on any partitioning — including an adversarial
+    one that splits the heavy token across many partitions."""
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators import text as tx
+
+    # 'x' is 20% of the stream, everything else unique
+    rows = [(i, "x") if i % 5 == 0 else (i, f"tok{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for parts in (1, 7, 32):
+        got = {
+            (r.token, r.n)
+            for r in tx.heavy_hitters(
+                df.repartition(parts), phi=0.15, k_counters=20
+            ).collect()
+        }
+        assert got == {("x", 100)}
+    # threshold boundary: phi exactly at the frequency keeps the token
+    got = tx.heavy_hitters(df, phi=0.2, k_counters=20).collect()
+    assert [(r.token, r.n) for r in got] == [("x", 100)]
+    # just above: empty
+    assert tx.heavy_hitters(df, phi=0.21, k_counters=20).count() == 0
