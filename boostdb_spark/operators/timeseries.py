@@ -401,6 +401,42 @@ def moving_agg(
     return df.withColumn(out_col or f"moving_{how}", fns[how].over(w))
 
 
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+    out_col: str = "session_id",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Batch session labeling: per series, consecutive rows closer than
+    ``gap_seconds`` share a session; a larger gap starts a new one.
+    ``session_id`` = the INT64-ns timestamp of the session's first row
+    (stable, content-derived — no sequence counter to coordinate).
+
+    The classic two-window cumulative pattern: ``lag`` marks
+    session-start rows, a running ``max`` of start timestamps over the
+    time order labels every row — both windows share one
+    partition+order, so the plan is a SINGLE shuffle on the series key.
+    This is the row-labeling complement of the streaming
+    ``session_window`` aggregate (streaming/windows.py): that one
+    aggregates per session; this one tags rows for downstream joins."""
+    from boostdb_spark.functions.scalar import ts_ns
+
+    ord_ns = ts_ns(df, ts_col)
+    w = Window.partitionBy(*series_cols).orderBy(
+        ord_ns, *[F.col(c) for c in order_extra]
+    )
+    gap_ns = gap_seconds * NS_PER_SEC
+    is_start = (
+        F.lag(ord_ns).over(w).isNull()
+        | ((ord_ns - F.lag(ord_ns).over(w)) > F.lit(gap_ns))
+    )
+    start_ts = F.when(is_start, ord_ns)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.max(start_ts).over(wrun))
+
+
 def moving_time_agg(
     df: DataFrame,
     window_seconds: int,

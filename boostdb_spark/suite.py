@@ -116,16 +116,16 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 14 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 16 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
 # as-of nearest, time-range moving window, edit-distance near-dup,
-# Misra-Gries heavy hitters) + 21 certified canaries (the 5 standing
-# canaries plus 16 rotating), so
+# Misra-Gries heavy hitters, session labeling, deterministic mode) +
+# 19 certified canaries (the 5 standing canaries plus 14 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (149/149 cumulative) — including the
+# driver-certified at least once (151/151 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -146,6 +146,8 @@ _WINDOW: tuple[str, ...] = (
     "scan_bloom_pointlookup",      # bloom-filter data skipping
     "dedup_levenshtein",           # edit-distance near-dup verify
     "txt_heavy_hitters",           # two-pass Misra-Gries frequent items
+    "ts_sessionize",               # gap-based session labeling
+    "agg_mode",                    # deterministic per-group mode
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -159,7 +161,7 @@ _WINDOW: tuple[str, ...] = (
     "scan_zordered", "join_bucketed_colocated",
     "dialect_select_star", "dialect_join",
     "join_range", "join_skew_salted", "asof_join_nearest",
-    "subquery_exists", "agg_having", "agg_count_distinct",
+    "subquery_exists",
     "agg_q3_topk", "ts_moving_time_avg",
     "txt_quality", "dedup_minhash_lsh",
     "emb_outliers", "doc_pack_tokens",
@@ -1484,6 +1486,81 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("value_right").alias("err_value"),
         _ts_us(joined, "ts_right").alias("err_ts_us"),
+    )
+
+
+@_q(
+    "ts_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS t, event_id FROM events),
+    m AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000000
+                  THEN t END AS start_t
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT user_id, event_id, t AS ts_ns,
+           max(start_t) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM m
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize(): 30-minute-gap session labeling per user — every
+    event tagged with its session's first-row timestamp (the stable,
+    coordinate-free session id). lag + running max share one window
+    sort, so the plan is a single shuffle on the user key. The
+    row-labeling complement of the streaming session_window
+    aggregate."""
+    t = load_tables(spark, sf_dir)
+    ev = _ns_events(t).select("user_id", "ts", "event_id")
+    out = ts_ops.sessionize(
+        ev, gap_seconds=1800, series_cols=("user_id",), ts_col="ts",
+        order_extra=("event_id",),
+    )
+    return out.select(
+        "user_id", "event_id", F.col("ts").alias("ts_ns"), "session_id"
+    )
+
+
+@_q(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id ASC) AS rn
+      FROM c)
+    SELECT event_type, user_id AS mode_user, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent user per event
+    type, ties broken by the smaller id (Spark's F.mode breaks ties
+    arbitrarily — unacceptable for a certified result, so the mode is
+    a count aggregate + one row_number window with a pinned order).
+    Two map-side-combined aggregations; the window partitions on the
+    small group key."""
+    t = load_tables(spark, sf_dir)
+    c = t["events"].groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").alias("mode_n"),
+        )
     )
 
 

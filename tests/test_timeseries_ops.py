@@ -658,3 +658,25 @@ def test_moving_time_agg_irregular_sampling(spark):
     )
     out2 = ts_ops.moving_time_agg(df2, 10, series_cols=("key",), how="count")
     assert [r.moving_count for r in out2.collect()] == [2, 2]
+
+
+def test_sessionize_gap_semantics(spark):
+    NS = 1_000_000_000
+    rows = [("u", 0, 0.0), ("u", 10 * NS, 1.0), ("u", 100 * NS, 2.0),
+            ("u", 105 * NS, 3.0), ("v", 50 * NS, 4.0)]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {
+        (r.key, r.ts): r.session_id
+        for r in ts_ops.sessionize(df, 30, series_cols=("key",)).collect()
+    }
+    assert out[("u", 0)] == 0
+    assert out[("u", 10 * NS)] == 0            # 10s gap < 30s: same session
+    assert out[("u", 100 * NS)] == 100 * NS    # 90s gap: new session
+    assert out[("u", 105 * NS)] == 100 * NS
+    assert out[("v", 50 * NS)] == 50 * NS      # per-series isolation
+    # a gap EXACTLY equal to the threshold stays in-session (> splits)
+    df2 = spark.createDataFrame(
+        [("w", 0, 0.0), ("w", 30 * NS, 1.0)], "key string, ts long, value double"
+    )
+    out2 = ts_ops.sessionize(df2, 30, series_cols=("key",)).collect()
+    assert {r.session_id for r in out2} == {0}
