@@ -510,6 +510,27 @@ _ZORDER_WRITTEN: set = set()
 _FILEFMT_WRITTEN: set = set()
 _BLOOM_WRITTEN: set = set()
 
+
+def gc_stale_layouts(wh: str, prefix: str, max_age_s: int = 6 * 3600) -> None:
+    """Delete OTHER applications' per-app layout dirs under the
+    warehouse once they are old enough that no live session can still
+    be reading them (per-app dirs prevent cross-session staleness but
+    would otherwise accumulate forever). Age-gated on mtime so a
+    concurrent session's fresh dir is never touched; errors are
+    swallowed (a racing delete is fine — the other deleter won)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_s
+    for p in glob.glob(os.path.join(wh, f"{prefix}*")):
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
 #: sf_dirs whose suite series-family copy exists for this session
 _FAMILY_WRITTEN: set = set()
 
@@ -623,6 +644,7 @@ def scan_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(wh, f"suite_events_bloom_{tag}_{app_id}")
     key = (app_id, sf_dir)
     if key not in _BLOOM_WRITTEN:
+        gc_stale_layouts(wh, "suite_events_bloom_")
         bloom_write(
             t["events"].select("event_id", "user_id", "event_type", "value"),
             path, cols=["event_id"], expected_ndv=1_000_000, num_files=8,
@@ -670,6 +692,7 @@ def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     key = (app_id, sf_dir)
     if key not in _FILEFMT_WRITTEN:
+        gc_stale_layouts(wh, "suite_filefmt_")
         for fmt, p in paths.items():
             write_any(ev, p, fmt)
         _FILEFMT_WRITTEN.add(key)

@@ -1058,6 +1058,9 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(wh, f"suite_media_{tag}_{app_id}")
     key = (app_id, sf_dir)
     if key not in _MEDIA_WRITTEN:
+        from boostdb_spark.suite import gc_stale_layouts
+
+        gc_stale_layouts(wh, "suite_media_")
         payloads = mm.synth_media_payloads(t["documents"], kind="png")
         write_media_files(payloads, path, ext="png")
         # validate ONCE at write time (partial-sink protection); the
