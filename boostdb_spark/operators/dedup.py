@@ -157,6 +157,44 @@ def ngram_jaccard_pairs(
     return out
 
 
+def keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-policy selection over duplicate groups: every document gets
+    (doc_id, group_id, keep) where exactly one member of each
+    near-duplicate component survives — the HIGHEST-``score_col``
+    member (ties -> smaller id), not the arbitrary smallest-id member
+    that plain :func:`dedup_groups` keeping implies. The real pipeline
+    policy: among near-identical pages keep the longest / highest-
+    quality one. Ungrouped documents form singleton groups (their own
+    id) and are always kept.
+
+    Shape: component labels from the pair graph (bounded label
+    propagation), one left join onto the corpus, one window over
+    group_id — singleton groups are unique keys, so the window shuffle
+    has no hot partitions."""
+    from pyspark.sql import Window
+
+    groups = dedup_groups(pairs)
+    scored = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+    )
+    g = scored.join(groups, "doc_id", "left").withColumn(
+        "group_id", F.coalesce(F.col("group_id"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        g.withColumn("_rn", F.row_number().over(w))
+        .withColumn("keep", F.col("_rn") == 1)
+        .select("doc_id", "group_id", "keep")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     max_rel_dist: float = 0.4,

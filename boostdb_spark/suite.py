@@ -116,16 +116,17 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 16 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 17 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
 # as-of nearest, time-range moving window, edit-distance near-dup,
-# Misra-Gries heavy hitters, session labeling, deterministic mode) +
-# 19 certified canaries (the 5 standing canaries plus 14 rotating), so
+# Misra-Gries heavy hitters, session labeling, deterministic mode,
+# keep-best dedup policy) + 18 certified canaries (the 5 standing
+# canaries plus 13 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (151/151 cumulative) — including the
+# driver-certified at least once (152/152 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -148,6 +149,7 @@ _WINDOW: tuple[str, ...] = (
     "txt_heavy_hitters",           # two-pass Misra-Gries frequent items
     "ts_sessionize",               # gap-based session labeling
     "agg_mode",                    # deterministic per-group mode
+    "dedup_keep_best",             # keep-longest dedup policy
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -164,7 +166,7 @@ _WINDOW: tuple[str, ...] = (
     "subquery_exists",
     "agg_q3_topk", "ts_moving_time_avg",
     "txt_quality", "dedup_minhash_lsh",
-    "emb_outliers", "doc_pack_tokens",
+    "doc_pack_tokens",
     "doc_shuffle_det", "pipeline_curate",
 )
 

@@ -392,6 +392,51 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_groups(pairs)
 
 
+@_q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, src AS lab FROM (SELECT DISTINCT src FROM edges) t
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.src),
+    g AS (SELECT src AS doc_id, min(lab) AS group_id FROM reach GROUP BY src),
+    alldocs AS (
+      SELECT d0.doc_id, coalesce(g.group_id, d0.doc_id) AS group_id,
+             d0.n_chars
+      FROM documents d0 LEFT JOIN g USING (doc_id)),
+    r AS (
+      SELECT doc_id, group_id,
+             row_number() OVER (PARTITION BY group_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM alldocs)
+    SELECT doc_id, group_id, (rn = 1) AS keep FROM r
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep_best(): the keep-policy half of dedup — one survivor per
+    near-duplicate component (exact Jaccard >= 0.8 pairs), chosen as
+    the LONGEST member (n_chars, ties -> smaller id) instead of the
+    arbitrary smallest id; singletons keep themselves. Components via
+    bounded label propagation, then one left join + one window whose
+    partition key has no hot groups."""
+    t = load_tables(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(t["documents"], threshold=0.8, n=3)
+    return dd.keep_best(t["documents"], pairs, score_col="n_chars")
+
+
 @_q("dedup_minhash_lsh", _NGRAM_ORACLE.format(thr=0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(16 bands x 2 rows) candidates, exact-Jaccard

@@ -289,3 +289,29 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
     assert [(r.token, r.n) for r in got] == [("x", 100)]
     # just above: empty
     assert tx.heavy_hitters(df, phi=0.21, k_counters=20).count() == 0
+
+
+def test_keep_best_picks_highest_score(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    ).withColumn("jaccard", F.lit(1.0))
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5)], "doc_id long, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.group_id, r.keep)
+        for r in dd.keep_best(docs, pairs).collect()
+    }
+    # component {1,2,3}: doc 2 (longest) survives; singleton 7 kept
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False), 7: (7, True),
+    }
+    # tie on score -> smaller id wins
+    docs2 = spark.createDataFrame(
+        [(1, 50), (2, 50)], "doc_id long, n_chars long"
+    )
+    pairs2 = spark.createDataFrame(
+        [(1, 2)], "id_a long, id_b long"
+    ).withColumn("jaccard", F.lit(1.0))
+    got2 = {r.doc_id: r.keep for r in dd.keep_best(docs2, pairs2).collect()}
+    assert got2 == {1: True, 2: False}
