@@ -80,6 +80,8 @@ _KEYWORDS = {
     "is", "null", "as", "group", "by", "having", "order", "limit", "asc",
     "desc", "join", "inner", "cross", "on", "true", "false", "over",
     "partition", "left", "outer", "union", "intersect", "except", "all",
+    "rows", "unbounded", "preceding", "following", "current", "row",
+    "offset",
 }
 
 
@@ -125,6 +127,10 @@ class WindowSpec:
 
     partition_by: list["FieldRef"] = field(default_factory=list)
     order_by: list[tuple["FieldRef", bool]] = field(default_factory=list)
+    #: ROWS BETWEEN frame as (start, end) row offsets relative to the
+    #: current row (None = no explicit frame; UNBOUNDED maps to
+    #: +/-(2^63-1), Spark's Window.unbounded* sentinels)
+    frame: tuple[int, int] | None = None
 
 
 @dataclass
@@ -174,6 +180,7 @@ class BoostQuery:
     having: Expr | None = None
     order_by: list[tuple[FieldRef, bool]] = field(default_factory=list)  # (ref, desc)
     limit: int | None = None
+    offset: int | None = None  # LIMIT n OFFSET m — skip m rows first
     joins: list[JoinClause] = field(default_factory=list)
     star: bool = False  # SELECT * — expand to the source's columns
     #: (op, rhs) chain applied left-associatively: 'union' | 'union_all'
@@ -234,7 +241,7 @@ class _Parser:
                 break
             q.set_ops.append((op, self.parse_core()))
         # ORDER BY / LIMIT attach to the WHOLE statement (after set ops)
-        q.order_by, q.limit = self.parse_order_limit()
+        q.order_by, q.limit, q.offset = self.parse_order_limit()
         if not sub and self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
         return q
@@ -254,12 +261,18 @@ class _Parser:
                 if not self.accept_op(","):
                     break
         limit = None
+        offset = None
         if self.accept_kw("limit"):
             kind, v = self.next()
             if kind != "num":
                 raise ValueError("LIMIT requires a number")
             limit = int(v)
-        return order_by, limit
+            if self.accept_kw("offset"):
+                k2, v2 = self.next()
+                if k2 != "num":
+                    raise ValueError("OFFSET requires a number")
+                offset = int(v2)
+        return order_by, limit, offset
 
     def parse_core(self) -> BoostQuery:
         self.expect_kw("select")
@@ -320,7 +333,7 @@ class _Parser:
             raise ValueError("SELECT * supports single-source, non-grouped queries")
         return BoostQuery(
             fields, domain, family, alias, where, group_by, having, [],
-            None, joins, star,
+            None, None, joins, star,
         )
 
     def parse_source(self) -> tuple[str, str, str | None]:
@@ -412,9 +425,34 @@ class _Parser:
                 spec.order_by.append((ref, desc))
                 if not self.accept_op(","):
                     break
+        if self.accept_kw("rows"):
+            self.expect_kw("between")
+            lo = self.parse_frame_bound(start=True)
+            self.expect_kw("and")
+            hi = self.parse_frame_bound(start=False)
+            spec.frame = (lo, hi)
         if not self.accept_op(")"):
             raise ValueError("unbalanced parenthesis in OVER (...)")
         return spec
+
+    def parse_frame_bound(self, start: bool) -> int:
+        UNB = (1 << 63) - 1  # Spark's unboundedPreceding/Following magnitude
+        if self.accept_kw("unbounded"):
+            if self.accept_kw("preceding"):
+                return -UNB
+            self.expect_kw("following")
+            return UNB
+        if self.accept_kw("current"):
+            self.expect_kw("row")
+            return 0
+        kind, v = self.next()
+        if kind != "num":
+            raise ValueError(f"expected frame offset, got {v!r}")
+        n = int(v)
+        if self.accept_kw("preceding"):
+            return -n
+        self.expect_kw("following")
+        return n
 
     def parse_plain_ref(self) -> FieldRef:
         kind, v = self.next()
@@ -852,7 +890,9 @@ def plan(
                 return binding[qn]
             return binding
 
-        base = dataclasses.replace(q, set_ops=[], order_by=[], limit=None)
+        base = dataclasses.replace(
+            q, set_ops=[], order_by=[], limit=None, offset=None
+        )
         df = plan(spark, base, _core_binding(base), start, end, params)
         for op, rhs in q.set_ops:
             rdf = plan(spark, rhs, _core_binding(rhs), start, end, params)
@@ -881,6 +921,8 @@ def plan(
                 col = F.col(ref.parts[0])
                 order.append(col.desc() if desc else col.asc())
             df = df.orderBy(*order)
+        if q.offset is not None:
+            df = df.offset(q.offset)
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
@@ -1130,6 +1172,12 @@ def plan(
                         for o, d in ref.window.order_by
                     ]
                 )
+            if ref.window.frame is not None:
+                if func in rank_map or func in nav_map:
+                    raise ValueError(
+                        f"{func}() does not take a ROWS BETWEEN frame"
+                    )
+                wspec = wspec.rowsBetween(*ref.window.frame)
             if func in rank_map:
                 c = rank_map[func]().over(wspec)
             elif func in nav_map:
@@ -1165,6 +1213,8 @@ def plan(
                 target = name if name in df.columns else res.resolve(ref)[1]
             order.append(F.col(target).desc() if desc else F.col(target).asc())
         df = df.orderBy(*order)
+    if q.offset is not None:
+        df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     if hidden:

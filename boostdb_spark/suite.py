@@ -116,17 +116,17 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 17 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 18 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
 # as-of nearest, time-range moving window, edit-distance near-dup,
 # Misra-Gries heavy hitters, session labeling, deterministic mode,
-# keep-best dedup policy) + 18 certified canaries (the 5 standing
-# canaries plus 13 rotating), so
+# keep-best dedup policy, dialect window frames + OFFSET) + 17
+# certified canaries (the 5 standing canaries plus 12 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (152/152 cumulative) — including the
+# driver-certified at least once (153/153 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -150,6 +150,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_sessionize",               # gap-based session labeling
     "agg_mode",                    # deterministic per-group mode
     "dedup_keep_best",             # keep-longest dedup policy
+    "dialect_window_frame",        # ROWS BETWEEN + LIMIT/OFFSET
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -161,7 +162,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
     "scan_zordered", "join_bucketed_colocated",
-    "dialect_select_star", "dialect_join",
+    "dialect_join",
     "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists",
     "agg_q3_topk", "ts_moving_time_avg",
@@ -3438,6 +3439,42 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT click.user_id FROM boost.events WHERE click > 150.0 "
         "UNION SELECT error.user_id FROM boost.events WHERE error > 150.0 "
         "EXCEPT SELECT signup.user_id FROM boost.events WHERE signup > 180.0",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_window_frame",
+    """
+    SELECT event_id AS eid,
+           avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS mv,
+           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS rs
+    FROM events WHERE event_type = 'click'
+    ORDER BY eid LIMIT 200 OFFSET 50
+    """,
+)
+def dialect_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES + LIMIT/OFFSET through the dialect front: ROWS
+    BETWEEN (bounded trailing and running-unbounded) parsed into
+    rowsBetween specs sharing one window sort, then deterministic
+    ORDER BY + OFFSET/LIMIT pagination — the last pieces of the
+    analytic grammar (plans/sugar.py parse_frame_bound /
+    parse_order_limit)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "avg(click) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv, "
+        "sum(click) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs "
+        "FROM boost.events ORDER BY eid LIMIT 200 OFFSET 50",
         EVENTS_BINDING,
     )
 

@@ -719,3 +719,30 @@ def test_dialect_union_all_keeps_duplicates(spark):
         b,
     ).count()
     assert both == 2 * n1
+
+
+def test_parse_window_frame_and_offset():
+    q = parse(
+        "SELECT sum(s) OVER (PARTITION BY s.k ORDER BY s.t "
+        "ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS w "
+        "FROM d.f ORDER BY w LIMIT 10 OFFSET 20"
+    )
+    assert q.fields[0].window.frame == (-3, 1)
+    assert q.limit == 10 and q.offset == 20
+    q2 = parse(
+        "SELECT sum(s) OVER (ORDER BY s.t ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) FROM d.f"
+    )
+    lo, hi = q2.fields[0].window.frame
+    assert lo == -(2**63 - 1) and hi == 0
+
+
+def test_rank_rejects_frame(spark):
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="ROWS BETWEEN"):
+        sugar.query(
+            spark,
+            "SELECT rank() OVER (PARTITION BY click.user_id ORDER BY click "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM boost.events",
+            b,
+        )
