@@ -81,7 +81,7 @@ _KEYWORDS = {
     "desc", "join", "inner", "cross", "on", "true", "false", "over",
     "partition", "left", "outer", "union", "intersect", "except", "all",
     "rows", "unbounded", "preceding", "following", "current", "row",
-    "offset",
+    "offset", "distinct",
 }
 
 
@@ -183,6 +183,7 @@ class BoostQuery:
     offset: int | None = None  # LIMIT n OFFSET m — skip m rows first
     joins: list[JoinClause] = field(default_factory=list)
     star: bool = False  # SELECT * — expand to the source's columns
+    distinct: bool = False  # SELECT DISTINCT — dedup the projection
     #: (op, rhs) chain applied left-associatively: 'union' | 'union_all'
     #: | 'intersect' | 'except' — the set-operation completion of the
     #: declared query surface (the reference's SQL front has none)
@@ -276,6 +277,7 @@ class _Parser:
 
     def parse_core(self) -> BoostQuery:
         self.expect_kw("select")
+        distinct = self.accept_kw("distinct")
         star = False
         fields: list[FieldRef] = []
         if self.accept_op("*"):
@@ -331,10 +333,12 @@ class _Parser:
                 having = self.parse_or()
         if star and (group_by or joins):
             raise ValueError("SELECT * supports single-source, non-grouped queries")
-        return BoostQuery(
+        q = BoostQuery(
             fields, domain, family, alias, where, group_by, having, [],
             None, None, joins, star,
         )
+        q.distinct = distinct
+        return q
 
     def parse_source(self) -> tuple[str, str, str | None]:
         kind, src = self.next()
@@ -372,6 +376,13 @@ class _Parser:
                     raise ValueError(f"{func}(*) is not valid; only count(*)")
                 parts = ()
             else:
+                if self.accept_kw("distinct"):
+                    if func != "count":
+                        raise ValueError(
+                            f"{func}(DISTINCT ...) is not supported; "
+                            "only count(DISTINCT col)"
+                        )
+                    func = "count_distinct"
                 k2, inner = self.next()
                 if k2 != "name":
                     raise ValueError(f"expected column in {func}(...), got {inner!r}")
@@ -1071,7 +1082,8 @@ def plan(
             _compile_expr(_subst_subqueries(conj, names), res, params=params)
         ).drop(*names.values())
 
-    agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+    agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
+               "max": F.max, "count_distinct": F.countDistinct}
     aggs = [
         (agg_map[func](F.col(col)) if col is not None else F.count(F.lit(1))).alias(alias)
         for alias, col, func, ref in sel
@@ -1195,6 +1207,16 @@ def plan(
 
     if q.having is not None:
         df = df.filter(_compile_expr(q.having, res, name_of=post_name, params=params))
+    if q.distinct:
+        # SELECT DISTINCT dedups the visible projection; hidden
+        # HAVING/ORDER-only aggregates would silently change what
+        # "distinct" means, so that combination is rejected
+        if hidden:
+            raise ValueError(
+                "SELECT DISTINCT cannot combine with HAVING/ORDER BY "
+                "aggregates that are not in the select list"
+            )
+        df = df.distinct()
     if q.order_by:
         order = []
         for ref, desc in q.order_by:

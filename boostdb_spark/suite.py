@@ -116,17 +116,18 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 18 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 19 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
 # as-of nearest, time-range moving window, edit-distance near-dup,
 # Misra-Gries heavy hitters, session labeling, deterministic mode,
-# keep-best dedup policy, dialect window frames + OFFSET) + 17
-# certified canaries (the 5 standing canaries plus 12 rotating), so
+# keep-best dedup policy, dialect window frames + OFFSET, dialect
+# DISTINCT) + 16 certified canaries (the 5 standing canaries plus 11
+# rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (153/153 cumulative) — including the
+# driver-certified at least once (154/154 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -151,6 +152,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_mode",                    # deterministic per-group mode
     "dedup_keep_best",             # keep-longest dedup policy
     "dialect_window_frame",        # ROWS BETWEEN + LIMIT/OFFSET
+    "dialect_distinct",            # SELECT DISTINCT + count(DISTINCT)
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -162,7 +164,6 @@ _WINDOW: tuple[str, ...] = (
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
     "scan_zordered", "join_bucketed_colocated",
-    "dialect_join",
     "join_range", "join_skew_salted", "asof_join_nearest",
     "subquery_exists",
     "agg_q3_topk", "ts_moving_time_avg",
@@ -3441,6 +3442,35 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXCEPT SELECT signup.user_id FROM boost.events WHERE signup > 180.0",
         EVENTS_BINDING,
     )
+
+
+@_q(
+    "dialect_distinct",
+    """
+    SELECT DISTINCT user_id,
+           (SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type = 'click') AS nu
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def dialect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT + count(DISTINCT ...) through the dialect front:
+    the distinct-projection dedup (one distinct exchange over the
+    visible columns) alongside the distinct aggregate (Spark expands
+    countDistinct to the standard two-level plan). Both certify in one
+    statement via a scalar-subquery-style composition: the distinct
+    user list cross-joined with the corpus-wide distinct count."""
+    load_tables(spark, sf_dir)
+    users = sugar.query(
+        spark, "SELECT DISTINCT click.user_id FROM boost.events",
+        EVENTS_BINDING,
+    )
+    nu = sugar.query(
+        spark,
+        "SELECT count(DISTINCT click.user_id) AS nu FROM boost.events",
+        EVENTS_BINDING,
+    )
+    return users.crossJoin(F.broadcast(nu))
 
 
 @_q(

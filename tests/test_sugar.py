@@ -746,3 +746,38 @@ def test_rank_rejects_frame(spark):
             "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM boost.events",
             b,
         )
+
+
+def test_dialect_distinct_and_count_distinct(spark):
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark, "SELECT DISTINCT click.user_id FROM boost.events", b
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT DISTINCT user_id FROM events "
+                "WHERE event_type = 'click'"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    r = sugar.query(
+        spark,
+        "SELECT click.user_id, count(DISTINCT click.event_id) AS n "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    ).collect()
+    want2 = spark.sql(
+        "SELECT user_id, count(DISTINCT event_id) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id"
+    ).collect()
+    assert sorted(map(tuple, r)) == sorted(map(tuple, want2))
+    with pytest.raises(ValueError, match="only count"):
+        parse("SELECT sum(DISTINCT s) FROM d.f")
