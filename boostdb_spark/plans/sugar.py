@@ -70,7 +70,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^']|'')*')
       | (?P<param>:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
-      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|-)
+      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|-|\+|/)
     )""",
     re.VERBOSE,
 )
@@ -497,13 +497,22 @@ class _Parser:
             e = self.parse_or()
             if not self.accept_op(")"):
                 raise ValueError("unbalanced parenthesis")
+            # '(' is ambiguous: boolean grouping or arithmetic grouping.
+            # If an arithmetic/comparison operator follows, the
+            # parenthesized expression was an arithmetic operand —
+            # continue the arithmetic and optional comparison from it.
+            t = self.peek()
+            if t[0] == "op" and t[1] in (
+                "*", "/", "+", "-", "=", "!=", "<>", "<", "<=", ">", ">=",
+            ):
+                return self.parse_predicate_from(e)
             return e
-        operand = self.parse_operand()
+        operand = self.parse_arith()
         t = self.peek()
         if t[0] == "op" and t[1] in ("=", "!=", "<>", "<", "<=", ">", ">="):
             self.next()
             op = "!=" if t[1] == "<>" else t[1]
-            return Expr("cmp", op=op, children=[operand, self.parse_operand()])
+            return Expr("cmp", op=op, children=[operand, self.parse_arith()])
         if t == ("kw", "is"):
             self.next()
             neg = self.accept_kw("not")
@@ -550,7 +559,49 @@ class _Parser:
             e = operand
         return Expr("not", children=[e]) if negated else e
 
+    def parse_predicate_from(self, left: Expr) -> Expr:
+        """Continue term -> arith -> optional comparison from an
+        already-parsed left operand (the parenthesized-arithmetic
+        case)."""
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            _, op = self.next()
+            left = Expr("arith", op=op, children=[left, self.parse_operand()])
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            left = Expr("arith", op=op, children=[left, self.parse_term()])
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            op = "!=" if t[1] == "<>" else t[1]
+            return Expr("cmp", op=op, children=[left, self.parse_arith()])
+        return left
+
+    # arithmetic in predicate operands: expr := term (('+'|'-') term)*,
+    # term := factor (('*'|'/') factor)* — the computed-expression
+    # surface the reference's field list rejects outright
+    # (selectfieldparser.go:90-99); WHERE-side arithmetic composes with
+    # every comparison/placeholder form.
+    def parse_arith(self) -> Expr:
+        left = self.parse_term()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            left = Expr("arith", op=op, children=[left, self.parse_term()])
+        return left
+
+    def parse_term(self) -> Expr:
+        left = self.parse_operand()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            _, op = self.next()
+            left = Expr("arith", op=op, children=[left, self.parse_operand()])
+        return left
+
     def parse_operand(self) -> Expr:
+        if self.peek() == ("op", "(") and self.peek2() != ("kw", "select"):
+            self.next()
+            e = self.parse_arith()
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced parenthesis in expression")
+            return e
         if self.peek() == ("op", "(") and self.peek2() == ("kw", "select"):
             # scalar subquery operand: (SELECT agg(...) FROM ...)
             self.next()
@@ -796,6 +847,9 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = N
             return F.col(name_of(e.value))
         _, col = res.resolve(e.value)
         return F.col(col)
+    if e.kind == "arith":
+        a, b = (_compile_expr(c, res, name_of, params) for c in e.children)
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[e.op]
     if e.kind == "cmp":
         left, right = (_compile_expr(c, res, name_of, params) for c in e.children)
         return {

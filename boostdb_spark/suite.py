@@ -116,18 +116,18 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 19 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 20 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
 # as-of nearest, time-range moving window, edit-distance near-dup,
 # Misra-Gries heavy hitters, session labeling, deterministic mode,
 # keep-best dedup policy, dialect window frames + OFFSET, dialect
-# DISTINCT) + 16 certified canaries (the 5 standing canaries plus 11
-# rotating), so
+# DISTINCT, dialect arithmetic) + 15 certified canaries (the 5
+# standing canaries plus 10 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (154/154 cumulative) — including the
+# driver-certified at least once (155/155 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -153,6 +153,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_keep_best",             # keep-longest dedup policy
     "dialect_window_frame",        # ROWS BETWEEN + LIMIT/OFFSET
     "dialect_distinct",            # SELECT DISTINCT + count(DISTINCT)
+    "dialect_arith",               # WHERE arithmetic expressions
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -164,7 +165,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
     "scan_zordered", "join_bucketed_colocated",
-    "join_range", "join_skew_salted", "asof_join_nearest",
+    "join_skew_salted", "asof_join_nearest",
     "subquery_exists",
     "agg_q3_topk", "ts_moving_time_avg",
     "txt_quality", "dedup_minhash_lsh",
@@ -3440,6 +3441,32 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT click.user_id FROM boost.events WHERE click > 150.0 "
         "UNION SELECT error.user_id FROM boost.events WHERE error > 150.0 "
         "EXCEPT SELECT signup.user_id FROM boost.events WHERE signup > 180.0",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_arith",
+    """
+    SELECT event_id, value FROM events
+    WHERE event_type = 'purchase'
+      AND (value + 1.0) * 2 > 150.0 AND value / 2 < 90.0
+      AND 1 + 2 * user_id < 250
+    """,
+)
+def dialect_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic expressions in dialect WHERE (precedence-correct
+    + - * /, parenthesized grouping on either comparison side,
+    composing with placeholders) — the computed-expression surface the
+    reference's parser rejects outright (selectfieldparser.go:90-99
+    accepts only column refs). All Catalyst-side: the arithmetic folds
+    into the scan's filter pipeline."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.event_id, purchase FROM boost.events "
+        "WHERE (purchase + 1.0) * 2 > 150.0 AND purchase / 2 < 90.0 "
+        "AND 1 + 2 * purchase.user_id < 250",
         EVENTS_BINDING,
     )
 

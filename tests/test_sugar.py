@@ -781,3 +781,50 @@ def test_dialect_distinct_and_count_distinct(spark):
     assert sorted(map(tuple, r)) == sorted(map(tuple, want2))
     with pytest.raises(ValueError, match="only count"):
         parse("SELECT sum(DISTINCT s) FROM d.f")
+
+
+def test_dialect_where_arithmetic(spark):
+    b = _events_binding(spark)
+    cases = [
+        ("WHERE click * 2 + 1 > 200.0", "value*2+1 > 200.0"),
+        ("WHERE (click + 1.0) * 2 > 100.0", "(value+1.0)*2 > 100.0"),
+        ("WHERE click > (100.0 - 2.0) * 2", "value > (100.0-2.0)*2"),
+        ("WHERE 1 + 2 * click > 100.0", "1+2*value > 100.0"),  # precedence
+        ("WHERE click / 2 < 7.5", "value/2 < 7.5"),
+    ]
+    for dial, sql in cases:
+        got = sorted(
+            map(
+                tuple,
+                sugar.query(
+                    spark,
+                    f"SELECT click.event_id FROM boost.events {dial}",
+                    b,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT event_id FROM events WHERE event_type='click' "
+                    f"AND {sql}"
+                ).collect(),
+            )
+        )
+        assert got == want, dial
+
+
+def test_dialect_arith_with_placeholder(spark):
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.event_id FROM boost.events WHERE click * :m > :lim",
+        b,
+        params={"m": 2, "lim": 300.0},
+    ).count()
+    want = spark.sql(
+        "SELECT count(*) FROM events WHERE event_type='click' "
+        "AND value * 2 > 300.0"
+    ).collect()[0][0]
+    assert got == want
