@@ -144,6 +144,9 @@ class FieldRef:
     alias: str | None = None  # AS name (parsed but unused in ref, :88)
     func: str | None = None  # count/sum/avg/min/max; parts=() for count(*)
     window: "WindowSpec | None" = None  # fn(...) OVER (...) analytic form
+    #: computed select item (arithmetic over sugared refs/literals);
+    #: parts/func are unused when set, and an AS alias is required
+    expr: "Expr | None" = None
 
 
 @dataclass
@@ -288,9 +291,9 @@ class _Parser:
             if self.peek() == ("op", ","):
                 raise ValueError("SELECT * cannot be mixed with named fields")
         else:
-            fields = [self.parse_field()]
+            fields = [self.parse_select_item()]
             while self.accept_op(","):
-                fields.append(self.parse_field())
+                fields.append(self.parse_select_item())
         self.expect_kw("from")
         domain, family, alias = self.parse_source()
         joins: list[JoinClause] = []
@@ -362,6 +365,48 @@ class _Parser:
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
     _RANK_FUNCS = ("rank", "dense_rank", "row_number")
     _NAV_FUNCS = ("lag", "lead")
+
+    def parse_select_item(self) -> FieldRef:
+        """A select-list item: a (possibly windowed/aggregate) field,
+        or a computed arithmetic expression over sugared refs and
+        literals — the projection the reference rejects outright
+        (selectfieldparser.go:90-99). Computed items require AS."""
+        t = self.peek()
+        if (
+            t[0] in ("num", "str", "param")
+            or t == ("op", "(")
+            or t == ("op", "-")
+        ):
+            return self._finish_computed(self.parse_arith())
+        mark = self.i
+        f = self.parse_field()
+        nxt = self.peek()
+        if (
+            f.func is None
+            and f.alias is None
+            and nxt[0] == "op"
+            and nxt[1] in ("+", "-", "*", "/")
+        ):
+            # plain ref followed by an arithmetic operator: re-parse the
+            # whole item as an expression (the ref becomes its first
+            # operand, same sugar resolution)
+            self.i = mark
+            return self._finish_computed(self.parse_arith())
+        return f
+
+    def _finish_computed(self, expr: Expr) -> FieldRef:
+        alias = None
+        if self.accept_kw("as"):
+            k2, a = self.next()
+            if k2 != "name":
+                raise ValueError("expected alias after AS")
+            alias = a
+        if alias is None:
+            raise ValueError(
+                "computed select expressions require AS <name> "
+                "(there is no canonical sugar name for them)"
+            )
+        return FieldRef((), alias=alias, expr=expr)
 
     def parse_field(self) -> FieldRef:
         kind, v = self.next()
@@ -1004,8 +1049,19 @@ def plan(
         res = _Resolver(q, binding)
     sel: list[tuple[str, str | None, str | None, FieldRef]] = []
     for f in q.fields:
+        if f.expr is not None:
+            for r in _expr_refs(f.expr):
+                res.resolve(r)  # register referenced series pre-scan
+            sel.append((f.alias, None, None, f))
+            continue
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
         sel.append((res.default_name(f), col, f.func, f))
+    has_computed = any(f.expr is not None for f in q.fields)
+    if has_computed and (q.group_by or any(f.func for f in q.fields)):
+        raise ValueError(
+            "computed select expressions cannot mix with GROUP BY or "
+            "aggregate calls"
+        )
     # WHERE splits into plain conjuncts (one Catalyst filter, pushed
     # into the scan) and subquery conjuncts: IN (SELECT ...) plans as a
     # semi-join (NOT IN as anti-join — null-free key contract, as in
@@ -1224,7 +1280,12 @@ def plan(
         proj = []
         for alias, col, func, ref in sel:
             if ref.window is None:
-                proj.append(F.col(col).alias(alias))
+                if ref.expr is not None:
+                    proj.append(
+                        _compile_expr(ref.expr, res, params=params).alias(alias)
+                    )
+                else:
+                    proj.append(F.col(col).alias(alias))
                 continue
             wspec = _W.partitionBy(
                 *[F.col(res.resolve(p)[1]) for p in ref.window.partition_by]
@@ -1257,7 +1318,15 @@ def plan(
     elif q.star:
         pass  # SELECT *: the scan's full column set, no projection
     else:
-        df = df.select(*[F.col(col).alias(alias) for alias, col, _, _ in sel])
+        proj_cols = []
+        for alias, col, _, ref in sel:
+            if ref.expr is not None:
+                proj_cols.append(
+                    _compile_expr(ref.expr, res, params=params).alias(alias)
+                )
+            else:
+                proj_cols.append(F.col(col).alias(alias))
+        df = df.select(*proj_cols)
 
     if q.having is not None:
         df = df.filter(_compile_expr(q.having, res, name_of=post_name, params=params))

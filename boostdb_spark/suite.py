@@ -116,18 +116,18 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 20 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 21 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
 # as-of nearest, time-range moving window, edit-distance near-dup,
 # Misra-Gries heavy hitters, session labeling, deterministic mode,
 # keep-best dedup policy, dialect window frames + OFFSET, dialect
-# DISTINCT, dialect arithmetic) + 15 certified canaries (the 5
-# standing canaries plus 10 rotating), so
+# DISTINCT, dialect arithmetic in WHERE and SELECT) + 14 certified
+# canaries (the 5 standing canaries plus 9 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (155/155 cumulative) — including the
+# driver-certified at least once (156/156 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -154,6 +154,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_window_frame",        # ROWS BETWEEN + LIMIT/OFFSET
     "dialect_distinct",            # SELECT DISTINCT + count(DISTINCT)
     "dialect_arith",               # WHERE arithmetic expressions
+    "dialect_computed",            # computed select projections
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -166,7 +167,7 @@ _WINDOW: tuple[str, ...] = (
     # --- rotating canaries, every family represented ---
     "scan_zordered", "join_bucketed_colocated",
     "join_skew_salted", "asof_join_nearest",
-    "subquery_exists",
+
     "agg_q3_topk", "ts_moving_time_avg",
     "txt_quality", "dedup_minhash_lsh",
     "doc_pack_tokens",
@@ -3441,6 +3442,29 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT click.user_id FROM boost.events WHERE click > 150.0 "
         "UNION SELECT error.user_id FROM boost.events WHERE error > 150.0 "
         "EXCEPT SELECT signup.user_id FROM boost.events WHERE signup > 180.0",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_computed",
+    """
+    SELECT event_id, value * 2 + 1 AS v2, (value - 1.0) / 4 AS q
+    FROM events WHERE event_type = 'click' AND value < 150.0
+    """,
+)
+def dialect_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projections THROUGH the dialect front — arithmetic
+    select items over sugared refs with required AS naming (the
+    reference's field list accepts only column refs,
+    selectfieldparser.go:90-99; projection_compute certifies the
+    DataFrame-level form). Pure codegen expressions in the scan
+    pipeline."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id, click * 2 + 1 AS v2, "
+        "(click - 1.0) / 4 AS q FROM boost.events WHERE click < 150.0",
         EVENTS_BINDING,
     )
 

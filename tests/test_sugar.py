@@ -828,3 +828,38 @@ def test_dialect_arith_with_placeholder(spark):
         "AND value * 2 > 300.0"
     ).collect()[0][0]
     assert got == want
+
+
+def test_dialect_computed_select(spark):
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT click.event_id, click * 2 + 1 AS v2, "
+                "(click - 1.0) / 4 AS q FROM boost.events "
+                "WHERE click < 50.0",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT event_id, value*2+1 AS v2, (value-1.0)/4 AS q "
+                "FROM events WHERE event_type='click' AND value < 50.0"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="AS"):
+        parse("SELECT s * 2 FROM d.f")
+    with pytest.raises(ValueError, match="cannot mix"):
+        sugar.query(
+            spark,
+            "SELECT click * 2 AS v, sum(click) FROM boost.events "
+            "GROUP BY click.user_id",
+            b,
+        )
