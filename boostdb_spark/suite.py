@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 23 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 24 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -124,13 +124,14 @@ def _q(name: str, oracle: str | None):
 # Misra-Gries heavy hitters, session labeling, deterministic mode,
 # keep-best dedup policy, dialect window frames + OFFSET, dialect
 # DISTINCT, dialect arithmetic in WHERE and SELECT, and the two
-# HASH-CERTIFIED STREAMING drains — tumbling-agg parity and
-# cross-batch dedup parity, converting the previously pytest-only
-# section-2.6 evidence into hard driver signal) + 12 certified
-# canaries (the 5 standing canaries plus 7 rotating), so
+# HASH-CERTIFIED STREAMING drains — tumbling-agg parity,
+# cross-batch dedup parity and stateful-EWMA parity, converting the
+# previously pytest-only section-2.6 evidence into hard driver
+# signal) + 11 certified canaries (the 5 standing canaries plus 6
+# rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (158/158 cumulative) — including the
+# driver-certified at least once (159/159 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -160,6 +161,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_computed",            # computed select projections
     "stream_batch_parity",         # streaming tumbling agg, hash-certified
     "stream_dedup_parity",         # cross-batch streaming dedup, certified
+    "stream_ewma_parity",          # stateful-streaming EWMA, certified
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -174,7 +176,7 @@ _WINDOW: tuple[str, ...] = (
     "join_skew_salted", "asof_join_nearest",
 
     "agg_q3_topk", "ts_moving_time_avg",
-    "txt_quality", "dedup_minhash_lsh",
+    "dedup_minhash_lsh",
     "doc_pack_tokens",
     "pipeline_curate",
 )
@@ -3575,6 +3577,95 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@_q(
+    "stream_ewma_parity",
+    """
+    WITH s AS (SELECT event_type,
+                      list(value ORDER BY ts, event_id) AS vals,
+                      count(*) AS n
+               FROM events GROUP BY event_type)
+    SELECT event_type,
+           list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma,
+           n
+    FROM s
+    """,
+)
+def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE stateful streaming: per-key EWMA carried
+    across TIME-ORDERED micro-batches in the applyInPandasWithState
+    store (streaming/stateful.py) — the landing dir is written as
+    three contiguous time ranges with distinct mtimes (the file source
+    orders by modification time), so the cross-batch recursion folds
+    rows in exactly the batch order and the FINAL state per key
+    (max-n update row) must bit-match the sequential batch fold the
+    oracle evaluates. The arbitrary-stateful §2.6 row under the hard
+    gate; landing write (incl. the mtime-gap sleeps) is ingest-time,
+    once per session+SF."""
+    import os
+    import tempfile
+    import time as _time
+
+    from boostdb_spark.streaming.stateful import streaming_ewma
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src = ev.select(
+        "event_type", F.col("ts").cast("timestamp"), "event_id", "value"
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "ewma")
+    if key not in _STREAM_LANDING:
+        qs = src.select(F.unix_micros("ts").alias("t")).agg(
+            F.expr("percentile(t, array(0.33, 0.66))").alias("q")
+        ).collect()[0]["q"]
+        lo, hi = int(qs[0]), int(qs[1])
+        landing = tempfile.mkdtemp(prefix="boost_suite_sewma_")
+        us = F.unix_micros(F.col("ts"))
+        parts = [
+            src.filter(us <= lo),
+            src.filter((us > lo) & (us <= hi)),
+            src.filter(us > hi),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(landing, f"f{i}"))
+            if i < len(parts) - 1:
+                _time.sleep(1.1)  # distinct mtimes: source orders by mtime
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    out = streaming_ewma(
+        sdf, alpha=0.25, key_cols=["event_type"], value_col="value",
+        ts_col="ts", order_extra=["event_id"],
+    )
+    sink = f"stream_ewma_{abs(hash(key)) % 10**9}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.max_by("ewma", "n").alias("ewma"), F.max("n").alias("n"))
+    )
 
 
 @_q(
