@@ -46,7 +46,12 @@ WARMUP = [
     "join_bucketed_colocated",
     "scan_zordered",
     "seriesfamily_roundtrip",
-    "multimodal_binaryfile",  # one-file-per-blob media dir write
+    "multimodal_binaryfile",    # one-file-per-blob media dir write
+    "scan_bloom_pointlookup",   # bloom-layout rewrite of events
+    "file_formats_roundtrip",   # CSV+ORC copies of events
+    "stream_batch_parity",      # streaming landing-dir write
+    "stream_dedup_parity",      # doubled-events landing write
+    "stream_ewma_parity",       # time-split landing incl. mtime-gap sleeps
 ]
 
 
