@@ -52,6 +52,7 @@ WARMUP = [
     "stream_batch_parity",      # streaming landing-dir write
     "stream_dedup_parity",      # doubled-events landing write
     "stream_ewma_parity",       # time-split landing incl. mtime-gap sleeps
+    "stream_ingest_parity",     # checkpointed streaming family write
 ]
 
 

@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 24 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 25 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -125,13 +125,13 @@ def _q(name: str, oracle: str | None):
 # keep-best dedup policy, dialect window frames + OFFSET, dialect
 # DISTINCT, dialect arithmetic in WHERE and SELECT, and the two
 # HASH-CERTIFIED STREAMING drains — tumbling-agg parity,
-# cross-batch dedup parity and stateful-EWMA parity, converting the
-# previously pytest-only section-2.6 evidence into hard driver
-# signal) + 11 certified canaries (the 5 standing canaries plus 6
-# rotating), so
+# cross-batch dedup parity, stateful-EWMA parity and the checkpointed
+# ingest write path, converting the previously pytest-only
+# section-2.6 evidence into hard driver signal) + 10 certified
+# canaries (the 5 standing canaries plus 5 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (159/159 cumulative) — including the
+# driver-certified at least once (160/160 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -162,6 +162,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_batch_parity",         # streaming tumbling agg, hash-certified
     "stream_dedup_parity",         # cross-batch streaming dedup, certified
     "stream_ewma_parity",          # stateful-streaming EWMA, certified
+    "stream_ingest_parity",        # checkpointed streaming write path
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -175,7 +176,7 @@ _WINDOW: tuple[str, ...] = (
     "join_bucketed_colocated",
     "join_skew_salted", "asof_join_nearest",
 
-    "agg_q3_topk", "ts_moving_time_avg",
+    "ts_moving_time_avg",
     "dedup_minhash_lsh",
     "doc_pack_tokens",
     "pipeline_curate",
@@ -3527,6 +3528,66 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_micros(F.col("win_start")).alias("win_start_us"),
         "event_type", "n", "vmin", "vmax",
+    )
+
+
+@_q(
+    "stream_ingest_parity",
+    f"""
+    SELECT event_type AS series, epoch_us(ts) AS ts_us, value, user_id
+    FROM events
+    WHERE event_type IN ('click', 'error')
+      AND epoch_ns(ts) >= {S_NS} AND epoch_ns(ts) < {E_NS}
+    """,
+)
+def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE async ingest: the events table STREAMED into
+    a series family through the checkpointed writeStream pipeline
+    (streaming/ingest.py::stream_write — the reference's async
+    write-goroutine + Wait-barrier analog, boostsession.go:149-184 /
+    m3dbseriesfamily.go:106-123), then FETCHED back with the standard
+    series + time-range predicate. A duplicated, dropped or
+    mis-partitioned row anywhere in the micro-batch write path flips
+    the hash against the same oracle the batch round trip uses. The
+    whole streamed write is ingest-time, once per session+SF."""
+    import os
+    import tempfile
+    from urllib.parse import urlparse
+
+    from boostdb_spark.sources.seriesfamily import SeriesFamily
+    from boostdb_spark.streaming.ingest import stream_write
+
+    t = load_tables(spark, sf_dir)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app_id = spark.sparkContext.applicationId
+    fam = SeriesFamily(
+        spark, "suite", f"events_sin_{tag}_{app_id}", f"{wh}/suite_families"
+    )
+    key = (app_id, sf_dir, "stream_ingest")
+    if key not in _STREAM_LANDING:
+        gc_stale_layouts(f"{wh}/suite_families", "events_sin_")
+        src = t["events"].select(
+            F.col("event_type").alias("series"), "ts", "value", "user_id"
+        )
+        landing = tempfile.mkdtemp(prefix="boost_suite_singest_")
+        src.repartition(4).write.mode("overwrite").parquet(landing)
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(landing).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = stream_write(
+            fam, sdf,
+            checkpoint=os.path.join(
+                tempfile.mkdtemp(prefix="boost_ckpt_"), "c"
+            ),
+        )
+        q.awaitTermination()
+        _STREAM_LANDING[key] = landing
+    out = fam.fetch(series=["click", "error"], start=S_NS, end=E_NS)
+    return out.select(
+        "series", _ts_us(out).alias("ts_us"), "value", "user_id"
     )
 
 
