@@ -53,6 +53,7 @@ WARMUP = [
     "stream_dedup_parity",      # doubled-events landing write
     "stream_ewma_parity",       # time-split landing incl. mtime-gap sleeps
     "stream_ingest_parity",     # checkpointed streaming family write
+    "stream_session_parity",    # time-split landing incl. mtime-gap sleeps
 ]
 
 

@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 25 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 26 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -125,13 +125,14 @@ def _q(name: str, oracle: str | None):
 # keep-best dedup policy, dialect window frames + OFFSET, dialect
 # DISTINCT, dialect arithmetic in WHERE and SELECT, and the two
 # HASH-CERTIFIED STREAMING drains — tumbling-agg parity,
-# cross-batch dedup parity, stateful-EWMA parity and the checkpointed
-# ingest write path, converting the previously pytest-only
-# section-2.6 evidence into hard driver signal) + 10 certified
-# canaries (the 5 standing canaries plus 5 rotating), so
+# cross-batch dedup parity, stateful-EWMA parity, session-window
+# parity and the checkpointed ingest write path, converting the
+# previously pytest-only section-2.6 evidence into hard driver
+# signal) + 9 certified canaries (the 5 standing canaries plus 4
+# rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (160/160 cumulative) — including the
+# driver-certified at least once (161/161 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -163,6 +164,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_dedup_parity",         # cross-batch streaming dedup, certified
     "stream_ewma_parity",          # stateful-streaming EWMA, certified
     "stream_ingest_parity",        # checkpointed streaming write path
+    "stream_session_parity",       # streaming session windows, certified
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -177,7 +179,6 @@ _WINDOW: tuple[str, ...] = (
     "join_skew_salted", "asof_join_nearest",
 
     "ts_moving_time_avg",
-    "dedup_minhash_lsh",
     "doc_pack_tokens",
     "pipeline_curate",
 )
@@ -3588,6 +3589,104 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fam.fetch(series=["click", "error"], start=S_NS, end=E_NS)
     return out.select(
         "series", _ts_us(out).alias("ts_us"), "value", "user_id"
+    )
+
+
+@_q(
+    "stream_session_parity",
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+    m AS (
+      SELECT event_type, t, value,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000
+                  THEN t END AS st
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t)),
+    s AS (
+      SELECT event_type, t, value,
+             max(st) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    g AS (
+      SELECT event_type, sid, count(*) AS n, min(value) AS vmin,
+             min(t) AS t0, max(t) AS t1
+      FROM s GROUP BY event_type, sid),
+    mx AS (SELECT max(t) AS mt FROM e)
+    SELECT t0 AS s_us, t1 + 1800000000 AS e_us, event_type, n, vmin
+    FROM g, mx WHERE t1 + 1800000000 <= mt
+    """,
+)
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE streaming SESSION windows: 30-minute-gap
+    sessions aggregated across time-ordered availableNow micro-batches
+    (same mtime-split landing technique as the EWMA parity — sessions
+    spanning a batch boundary stay in state and merge) in append mode
+    with a zero-delay watermark. The drain emits exactly the sessions
+    whose end has passed the final watermark (= global max event
+    time), so the oracle is the gap-based session assignment (the
+    ts_sessionize pattern) aggregated per session and filtered by the
+    same cutoff — bit-deterministic, and a session split or merge
+    error anywhere in the cross-batch state machinery flips the
+    hash."""
+    import os
+    import tempfile
+    import time as _time
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src = ev.select("event_type", F.col("ts").cast("timestamp"), "value")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "session")
+    if key not in _STREAM_LANDING:
+        qs = src.select(F.unix_micros("ts").alias("t")).agg(
+            F.expr("percentile(t, array(0.33, 0.66))").alias("q")
+        ).collect()[0]["q"]
+        lo, hi = int(qs[0]), int(qs[1])
+        landing = tempfile.mkdtemp(prefix="boost_suite_ssess_")
+        us = F.unix_micros(F.col("ts"))
+        parts = [
+            src.filter(us <= lo),
+            src.filter((us > lo) & (us <= hi)),
+            src.filter(us > hi),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(landing, f"f{i}"))
+            if i < len(parts) - 1:
+                _time.sleep(1.1)  # distinct mtimes: source orders by mtime
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("vmin"))
+    )
+    sink = f"stream_session_{abs(hash(key)) % 10**9}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_micros(F.col("session_window.start")).alias("s_us"),
+        F.unix_micros(F.col("session_window.end")).alias("e_us"),
+        "event_type", "n", "vmin",
     )
 
 
