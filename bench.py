@@ -54,6 +54,7 @@ WARMUP = [
     "stream_ewma_parity",       # time-split landing incl. mtime-gap sleeps
     "stream_ingest_parity",     # checkpointed streaming family write
     "stream_session_parity",    # time-split landing incl. mtime-gap sleeps
+    "stream_sliding_parity",    # time-split landing incl. mtime-gap sleeps
 ]
 
 

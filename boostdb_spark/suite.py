@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 26 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 27 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -125,14 +125,14 @@ def _q(name: str, oracle: str | None):
 # keep-best dedup policy, dialect window frames + OFFSET, dialect
 # DISTINCT, dialect arithmetic in WHERE and SELECT, and the two
 # HASH-CERTIFIED STREAMING drains — tumbling-agg parity,
-# cross-batch dedup parity, stateful-EWMA parity, session-window
-# parity and the checkpointed ingest write path, converting the
-# previously pytest-only section-2.6 evidence into hard driver
-# signal) + 9 certified canaries (the 5 standing canaries plus 4
-# rotating), so
+# cross-batch dedup parity, stateful-EWMA parity, session- and
+# sliding-window parity and the checkpointed ingest write path,
+# converting the previously pytest-only section-2.6 evidence into
+# hard driver signal) + 8 certified canaries (the 5 standing
+# canaries plus 3 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (161/161 cumulative) — including the
+# driver-certified at least once (162/162 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -165,6 +165,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_ewma_parity",          # stateful-streaming EWMA, certified
     "stream_ingest_parity",        # checkpointed streaming write path
     "stream_session_parity",       # streaming session windows, certified
+    "stream_sliding_parity",       # streaming sliding windows, certified
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -179,7 +180,6 @@ _WINDOW: tuple[str, ...] = (
     "join_skew_salted", "asof_join_nearest",
 
     "ts_moving_time_avg",
-    "doc_pack_tokens",
     "pipeline_curate",
 )
 
@@ -3686,6 +3686,91 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.unix_micros(F.col("session_window.start")).alias("s_us"),
         F.unix_micros(F.col("session_window.end")).alias("e_us"),
+        "event_type", "n", "vmin",
+    )
+
+
+@_q(
+    "stream_sliding_parity",
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+    w AS (
+      SELECT event_type, value,
+             (t // 3600000000) * 3600000000 - k.k * 3600000000 AS ws
+      FROM e, unnest(range(0, 4)) AS k(k)),
+    g AS (SELECT event_type, ws, count(*) AS n, min(value) AS vmin
+          FROM w GROUP BY 1, 2),
+    mx AS (SELECT max(t) AS mt FROM e)
+    SELECT ws AS s_us, ws + 14400000000 AS e_us, event_type, n, vmin
+    FROM g, mx WHERE ws + 14400000000 <= mt
+    """,
+)
+def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE streaming SLIDING windows (4h size / 1h
+    slide) across time-ordered availableNow micro-batches, append mode
+    with a zero-delay watermark: the drain emits exactly the
+    hour-aligned windows whose end passed the final watermark, and the
+    oracle expands each event into its four overlapping windows and
+    applies the same cutoff. Completes the window-type set under the
+    hard gate (tumbling, sliding, session)."""
+    import os
+    import tempfile
+    import time as _time
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src = ev.select("event_type", F.col("ts").cast("timestamp"), "value")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "sliding")
+    if key not in _STREAM_LANDING:
+        qs = src.select(F.unix_micros("ts").alias("t")).agg(
+            F.expr("percentile(t, array(0.33, 0.66))").alias("q")
+        ).collect()[0]["q"]
+        lo, hi = int(qs[0]), int(qs[1])
+        landing = tempfile.mkdtemp(prefix="boost_suite_sslide_")
+        us = F.unix_micros(F.col("ts"))
+        parts = [
+            src.filter(us <= lo),
+            src.filter((us > lo) & (us <= hi)),
+            src.filter(us > hi),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(landing, f"f{i}"))
+            if i < len(parts) - 1:
+                _time.sleep(1.1)  # distinct mtimes: source orders by mtime
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "4 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("vmin"))
+    )
+    sink = f"stream_sliding_{abs(hash(key)) % 10**9}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_micros(F.col("window.start")).alias("s_us"),
+        F.unix_micros(F.col("window.end")).alias("e_us"),
         "event_type", "n", "vmin",
     )
 
