@@ -391,6 +391,113 @@ def minhash_signature(
     )
 
 
+def _band_signatures(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, sig) -> (id, band, bh): md5 band hashes, band index a
+    plan-time constant (codegen'd projections, no interpreted HOF)."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(F.col("sig"), b * r + 1, r).cast(
+                                    "array<string>"
+                                ),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: flag INCOMING documents that
+    near-duplicate something already in the EXISTING corpus — the
+    decision every continuously-growing training set makes per ingest
+    batch (dedup against the index, not within the batch).
+
+    Asymmetric MinHash-LSH: both sides band their signatures, but the
+    join probes incoming bands against the existing band index — at
+    100 TB the existing side is a materialized banded table partitioned
+    by (band, bh) and each ingest batch is a small probe (broadcastable
+    at typical batch sizes); nothing rescans the corpus text. The
+    banded candidates verify with exact n-gram Jaccard, so precision is
+    exact; recall is the standard (bands, rows) LSH curve.
+
+    Returns (doc_id, match_id, jaccard): each flagged incoming doc with
+    its BEST existing match (highest jaccard, ties -> smaller id)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    from pyspark.sql import Window
+
+    eb = _band_signatures(
+        minhash_signature(existing, num_hashes, n, text_col, id_col),
+        bands, r,
+    ).withColumnsRenamed({"id": "ex_id"})
+    ib = _band_signatures(
+        minhash_signature(incoming, num_hashes, n, text_col, id_col),
+        bands, r,
+    ).withColumnsRenamed({"id": "in_id"})
+    cand = (
+        ib.join(eb, ["band", "bh"])
+        .select("in_id", "ex_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ds_in = _doc_shingles(incoming, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    ds_ex = _doc_shingles(existing, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    sz_in = ds_in.groupBy("id").agg(F.count("*").alias("sz_in"))
+    sz_ex = ds_ex.groupBy("id").agg(F.count("*").alias("sz_ex"))
+    common = (
+        cand.join(ds_in.withColumnsRenamed({"id": "in_id"}), "in_id")
+        .join(ds_ex.withColumnsRenamed({"id": "ex_id"}), ["ex_id", "sh"])
+        .groupBy("in_id", "ex_id")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        common.join(sz_in.withColumnsRenamed({"id": "in_id"}), "in_id")
+        .join(sz_ex.withColumnsRenamed({"id": "ex_id"}), "ex_id")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("sz_in") + F.col("sz_ex") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("in_id").orderBy(
+        F.col("jaccard").desc(), F.col("ex_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("in_id").alias("doc_id"),
+            F.col("ex_id").alias("match_id"),
+            "jaccard",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,

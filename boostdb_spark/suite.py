@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 27 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 28 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -128,11 +128,11 @@ def _q(name: str, oracle: str | None):
 # cross-batch dedup parity, stateful-EWMA parity, session- and
 # sliding-window parity and the checkpointed ingest write path,
 # converting the previously pytest-only section-2.6 evidence into
-# hard driver signal) + 8 certified canaries (the 5 standing
-# canaries plus 3 rotating), so
+# hard driver signal) + 7 certified canaries (the 5 standing
+# canaries plus 2 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (162/162 cumulative) — including the
+# driver-certified at least once (163/163 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -166,6 +166,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_ingest_parity",        # checkpointed streaming write path
     "stream_session_parity",       # streaming session windows, certified
     "stream_sliding_parity",       # streaming sliding windows, certified
+    "dedup_incremental",           # ingest-batch dedup vs corpus index
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -180,7 +181,6 @@ _WINDOW: tuple[str, ...] = (
     "join_skew_salted", "asof_join_nearest",
 
     "ts_moving_time_avg",
-    "pipeline_curate",
 )
 
 
