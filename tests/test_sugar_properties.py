@@ -143,3 +143,61 @@ def test_parser_never_crashes_only_raises_value_error(junk):
         sugar.parse(junk)
     except ValueError:
         pass  # the contract
+
+
+@st.composite
+def arith_exprs(draw, depth=0):
+    """Random arithmetic over the click series' value and user_id plus
+    numeric literals — returns (dialect_text, spark_sql_text)."""
+    if depth >= 2 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["value", "user", "int", "float"]))
+        if kind == "value":
+            return "click", "value"
+        if kind == "user":
+            return "click.user_id", "user_id"
+        if kind == "int":
+            n = draw(st.integers(1, 9))
+            return str(n), str(n)
+        f = draw(st.floats(0.5, 9.5, allow_nan=False))
+        t = f"{f:.2f}"
+        return t, t
+    a_d, a_s = draw(arith_exprs(depth=depth + 1))
+    op = draw(st.sampled_from(["+", "-", "*", "/"]))
+    if op == "/":
+        # ANSI division (Spark default) errors on a zero divisor and
+        # the fixture's user_id reaches 0 — divide by literals only
+        f = draw(st.floats(0.5, 9.5, allow_nan=False))
+        b_d = b_s = f"{f:.2f}"
+    else:
+        b_d, b_s = draw(arith_exprs(depth=depth + 1))
+    if draw(st.booleans()):
+        return f"({a_d} {op} {b_d})", f"({a_s} {op} {b_s})"
+    return f"{a_d} {op} {b_d}", f"{a_s} {op} {b_s}"
+
+
+def test_dialect_arithmetic_matches_spark_sql(spark):
+    """Any generated arithmetic comparison must produce the same rows
+    as the equivalent spark.sql query — parser precedence, grouping
+    and compilation all under one property."""
+    from tests.conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    b = sugar.SeriesFamilyBinding(
+        view="events", series_col="event_type", value_col="value", ts_col="ts"
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(lhs=arith_exprs(), rhs=arith_exprs(),
+           op=st.sampled_from(["<", "<=", ">", ">=", "=", "!="]))
+    def check(lhs, rhs, op):
+        d = (f"SELECT click.event_id FROM boost.events "
+             f"WHERE {lhs[0]} {op} {rhs[0]}")
+        q = (f"SELECT event_id FROM events WHERE event_type = 'click' "
+             f"AND {lhs[1]} {op} {rhs[1]}")
+        got = sorted(r[0] for r in sugar.query(spark, d, b).collect())
+        want = sorted(r[0] for r in spark.sql(q).collect())
+        assert got == want, (d, q)
+
+    check()
