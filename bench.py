@@ -55,6 +55,7 @@ WARMUP = [
     "stream_ingest_parity",     # checkpointed streaming family write
     "stream_session_parity",    # time-split landing incl. mtime-gap sleeps
     "stream_sliding_parity",    # time-split landing incl. mtime-gap sleeps
+    "stream_join_parity",       # time-split landing incl. mtime-gap sleeps
 ]
 
 

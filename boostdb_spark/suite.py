@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 28 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 29 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -128,11 +128,11 @@ def _q(name: str, oracle: str | None):
 # cross-batch dedup parity, stateful-EWMA parity, session- and
 # sliding-window parity and the checkpointed ingest write path,
 # converting the previously pytest-only section-2.6 evidence into
-# hard driver signal) + 7 certified canaries (the 5 standing
-# canaries plus 2 rotating), so
+# hard driver signal) + 6 certified canaries (the 5 standing
+# canaries plus 1 rotating), so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (163/163 cumulative) — including the
+# driver-certified at least once (164/164 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -167,6 +167,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_session_parity",       # streaming session windows, certified
     "stream_sliding_parity",       # streaming sliding windows, certified
     "dedup_incremental",           # ingest-batch dedup vs corpus index
+    "stream_join_parity",          # stream-stream interval join, certified
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -177,8 +178,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
-    "join_bucketed_colocated",
-    "join_skew_salted", "asof_join_nearest",
+    "join_bucketed_colocated", "asof_join_nearest",
 
     "ts_moving_time_avg",
 )
@@ -3772,6 +3772,111 @@ def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window.start")).alias("s_us"),
         F.unix_micros(F.col("window.end")).alias("e_us"),
         "event_type", "n", "vmin",
+    )
+
+
+@_q(
+    "stream_join_parity",
+    """
+    SELECT p.user_id, epoch_us(p.ts) AS p_ts_us, p.value AS p_value,
+           epoch_us(e.ts) AS e_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE stream-stream join: purchases and errors
+    replayed as two multi-batch streams over the same landing dir,
+    watermarked interval inner join (errors within 1h after the
+    purchase). Inner join rows emit as soon as both sides match —
+    no tail cutoff — so the appended memory-sink rows must hash-equal
+    the batch interval join exactly, certifying the cross-stream state
+    store (row buffering, watermark-bounded eviction, interval
+    condition) with hard signal."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src0 = ev.select(
+        "event_type", F.col("ts").cast("timestamp"), "user_id", "value"
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "ssjoin")
+    if key not in _STREAM_LANDING:
+        # TIME-ORDERED landing (contiguous ranges, distinct mtimes):
+        # with zero-delay watermarks an out-of-order batch would DROP
+        # late rows before they join; ordered batches never regress the
+        # watermark, and buffered state evicts only rows no future
+        # batch can match (p_ts + 1h < watermark)
+        import time as _time
+
+        qs = src0.select(F.unix_micros("ts").alias("t")).agg(
+            F.expr("percentile(t, array(0.33, 0.66))").alias("q")
+        ).collect()[0]["q"]
+        lo, hi = int(qs[0]), int(qs[1])
+        landing = tempfile.mkdtemp(prefix="boost_suite_ssjoin_")
+        us = F.unix_micros(F.col("ts"))
+        parts = [
+            src0.filter(us <= lo),
+            src0.filter((us > lo) & (us <= hi)),
+            src0.filter(us > hi),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(landing, f"f{i}"))
+            if i < len(parts) - 1:
+                _time.sleep(1.1)
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    schema = spark.read.parquet(os.path.join(landing, "f0")).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    errors = stream().filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.withWatermark("p_ts", "0 seconds").join(
+        errors.withWatermark("e_ts", "0 seconds"), cond
+    )
+    sink = f"stream_join_{abs(hash(key)) % 10**9}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
+        "p_value",
+        F.unix_micros(F.col("e_ts")).alias("e_ts_us"),
     )
 
 
