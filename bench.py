@@ -56,6 +56,7 @@ WARMUP = [
     "stream_session_parity",    # time-split landing incl. mtime-gap sleeps
     "stream_sliding_parity",    # time-split landing incl. mtime-gap sleeps
     "stream_join_parity",       # time-split landing incl. mtime-gap sleeps
+    "dedup_incremental",        # corpus dedup-index materialization
 ]
 
 

@@ -417,6 +417,31 @@ def _band_signatures(sig: DataFrame, bands: int, r: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bh")
 
 
+def build_dedup_index(
+    existing: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable dedup index of the EXISTING corpus: the banded
+    MinHash table (ex_id, band, bh) and the distinct shingle table
+    (ex_id, sh) that :func:`incremental_dedup` probes per ingest
+    batch. In production both persist as parquet (the band table
+    partitioned/bucketed by (band, bh)) and are appended as batches
+    are accepted — the corpus text is never rescanned at ingest
+    time."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    banded = _band_signatures(
+        minhash_signature(existing, num_hashes, n, text_col, id_col),
+        bands, r,
+    ).withColumnsRenamed({"id": "ex_id"})
+    shingles_tbl = _doc_shingles(existing, id_col, text_col, n)
+    return banded, shingles_tbl
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -426,6 +451,7 @@ def incremental_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: flag INCOMING documents that
     near-duplicate something already in the EXISTING corpus — the
@@ -441,15 +467,22 @@ def incremental_dedup(
     exact; recall is the standard (bands, rows) LSH curve.
 
     Returns (doc_id, match_id, jaccard): each flagged incoming doc with
-    its BEST existing match (highest jaccard, ties -> smaller id)."""
+    its BEST existing match (highest jaccard, ties -> smaller id).
+
+    ``index``: a pre-built (banded, shingles) pair from
+    :func:`build_dedup_index` — the production path, where the corpus
+    index persists across ingest batches and the text is never
+    rescanned; without it the index builds inline from ``existing``."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     from pyspark.sql import Window
 
-    eb = _band_signatures(
-        minhash_signature(existing, num_hashes, n, text_col, id_col),
-        bands, r,
-    ).withColumnsRenamed({"id": "ex_id"})
+    if index is not None:
+        eb, ds_ex = index
+    else:
+        eb, ds_ex = build_dedup_index(
+            existing, num_hashes, bands, n, text_col, id_col
+        )
     ib = _band_signatures(
         minhash_signature(incoming, num_hashes, n, text_col, id_col),
         bands, r,
@@ -463,9 +496,7 @@ def incremental_dedup(
     ds_in = _doc_shingles(incoming, id_col, text_col, n).localCheckpoint(
         eager=False
     )
-    ds_ex = _doc_shingles(existing, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    ds_ex = ds_ex.localCheckpoint(eager=False)
     sz_in = ds_in.groupBy("id").agg(F.count("*").alias("sz_in"))
     sz_ex = ds_ex.groupBy("id").agg(F.count("*").alias("sz_ex"))
     common = (

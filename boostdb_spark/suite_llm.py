@@ -468,16 +468,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (incoming = doc_id % 3 == 0 slice, existing = the rest) —
     asymmetric banded MinHash probe into the corpus band index, exact
     Jaccard verification, best existing match per flagged doc. The
-    oracle is the brute-force exact cross computation: at the
-    fixture's pair distribution (true pairs >= 0.889) the banding miss
-    probability is ~1e-11, so the LSH probe equals exact output
+    existing side's index (banded signatures + shingle table,
+    build_dedup_index) is MATERIALIZED to parquet once per session —
+    the production shape: the corpus text is never rescanned at
+    ingest time; each batch probes the persisted index. The oracle is
+    the brute-force exact cross computation: at the fixture's pair
+    distribution (true pairs >= 0.889) the banding miss probability
+    is ~1e-11, so the LSH probe equals exact output
     deterministically."""
+    import os
+    from urllib.parse import urlparse
+
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     incoming = docs.filter(F.col("doc_id") % 3 == 0)
     existing = docs.filter(F.col("doc_id") % 3 != 0)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(wh, f"suite_dedupidx_{tag}_{app_id}")
+    key = (app_id, sf_dir)
+    if key not in _DEDUP_INDEX_WRITTEN:
+        from boostdb_spark.suite import gc_stale_layouts
+
+        gc_stale_layouts(wh, "suite_dedupidx_")
+        banded, shingles_tbl = dd.build_dedup_index(
+            existing, num_hashes=32, bands=16, n=3
+        )
+        banded.write.mode("overwrite").parquet(os.path.join(base, "bands"))
+        shingles_tbl.write.mode("overwrite").parquet(
+            os.path.join(base, "shingles")
+        )
+        _DEDUP_INDEX_WRITTEN.add(key)
+    index = (
+        spark.read.parquet(os.path.join(base, "bands")),
+        spark.read.parquet(os.path.join(base, "shingles")),
+    )
     return dd.incremental_dedup(
-        existing, incoming, threshold=0.8, num_hashes=32, bands=16, n=3
+        existing, incoming, threshold=0.8, num_hashes=32, bands=16, n=3,
+        index=index,
     )
 
 
@@ -1109,6 +1138,8 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: media dirs written this session: {(app_id, sf_dir)}
 _MEDIA_WRITTEN: set = set()
+#: dedup indexes materialized this session: {(app_id, sf_dir)}
+_DEDUP_INDEX_WRITTEN: set = set()
 
 
 @_q(
