@@ -81,7 +81,7 @@ _KEYWORDS = {
     "desc", "join", "inner", "cross", "on", "true", "false", "over",
     "partition", "left", "outer", "union", "intersect", "except", "all",
     "rows", "unbounded", "preceding", "following", "current", "row",
-    "offset", "distinct",
+    "offset", "distinct", "rollup", "cube",
 }
 
 
@@ -187,6 +187,8 @@ class BoostQuery:
     joins: list[JoinClause] = field(default_factory=list)
     star: bool = False  # SELECT * — expand to the source's columns
     distinct: bool = False  # SELECT DISTINCT — dedup the projection
+    #: grouping mode: 'plain' | 'rollup' | 'cube' (GROUP BY ROLLUP/CUBE)
+    group_mode: str = "plain"
     #: (op, rhs) chain applied left-associatively: 'union' | 'union_all'
     #: | 'intersect' | 'except' — the set-operation completion of the
     #: declared query surface (the reference's SQL front has none)
@@ -327,11 +329,22 @@ class _Parser:
             where = self.parse_or()
         group_by: list[FieldRef] = []
         having = None
+        group_mode = "plain"
         if self.accept_kw("group"):
             self.expect_kw("by")
-            group_by.append(self.parse_field())
-            while self.accept_op(","):
+            if self.peek() in (("kw", "rollup"), ("kw", "cube")):
+                _, group_mode = self.next()
+                if not self.accept_op("("):
+                    raise ValueError(f"{group_mode.upper()} requires (cols)")
                 group_by.append(self.parse_field())
+                while self.accept_op(","):
+                    group_by.append(self.parse_field())
+                if not self.accept_op(")"):
+                    raise ValueError(f"unbalanced {group_mode.upper()} list")
+            else:
+                group_by.append(self.parse_field())
+                while self.accept_op(","):
+                    group_by.append(self.parse_field())
             if self.accept_kw("having"):
                 having = self.parse_or()
         if star and (group_by or joins):
@@ -341,6 +354,7 @@ class _Parser:
             None, None, joins, star,
         )
         q.distinct = distinct
+        q.group_mode = group_mode
         return q
 
     def parse_source(self) -> tuple[str, str, str | None]:
@@ -1263,7 +1277,14 @@ def plan(
             post_name(ref)
 
         if gcols:
-            df = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+            if q.group_mode == "rollup":
+                df = df.rollup(*gcols).agg(*aggs)
+            elif q.group_mode == "cube":
+                df = df.cube(*gcols).agg(*aggs)
+            elif aggs:
+                df = df.groupBy(*gcols).agg(*aggs)
+            else:
+                df = df.select(*gcols).distinct()
         else:
             df = df.agg(*aggs)  # global aggregate
     elif windowed:

@@ -116,7 +116,7 @@ def _q(name: str, oracle: str | None):
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-4
 # window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 29 new r4 entries (file-format round trip,
+# CORRECTNESS row + the 30 new r4 entries (file-format round trip,
 # bloom-filter point-lookup layout, bounded-error certifiable forms of
 # the two approx sketches, dialect subqueries + set ops, Gopher rules,
 # temperature mixture, matryoshka truncation, per-dimension stats,
@@ -128,11 +128,10 @@ def _q(name: str, oracle: str | None):
 # cross-batch dedup parity, stateful-EWMA parity, session- and
 # sliding-window parity and the checkpointed ingest write path,
 # converting the previously pytest-only section-2.6 evidence into
-# hard driver signal) + 6 certified canaries (the 5 standing
-# canaries plus 1 rotating), so
+# hard driver signal) + the 5 standing canaries, so
 # rotated-out surface keeps hard regression signal (ADVICE r2). Green
 # here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (164/164 cumulative) — including the
+# driver-certified at least once (165/165 cumulative) — including the
 # two sketch entries that were `no_oracle` rows since r1.
 _WINDOW: tuple[str, ...] = (
     # --- never-certified: late-r3 storage / joins / time-series ---
@@ -168,6 +167,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_sliding_parity",       # streaming sliding windows, certified
     "dedup_incremental",           # ingest-batch dedup vs corpus index
     "stream_join_parity",          # stream-stream interval join, certified
+    "dialect_rollup",              # GROUP BY ROLLUP via the front
     "doc_temperature_mixture",     # T=2 source rebalancing
     "emb_matryoshka",              # MRL truncation + renormalize
     "emb_dim_stats",               # per-dimension corpus profile
@@ -178,7 +178,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
     # --- rotating canaries, every family represented ---
-    "join_bucketed_colocated", "asof_join_nearest",
+    "asof_join_nearest",
 
     "ts_moving_time_avg",
 )
@@ -4015,6 +4015,35 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink)
         .groupBy("event_type")
         .agg(F.max_by("ewma", "n").alias("ewma"), F.max("n").alias("n"))
+    )
+
+
+@_q(
+    "dialect_rollup",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS total
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY ROLLUP (user_id)
+    """,
+)
+def dialect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP through the dialect front (CUBE parses the same
+    way): hierarchical subtotals + the grand-total row planned as
+    Spark's native Expand-based rollup — the declared-stub GroupBy
+    surface (query/base/expression.go:22-25) completed in the SQL
+    front itself. Decimal 6dp quantization absorbs group-sum ordering
+    (suite determinism rules)."""
+    load_tables(spark, sf_dir)
+    df = sugar.query(
+        spark,
+        "SELECT purchase.user_id, count(*) AS n, sum(purchase) AS total "
+        "FROM boost.events GROUP BY ROLLUP (purchase.user_id)",
+        EVENTS_BINDING,
+    )
+    return df.withColumn(
+        "total", F.col("total").cast("decimal(18,6)").cast("double")
     )
 
 

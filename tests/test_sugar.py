@@ -863,3 +863,35 @@ def test_dialect_computed_select(spark):
             "GROUP BY click.user_id",
             b,
         )
+
+
+def test_dialect_rollup_cube(spark):
+    b = _events_binding(spark)
+    for mode in ("ROLLUP", "CUBE"):
+        got = sorted(
+            map(
+                tuple,
+                sugar.query(
+                    spark,
+                    "SELECT click.user_id, count(*) AS n, "
+                    "sum(click) AS total FROM boost.events "
+                    f"GROUP BY {mode} (click.user_id)",
+                    b,
+                ).collect(),
+            ),
+            key=str,
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT user_id, count(*) AS n, sum(value) AS total "
+                    "FROM events WHERE event_type = 'click' "
+                    f"GROUP BY {mode} (user_id)"
+                ).collect(),
+            ),
+            key=str,
+        )
+        assert got == want and len(got) > 2
+    q = parse("SELECT s.k, count(*) FROM d.f GROUP BY ROLLUP (s.k)")
+    assert q.group_mode == "rollup" and len(q.group_by) == 1
