@@ -167,3 +167,98 @@ def interval_overlap_join(
     )
     out = pairs.drop("_bk")
     return out.dropDuplicates(list(pair_key) if pair_key else None)
+
+
+def range_lookup(
+    facts: DataFrame,
+    dims: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    keys: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-range dimension lookup: each fact row matched to the
+    NON-OVERLAPPING dim range containing its value (``lo <= v < hi``)
+    — the banding join behind price tiers, geo/IP ranges, SLA buckets.
+
+    Physical strategy by shape:
+
+    - ``keys`` given (per-key range tables): the union+window trick —
+      tag both sides, ONE window partitioned by ``keys`` ordered by
+      (point, side) carries the latest dim row struct onto each fact,
+      then a residual ``v < hi`` filter drops facts falling in a gap.
+      One shuffle regardless of dim size, no nested loop — the as-of
+      join's 100 TB shape.
+    - ``keys`` empty: a keyless window would funnel EVERYTHING through
+      one partition, so a single global range table instead joins as a
+      broadcast theta join — the right plan when the dim is a small
+      lookup table (tiers, buckets), which a keyless banding dim
+      always is; the fact side streams with no shuffle at all.
+
+    The only semantic assumption is that ranges do not overlap within
+    a key (the latest-start range wins if they do). ``how='left'``
+    keeps unmatched facts with NULL dim payload; ``'inner'`` drops
+    them. Dim payload columns colliding with fact names get a
+    ``_dim`` suffix."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    payload = [c for c in dims.columns if c not in (*keys, lo_col, hi_col)]
+    if not keys:
+        v = F.col(value_col).cast("double")
+        d = F.broadcast(
+            dims.select(
+                F.col(lo_col).cast("double").alias("_lo"),
+                F.col(hi_col).cast("double").alias("_hi"),
+                *[
+                    F.col(c).alias(f"{c}_dim" if c in facts.columns else c)
+                    for c in payload
+                ],
+            )
+        )
+        cond = (v >= F.col("_lo")) & (v < F.col("_hi"))
+        out = facts.join(d, cond, "left" if how == "left" else "inner")
+        if how not in ("left", "inner"):
+            raise ValueError("how must be 'left' or 'inner'")
+        return out.drop("_lo", "_hi")
+    f2 = facts.withColumn("_ord", F.col(value_col).cast("double")).withColumn(
+        "_side", F.lit(1)
+    )
+    d2 = dims.select(
+        *keys,
+        F.col(lo_col).cast("double").alias("_ord"),
+        F.struct(
+            F.col(lo_col).cast("double").alias("_lo"),
+            F.col(hi_col).cast("double").alias("_hi"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload],
+        ).alias("_d_row"),
+    ).withColumn("_side", F.lit(0))
+    u = f2.unionByName(d2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ord").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.col("_d_row"), ignorenulls=True).over(w)
+    hit = carried.isNotNull() & (F.col("_ord") < carried.getField("_hi"))
+    out = (
+        u.select(
+            *facts.columns,
+            F.col("_side"),
+            *[
+                F.when(hit, carried.getField(f"_p_{c}")).alias(
+                    f"{c}_dim" if c in facts.columns else c
+                )
+                for c in payload
+            ],
+            hit.alias("_hit"),
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+    if how == "inner":
+        out = out.filter(F.col("_hit"))
+    elif how != "left":
+        raise ValueError("how must be 'left' or 'inner'")
+    return out.drop("_hit")

@@ -1634,6 +1634,44 @@ def ts_moving_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_range_lookup",
+    """
+    WITH dims(event_type, lo, hi, tier) AS (VALUES
+      ('click', 0.0, 50.0, 'c-low'), ('click', 50.0, 1e6, 'c-high'),
+      ('purchase', 0.0, 100.0, 'p-low'), ('purchase', 100.0, 1e6, 'p-high'))
+    SELECT e.event_id, e.event_type, e.value, d.tier
+    FROM events e LEFT JOIN dims d
+      ON e.event_type = d.event_type
+     AND e.value >= d.lo AND e.value < d.hi
+    """,
+)
+def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_lookup(): point-in-range dimension banding per key — each
+    event matched to its event type's value band. Planned as the
+    union+window trick (one shuffle on the key, NO join node — the
+    as-of shape) instead of the theta join the oracle writes; keyless
+    lookups fall back to a broadcast theta join over the small band
+    table. Unbanded event types stay with NULL tier (left
+    semantics)."""
+    from boostdb_spark.operators.joins import range_lookup
+
+    t = load_tables(spark, sf_dir)
+    facts = t["events"].select("event_id", "event_type", "value")
+    dims = spark.createDataFrame(
+        [
+            ("click", 0.0, 50.0, "c-low"),
+            ("click", 50.0, 1e6, "c-high"),
+            ("purchase", 0.0, 100.0, "p-low"),
+            ("purchase", 100.0, 1e6, "p-high"),
+        ],
+        "event_type string, lo double, hi double, tier string",
+    )
+    return range_lookup(
+        facts, dims, "value", keys=["event_type"], how="left"
+    )
+
+
+@_q(
     "asof_join_nearest",
     """
     WITH l AS (SELECT event_id, user_id, ts, value FROM events

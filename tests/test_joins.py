@@ -82,3 +82,42 @@ def test_broadcast_join_plan(spark):
     e, d = _events(spark), _dim(spark)
     plan = broadcast_join(e, d, "event_type")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_lookup_keyed_and_keyless(spark):
+    from boostdb_spark.operators.joins import range_lookup
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 49.9), (3, 50.0), (4, 250.0), (5, -1.0)],
+        "id long, v double",
+    )
+    dims = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
+        "lo double, hi double, tier string",
+    )
+    out = {r.id: r.tier for r in range_lookup(facts, dims, "v").collect()}
+    assert out == {1: "low", 2: "low", 3: "mid", 4: "high", 5: None}
+    assert range_lookup(facts, dims, "v", how="inner").count() == 4
+    # keyless plans the broadcast theta join (small lookup table)
+    p = range_lookup(facts, dims, "v")._jdf.queryExecution().executedPlan()
+    assert "BroadcastNestedLoopJoin" in p.toString()
+
+    # keyed path: per-key range tables, union+window, NO join node
+    fk = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 75.0), ("b", 3, 5.0), ("b", 4, 50.0)],
+        "k string, id long, v double",
+    )
+    dk = spark.createDataFrame(
+        [("a", 0.0, 50.0, "a-low"), ("a", 50.0, 100.0, "a-mid"),
+         ("b", 0.0, 10.0, "b-low")],
+        "k string, lo double, hi double, tier string",
+    )
+    got = {r.id: r.tier for r in range_lookup(fk, dk, "v", keys=["k"]).collect()}
+    assert got == {1: "a-low", 2: "a-mid", 3: "b-low", 4: None}
+    plan = (
+        range_lookup(fk, dk, "v", keys=["k"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
