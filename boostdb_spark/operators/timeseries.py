@@ -401,6 +401,130 @@ def moving_agg(
     return df.withColumn(out_col or f"moving_{how}", fns[how].over(w))
 
 
+def _q6(c):
+    """Engine-neutral 6dp quantizer: floor(x*1e6 + 0.5)/1e6 — every
+    step is an IEEE op computed identically everywhere, unlike round()
+    (Spark rounds the SHORTEST DECIMAL REPR via BigDecimal, DuckDB the
+    binary value — they disagree exactly at half boundaries, which
+    /count rationals hit routinely)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period: int,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series over
+    ``bucket_seconds`` means: value = trend + seasonal + residual —
+    the capacity-planning / anomaly-baseline decomposition (the
+    moving-average method of classical STL's ancestor, fully
+    deterministic):
+
+    1. per-(series, bucket) mean (exact decimal-sum / count,
+       quantized to 6dp so every later decimal cast is boundary-free
+       — /count rationals otherwise land exactly on half-quantum
+       boundaries where engines' cast rounding modes disagree);
+    2. trend = the classical centered moving average: a plain
+       ``period``-point MA for odd periods, the 2xMA (``period+1``
+       points with half weights at both ends) for even periods — so a
+       perfectly periodic season averages out of the trend exactly;
+       NULL at the edges where the window is incomplete;
+    3. seasonal = per (series, bucket_index mod period) mean of the
+       detrended values, re-centered so seasonal components sum to ~0
+       per series;
+    4. residual = value - trend - seasonal.
+
+    Determinism: every mean runs as an exact decimal sum (values
+    quantized to 6dp first — the suite's standard absorption of
+    frame-evaluation order) divided by an exact count, and the final
+    subtractions are a pinned double tree — so the result hashes
+    against a SQL oracle evaluating the identical windows. Shape: one
+    bucket aggregate + one range-frame window + one small per-phase
+    aggregate broadcast back; the only full-data shuffle is the
+    bucket groupBy."""
+    b = bucket_agg(
+        df.filter(F.col(value_col).isNotNull()),
+        bucket_seconds,
+        keys=list(series_cols),
+        aggs=[
+            _q6(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value")
+        ],
+    )
+    span = bucket_seconds * NS_PER_SEC
+    # integer div — a double route would round above 2^53 (ns epochs)
+    b = b.withColumn("_bi", F.expr(f"bucket div {span}"))
+    vq = F.col("value").cast("decimal(18,6)")
+    if period % 2 == 1:
+        half = (period - 1) // 2
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy("_bi")
+            .rangeBetween(-half, half)
+        )
+        n_frame = F.count(F.lit(1)).over(w)
+        trend = F.when(
+            n_frame == period, F.sum(vq).over(w).cast("double") / n_frame
+        )
+    else:
+        half = period // 2
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy("_bi")
+            .rangeBetween(-half, half)
+        )
+        n_frame = F.count(F.lit(1)).over(w)
+        # 2xMA: period+1 points, half weight at both frame ends
+        wsum = (
+            F.sum(vq).over(w).cast("double")
+            - F.lit(0.5) * F.first("value").over(w)
+            - F.lit(0.5) * F.last("value").over(w)
+        )
+        trend = F.when(n_frame == period + 1, wsum / F.lit(float(period)))
+    b = b.withColumn("trend", trend).withColumn(
+        "_phase", F.pmod(F.col("_bi"), F.lit(period))
+    )
+    # derived doubles (value - trend, s_raw) frequently land EXACTLY on
+    # half-quantum boundaries (both terms are /count rationals), where
+    # Spark's decimal cast (HALF_UP) and other engines' (half-even)
+    # disagree — round() first (half away from zero in Spark and
+    # DuckDB alike) so the subsequent cast is boundary-free
+    det = _q6(F.col("value") - F.col("trend")).cast("decimal(18,6)")
+    phase = b.groupBy(*series_cols, "_phase").agg(
+        (F.sum(det).cast("double") / F.count(det)).alias("_s_raw")
+    )
+    # re-center: seasonal components sum to ~0 per series
+    center = phase.groupBy(*series_cols).agg(
+        (
+            F.sum(_q6(F.col("_s_raw")).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("_s_mean")
+    )
+    phase = phase.join(F.broadcast(center), list(series_cols)).select(
+        *series_cols,
+        "_phase",
+        (F.col("_s_raw") - F.col("_s_mean")).alias("seasonal"),
+    )
+    out = b.join(F.broadcast(phase), [*series_cols, "_phase"])
+    return out.select(
+        *series_cols,
+        "bucket",
+        "value",
+        "trend",
+        "seasonal",
+        (F.col("value") - F.col("trend") - F.col("seasonal")).alias(
+            "residual"
+        ),
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_seconds: int,

@@ -1603,6 +1603,63 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_seasonal_decompose",
+    """
+    WITH e AS (SELECT event_type, epoch_ns(ts) AS t, value FROM events),
+    b AS (
+      SELECT event_type, (t - t % 21600000000000) AS bucket,
+             (t - t % 21600000000000) // 21600000000000 AS bi,
+             floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS value
+      FROM e GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT *, count(*) OVER w AS nf,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+             first(value) OVER w AS fv, last(value) OVER w AS lv
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bi
+                          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+    t2 AS (
+      SELECT event_type, bucket, bi, value,
+             CASE WHEN nf = 5
+                  THEN (s - 0.5 * fv - 0.5 * lv) / 4.0 END AS trend
+      FROM tr),
+    ph AS (
+      SELECT event_type, bi % 4 AS phase,
+             CAST(sum(CAST(floor((value - trend) * 1000000.0 + 0.5)
+                           / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+               / count(value - trend) AS s_raw
+      FROM t2 GROUP BY 1, 2),
+    ctr AS (
+      SELECT event_type,
+             CAST(sum(CAST(floor(s_raw * 1000000.0 + 0.5) / 1000000.0
+                           AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS s_mean
+      FROM ph GROUP BY 1),
+    sfin AS (SELECT ph.event_type, ph.phase, s_raw - s_mean AS seasonal
+             FROM ph JOIN ctr USING (event_type))
+    SELECT t2.event_type, t2.bucket, t2.value, t2.trend, s.seasonal,
+           t2.value - t2.trend - s.seasonal AS residual
+    FROM t2 JOIN sfin s
+      ON t2.event_type = s.event_type AND t2.bi % 4 = s.phase
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seasonal_decompose(): classical additive decomposition of each
+    series' 6h means into trend + daily seasonal (period 4) + residual
+    — the capacity-planning / anomaly-baseline split. Even period uses
+    the textbook 2xMA (5-point frame, half weights at the ends), so a
+    perfectly periodic season averages out of the trend exactly
+    (pinned by unit test). Every mean is an exact decimal sum / count
+    and the final subtractions a pinned double tree — bit-identical
+    to the oracle's identical windows."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.seasonal_decompose(
+        _ns_events(t), period=4, bucket_seconds=21600,
+        series_cols=("event_type",),
+    )
+
+
+@_q(
     "ts_moving_time_avg",
     """
     SELECT event_type, epoch_us(ts) AS ts_us, value,

@@ -680,3 +680,28 @@ def test_sessionize_gap_semantics(spark):
     )
     out2 = ts_ops.sessionize(df2, 30, series_cols=("key",)).collect()
     assert {r.session_id for r in out2} == {0}
+
+
+def test_seasonal_decompose_recovers_textbook_split(spark):
+    """A linear trend + balanced period-4 season + zero noise must
+    decompose EXACTLY: trend = the linear part (the even-period 2xMA
+    averages a full season out), seasonal = the true pattern,
+    residual = 0."""
+    NS = 1_000_000_000
+    season = [10.0, -10.0, 0.0, 0.0]
+    rows = [
+        ("a", i * 60 * NS, 0.5 * i + season[i % 4]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = ts_ops.seasonal_decompose(df, period=4, bucket_seconds=60).collect()
+    assert len(out) == 40
+    mid = [r for r in out if r.trend is not None]
+    assert len(mid) == 36  # 2 incomplete-frame edges each side
+    assert max(abs(r.residual) for r in mid) == 0.0
+    seas = {
+        (r.bucket // (60 * NS)) % 4: round(r.seasonal, 6) for r in mid
+    }
+    assert seas == {0: 10.0, 1: -10.0, 2: 0.0, 3: 0.0}
+    for r in mid:  # trend is exactly the linear part
+        i = r.bucket // (60 * NS)
+        assert abs(r.trend - 0.5 * i) < 1e-9
