@@ -134,6 +134,9 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     # keeps its own shuffle setting.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # the restore MUST survive a failed drain (try/finally below) — a
+    # leaked 8-partition setting would silently skew every batch entry
+    # timed after the streaming section in the same process
 
     def run(name: str, build, output_mode: str):
         src = (
@@ -159,38 +162,6 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             flush=True,
         )
 
-    # machinery floor: an aggregation-free passthrough drain over the
-    # SAME landing replay — its wall is pure micro-batch scheduling +
-    # source listing + sink cost, zero operator state; subtract it
-    # from the stateful drains to see the data-dependent part
-    run("stream_passthrough_floor", lambda src: src, "append")
-    run(
-        "stream_sliding_agg",
-        lambda src: sliding_agg(
-            src,
-            "4 hours",
-            "1 hour",
-            ["event_type"],
-            [
-                F.count(F.lit(1)).alias("n"),
-                F.min("value").alias("vmin"),
-                F.max("value").alias("vmax"),
-            ],
-            watermark="2 hours",
-        ),
-        "append",
-    )
-    run(
-        "stream_stateful_ewma",
-        lambda src: streaming_ewma(
-            src,
-            alpha=0.25,
-            key_cols=("event_type",),
-            order_extra=("event_id",),
-        ),
-        "update",
-    )
-
     def stream_stream_join(src):
         # watermarked interval join: purchases enriched with the errors
         # that follow within 1h — the stream-stream state path
@@ -213,9 +184,42 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             errors.withWatermark("e_ts", "0 seconds"), cond
         )
 
-    run("stream_stream_join", stream_stream_join, "append")
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        # machinery floor: an aggregation-free passthrough drain over the
+        # SAME landing replay — its wall is pure micro-batch scheduling +
+        # source listing + sink cost, zero operator state; subtract it
+        # from the stateful drains to see the data-dependent part
+        run("stream_passthrough_floor", lambda src: src, "append")
+        run(
+            "stream_sliding_agg",
+            lambda src: sliding_agg(
+                src,
+                "4 hours",
+                "1 hour",
+                ["event_type"],
+                [
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("value").alias("vmin"),
+                    F.max("value").alias("vmax"),
+                ],
+                watermark="2 hours",
+            ),
+            "append",
+        )
+        run(
+            "stream_stateful_ewma",
+            lambda src: streaming_ewma(
+                src,
+                alpha=0.25,
+                key_cols=("event_type",),
+                order_extra=("event_id",),
+            ),
+            "update",
+        )
+        run("stream_stream_join", stream_stream_join, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
     return times, detail
 
 

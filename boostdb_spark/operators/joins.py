@@ -196,17 +196,45 @@ def range_lookup(
       lookup table (tiers, buckets), which a keyless banding dim
       always is; the fact side streams with no shuffle at all.
 
-    The only semantic assumption is that ranges do not overlap within
-    a key (the latest-start range wins if they do). ``how='left'``
-    keeps unmatched facts with NULL dim payload; ``'inner'`` drops
-    them. Dim payload columns colliding with fact names get a
-    ``_dim`` suffix."""
+    Overlap semantics are IDENTICAL in both branches: the range with
+    the largest ``lo <= v`` claims the point, and the fact matches iff
+    ``v < that range's hi`` (latest-start wins; a point shadowed into a
+    gap matches nothing). The keyed union+window computes this
+    directly; the keyless branch gets the same result by clipping each
+    range's ``hi`` to the next range's ``lo`` before the theta join,
+    which also makes a fact row match AT MOST ONE range (no duplicate
+    fan-out on overlapping dims). Ranges sharing an identical ``lo``
+    tie-break deterministically on ``hi`` (the wider range wins).
+    ``how='left'`` keeps unmatched facts with NULL dim payload;
+    ``'inner'`` drops them. Dim payload columns colliding with fact
+    names get a ``_dim`` suffix; the internal ``_ord``/``_side``/
+    ``_hit`` markers are reserved and rejected as fact column names."""
     from pyspark.sql import Window
 
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    reserved = {"_ord", "_side", "_hit", "_lo", "_hi", "_d_row"}
+    clash = reserved.intersection(facts.columns)
+    if clash:
+        raise ValueError(
+            f"range_lookup: fact columns {sorted(clash)} collide with "
+            "reserved internal marker names — rename them first"
+        )
     keys = list(keys)
     payload = [c for c in dims.columns if c not in (*keys, lo_col, hi_col)]
     if not keys:
         v = F.col(value_col).cast("double")
+        # latest-start-wins, expressed statically: clip each range's hi
+        # to the next range's lo (ordered by lo, wider range first on
+        # ties). For the argmax-lo candidate the clip never binds below
+        # v; for every shadowed range it excludes v — exactly the keyed
+        # branch's carried-row semantics, with disjoint intervals as a
+        # bonus (a fact row joins at most one dim row). The window is
+        # keyless but runs over the dim table only, which is tiny by
+        # the branch's own contract (it is broadcast next).
+        # ties on lo sort narrower-first so the clip empties the
+        # narrower range and the WIDER one survives
+        wd = Window.orderBy(F.col("_lo").asc(), F.col("_hi").asc())
         d = F.broadcast(
             dims.select(
                 F.col(lo_col).cast("double").alias("_lo"),
@@ -216,11 +244,17 @@ def range_lookup(
                     for c in payload
                 ],
             )
+            .withColumn(
+                "_hi",
+                F.least(
+                    F.col("_hi"),
+                    F.lead("_lo", 1, float("inf")).over(wd),
+                ),
+            )
+            .filter(F.col("_lo") < F.col("_hi"))
         )
         cond = (v >= F.col("_lo")) & (v < F.col("_hi"))
-        out = facts.join(d, cond, "left" if how == "left" else "inner")
-        if how not in ("left", "inner"):
-            raise ValueError("how must be 'left' or 'inner'")
+        out = facts.join(d, cond, how)
         return out.drop("_lo", "_hi")
     f2 = facts.withColumn("_ord", F.col(value_col).cast("double")).withColumn(
         "_side", F.lit(1)
@@ -259,6 +293,4 @@ def range_lookup(
     )
     if how == "inner":
         out = out.filter(F.col("_hit"))
-    elif how != "left":
-        raise ValueError("how must be 'left' or 'inner'")
     return out.drop("_hit")

@@ -161,6 +161,12 @@ def temperature_mixture(
     above 1 upweight small sources relative to their natural share, and
     the whole corpus downsamples to ``target_fraction`` overall.
 
+    NULL sources are kept: the count aggregate gives NULL its own
+    group, and the rate join is null-safe, so rows with a NULL source
+    are rebalanced under their own derived rate rather than silently
+    dropped (explicit policy; mixture_sample's supplied-rate analog is
+    its ``default_rate``).
+
     Unlike :func:`mixture_sample` the per-source rates are DERIVED from
     the data (one tiny per-source count aggregate), not supplied:
     rate_s = min(1, target_fraction * N * q_s / n_s). The decision per
@@ -192,12 +198,18 @@ def temperature_mixture(
         / (F.col("_sum_d").cast("double") * F.col("_n"))
     )
     rates = d.crossJoin(F.broadcast(tot)).select(
-        source_col,
+        F.col(source_col).alias("_rate_src"),
         F.floor(F.least(F.lit(1.0), rate) * buckets).cast("long").alias("_cut"),
     )
-    out = df.join(F.broadcast(rates), source_col)
+    # null-safe join: a NULL source is a source like any other — it got
+    # its own count group above, so it keeps its own derived rate
+    # instead of being silently dropped by inner-join null semantics
+    out = df.join(
+        F.broadcast(rates),
+        F.col(source_col).eqNullSafe(F.col("_rate_src")),
+    )
     return out.filter(_bucket(F.col(key_col), buckets) < F.col("_cut")).drop(
-        "_cut"
+        "_cut", "_rate_src"
     )
 
 

@@ -276,6 +276,8 @@ def _lsh_tables(df: DataFrame, vec_col: str, num_planes: int, dim: int, num_tabl
     def buckets(v: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(v) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="object")
         X = np.stack(v.values)  # (batch, dim)
         bits = (X @ P) >= 0  # (batch, T*p), plane i of table t at t*p+i
         B = bits.reshape(len(X), num_tables, num_planes)
@@ -313,6 +315,8 @@ def ivf_assign(
 
     @pandas_udf("array<long>")
     def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="object")
         X = np.stack(v.values)  # (batch, dim)
         S = X @ C  # (batch, n_centroids)
         # descending score, ties -> larger centroid id first

@@ -546,6 +546,21 @@ def gc_stale_layouts(wh: str, prefix: str, max_age_s: int = 6 * 3600) -> None:
         except OSError:
             pass
 
+
+def touch_layout(path: str) -> None:
+    """Refresh a layout dir's mtime on every read. The GC above is
+    mtime-gated, but plain reads never update a directory's mtime — so
+    a session outliving ``max_age_s`` would keep serving a per-app dir
+    that a CONCURRENT new session's GC is now allowed to delete. Each
+    entry that consumes a GC-managed layout touches it first, making
+    "active" visible to other sessions' cutoff check."""
+    import os
+
+    try:
+        os.utime(path, None)
+    except OSError:
+        pass
+
 #: sf_dirs whose suite series-family copy exists for this session
 _FAMILY_WRITTEN: set = set()
 
@@ -665,6 +680,7 @@ def scan_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             path, cols=["event_id"], expected_ndv=1_000_000, num_files=8,
         )
         _BLOOM_WRITTEN.add(key)
+    touch_layout(path)
     probe = [3, 77, 500, 4242, 999_999_999]
     return read_bloom(spark, path).filter(F.col("event_id").isin(probe))
 
@@ -713,6 +729,7 @@ def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FILEFMT_WRITTEN.add(key)
     parts = []
     for fmt, p in paths.items():
+        touch_layout(p)
         back = read_any(spark, p, fmt, schema=ev.schema)
         parts.append(back.select(F.lit(fmt).alias("fmt"), *ev.columns))
     u = parts[0].unionByName(parts[1])
@@ -3662,7 +3679,9 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (app_id, sf_dir, "stream_ingest")
     if key not in _STREAM_LANDING:
-        gc_stale_layouts(f"{wh}/suite_families", "events_sin_")
+        # SeriesFamily lays out root/domain/family, so the per-app dirs
+        # live under .../suite_families/suite/ — GC must glob THERE
+        gc_stale_layouts(f"{wh}/suite_families/suite", "events_sin_")
         src = t["events"].select(
             F.col("event_type").alias("series"), "ts", "value", "user_id"
         )
@@ -3681,6 +3700,7 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _STREAM_LANDING[key] = landing
+    touch_layout(fam.path)
     out = fam.fetch(series=["click", "error"], start=S_NS, end=E_NS)
     return out.select(
         "series", _ts_us(out).alias("ts_us"), "value", "user_id"

@@ -500,6 +500,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(base, "shingles")
         )
         _DEDUP_INDEX_WRITTEN.add(key)
+    from boostdb_spark.suite import touch_layout
+
+    touch_layout(base)
     index = (
         spark.read.parquet(os.path.join(base, "bands")),
         spark.read.parquet(os.path.join(base, "shingles")),
@@ -1195,6 +1198,9 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"output; delete the dir and re-run"
             )
         _MEDIA_WRITTEN.add(key)
+    from boostdb_spark.suite import touch_layout
+
+    touch_layout(path)
     files = read_media_dir(spark, path, glob="*.png")
     return mm.pixel_stats(files)
 

@@ -229,3 +229,29 @@ def test_embedding_dim_stats_matches_numpy(spark, emb):
         assert got[d]["n"] == X.shape[0]
         assert abs(got[d]["mean"] - Q[:, d].mean()) < 1e-9
         assert abs(got[d]["variance"] - Q[:, d].var()) < 1e-9
+
+
+def test_empty_batch_guard_lsh_and_ivf(spark):
+    """The LSH bucket and IVF assign pandas UDFs survive empty Arrow
+    batches (np.stack of an empty sequence raises ValueError) — same
+    guard the PQ UDFs carry. Driven over an empty multi-partition
+    input and over a filter that empties a real input upstream of the
+    UDF projection."""
+    from boostdb_spark.operators import similarity as sim
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema).repartition(3)
+    out = sim._lsh_tables(empty, "embedding", num_planes=4, dim=8, num_tables=2)
+    assert out.count() == 0
+    cents = [(0, [1.0] + [0.0] * 7), (1, [0.0] * 7 + [1.0])]
+    assert sim.ivf_assign(empty, cents, "embedding").count() == 0
+
+    one = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], schema
+    ).repartition(4)  # 3 of 4 partitions empty
+    gone = one.filter(F.col("vec_id") < 0)
+    assert sim._lsh_tables(gone, "embedding", 4, 8, 2).count() == 0
+    assert sim.ivf_assign(gone, cents, "embedding").count() == 0
+    # nonempty rows still produce one bucket per table / n_probe lists
+    assert sim._lsh_tables(one, "embedding", 4, 8, 2).count() == 2
+    assert sim.ivf_assign(one, cents, "embedding", n_probe=2).count() == 1

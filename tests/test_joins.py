@@ -121,3 +121,55 @@ def test_range_lookup_keyed_and_keyless(spark):
         .toString()
     )
     assert "Join" not in plan
+
+
+def test_range_lookup_overlap_semantics_match_across_branches(spark):
+    """Overlapping dims: BOTH branches implement latest-start-wins —
+    the keyed union+window carries the largest lo <= v; the keyless
+    clip-to-next-lo must reproduce it exactly, including the shadowed
+    gap (v inside an early wide range but past a later narrow range's
+    hi matches NOTHING) and without duplicate fan-out."""
+    from boostdb_spark.operators.joins import range_lookup
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 30.0), (4, 55.0), (5, 99.0)],
+        "id long, v double",
+    )
+    # wide [0,100) overlapped by [10,20) and [50,60): 30 and 99 fall in
+    # shadowed gaps under latest-start-wins
+    dims = spark.createDataFrame(
+        [(0.0, 100.0, "wide"), (10.0, 20.0, "n1"), (50.0, 60.0, "n2")],
+        "lo double, hi double, tier string",
+    )
+    keyless = {r.id: r.tier for r in range_lookup(facts, dims, "v").collect()}
+    fk = facts.withColumn("k", F.lit("x"))
+    dk = dims.withColumn("k", F.lit("x"))
+    keyed = {
+        r.id: r.tier
+        for r in range_lookup(fk, dk, "v", keys=["k"]).collect()
+    }
+    expect = {1: "wide", 2: "n1", 3: None, 4: "n2", 5: None}
+    assert keyless == expect and keyed == expect
+    # no duplicate fan-out on the overlap
+    assert range_lookup(facts, dims, "v").count() == facts.count()
+    # identical lo: the wider range wins, deterministically
+    tie = spark.createDataFrame(
+        [(0.0, 10.0, "narrow"), (0.0, 40.0, "wider")],
+        "lo double, hi double, tier string",
+    )
+    got = {r.id: r.tier for r in range_lookup(facts, tie, "v").collect()}
+    assert got[1] == "wider" and got[3] == "wider" and got[4] is None
+
+
+def test_range_lookup_validates_inputs_first(spark):
+    import pytest as _pt
+
+    from boostdb_spark.operators.joins import range_lookup
+
+    facts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    dims = spark.createDataFrame([(0.0, 10.0, "t")], "lo double, hi double, tier string")
+    with _pt.raises(ValueError, match="how must be"):
+        range_lookup(facts, dims, "v", how="full")
+    bad = facts.withColumnRenamed("id", "_ord")
+    with _pt.raises(ValueError, match="reserved"):
+        range_lookup(bad, dims, "v")

@@ -50,3 +50,27 @@ def test_ts_helpers_zone_independent(spark):
         assert all(v == (expect_ns, 1) for v in results.values()), results
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_gc_stale_layouts_and_touch(tmp_path):
+    """mtime-gated GC: fresh dirs survive, stale dirs go, and
+    touch_layout refreshes a dir's clock so a long-lived session's
+    active layout never ages past another session's cutoff."""
+    import os
+    import time
+
+    from boostdb_spark.suite import gc_stale_layouts, touch_layout
+
+    wh = str(tmp_path)
+    stale = os.path.join(wh, "suite_x_old")
+    fresh = os.path.join(wh, "suite_x_new")
+    kept = os.path.join(wh, "suite_x_active")
+    for p in (stale, fresh, kept):
+        os.makedirs(p)
+    old = time.time() - 7 * 3600
+    os.utime(stale, (old, old))
+    os.utime(kept, (old, old))
+    touch_layout(kept)  # simulates a read refreshing the heartbeat
+    gc_stale_layouts(wh, "suite_x_")
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh) and os.path.exists(kept)

@@ -265,6 +265,24 @@ def test_temperature_mixture_properties(spark):
     assert a == b
 
 
+def test_temperature_mixture_keeps_null_source(spark):
+    """NULL is a source like any other: it gets its own derived rate
+    via the null-safe rate join instead of vanishing through inner-join
+    null semantics (explicit policy)."""
+    from boostdb_spark.operators import sampling as sp
+
+    rows = [(i, None if i % 2 else "big") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sp.temperature_mixture(df, temperature=2.0, target_fraction=0.8)
+    k = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert k.get(None, 0) > 0, "NULL-source rows must survive"
+    # both sources equal-sized -> equal derived rates -> similar keeps
+    assert abs(k[None] - k["big"]) < 0.25 * max(k[None], k["big"])
+
+
 def test_heavy_hitters_exact_under_any_partitioning(spark):
     """The two-pass MG pattern must return EXACTLY the >= phi*N tokens
     with exact counts, on any partitioning — including an adversarial
