@@ -5,16 +5,34 @@ The reference parses its dialect with the TiDB parser into ``QueryOps``
 (query/executor/planner.go:115-243), and hand-executes it row by row
 (query/executor/executor.go:184-274). Here the same dialect —
 
-    SELECT * | [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(field)
-           | rank()|dense_rank()|row_number()|lag(f)|lead(f)|agg(f)
-             OVER (PARTITION BY ... [ORDER BY ... [DESC]])
+    SELECT * | [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(expr)
+           | rank()|dense_rank()|row_number()|lag(f)|lead(f)|agg(expr)
+             OVER (PARTITION BY ... [ORDER BY ... [DESC]]
+                   [ROWS BETWEEN ... AND ...])
            [AS name] [, ...]
     FROM domain.family [alias]
          [ [INNER|LEFT [OUTER]|CROSS] JOIN domain.family [alias]
            ON a.x = b.y ]...
     [WHERE <expr over the same sugared names; :name placeholders bind
-           from a params dict at plan time>]
+           from a params dict at plan time; [NOT] EXISTS (SELECT ...)
+           with a correlated equality decorrelates to a semi/anti join>]
     [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
+
+Scalar functions (whitelisted, usable in SELECT expressions, WHERE,
+and aggregate/window arguments; a function name followed by ``(``
+wins over a same-named series):
+
+    abs(x) sqrt(x) floor(x) ceil(x)        -- floor/ceil return DOUBLE
+    round(x[, n])                          -- ENGINE-INDEPENDENT grid:
+                                              floor(x*10^n + 0.5)/10^n,
+                                              identical IEEE ops on any
+                                              engine (ANSI half-up
+                                              rounding is not bit-stable
+                                              across engines)
+    upper(s) lower(s) length(s) trim(s)
+    coalesce(a, b, ...) concat(a, b, ...) substring(s, pos, len)
+    year(ts) month(ts) day(ts) hour(ts) minute(ts)
+    date_trunc('unit', ts)                 -- unit is a string literal
 
 — is parsed by a small recursive-descent parser into a ``BoostQuery``
 (the QueryOps analog) and *planned onto a Spark DataFrame*, so Catalyst
@@ -81,7 +99,7 @@ _KEYWORDS = {
     "desc", "join", "inner", "cross", "on", "true", "false", "over",
     "partition", "left", "outer", "union", "intersect", "except", "all",
     "rows", "unbounded", "preceding", "following", "current", "row",
-    "offset", "distinct", "rollup", "cube",
+    "offset", "distinct", "rollup", "cube", "exists",
 }
 
 
@@ -147,6 +165,10 @@ class FieldRef:
     #: computed select item (arithmetic over sugared refs/literals);
     #: parts/func are unused when set, and an AS alias is required
     expr: "Expr | None" = None
+    #: aggregate/window argument when it is an EXPRESSION rather than a
+    #: bare ref (sum(floor(x*100+0.5)) OVER ...); parts=() when set and
+    #: an AS alias is required
+    arg_expr: "Expr | None" = None
 
 
 @dataclass
@@ -379,17 +401,32 @@ class _Parser:
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
     _RANK_FUNCS = ("rank", "dense_rank", "row_number")
     _NAV_FUNCS = ("lag", "lead")
+    #: whitelisted scalar functions — a name followed by '(' parses as
+    #: a call (winning over a same-named series); everything compiles
+    #: to built-in Catalyst expressions (functions/scalar.py carries
+    #: the wider DataFrame-level library; this is the dialect subset)
+    _SCALAR_FUNCS = frozenset({
+        "abs", "sqrt", "floor", "ceil", "round", "upper", "lower",
+        "length", "trim", "coalesce", "concat", "substring",
+        "year", "month", "day", "hour", "minute", "date_trunc",
+    })
 
     def parse_select_item(self) -> FieldRef:
         """A select-list item: a (possibly windowed/aggregate) field,
-        or a computed arithmetic expression over sugared refs and
-        literals — the projection the reference rejects outright
-        (selectfieldparser.go:90-99). Computed items require AS."""
+        or a computed arithmetic expression over sugared refs, scalar
+        function calls and literals — the projection the reference
+        rejects outright (selectfieldparser.go:90-99). Computed items
+        require AS."""
         t = self.peek()
         if (
             t[0] in ("num", "str", "param")
             or t == ("op", "(")
             or t == ("op", "-")
+            or (
+                t[0] == "name"
+                and t[1].lower() in self._SCALAR_FUNCS
+                and self.peek2() == ("op", "(")
+            )
         ):
             return self._finish_computed(self.parse_arith())
         mark = self.i
@@ -427,6 +464,7 @@ class _Parser:
         if kind != "name":
             raise ValueError(f"expected field name, got {v!r} (explicit names required, selectfieldparser.go:108-114)")
         func = None
+        arg_expr: Expr | None = None
         parts: tuple[str, ...] = tuple(v.split("."))
         if v.lower() in self._AGG_FUNCS and self.accept_op("("):
             func = v.lower()
@@ -442,10 +480,21 @@ class _Parser:
                             "only count(DISTINCT col)"
                         )
                     func = "count_distinct"
-                k2, inner = self.next()
-                if k2 != "name":
-                    raise ValueError(f"expected column in {func}(...), got {inner!r}")
-                parts = tuple(inner.split("."))
+                e = self.parse_arith()
+                if e.kind == "ref" and e.value.func is None:
+                    parts = e.value.parts  # plain column argument
+                else:
+                    # expression argument: sum(floor(x*100+0.5)), ...
+                    if any(r.func for r in _expr_refs(e)):
+                        raise ValueError(
+                            "nested aggregate calls are not supported"
+                        )
+                    if func == "count_distinct":
+                        raise ValueError(
+                            "count(DISTINCT ...) takes a plain column"
+                        )
+                    arg_expr = e
+                    parts = ()
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
         elif v.lower() in self._RANK_FUNCS and self.accept_op("("):
@@ -472,7 +521,12 @@ class _Parser:
             if k2 != "name":
                 raise ValueError("expected alias after AS")
             alias = a
-        return FieldRef(parts, alias, func, window)
+        if arg_expr is not None and alias is None:
+            raise ValueError(
+                f"{func}(<expression>) requires AS <name> (no canonical "
+                "sugar name for an expression argument)"
+            )
+        return FieldRef(parts, alias, func, window, arg_expr=arg_expr)
 
     def parse_window(self) -> WindowSpec:
         if not self.accept_op("("):
@@ -551,6 +605,18 @@ class _Parser:
         return self.parse_predicate()
 
     def parse_predicate(self) -> Expr:
+        if self.peek() == ("kw", "exists"):
+            # [NOT] EXISTS (SELECT ...) — planned as a decorrelated
+            # semi/anti join (NOT comes in via parse_not)
+            self.next()
+            if not self.accept_op("("):
+                raise ValueError("EXISTS requires (SELECT ...)")
+            if self.peek() != ("kw", "select"):
+                raise ValueError("EXISTS requires a subquery")
+            subq = self.parse_query(sub=True)
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced subquery parenthesis")
+            return Expr("exists", children=[Expr("subquery", value=subq)])
         if self.peek() == ("op", "(") and self.peek2() != ("kw", "select"):
             self.next()
             e = self.parse_or()
@@ -694,6 +760,17 @@ class _Parser:
         if kind == "kw" and v == "null":
             return Expr("lit", value=None)
         if kind == "name":
+            # scalar function call — name followed by '(' wins over a
+            # same-named series; args are full arithmetic expressions
+            if v.lower() in self._SCALAR_FUNCS and self.peek() == ("op", "("):
+                self.next()
+                fn = v.lower()
+                args = [self.parse_arith()]
+                while self.accept_op(","):
+                    args.append(self.parse_arith())
+                if not self.accept_op(")"):
+                    raise ValueError(f"unbalanced parenthesis in {fn}(...)")
+                return Expr("fn", op=fn, children=args)
             # aggregate-call operand (HAVING count(*) > 2, HAVING avg(x) < y)
             if v.lower() in self._AGG_FUNCS and self.peek() == ("op", "("):
                 self.next()
@@ -888,9 +965,79 @@ def _operand_value(e: Expr, params: dict | None):
     return e.value
 
 
+#: scalar-fn compile table: name -> (min_args, max_args|None, impl).
+#: floor/ceil pin a DOUBLE result (Spark's natural LONG vs DuckDB's
+#: DOUBLE would otherwise diverge); everything else keeps Spark's
+#: natural type and the oracle side casts where engines differ.
+_FN_IMPL: dict = {
+    "abs": (1, 1, F.abs),
+    "sqrt": (1, 1, F.sqrt),
+    "floor": (1, 1, lambda a: F.floor(a).cast("double")),
+    "ceil": (1, 1, lambda a: F.ceil(a).cast("double")),
+    "upper": (1, 1, F.upper),
+    "lower": (1, 1, F.lower),
+    "length": (1, 1, F.length),
+    "trim": (1, 1, F.trim),
+    "coalesce": (2, None, lambda *a: F.coalesce(*a)),
+    "concat": (2, None, lambda *a: F.concat(*a)),
+    "substring": (3, 3, F.substring),
+    "year": (1, 1, F.year),
+    "month": (1, 1, F.month),
+    "day": (1, 1, F.dayofmonth),
+    "hour": (1, 1, F.hour),
+    "minute": (1, 1, F.minute),
+}
+
+
+def _compile_fn(e: Expr, res, name_of, params) -> Column:
+    """A whitelisted scalar call. round() compiles to the engine-
+    independent grid floor(x*10^n + 0.5)/10^n (identical IEEE ops on
+    every engine — ANSI half-up disagrees between Spark's BigDecimal
+    shortest-repr rounding and DuckDB's binary-value rounding at half
+    boundaries); date_trunc requires its unit as a string literal."""
+    fn = e.op
+    if fn == "round":
+        if not 1 <= len(e.children) <= 2:
+            raise ValueError("round(x[, n]) takes 1 or 2 arguments")
+        n = 0
+        if len(e.children) == 2:
+            c = e.children[1]
+            if c.kind != "lit" or not isinstance(c.value, int):
+                raise ValueError("round() scale must be an integer literal")
+            n = c.value
+        a = _compile_expr(e.children[0], res, name_of, params)
+        scale = F.lit(float(10**n))
+        return F.floor(a * scale + F.lit(0.5)) / scale
+    if fn == "date_trunc":
+        if (
+            len(e.children) != 2
+            or e.children[0].kind != "lit"
+            or not isinstance(e.children[0].value, str)
+        ):
+            raise ValueError(
+                "date_trunc('unit', ts) requires a string-literal unit"
+            )
+        ts = _compile_expr(e.children[1], res, name_of, params)
+        return F.date_trunc(e.children[0].value, ts)
+    lo, hi, impl = _FN_IMPL[fn]
+    if len(e.children) < lo or (hi is not None and len(e.children) > hi):
+        arity = str(lo) if hi == lo else f"{lo}..{hi if hi else 'n'}"
+        raise ValueError(
+            f"{fn}() takes {arity} argument(s), got {len(e.children)}"
+        )
+    args = [_compile_expr(c, res, name_of, params) for c in e.children]
+    return impl(*args)
+
+
 def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = None) -> Column:
     if e.kind == "physcol":  # pre-joined subquery result column
         return F.col(e.value)
+    if e.kind == "fn":
+        return _compile_fn(e, res, name_of, params)
+    if e.kind == "exists":
+        raise ValueError(
+            "EXISTS is supported as a top-level AND conjunct of WHERE only"
+        )
     if e.kind == "subquery":
         raise ValueError(
             "subqueries are supported as top-level AND conjuncts of WHERE "
@@ -1068,6 +1215,11 @@ def plan(
                 res.resolve(r)  # register referenced series pre-scan
             sel.append((f.alias, None, None, f))
             continue
+        if f.arg_expr is not None:  # agg over an expression argument
+            for r in _expr_refs(f.arg_expr):
+                res.resolve(r)
+            sel.append((f.alias, None, f.func, f))
+            continue
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
         sel.append((res.default_name(f), col, f.func, f))
     has_computed = any(f.expr is not None for f in q.fields)
@@ -1086,6 +1238,53 @@ def plan(
     # lazy: no driver-side collect of subquery results.
     in_subs: list[tuple[bool, Expr, "BoostQuery"]] = []
     scalar_conjs: list[tuple[Expr, list[Expr]]] = []
+    exists_subs: list[tuple[bool, "BoostQuery", list, list[Expr]]] = []
+
+    def _split_exists(sq: "BoostQuery"):
+        """Split an EXISTS subquery's WHERE into correlated equalities
+        (join keys) and inner-only conjuncts. Correlation refs must be
+        qualified with the OUTER source alias; anything else inside the
+        subquery resolves against the subquery's own binding."""
+        outer_alias = q.source_alias
+        if outer_alias is None:
+            raise ValueError(
+                "EXISTS requires the outer source to carry an alias "
+                "(FROM domain.family a) so correlated refs are explicit"
+            )
+        if sq.group_by or sq.set_ops or sq.joins:
+            raise ValueError(
+                "EXISTS subquery must be a plain single-source SELECT"
+            )
+        pairs: list[tuple[FieldRef, FieldRef]] = []
+        inner: list[Expr] = []
+        for cj in _conjuncts(sq.where) if sq.where is not None else []:
+            if cj.kind == "cmp" and cj.op == "=":
+                outs = [
+                    s
+                    for s in cj.children
+                    if s.kind == "ref"
+                    and s.value.parts
+                    and s.value.parts[0] == outer_alias
+                ]
+                ins = [s for s in cj.children if s not in outs]
+                if len(outs) == 1 and len(ins) == 1 and ins[0].kind == "ref":
+                    pairs.append((FieldRef(outs[0].value.parts), ins[0].value))
+                    continue
+            inner.append(cj)
+        if not pairs:
+            raise ValueError(
+                "EXISTS subquery requires at least one correlated "
+                f"equality {outer_alias}.<field> = <inner field>"
+            )
+        for cj in inner:
+            for r in _expr_refs(cj):
+                if r.parts and r.parts[0] == outer_alias:
+                    raise ValueError(
+                        "correlated refs in EXISTS are supported in "
+                        "top-level equality conjuncts only"
+                    )
+        return pairs, inner
+
     where_col = None
     if q.where is not None and _has_subquery(q.where):
         plain: list[Expr] = []
@@ -1099,6 +1298,15 @@ def plan(
                 and cc.children[0].children[1].kind == "subquery"
             ):
                 neg, cc = True, cc.children[0]
+            if cc.kind == "not" and cc.children and cc.children[0].kind == "exists":
+                neg, cc = True, cc.children[0]
+            if cc.kind == "exists":
+                sq = cc.children[0].value
+                pairs, inner = _split_exists(sq)
+                for outer_ref, _ in pairs:
+                    res.resolve(outer_ref)  # register series pre-scan
+                exists_subs.append((neg, sq, pairs, inner))
+                continue
             if (
                 cc.kind == "in"
                 and len(cc.children) == 2
@@ -1205,22 +1413,76 @@ def plan(
         df = df.filter(
             _compile_expr(_subst_subqueries(conj, names), res, params=params)
         ).drop(*names.values())
+    for i, (neg, sq, pairs, inner) in enumerate(exists_subs):
+        # decorrelate: plan the subquery WITHOUT its correlated
+        # conjuncts, projecting the inner join keys, then semi/anti
+        # join the outer side on them — Catalyst's own EXISTS shape,
+        # no per-row subquery execution. ORDER/LIMIT inside EXISTS are
+        # meaningless and dropped.
+        import dataclasses
+
+        inner_where = None
+        for cj in inner:
+            inner_where = (
+                cj if inner_where is None
+                else Expr("and", children=[inner_where, cj])
+            )
+        key_fields = [
+            FieldRef(ir.parts, alias=f"__ex{i}_k{j}")
+            for j, (_, ir) in enumerate(pairs)
+        ]
+        sub = dataclasses.replace(
+            sq, fields=key_fields, where=inner_where,
+            order_by=[], limit=None, offset=None,
+        )
+        sub_df = plan(spark, sub, _sub_binding(sub), start, end, params)
+        cond = None
+        for j, (outer_ref, _) in enumerate(pairs):
+            c = (
+                _compile_expr(Expr("ref", value=outer_ref), res, params=params)
+                == sub_df[f"__ex{i}_k{j}"]
+            )
+            cond = c if cond is None else cond & c
+        df = df.join(sub_df, cond, "left_anti" if neg else "left_semi")
 
     agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
                "max": F.max, "count_distinct": F.countDistinct}
+
+    def _agg_col(col, func, ref):
+        if ref.arg_expr is not None:
+            return agg_map[func](
+                _compile_expr(ref.arg_expr, res, params=params)
+            )
+        if col is not None:
+            return agg_map[func](F.col(col))
+        return F.count(F.lit(1))  # count(*)
+
     aggs = [
-        (agg_map[func](F.col(col)) if col is not None else F.count(F.lit(1))).alias(alias)
+        _agg_col(col, func, ref).alias(alias)
         for alias, col, func, ref in sel
         if func and ref.window is None
     ]
     post_name = None
     hidden: dict[tuple, str] = {}
     if q.group_by or aggs:
+        # a group key keeps the SELECT item's alias when one names the
+        # same physical column (SELECT a.x AS k ... GROUP BY a.x must
+        # output column k, not x)
+        sel_alias_of: dict[str, str] = {}
+        for alias, scol, fn2, _r in sel:
+            if fn2 is None and scol is not None and alias:
+                sel_alias_of.setdefault(scol, alias)
+        gfinal = {
+            res.resolve(g)[1]: sel_alias_of.get(
+                res.resolve(g)[1], res.default_name(g)
+            )
+            for g in q.group_by
+        }
         gcols = [
-            F.col(res.resolve(g)[1]).alias(res.default_name(g)) for g in q.group_by
+            F.col(phys).alias(name) for phys, name in gfinal.items()
         ]
-        gphys = {res.resolve(g)[1] for g in q.group_by}
-        gnames = {res.default_name(g) for g in q.group_by}
+        gphys = set(gfinal)
+        gnames = set(gfinal.values())
         out_names = {alias for alias, _, _, _ in sel}
         # plain non-grouped select fields default to AVG (GROUP BY is a
         # declared-only stub in the reference, query/base/expression.go:
@@ -1242,15 +1504,16 @@ def plan(
                 ):
                     return ref.parts[0]
                 col = res.resolve(ref)[1]
-                for g in q.group_by:
-                    if res.resolve(g)[1] == col:
-                        return res.default_name(g)
+                if col in gfinal:
+                    return gfinal[col]
                 raise ValueError(
                     f"{'.'.join(ref.parts)} is neither grouped nor aggregated"
                 )
             col = res.resolve(ref)[1] if ref.parts else None
-            for alias, scol, fn2, _ in sel:
-                if fn2 == ref.func and scol == col:
+            for alias, scol, fn2, r4 in sel:
+                # an expression-argument aggregate (scol None) must not
+                # shadow count(*) / plain-column lookups
+                if fn2 == ref.func and scol == col and r4.arg_expr is None:
                     return alias
             if ref.func == "avg":  # matches the default-AVG select fields
                 for alias, scol, fn2, _ in sel:
@@ -1330,6 +1593,10 @@ def plan(
                 c = rank_map[func]().over(wspec)
             elif func in nav_map:
                 c = nav_map[func](F.col(col)).over(wspec)
+            elif ref.arg_expr is not None:
+                c = agg_map[func](
+                    _compile_expr(ref.arg_expr, res, params=params)
+                ).over(wspec)
             elif col is None:
                 c = F.count(F.lit(1)).over(wspec)
             else:

@@ -4244,12 +4244,16 @@ def dialect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_window_frame",
     """
     SELECT event_id AS eid,
-           avg(value) OVER (PARTITION BY user_id ORDER BY event_id
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             AS mv,
-           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS rs
+           sum(floor(value * 1000000.0 + 0.5))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv6,
+           sum(floor(value * 1000000.0 + 0.5))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS rs6,
+           count(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS n3
     FROM events WHERE event_type = 'click'
     ORDER BY eid LIMIT 200 OFFSET 50
     """,
@@ -4258,22 +4262,121 @@ def dialect_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAMES + LIMIT/OFFSET through the dialect front: ROWS
     BETWEEN (bounded trailing and running-unbounded) parsed into
     rowsBetween specs sharing one window sort, then deterministic
-    ORDER BY + OFFSET/LIMIT pagination — the last pieces of the
-    analytic grammar (plans/sugar.py parse_frame_bound /
-    parse_order_limit)."""
+    ORDER BY + OFFSET/LIMIT pagination (plans/sugar.py
+    parse_frame_bound / parse_order_limit). Frame sums run on the
+    suite's exact-integer grid — sum(floor(x*1e6 + 0.5)) is a sum of
+    integer-valued doubles (exact, order-independent, < 2^53), so the
+    result cannot depend on the engine's frame-evaluation order
+    (DuckDB segment tree vs Spark sequential accumulation) the way a
+    raw double frame sum can; the trailing mean is mv6/(1e6*n3) by
+    construction. Also exercises the scalar-fn grammar INSIDE an
+    analytic argument (sum(floor(...)) OVER ...)."""
     load_tables(spark, sf_dir)
     return sugar.query(
         spark,
         "SELECT click.event_id AS eid, "
-        "avg(click) OVER (PARTITION BY click.user_id "
+        "sum(floor(click * 1000000.0 + 0.5)) OVER (PARTITION BY "
+        "click.user_id ORDER BY click.event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv6, "
+        "sum(floor(click * 1000000.0 + 0.5)) OVER (PARTITION BY "
+        "click.user_id ORDER BY click.event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs6, "
+        "count(click) OVER (PARTITION BY click.user_id "
         "ORDER BY click.event_id "
-        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv, "
-        "sum(click) OVER (PARTITION BY click.user_id "
-        "ORDER BY click.event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3 "
         "FROM boost.events ORDER BY eid LIMIT 200 OFFSET 50",
         EVENTS_BINDING,
     )
+
+
+@_q(
+    "dialect_scalar_fns",
+    """
+    SELECT event_id AS eid,
+           abs(value - 50.0) AS dist,
+           floor(value * 100.0 + 0.5) / 100.0 AS v2,
+           floor(value / 25.0) AS bin,
+           sqrt(abs(value)) AS rt,
+           upper(props) AS pu,
+           CAST(length(props) AS INT) AS plen,
+           coalesce(props, 'x') AS pc,
+           substring(props, 1, 4) AS p4
+    FROM events
+    WHERE event_type = 'click'
+      AND abs(value - 50.0) > 5.0 AND length(props) > 2
+    """,
+)
+def dialect_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function calls through the dialect front (plans/sugar.py
+    _SCALAR_FUNCS whitelist), in SELECT expressions AND WHERE
+    predicates — the grammar completion the reference's whereparser
+    never had (whereparser.go:136-287 parses zero function calls).
+    Every function in the certified set is cross-engine
+    bit-deterministic: abs/sqrt are correctly-rounded IEEE, floor/ceil
+    pin DOUBLE, round() compiles to the floor-grid
+    floor(x*10^n+0.5)/10^n (identical ops on both engines — ANSI
+    half-up is not bit-stable across engines), and the string fns are
+    exact. The WHERE calls still reach the scan as one codegen filter
+    stage."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, abs(click - 50.0) AS dist, "
+        "round(click, 2) AS v2, floor(click / 25.0) AS bin, "
+        "sqrt(abs(click)) AS rt, upper(click.props) AS pu, "
+        "length(click.props) AS plen, coalesce(click.props, 'x') AS pc, "
+        "substring(click.props, 1, 4) AS p4 "
+        "FROM boost.events "
+        "WHERE abs(click - 50.0) > 5.0 AND length(click.props) > 2",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_exists",
+    """
+    SELECT event_id AS eid, user_id AS uid, 'exists' AS flavor
+    FROM events e
+    WHERE e.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM events s WHERE s.event_type = 'purchase'
+        AND s.user_id = e.user_id AND s.value > 250.0)
+    UNION ALL
+    SELECT event_id AS eid, user_id AS uid, 'not_exists' AS flavor
+    FROM events e
+    WHERE e.event_type = 'click' AND NOT EXISTS (
+      SELECT 1 FROM events s WHERE s.event_type = 'purchase'
+        AND s.user_id = e.user_id AND s.value > 250.0)
+    """,
+)
+def dialect_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NOT] EXISTS subqueries through the dialect front
+    (plans/sugar.py parse_predicate / _split_exists): the correlated
+    equality decorrelates to a left SEMI join, the negation to a left
+    ANTI join — Catalyst's own EXISTS shapes, no per-row subquery
+    execution, both inner filters pushed into the subquery scan
+    (completes the declared Aggregate-as-expression surface,
+    query/base/expression.go:16-18, alongside dialect_subquery's
+    IN/scalar forms). Both flavors certify in one statement: clicks by
+    users WITH a >250 purchase, unioned with clicks by users WITHOUT
+    one, each row tagged by which side produced it."""
+    load_tables(spark, sf_dir)
+    ex = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click.user_id AS uid "
+        "FROM boost.events e WHERE EXISTS "
+        "(SELECT purchase.user_id FROM boost.events s "
+        "WHERE s.purchase.user_id = e.click.user_id AND purchase > 250.0)",
+        EVENTS_BINDING,
+    ).withColumn("flavor", F.lit("exists"))
+    ne = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click.user_id AS uid "
+        "FROM boost.events e WHERE NOT EXISTS "
+        "(SELECT purchase.user_id FROM boost.events s "
+        "WHERE s.purchase.user_id = e.click.user_id AND purchase > 250.0)",
+        EVENTS_BINDING,
+    ).withColumn("flavor", F.lit("not_exists"))
+    return ex.unionByName(ne)
 
 
 @_q(

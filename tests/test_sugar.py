@@ -895,3 +895,171 @@ def test_dialect_rollup_cube(spark):
         assert got == want and len(got) > 2
     q = parse("SELECT s.k, count(*) FROM d.f GROUP BY ROLLUP (s.k)")
     assert q.group_mode == "rollup" and len(q.group_by) == 1
+
+
+def test_dialect_scalar_functions_match_sql(spark):
+    """Whitelisted scalar calls in SELECT and WHERE compile to the same
+    Catalyst expressions as hand-written SQL; round() uses the
+    engine-independent floor grid."""
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT click.event_id AS eid, abs(click - 50.0) AS d, "
+                "round(click, 2) AS r2, floor(click / 25.0) AS bin, "
+                "ceil(click / 25.0) AS cbin, sqrt(abs(click)) AS rt, "
+                "lower(click.props) AS pl, upper(click.props) AS pu, "
+                "length(click.props) AS n, trim(click.props) AS pt, "
+                "coalesce(click.props, 'x') AS pc, "
+                "substring(click.props, 1, 4) AS p4, "
+                "concat(click.props, '!') AS px "
+                "FROM boost.events "
+                "WHERE abs(click - 50.0) > 5.0 AND length(click.props) > 2",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT event_id AS eid, abs(value - 50.0) AS d, "
+                "floor(value * 100.0D + 0.5D) / 100.0D AS r2, "
+                "CAST(floor(value / 25.0) AS DOUBLE) AS bin, "
+                "CAST(ceil(value / 25.0) AS DOUBLE) AS cbin, "
+                "sqrt(abs(value)) AS rt, lower(props) AS pl, "
+                "upper(props) AS pu, length(props) AS n, trim(props) AS pt, "
+                "coalesce(props, 'x') AS pc, substring(props, 1, 4) AS p4, "
+                "concat(props, '!') AS px "
+                "FROM events WHERE event_type = 'click' "
+                "AND abs(value - 50.0) > 5.0 AND length(props) > 2"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dialect_scalar_fn_in_agg_and_window(spark):
+    """Aggregate and window arguments accept full expressions:
+    sum(floor(x*s + 0.5)) is the exact-integer-grid frame sum (the
+    cross-engine-deterministic form the suite certifies)."""
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT click.user_id AS uid, "
+                "sum(floor(click * 100.0 + 0.5)) AS s2, count(*) AS n "
+                "FROM boost.events GROUP BY click.user_id "
+                "ORDER BY uid",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT user_id AS uid, "
+                "sum(CAST(floor(value * 100.0 + 0.5) AS DOUBLE)) AS s2, "
+                "count(*) AS n FROM events WHERE event_type = 'click' "
+                "GROUP BY user_id ORDER BY uid"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    w = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "sum(floor(click * 1000000.0 + 0.5)) OVER (PARTITION BY "
+        "click.user_id ORDER BY click.event_id ROWS BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW) AS mv6 FROM boost.events ORDER BY eid LIMIT 50",
+        b,
+    )
+    ww = sorted(map(tuple, w.collect()))
+    want_w = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT event_id AS eid, sum(CAST(floor(value * 1000000.0 "
+                "+ 0.5) AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY "
+                "event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv6 "
+                "FROM events WHERE event_type = 'click' "
+                "ORDER BY eid LIMIT 50"
+            ).collect(),
+        )
+    )
+    assert ww == want_w
+    # expression aggregates demand an alias, nested aggs rejected
+    with pytest.raises(ValueError, match="AS"):
+        parse("SELECT sum(floor(click * 2.0)) FROM boost.events")
+    with pytest.raises(ValueError, match="nested aggregate"):
+        parse("SELECT sum(floor(count(click))) AS x FROM boost.events")
+
+
+def test_dialect_group_key_keeps_select_alias(spark):
+    b = _events_binding(spark)
+    df = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, count(*) AS n FROM boost.events "
+        "GROUP BY click.user_id ORDER BY uid LIMIT 5",
+        b,
+    )
+    assert df.columns == ["uid", "n"]
+
+
+def test_dialect_exists_and_not_exists(spark):
+    """[NOT] EXISTS with a correlated equality decorrelates to a left
+    semi/anti join; counts match Spark's own correlated EXISTS."""
+    b = _events_binding(spark)
+    got_e = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid FROM boost.events e WHERE EXISTS "
+        "(SELECT purchase.user_id FROM boost.events s "
+        "WHERE s.purchase.user_id = e.click.user_id AND purchase > 250.0)",
+        b,
+    )
+    want_e = spark.sql(
+        "SELECT count(*) FROM events e WHERE e.event_type = 'click' AND "
+        "EXISTS (SELECT 1 FROM events s WHERE s.event_type = 'purchase' "
+        "AND s.user_id = e.user_id AND s.value > 250.0)"
+    ).collect()[0][0]
+    assert got_e.count() == want_e
+    plan = got_e._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got_ne = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid FROM boost.events e WHERE NOT EXISTS "
+        "(SELECT purchase.user_id FROM boost.events s "
+        "WHERE s.purchase.user_id = e.click.user_id AND purchase > 250.0)",
+        b,
+    )
+    want_ne = spark.sql(
+        "SELECT count(*) FROM events e WHERE e.event_type = 'click' AND "
+        "NOT EXISTS (SELECT 1 FROM events s WHERE s.event_type = 'purchase' "
+        "AND s.user_id = e.user_id AND s.value > 250.0)"
+    ).collect()[0][0]
+    assert got_ne.count() == want_ne
+    assert "LeftAnti" in got_ne._jdf.queryExecution().executedPlan().toString()
+    # restrictions fail loudly
+    with pytest.raises(ValueError, match="alias"):
+        sugar.query(
+            spark,
+            "SELECT click.event_id AS eid FROM boost.events WHERE EXISTS "
+            "(SELECT purchase.user_id FROM boost.events s "
+            "WHERE s.purchase.user_id = e.click.user_id)",
+            b,
+        )
+    with pytest.raises(ValueError, match="correlated"):
+        sugar.query(
+            spark,
+            "SELECT click.event_id AS eid FROM boost.events e WHERE EXISTS "
+            "(SELECT purchase.user_id FROM boost.events s "
+            "WHERE purchase > 250.0)",
+            b,
+        )
