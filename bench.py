@@ -57,6 +57,8 @@ WARMUP = [
     "stream_sliding_parity",    # time-split landing incl. mtime-gap sleeps
     "stream_join_parity",       # time-split landing incl. mtime-gap sleeps
     "dedup_incremental",        # corpus dedup-index materialization
+    "ann_ivf_topk",             # k-means training + inverted-file write
+    "ann_pq_topk",              # PQ codebook training + code-table write
 ]
 
 
@@ -234,6 +236,41 @@ def main() -> None:
     # fresh session — the isolated (no suite JVM pressure) number that
     # BASELINE.md records next to the in-suite one
     stream_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "stream"
+    # SPARK_GRAFT_BENCH_ONLY=ann: the isolated ANN decomposition —
+    # index build (k-means + PQ training + layout writes, INGEST work)
+    # timed separately from each probe entry, so any suite-bench ANN
+    # number is explainable from this record alone (r2/r4 saw
+    # unexplained ANN wall swings when training ran inside the timed
+    # entries under suite JVM pressure)
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "ann":
+        from boostdb_spark import suite_llm
+
+        t0 = time.perf_counter()
+        suite_llm._ann_index(spark, sf_dir)
+        times["ann_index_build"] = round(time.perf_counter() - t0, 3)
+        for name in (
+            "ann_ivf_topk", "ann_pq_topk", "ann_lsh_topk",
+            "ann_recall_certified",
+        ):
+            fn = registry[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
+        print(
+            json.dumps(
+                {
+                    "queries": times,
+                    "warmup_amortized": [],
+                    "metric": "ann_decomposition_seconds",
+                    "unit": "sec",
+                    "n_queries": len(times),
+                    "value": round(sum(times.values()), 3),
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+        return
     if not stream_only:
         headline = _headline()
         missing = [n for n in headline if n not in registry]

@@ -388,6 +388,25 @@ def ivf_train_kmeans(
     return centroids
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the INVERTED FILE: every corpus vector assigned to
+    its nearest coarse centroid, with its unit norm precomputed —
+    columns (match_id, cv, cv_nrm, list_id). This is INGEST-time work
+    (one vectorized assignment pass over the corpus); persist the
+    result as a layout and pass it to :func:`ivf_ann_topk` via
+    ``index=`` so query time pays only probe + join + top-k, never a
+    corpus re-assignment — the production IVF shape at 100 TB."""
+    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
+    return ivf_assign(c, centroids, "cv", n_probe=1).select(
+        "match_id", "cv", "cv_nrm", F.element_at("list_id", 1).alias("list_id")
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -397,6 +416,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second ANN strategy
     next to sign-LSH: corpus vectors are bucketed by nearest coarse
@@ -410,17 +430,32 @@ def ivf_ann_topk(
     ``centroids=ivf_train_kmeans(corpus, ...)`` for a trained quantizer
     (same list shape, better-balanced lists). Recall < 1 by
     construction. Returns (query_id, match_id, cos), <= k per query.
-    """
-    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
+
+    ``index=`` takes a pre-built inverted file (:func:`ivf_build_index`
+    over the SAME centroids) so the corpus assignment pass is paid at
+    ingest, not per query; ``corpus`` is then unused for candidate
+    generation."""
     q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
-    if centroids is None:
-        seed = c.orderBy("match_id").limit(n_centroids).collect()
-        centroids = [
-            (int(r["match_id"]), [x / r["cv_nrm"] for x in r["cv"]]) for r in seed
-        ]
-    c_assigned = ivf_assign(c, centroids, "cv", n_probe=1).select(
-        "match_id", "cv", "cv_nrm", F.element_at("list_id", 1).alias("list_id")
-    )
+    if index is not None:
+        if centroids is None:
+            raise ValueError(
+                "ivf_ann_topk: index= requires the centroids it was "
+                "built with (query assignment must use the same "
+                "quantizer)"
+            )
+        c_assigned = index
+    else:
+        c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
+        if centroids is None:
+            seed = c.orderBy("match_id").limit(n_centroids).collect()
+            centroids = [
+                (int(r["match_id"]), [x / r["cv_nrm"] for x in r["cv"]])
+                for r in seed
+            ]
+        c_assigned = ivf_assign(c, centroids, "cv", n_probe=1).select(
+            "match_id", "cv", "cv_nrm",
+            F.element_at("list_id", 1).alias("list_id"),
+        )
     q_assigned = ivf_assign(q, centroids, "qv", n_probe=n_probe).select(
         "query_id", "qv", "qv_nrm", F.explode("list_id").alias("list_id")
     )
@@ -902,11 +937,16 @@ def pq_ann_topk(
     vec_col: str = "embedding",
     rerank: int = 0,
     max_queries: int = 10_000,
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: the corpus is stored ONLY as m-byte
     codes; each query builds m lookup tables (k entries each) and every
     corpus distance is m table lookups — no float vector is ever read
     at query time. Approximate by construction (quantization error).
+    ``corpus_codes=`` takes the pre-encoded code table
+    (:func:`pq_encode_codes` output persisted at ingest, columns
+    id_col + codes) so query time never re-encodes the corpus; the
+    float ``corpus`` is still read for the exact re-rank candidates.
     Returns (query_id, match_id, adist), <= topk per query, adist =
     approximate squared L2.
 
@@ -948,9 +988,14 @@ def pq_ann_topk(
         out = np.stack([T[i][cols, C].sum(axis=1) for i in range(T.shape[0])])
         return pd.Series(list(out.T))  # (batch, n_q)
 
-    encoded = pq_encode_codes(corpus, codebooks, vec_col=vec_col).select(
-        F.col(id_col).alias("match_id"), "codes"
-    )
+    if corpus_codes is not None:
+        encoded = corpus_codes.select(
+            F.col(id_col).alias("match_id"), "codes"
+        )
+    else:
+        encoded = pq_encode_codes(corpus, codebooks, vec_col=vec_col).select(
+            F.col(id_col).alias("match_id"), "codes"
+        )
     scored = encoded.withColumn("_d", adist(F.col("codes")))
     # ONE posexplode fans the per-query distance array out to rows —
     # a per-query union would build n_q plan branches and re-scan the
