@@ -114,8 +114,17 @@ def continuous_rollup_merged(
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        wins = [r["win_start"] for r in batch_df.select("win_start").distinct().collect()]
-        if not wins:
+        # replaceWhere-style bounds: ONE scalar row of driver traffic
+        # regardless of how many windows the batch touched (a distinct
+        # win_start collect would be O(windows) per batch). Windows
+        # inside [lo, hi] the batch did NOT touch are re-written with
+        # unchanged content — same result, bounded extra IO, and the
+        # batch's own windows are contiguous under event-time ordering
+        # so the range is tight in practice.
+        bounds = batch_df.agg(
+            F.min("win_start").alias("lo"), F.max("win_start").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
             return
         try:
             cur = spark.read.parquet(rollup_path)
@@ -124,7 +133,9 @@ def continuous_rollup_merged(
         merged = batch_df
         if cur is not None:
             keep = (
-                cur.filter(F.col("win_start").isin(wins))
+                cur.filter(
+                    F.col("win_start").between(bounds["lo"], bounds["hi"])
+                )
                 .join(batch_df.select(*key_cols), key_cols, "left_anti")
             )
             merged = keep.unionByName(batch_df)

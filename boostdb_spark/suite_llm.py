@@ -1249,6 +1249,26 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 10%-sample-trained merge tables per (app, sf): deterministic, so
+#: txt_bpe_tokenize and txt_bpe_roundtrip share one training pass
+_BPE_SAMPLE_MERGES: dict = {}
+
+
+def _bpe_sample_merges(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_SAMPLE_MERGES:
+        from boostdb_spark.operators import bpe
+        from boostdb_spark.operators import sampling as sp
+
+        t = load_tables(spark, sf_dir)
+        docs = t["documents"]
+        sample = sp.deterministic_sample(
+            docs.withColumn("_k", F.col("doc_id").cast("string")), "_k", 0.1
+        )
+        _BPE_SAMPLE_MERGES[key] = bpe.train_bpe(sample, num_merges=10)
+    return _BPE_SAMPLE_MERGES[key]
+
+
 @_q("txt_bpe_tokenize", None)  # depends on the trained merge list (the
 # iterative argmax loop above) -> rows-only; apply-algorithm equivalence
 # is pinned by tests/test_text_dedup_ops.py::test_bpe_apply_uses_merge_ranks
@@ -1260,15 +1280,55 @@ def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize EVERY document via Arrow-batched apply_bpe. Output is the
     deterministic per-doc token count."""
     from boostdb_spark.operators import bpe
-    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    merges = _bpe_sample_merges(spark, sf_dir)
+    return bpe.apply_bpe(t["documents"], merges).select("doc_id", "n_tokens")
+
+
+@_q(
+    "txt_bpe_roundtrip",
+    """
+    SELECT doc_id, true AS roundtrip_ok, true AS merges_full,
+           true AS merges_wellformed
+    FROM documents
+    """,
+)
+def txt_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED tokenizer certificate: BPE merges only ever JOIN
+    adjacent symbols inside a word, so detokenizing (concatenate
+    tokens, end-of-word sentinel -> space) must reproduce the
+    normalized text EXACTLY for every document —
+    detokenize(tokenize(text)) == normalize(text), emitted as a
+    per-doc boolean the oracle pins to TRUE. A wrong merge rewrite, a
+    dropped symbol, or a pre-tokenization mismatch between train and
+    apply flips a certified hash (previously this invariant lived only
+    in pytest). Rides the same 10%-sample-trained merge table as
+    txt_bpe_tokenize (deterministic, trained once per session+SF);
+    merge-table health certifies alongside: exactly num_merges ranked
+    rows, ranks sequential, both sides non-empty."""
+    from boostdb_spark.operators import bpe
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    sample = sp.deterministic_sample(
-        docs.withColumn("_k", F.col("doc_id").cast("string")), "_k", 0.1
+    merges = _bpe_sample_merges(spark, sf_dir)
+    toks = bpe.apply_bpe(docs, merges)
+    detok = F.trim(
+        F.regexp_replace(F.concat_ws("", F.col("tokens")), bpe.END, " ")
     )
-    merges = bpe.train_bpe(sample, num_merges=10)
-    return bpe.apply_bpe(docs, merges).select("doc_id", "n_tokens")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    wellformed = all(
+        r == i and len(a) > 0 and len(b) > 0 and n >= 2
+        for i, (r, a, b, n) in enumerate(merges)
+    )
+    return toks.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        (detok == norm).alias("roundtrip_ok"),
+        F.lit(len(merges) == 10).alias("merges_full"),
+        F.lit(bool(wellformed)).alias("merges_wellformed"),
+    )
 
 
 @_q(
