@@ -114,73 +114,48 @@ def _q(name: str, oracle: str | None):
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Round-4
-# window: the 15 late-r3 oracle-paired entries that never had a driver
-# CORRECTNESS row + the 30 new r4 entries (file-format round trip,
-# bloom-filter point-lookup layout, bounded-error certifiable forms of
-# the two approx sketches, dialect subqueries + set ops, Gopher rules,
-# temperature mixture, matryoshka truncation, per-dimension stats,
-# as-of nearest, time-range moving window, edit-distance near-dup,
-# Misra-Gries heavy hitters, session labeling, deterministic mode,
-# keep-best dedup policy, dialect window frames + OFFSET, dialect
-# DISTINCT, dialect arithmetic in WHERE and SELECT, and the two
-# HASH-CERTIFIED STREAMING drains — tumbling-agg parity,
-# cross-batch dedup parity, stateful-EWMA parity, session- and
-# sliding-window parity and the checkpointed ingest write path,
-# converting the previously pytest-only section-2.6 evidence into
-# hard driver signal) + the 5 standing canaries, so
-# rotated-out surface keeps hard regression signal (ADVICE r2). Green
-# here = EVERY oracle-paired entry in the registry has been
-# driver-certified at least once (165/165 cumulative) — including the
-# two sketch entries that were `no_oracle` rows since r1.
+# cumulative driver-certified coverage grows every round. Round-6
+# window: the 6 oracle-paired entries added after the r4/r5 windows
+# froze and therefore never driver-certified (banding join, seasonal
+# decomposition, dialect scalar functions, dialect EXISTS, the
+# ANN-recall certificate, the BPE round-trip certificate — green here
+# closes the registry to EVERY oracle-paired entry driver-certified at
+# least once), the 5 standing canaries, and 39 re-certification slots
+# refreshing the STALEST cumulative signal: every entry whose last
+# driver-green row dates to round 1, plus the round-2 cohort's family
+# representatives (joins, dialect, grouping sets/cube/pivot, windows,
+# dedup, text, sampling, embeddings). New round-6 entries displace
+# re-certification slots as they land.
 _WINDOW: tuple[str, ...] = (
-    # --- never-certified: late-r3 storage / joins / time-series ---
-    "scan_compressed_blocks", "join_interval_overlap",
-    "asof_join_tolerance", "ts_linear_trend", "ts_quantile_over_time",
-    "ts_changes_resets", "ts_holt_winters", "ts_prom_rate", "ts_mad",
-    # --- never-certified: late-r3 embeddings / sampling / text ---
-    "emb_quantize_int8", "doc_cap_per_source", "txt_bigram_logprob",
-    # --- never-certified: late-r3 real-codec multimodal ---
-    "multimodal_jpeg", "multimodal_jpeg_color", "multimodal_binaryfile",
-    # --- never-certified: new in round 4 ---
-    "file_formats_roundtrip",      # CSV+ORC ingest/egress fidelity
-    "agg_approx_count_distinct",   # HLL, bounded-error certifiable form
-    "agg_approx_quantiles",        # percentile sketch, rank-bound form
-    "dialect_subquery",            # IN/scalar subqueries via the front
-    "dialect_setops",              # UNION/EXCEPT via the front
-    "txt_gopher_rules",            # Gopher quality-filter rule set
-    "scan_bloom_pointlookup",      # bloom-filter data skipping
-    "dedup_levenshtein",           # edit-distance near-dup verify
-    "txt_heavy_hitters",           # two-pass Misra-Gries frequent items
-    "ts_sessionize",               # gap-based session labeling
-    "agg_mode",                    # deterministic per-group mode
-    "dedup_keep_best",             # keep-longest dedup policy
-    "dialect_window_frame",        # ROWS BETWEEN + LIMIT/OFFSET
-    "dialect_distinct",            # SELECT DISTINCT + count(DISTINCT)
-    "dialect_arith",               # WHERE arithmetic expressions
-    "dialect_computed",            # computed select projections
-    "stream_batch_parity",         # streaming tumbling agg, hash-certified
-    "stream_dedup_parity",         # cross-batch streaming dedup, certified
-    "stream_ewma_parity",          # stateful-streaming EWMA, certified
-    "stream_ingest_parity",        # checkpointed streaming write path
-    "stream_session_parity",       # streaming session windows, certified
-    "stream_sliding_parity",       # streaming sliding windows, certified
-    "dedup_incremental",           # ingest-batch dedup vs corpus index
-    "stream_join_parity",          # stream-stream interval join, certified
-    "dialect_rollup",              # GROUP BY ROLLUP via the front
-    "doc_temperature_mixture",     # T=2 source rebalancing
-    "emb_matryoshka",              # MRL truncation + renormalize
-    "emb_dim_stats",               # per-dimension corpus profile
+    # --- never-certified: added after the r4/r5 windows froze ---
+    "join_range_lookup",       # point-in-range banding join (r4 tail)
+    "ts_seasonal_decompose",   # classical additive decomposition (r4 tail)
+    "dialect_scalar_fns",      # scalar-call grammar through the front (r5)
+    "dialect_exists",          # [NOT] EXISTS -> semi/anti via the front (r5)
+    "ann_recall_certified",    # LSH/IVF/PQ recall>=floor + PQ rerank == exact,
+    #                            the bound-boolean pattern over retrieval (r5)
+    "txt_bpe_roundtrip",       # detokenize(tokenize(x)) == normalize(x) (r5)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- rotating canaries, every family represented ---
-    "asof_join_nearest",
-
-    "ts_moving_time_avg",
+    # --- re-certification: last driver-green in ROUND 1 (stalest signal) ---
+    "where_extended", "projection_compute", "join_implicit_where",
+    "join_anti", "join_cross", "agg_stats", "setop_intersect",
+    "setop_except", "window_delta", "window_rate",
+    "window_topk_per_group", "resample_first_last", "gapfill_locf",
+    "gapfill_interp", "asof_join_backward", "join_full_outer",
+    "asof_join_forward", "window_counter_increase", "ts_zscore_anomaly",
+    "ts_latest_point", "ts_histogram", "ts_time_weighted_avg",
+    "ts_series_correlation", "udf_vectorized", "ts_ewma",
+    # --- re-certification: last driver-green in ROUND 2 ---
+    "scan_timerange", "join_inner", "dialect_join",
+    "seriesfamily_roundtrip", "agg_cube", "agg_grouping_sets",
+    "agg_pivot", "subquery_exists", "window_rank_ntile",
+    "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
+    "emb_cosine_topk", "dialect_groupby_agg",
 )
 
 
