@@ -208,7 +208,9 @@ def range_lookup(
     ``how='left'`` keeps unmatched facts with NULL dim payload;
     ``'inner'`` drops them. Dim payload columns colliding with fact
     names get a ``_dim`` suffix; the internal ``_ord``/``_side``/
-    ``_hit`` markers are reserved and rejected as fact column names."""
+    ``_hit``/``_lo``/``_hi``/``_d_row`` markers are reserved and
+    rejected as fact column names AND as dim key/payload names (per
+    branch), rather than silently shadowing or dropping payload."""
     from pyspark.sql import Window
 
     if how not in ("left", "inner"):
@@ -222,6 +224,14 @@ def range_lookup(
         )
     keys = list(keys)
     payload = [c for c in dims.columns if c not in (*keys, lo_col, hi_col)]
+    dim_reserved = {"_lo", "_hi"} if not keys else {"_ord", "_side", "_d_row"}
+    dim_clash = dim_reserved.intersection(payload if not keys else (*keys, *payload))
+    if dim_clash:
+        raise ValueError(
+            f"range_lookup: dim {'payload' if not keys else 'key/payload'} "
+            f"columns {sorted(dim_clash)} collide with reserved internal "
+            "marker names — rename them first"
+        )
     if not keys:
         v = F.col(value_col).cast("double")
         # latest-start-wins, expressed statically: clip each range's hi
@@ -271,7 +281,16 @@ def range_lookup(
     u = f2.unionByName(d2, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ord").asc(), F.col("_side").asc())
+        # _hi tie-break: dim rows sharing an identical lo sort
+        # narrower-first, so last() carries the WIDER range — the same
+        # deterministic tie the keyless branch's clip implements. Fact
+        # rows (_side=1, _d_row NULL) sort after every equal-_ord dim
+        # row regardless; nulls_first keeps them inert in the key.
+        .orderBy(
+            F.col("_ord").asc(),
+            F.col("_side").asc(),
+            F.col("_d_row").getField("_hi").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(F.col("_d_row"), ignorenulls=True).over(w)

@@ -1255,6 +1255,14 @@ def plan(
             raise ValueError(
                 "EXISTS subquery must be a plain single-source SELECT"
             )
+        if sq.source_alias == outer_alias:
+            # an inner alias shadowing the outer one would make every
+            # inner-qualified ref parse as a correlated outer ref —
+            # wrong join keys, not an error, so refuse loudly
+            raise ValueError(
+                f"EXISTS subquery alias {outer_alias!r} shadows the "
+                "outer source alias — rename one of them"
+            )
         pairs: list[tuple[FieldRef, FieldRef]] = []
         inner: list[Expr] = []
         for cj in _conjuncts(sq.where) if sq.where is not None else []:

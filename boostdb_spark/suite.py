@@ -528,13 +528,33 @@ def touch_layout(path: str) -> None:
     a session outliving ``max_age_s`` would keep serving a per-app dir
     that a CONCURRENT new session's GC is now allowed to delete. Each
     entry that consumes a GC-managed layout touches it first, making
-    "active" visible to other sessions' cutoff check."""
+    "active" visible to other sessions' cutoff check.
+
+    RESIDUAL RACE (ADVICE r5, accepted): another session's GC can stat
+    the mtime just before this touch and rmtree just after — the
+    heartbeat narrows but cannot close the window without cross-process
+    locking. The consumer-side mitigation is ``layout_ready`` below:
+    every write-once guard re-checks the dir on disk, so a layout lost
+    to a racing GC is REBUILT on the next invocation instead of
+    failing the entry forever; the single read in flight during the
+    delete surfaces as a missing-file error once, then self-heals."""
     import os
 
     try:
         os.utime(path, None)
     except OSError:
         pass
+
+
+def layout_ready(written: set, key, *paths: str) -> bool:
+    """True iff this session already wrote the layout under ``key``
+    AND every backing dir still exists on disk. Guarding write-once
+    layouts with this (rather than bare set membership) turns a
+    concurrently GC'd dir into a rebuild instead of a permanent
+    missing-file failure — see touch_layout's residual-race note."""
+    import os
+
+    return key in written and all(os.path.isdir(p) for p in paths)
 
 #: sf_dirs whose suite series-family copy exists for this session
 _FAMILY_WRITTEN: set = set()
@@ -648,7 +668,7 @@ def scan_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     path = os.path.join(wh, f"suite_events_bloom_{tag}_{app_id}")
     key = (app_id, sf_dir)
-    if key not in _BLOOM_WRITTEN:
+    if not layout_ready(_BLOOM_WRITTEN, key, path):
         gc_stale_layouts(wh, "suite_events_bloom_")
         bloom_write(
             t["events"].select("event_id", "user_id", "event_type", "value"),
@@ -697,7 +717,7 @@ def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fmt in ("csv", "orc")
     }
     key = (app_id, sf_dir)
-    if key not in _FILEFMT_WRITTEN:
+    if not layout_ready(_FILEFMT_WRITTEN, key, *paths.values()):
         gc_stale_layouts(wh, "suite_filefmt_")
         for fmt, p in paths.items():
             write_any(ev, p, fmt)
@@ -3653,7 +3673,7 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "suite", f"events_sin_{tag}_{app_id}", f"{wh}/suite_families"
     )
     key = (app_id, sf_dir, "stream_ingest")
-    if key not in _STREAM_LANDING:
+    if not layout_ready(_STREAM_LANDING, key, fam.path):
         # SeriesFamily lays out root/domain/family, so the per-app dirs
         # live under .../suite_families/suite/ — GC must glob THERE
         gc_stale_layouts(f"{wh}/suite_families/suite", "events_sin_")

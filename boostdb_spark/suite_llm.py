@@ -488,7 +488,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     base = os.path.join(wh, f"suite_dedupidx_{tag}_{app_id}")
     key = (app_id, sf_dir)
-    if key not in _DEDUP_INDEX_WRITTEN:
+    from boostdb_spark.suite import layout_ready
+
+    if not layout_ready(
+        _DEDUP_INDEX_WRITTEN,
+        key,
+        os.path.join(base, "bands"),
+        os.path.join(base, "shingles"),
+    ):
         from boostdb_spark.suite import gc_stale_layouts
 
         gc_stale_layouts(wh, "suite_dedupidx_")
@@ -754,10 +761,17 @@ def _ann_index(spark: SparkSession, sf_dir: str) -> dict:
 
     from boostdb_spark.suite import gc_stale_layouts, touch_layout
 
+    import os as _os
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ANN_MODELS:
-        touch_layout(_ANN_MODELS[key]["path"])
-        return _ANN_MODELS[key]
+        p = _ANN_MODELS[key]["path"]
+        if _os.path.isdir(_os.path.join(p, "ivf")) and _os.path.isdir(
+            _os.path.join(p, "pq")
+        ):
+            touch_layout(p)
+            return _ANN_MODELS[key]
+        del _ANN_MODELS[key]  # lost to a racing GC: rebuild below
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -1418,7 +1432,9 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # larger documents fixture and join them into certified output
     path = os.path.join(wh, f"suite_media_{tag}_{app_id}")
     key = (app_id, sf_dir)
-    if key not in _MEDIA_WRITTEN:
+    from boostdb_spark.suite import layout_ready
+
+    if not layout_ready(_MEDIA_WRITTEN, key, path):
         from boostdb_spark.suite import gc_stale_layouts
 
         gc_stale_layouts(wh, "suite_media_")

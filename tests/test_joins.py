@@ -159,6 +159,13 @@ def test_range_lookup_overlap_semantics_match_across_branches(spark):
     )
     got = {r.id: r.tier for r in range_lookup(facts, tie, "v").collect()}
     assert got[1] == "wider" and got[3] == "wider" and got[4] is None
+    # ... on the KEYED path too (ADVICE r5: the keyed window needs its
+    # own _hi tie-break; (_ord, _side) alone leaves equal-lo carry
+    # order to partition luck)
+    tk = tie.withColumn("k", F.lit("x"))
+    gk = {r.id: r.tier for r in range_lookup(fk, tk, "v", keys=["k"]).collect()}
+    assert gk[1] == "wider" and gk[3] == "wider" and gk[4] is None
+    assert gk == got
 
 
 def test_range_lookup_validates_inputs_first(spark):
@@ -173,3 +180,19 @@ def test_range_lookup_validates_inputs_first(spark):
     bad = facts.withColumnRenamed("id", "_ord")
     with _pt.raises(ValueError, match="reserved"):
         range_lookup(bad, dims, "v")
+    # dims payload / key names collide with per-branch internals too
+    # (ADVICE r5): keyless reserves _lo/_hi, keyed reserves
+    # _ord/_side/_d_row — reject loudly instead of dropping payload
+    bad_payload = dims.withColumnRenamed("tier", "_hi")
+    with _pt.raises(ValueError, match="reserved"):
+        range_lookup(facts, bad_payload, "v")
+    with _pt.raises(ValueError, match="reserved"):
+        range_lookup(
+            facts.withColumn("k", F.lit("x")),
+            dims.withColumnRenamed("tier", "_side").withColumn("k", F.lit("x")),
+            "v",
+            keys=["k"],
+        )
+    # keyless branch does NOT reserve the keyed markers as dim payload
+    ok = dims.withColumnRenamed("tier", "_ord_free")
+    assert range_lookup(facts, ok, "v").count() == 1

@@ -74,3 +74,26 @@ def test_gc_stale_layouts_and_touch(tmp_path):
     gc_stale_layouts(wh, "suite_x_")
     assert not os.path.exists(stale)
     assert os.path.exists(fresh) and os.path.exists(kept)
+
+
+def test_layout_ready_rebuilds_after_racing_gc(tmp_path):
+    """Write-once layout guards re-check the dir on disk: a layout a
+    concurrent session's GC deleted between heartbeat and read is
+    rebuilt on the next invocation instead of failing forever
+    (ADVICE r5 — the residual race consumers must absorb)."""
+    import os
+    import shutil
+
+    from boostdb_spark.suite import layout_ready
+
+    written: set = set()
+    key = ("app", "sf")
+    a = os.path.join(str(tmp_path), "a")
+    b = os.path.join(str(tmp_path), "b")
+    os.makedirs(a)
+    os.makedirs(b)
+    assert not layout_ready(written, key, a, b)  # never written
+    written.add(key)
+    assert layout_ready(written, key, a, b)
+    shutil.rmtree(b)  # racing GC took one backing dir
+    assert not layout_ready(written, key, a, b)  # -> guard rebuilds

@@ -1063,3 +1063,14 @@ def test_dialect_exists_and_not_exists(spark):
             "WHERE purchase > 250.0)",
             b,
         )
+    # inner alias shadowing the outer alias would silently misread
+    # inner-qualified refs as correlated outer refs (ADVICE r5) —
+    # reject instead of planning wrong join keys
+    with pytest.raises(ValueError, match="shadows"):
+        sugar.query(
+            spark,
+            "SELECT click.event_id AS eid FROM boost.events e WHERE EXISTS "
+            "(SELECT purchase.user_id FROM boost.events e "
+            "WHERE e.purchase.user_id = e.click.user_id)",
+            b,
+        )
