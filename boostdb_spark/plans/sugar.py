@@ -100,6 +100,7 @@ _KEYWORDS = {
     "partition", "left", "outer", "union", "intersect", "except", "all",
     "rows", "unbounded", "preceding", "following", "current", "row",
     "offset", "distinct", "rollup", "cube", "exists",
+    "case", "when", "then", "else", "end",
 }
 
 
@@ -422,6 +423,7 @@ class _Parser:
             t[0] in ("num", "str", "param")
             or t == ("op", "(")
             or t == ("op", "-")
+            or t == ("kw", "case")
             or (
                 t[0] == "name"
                 and t[1].lower() in self._SCALAR_FUNCS
@@ -684,6 +686,36 @@ class _Parser:
             e = operand
         return Expr("not", children=[e]) if negated else e
 
+    def parse_case(self) -> Expr:
+        """CASE expression, both SQL forms:
+
+        - searched: ``CASE WHEN <bool> THEN <expr> ... [ELSE <expr>] END``
+        - simple:   ``CASE <expr> WHEN <val> THEN <expr> ... [ELSE] END``
+
+        Compiles to a Catalyst ``CaseWhen`` chain (F.when/otherwise) —
+        pure codegen, usable anywhere an operand is: SELECT projections
+        (with AS), WHERE predicates, aggregate/window arguments
+        (``sum(CASE WHEN ... END)`` is the conditional-aggregation
+        idiom). Children layout: simple form leads with the subject
+        expr; then (cond, value) pairs; an odd pair-tail is the ELSE."""
+        self.expect_kw("case")
+        children: list[Expr] = []
+        form = "searched"
+        if self.peek() != ("kw", "when"):
+            form = "simple"
+            children.append(self.parse_arith())
+        if self.peek() != ("kw", "when"):
+            raise ValueError("CASE requires at least one WHEN branch")
+        while self.accept_kw("when"):
+            cond = self.parse_or() if form == "searched" else self.parse_arith()
+            self.expect_kw("then")
+            children.append(cond)
+            children.append(self.parse_arith())
+        if self.accept_kw("else"):
+            children.append(self.parse_arith())
+        self.expect_kw("end")
+        return Expr("case", op=form, children=children)
+
     def parse_predicate_from(self, left: Expr) -> Expr:
         """Continue term -> arith -> optional comparison from an
         already-parsed left operand (the parenthesized-arithmetic
@@ -721,6 +753,8 @@ class _Parser:
         return left
 
     def parse_operand(self) -> Expr:
+        if self.peek() == ("kw", "case"):
+            return self.parse_case()
         if self.peek() == ("op", "(") and self.peek2() != ("kw", "select"):
             self.next()
             e = self.parse_arith()
@@ -1056,6 +1090,23 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = N
     if e.kind == "arith":
         a, b = (_compile_expr(c, res, name_of, params) for c in e.children)
         return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[e.op]
+    if e.kind == "case":
+        ch = list(e.children)
+        subj = None
+        if e.op == "simple":
+            subj = _compile_expr(ch.pop(0), res, name_of, params)
+        has_else = len(ch) % 2 == 1
+        otherwise = ch.pop() if has_else else None
+        col = None
+        for i in range(0, len(ch), 2):
+            cond = _compile_expr(ch[i], res, name_of, params)
+            if subj is not None:
+                cond = subj == cond
+            val = _compile_expr(ch[i + 1], res, name_of, params)
+            col = F.when(cond, val) if col is None else col.when(cond, val)
+        if otherwise is not None:
+            col = col.otherwise(_compile_expr(otherwise, res, name_of, params))
+        return col
     if e.kind == "cmp":
         left, right = (_compile_expr(c, res, name_of, params) for c in e.children)
         return {

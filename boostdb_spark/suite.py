@@ -135,6 +135,8 @@ _WINDOW: tuple[str, ...] = (
     "ann_recall_certified",    # LSH/IVF/PQ recall>=floor + PQ rerank == exact,
     #                            the bound-boolean pattern over retrieval (r5)
     "txt_bpe_roundtrip",       # detokenize(tokenize(x)) == normalize(x) (r5)
+    # --- new in round 6 ---
+    "dialect_case",            # CASE (searched/simple/conditional agg)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -155,7 +157,7 @@ _WINDOW: tuple[str, ...] = (
     "seriesfamily_roundtrip", "agg_cube", "agg_grouping_sets",
     "agg_pivot", "subquery_exists", "window_rank_ntile",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
-    "emb_cosine_topk", "dialect_groupby_agg",
+    "emb_cosine_topk",
 )
 
 
@@ -4372,6 +4374,74 @@ def dialect_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_BINDING,
     ).withColumn("flavor", F.lit("not_exists"))
     return ex.unionByName(ne)
+
+
+@_q(
+    "dialect_case",
+    """
+    WITH r AS (
+      SELECT event_id AS eid, user_id AS uid,
+             CASE WHEN value > 100.0 THEN 'big'
+                  WHEN value > 10.0 THEN 'mid'
+                  ELSE 'small' END AS bucket,
+             CASE floor(value / 50.0) WHEN 0.0 THEN 'lo'
+                  WHEN 1.0 THEN 'hi' ELSE 'xl' END AS band
+      FROM events
+      WHERE event_type = 'click'
+        AND (CASE WHEN user_id < 0 THEN 0 ELSE user_id END) < 100
+    ),
+    a AS (
+      SELECT user_id AS uid,
+             CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_big,
+             sum(CASE WHEN value > 100.0
+                      THEN floor(value * 1000000.0 + 0.5)
+                      ELSE 0 END) AS big6
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT r.eid, r.uid, r.bucket, r.band, a.n_big, a.big6
+    FROM r JOIN a USING (uid)
+    """,
+)
+def dialect_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE expressions through the dialect front (plans/sugar.py
+    parse_case), all three positions in one certified statement:
+    searched CASE as a projection (value buckets), simple CASE with an
+    expression subject (floor-banded tiers), CASE inside a WHERE
+    comparison, and the conditional-aggregation idiom
+    ``sum(CASE WHEN ... THEN ... ELSE 0 END)`` — the pivot/cohort
+    building block. Everything compiles to one Catalyst CaseWhen chain
+    (pure codegen, no UDF); the conditional sum runs on the exact
+    integer grid so engine accumulation order cannot bite. The
+    reference's expression tree has no conditional node at all
+    (query/base/expression.go enumerates arithmetic + logical ops
+    only), so this is beyond-reference grammar completion like the
+    scalar-fn set."""
+    load_tables(spark, sf_dir)
+    rows = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click.user_id AS uid, "
+        "CASE WHEN click > 100.0 THEN 'big' WHEN click > 10.0 THEN 'mid' "
+        "ELSE 'small' END AS bucket, "
+        "CASE floor(click / 50.0) WHEN 0.0 THEN 'lo' WHEN 1.0 THEN 'hi' "
+        "ELSE 'xl' END AS band "
+        "FROM boost.events "
+        "WHERE CASE WHEN click.user_id < 0 THEN 0 ELSE click.user_id END "
+        "< 100",
+        EVENTS_BINDING,
+    )
+    aggs = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "sum(CASE WHEN click > 100.0 THEN 1 ELSE 0 END) AS n_big, "
+        "sum(CASE WHEN click > 100.0 THEN floor(click * 1000000.0 + 0.5) "
+        "ELSE 0 END) AS big6 "
+        "FROM boost.events GROUP BY click.user_id",
+        EVENTS_BINDING,
+    )
+    return rows.join(aggs, "uid").select(
+        "eid", "uid", "bucket", "band", "n_big", "big6"
+    )
 
 
 @_q(

@@ -1074,3 +1074,46 @@ def test_dialect_exists_and_not_exists(spark):
             "WHERE e.purchase.user_id = e.click.user_id)",
             b,
         )
+
+
+def test_dialect_case_forms(spark):
+    """CASE through the front: searched and simple forms match
+    spark.sql, work inside aggregates, and malformed CASE fails
+    loudly."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "CASE WHEN click > 100.0 THEN 'big' WHEN click > 10.0 THEN 'mid' "
+        "ELSE 'small' END AS bucket, "
+        "CASE floor(click / 50.0) WHEN 0.0 THEN 'lo' ELSE 'hi' END AS band "
+        "FROM boost.events",
+        b,
+    )
+    want = spark.sql(
+        "SELECT event_id AS eid, "
+        "CASE WHEN value > 100.0 THEN 'big' WHEN value > 10.0 THEN 'mid' "
+        "ELSE 'small' END AS bucket, "
+        "CASE floor(value / 50.0) WHEN 0.0 THEN 'lo' ELSE 'hi' END AS band "
+        "FROM events WHERE event_type = 'click'"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # conditional aggregation + no-ELSE form (missing branch -> NULL)
+    agg = sugar.query(
+        spark,
+        "SELECT sum(CASE WHEN click > 100.0 THEN 1 END) AS n_big "
+        "FROM boost.events",
+        b,
+    ).collect()[0]
+    wagg = spark.sql(
+        "SELECT sum(CASE WHEN value > 100.0 THEN 1 END) AS n_big "
+        "FROM events WHERE event_type = 'click'"
+    ).collect()[0]
+    assert agg["n_big"] == wagg["n_big"]
+    # malformed: no WHEN, missing END
+    for bad in (
+        "SELECT CASE ELSE 1 END AS x FROM boost.events",
+        "SELECT CASE WHEN click > 1.0 THEN 1 AS x FROM boost.events",
+    ):
+        with pytest.raises(ValueError):
+            sugar.query(spark, bad, b)
