@@ -759,3 +759,97 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are k-means clustered, cosine
+    near-duplicates are detected WITHIN clusters only, and within each
+    duplicate relation the example FARTHEST from its cluster centroid
+    is kept (the paper's keep-low-centroid-similarity rule — it
+    retains the least prototypical, most informative example).
+
+    Keep rule, made order-free: ``b`` dominates ``a`` iff
+    ``cos(a, b) >= tau`` and ``b`` is strictly farther from the shared
+    centroid (ties broken on smaller id). A row is dropped iff some
+    row dominates it. Since domination is a total order restricted to
+    each tau-edge, both endpoints of an edge never survive together
+    (kept set is tau-independent), and a row with no tau-neighbor is
+    always kept — the two properties the certified suite entry
+    re-checks from the output.
+
+    Scale shape: the coarse quantizer trains on decimal-exact Lloyd
+    iterations (similarity.ivf_train_kmeans — shuffle carries
+    O(clusters x dim) partial sums, not the corpus); assignment is one
+    Arrow-batched pass against the broadcast centroid matrix; the pair
+    stage is an equi-join ON THE CLUSTER ID, so the quadratic blowup
+    is bounded by cluster size — grow ``n_clusters`` with the corpus
+    (the paper uses k ~ sqrt(N)) and each cluster's pair block stays
+    executor-sized while clusters fan out in parallel. No driver-side
+    collect beyond the O(clusters x dim) centroid table. All cosine /
+    centroid-similarity folds run in index order (fold_dot), so the
+    tau and domination cuts are bit-deterministic across partitionings.
+
+    Returns one row per input: ``(id_col, cluster, cent_sim, v, kept)``
+    where ``v`` is the unit-normalized vector (array column — drop it
+    before hashing) and ``kept`` marks survivors. The reference has no
+    embedding surface at all; this is LLM-pipeline completion beside
+    MinHash/SimHash (operators/dedup.py) and the ANN family
+    (operators/similarity.py)."""
+    from boostdb_spark.operators import similarity as sim
+
+    c = sim._with_norm(df, id_col, vec_col, "id", "v")
+    normed = c.select(
+        "id", F.transform("v", lambda x: x / F.col("v_nrm")).alias("v")
+    )
+    cents = sim.ivf_train_kmeans(
+        df, n_centroids=n_clusters, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a = sim.ivf_assign(normed, cents, "v", n_probe=1).select(
+        "id", "v", F.element_at("list_id", 1).alias("cluster")
+    )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cluster long, cvec array<double>",
+    )
+    a = (
+        a.join(F.broadcast(cdf), "cluster")
+        .withColumn("cent_sim", sim.fold_dot(F.col("v"), F.col("cvec")))
+        .drop("cvec")
+        .localCheckpoint(eager=False)  # feeds both pair sides + output
+    )
+    left = a.select(
+        "cluster", F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("cent_sim").alias("a_cs"),
+    )
+    right = a.select(
+        "cluster", F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("cent_sim").alias("b_cs"),
+    )
+    dominated = (
+        left.join(right, "cluster")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos", sim.fold_dot(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos") >= F.lit(float(tau)))
+        .filter(
+            (F.col("b_cs") < F.col("a_cs"))
+            | ((F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .select(F.col("a_id").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    out = a.join(dominated, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col), "cluster", "cent_sim", "v",
+        F.col("_dropped").isNull().alias("kept"),
+    )

@@ -137,6 +137,7 @@ _WINDOW: tuple[str, ...] = (
     "txt_bpe_roundtrip",       # detokenize(tokenize(x)) == normalize(x) (r5)
     # --- new in round 6 ---
     "dialect_case",            # CASE (searched/simple/conditional agg)
+    "dedup_semantic",          # SemDeDup invariants, hash-certified
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -157,7 +158,6 @@ _WINDOW: tuple[str, ...] = (
     "seriesfamily_roundtrip", "agg_cube", "agg_grouping_sets",
     "agg_pivot", "subquery_exists", "window_rank_ntile",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
-    "emb_cosine_topk",
 )
 
 

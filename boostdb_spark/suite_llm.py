@@ -626,6 +626,59 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_semantic",
+    """
+    SELECT vec_id, true AS drop_covered, true AS kept_independent
+    FROM embeddings
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED SemDeDup certificate (operators/dedup.py
+    semantic_dedup — k-means clusters, within-cluster tau-cosine
+    duplicates, keep the least-prototypical example). The kept/dropped
+    assignment itself depends on the trained quantizer, so the oracle
+    pins the algorithm's two INVARIANTS, recomputed from the output by
+    an independent pair join: every dropped row has a tau-neighbor in
+    its cluster (we never discard a row with no near-duplicate), and
+    no two kept rows in a cluster are tau-neighbors (the kept set is
+    independent — the dedup actually deduplicated). A wrong threshold
+    sign, a broken domination tie-break, or a cluster-join bug flips a
+    boolean and fails the hash; exact kept-set behavior on handcrafted
+    fixtures is pinned by tests/test_text_dedup_ops.py."""
+    t = load_tables(spark, sf_dir)
+    tau = 0.4
+    sd = dd.semantic_dedup(t["embeddings"], tau=tau, n_clusters=16)
+    sd = sd.localCheckpoint(eager=False)  # feeds both pair sides + output
+    left = sd.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+    )
+    right = sd.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("kept").alias("b_kept"),
+    )
+    edges = (
+        left.join(right, "cluster")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos", sim.fold_dot(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos") >= F.lit(tau))
+        .groupBy("a_id")
+        .agg(F.max("b_kept").alias("has_kept_edge"))
+        .withColumn("has_edge", F.lit(True))
+    )
+    out = sd.join(edges, sd.vec_id == edges.a_id, "left")
+    return out.select(
+        "vec_id",
+        (F.col("kept") | F.coalesce(F.col("has_edge"), F.lit(False))).alias(
+            "drop_covered"
+        ),
+        (
+            ~F.col("kept")
+            | ~F.coalesce(F.col("has_kept_edge"), F.lit(False))
+        ).alias("kept_independent"),
+    )
+
+
+@_q(
     "emb_centroid",
     """
     WITH x AS (

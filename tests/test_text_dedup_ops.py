@@ -333,3 +333,31 @@ def test_keep_best_picks_highest_score(spark):
     ).withColumn("jaccard", F.lit(1.0))
     got2 = {r.doc_id: r.keep for r in dd.keep_best(docs2, pairs2).collect()}
     assert got2 == {1: True, 2: False}
+
+
+def test_semantic_dedup_keeps_least_prototypical(spark):
+    """Handcrafted 2-D fixture: one cluster holds vectors at 0, 4 and
+    6 degrees, the other a lone (0,1). With tau between cos(2deg) and
+    cos(4deg) the only duplicate edge is (4deg, 6deg); SemDeDup keeps
+    the edge endpoint FARTHER from the cluster centroid (~3.33deg) —
+    the 6deg vector — and every no-neighbor vector survives. Result is
+    invariant to input partitioning."""
+    import math
+
+    from boostdb_spark.operators.dedup import semantic_dedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, unit(0.0)), (1, [0.0, 1.0]), (2, unit(4.0)), (3, unit(6.0))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.999  # cos(2deg)=0.99939 >= tau > cos(4deg)=0.99756
+    out = semantic_dedup(emb, tau=tau, n_clusters=2, n_iter=2)
+    kept = {r["vec_id"] for r in out.collect() if r["kept"]}
+    assert kept == {0, 1, 3}
+    # same answer regardless of partitioning
+    out2 = semantic_dedup(emb.repartition(7), tau=tau, n_clusters=2, n_iter=2)
+    assert {r["vec_id"] for r in out2.collect() if r["kept"]} == {0, 1, 3}
+    # row preservation: one output row per input, kept+dropped
+    assert out.count() == 4
