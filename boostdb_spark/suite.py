@@ -138,6 +138,8 @@ _WINDOW: tuple[str, ...] = (
     # --- new in round 6 ---
     "dialect_case",            # CASE (searched/simple/conditional agg)
     "dedup_semantic",          # SemDeDup invariants, hash-certified
+    "scan_paged_export",       # paged/resumable export under the gate
+    "stream_rollup_parity",    # continuous rollup maintenance, certified
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -155,8 +157,8 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange", "join_inner", "dialect_join",
-    "seriesfamily_roundtrip", "agg_cube", "agg_grouping_sets",
-    "agg_pivot", "subquery_exists", "window_rank_ntile",
+    "seriesfamily_roundtrip", "agg_cube",
+    "agg_pivot", "subquery_exists",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
 )
 
@@ -260,6 +262,74 @@ def scan_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _lo, _hi, sdf in time_slices(base, S_NS, E_NS, window_ns)
     ]
     return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+#: (applicationId, sf_dir) combos whose paged-export directory exists
+_PAGES_WRITTEN: set = set()
+
+
+@_q(
+    "scan_paged_export",
+    f"""
+    SELECT CAST((epoch_ns(ts) - {S_NS}) // {(E_NS - S_NS) // 5} AS BIGINT)
+             AS slice_id,
+           event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE epoch_ns(ts) >= {S_NS} AND epoch_ns(ts) < {E_NS}
+    """,
+)
+def scan_paged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED paged/resumable execution — the reference's
+    Execute()-until-done paging loop (executor.go:207-237 saves result
+    positions; examples/basic_client/main.go:211-250 drives it) as a
+    MATERIALIZED page export: streaming/slices.py::execute_sliced cuts
+    the flagship span into five 3-day slices and the callback lands
+    each slice as its own ``slice_id=<i>`` parquet page (the
+    incremental-export / per-window-checkpoint shape — a crashed loop
+    resumes at the first missing page). The certified result reads the
+    pages BACK through partition discovery: every row of the one-shot
+    range scan must appear in exactly the page its timestamp maps to,
+    so a dropped page, an overlapping slice boundary, or a row filed
+    under the wrong slice flips the hash. This upgrades the §2.6
+    paging row from pytest-only equivalence (the one evidence gap the
+    round-4 verdict called un-gateable) to hard driver signal. Page
+    writes are ingest-time work, once per session+SF like the other
+    layouts; each slice's predicate reaches parquet, so the export
+    reads each byte once."""
+    import os
+    from urllib.parse import urlparse
+
+    from boostdb_spark.streaming.slices import execute_sliced
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "ts", "value")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(wh, f"suite_pages_{tag}_{app_id}")
+    w_ns = (E_NS - S_NS) // 5
+    key = (app_id, sf_dir)
+    if not layout_ready(_PAGES_WRITTEN, key, base):
+        gc_stale_layouts(wh, "suite_pages_")
+
+        def page(sdf: DataFrame, lo: int, hi: int) -> None:
+            i = (lo - S_NS) // w_ns
+            sdf.write.mode("overwrite").parquet(
+                os.path.join(base, f"slice_id={i}")
+            )
+
+        n = execute_sliced(ev, S_NS, E_NS, w_ns, page)
+        if n != 5:
+            raise RuntimeError(
+                f"scan_paged_export: expected 5 slices, ran {n}"
+            )
+        _PAGES_WRITTEN.add(key)
+    touch_layout(base)
+    pages = spark.read.parquet(base)
+    return pages.select(
+        F.col("slice_id").cast("long").alias("slice_id"),
+        "event_id", _ts_us(pages).alias("ts_us"), "value",
+    )
 
 
 @_q(
@@ -3567,6 +3637,29 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_LANDING: dict = {}
 
 
+def _events_landing(spark: SparkSession, sf_dir: str) -> str:
+    """UNORDERED multi-file landing dir of (event_type, ts, value) —
+    one per (application, SF). Fine for unwatermarked / complete-mode /
+    never-finalizing pipelines only; watermarked append-mode entries
+    build their own TIME-ORDERED landings (zero-delay watermarks drop
+    late rows on unordered batches)."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    ev = ev.select("event_type", F.col("ts").cast("timestamp"), "value")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_LANDING:
+        landing = tempfile.mkdtemp(prefix="boost_suite_stream_")
+        ev.repartition(4).write.mode("overwrite").parquet(landing)
+        _STREAM_LANDING[key] = landing
+    return _STREAM_LANDING[key]
+
+
 @_q(
     "stream_batch_parity",
     """
@@ -3593,20 +3686,8 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from boostdb_spark.streaming.windows import tumbling_agg
 
-    t = load_tables(spark, sf_dir)
-    ev = t["events"]
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        from boostdb_spark.functions.scalar import ns_to_timestamp
-
-        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
-    ev = ev.select("event_type", F.col("ts").cast("timestamp"), "value")
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    if key not in _STREAM_LANDING:
-        landing = tempfile.mkdtemp(prefix="boost_suite_stream_")
-        ev.repartition(4).write.mode("overwrite").parquet(landing)
-        _STREAM_LANDING[key] = landing
-    landing = _STREAM_LANDING[key]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    landing = _events_landing(spark, sf_dir)
     schema = spark.read.parquet(landing).schema
     src = (
         spark.readStream.schema(schema)
@@ -3639,6 +3720,85 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("win_start")).alias("win_start_us"),
         "event_type", "n", "vmin", "vmax",
     )
+
+
+@_q(
+    "stream_rollup_parity",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+           event_type, 'partitioned' AS variant, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+           event_type, 'merged' AS variant, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED continuous rollup MAINTENANCE (streaming/rollup.py)
+    — the live materialized time-bucket table the round-4 verdict
+    listed as the last pytest-only §2.6 row beside paging. Both sink
+    strategies drain the same multi-batch landing through update-mode
+    tumbling aggregation into parquet rollup TABLES (not a memory
+    sink): the per-(window,key)-directory dynamic-overwrite variant
+    AND the merge-into-touched-windows variant (the replaceWhere-style
+    bounds that replaced the per-batch window collect). The certified
+    result reads both tables BACK and must hash-equal the plain batch
+    bucket aggregate twice over — a stale partition left by the
+    overwrite, a key lost in the merge's anti-join, or a non-cumulative
+    update emission flips the hash. State never finalizes (10-year
+    watermark) so the unordered landing is safe; decimal sums keep
+    totals exact across engines. Rollup tables land in fresh temp dirs
+    per call — the certified work IS the maintenance loop; each call
+    drains 2x ~5 micro-batches of state work (the honest cost, same
+    argument as the other stream_* entries)."""
+    import os
+    import tempfile
+
+    from boostdb_spark.streaming.rollup import (
+        continuous_rollup,
+        continuous_rollup_merged,
+    )
+
+    landing = _events_landing(spark, sf_dir)
+    schema = spark.read.parquet(landing).schema
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+    ]
+    outs = []
+    for variant, runner in (
+        ("partitioned", continuous_rollup),
+        ("merged", continuous_rollup_merged),
+    ):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        rollup = tempfile.mkdtemp(prefix=f"boost_rollup_{variant}_")
+        q = runner(
+            src, os.path.join(rollup, "t"),
+            checkpoint=os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            duration="1 hour", keys=["event_type"], aggs=aggs,
+            watermark="3650 days",  # never finalize: windows stay updatable
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(rollup, "t"))
+        outs.append(
+            got.select(
+                F.unix_micros(F.col("win_start").cast("timestamp")).alias(
+                    "win_start_us"
+                ),
+                F.col("event_type").cast("string").alias("event_type"),
+                F.lit(variant).alias("variant"),
+                "n",
+                F.col("total").cast("double").alias("total"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @_q(
