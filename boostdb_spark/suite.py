@@ -140,6 +140,8 @@ _WINDOW: tuple[str, ...] = (
     "dedup_semantic",          # SemDeDup invariants, hash-certified
     "scan_paged_export",       # paged/resumable export under the gate
     "stream_rollup_parity",    # continuous rollup maintenance, certified
+    "ts_rollup_cascade",       # multi-resolution partial-agg hierarchy
+    "scan_snapshot_diff",      # CDC between plain-parquet snapshots
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -157,8 +159,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange", "join_inner", "dialect_join",
-    "seriesfamily_roundtrip", "agg_cube",
-    "agg_pivot", "subquery_exists",
+    "seriesfamily_roundtrip", "subquery_exists",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
 )
 
@@ -330,6 +331,57 @@ def scan_paged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slice_id").cast("long").alias("slice_id"),
         "event_id", _ts_us(pages).alias("ts_us"), "value",
     )
+
+
+@_q(
+    "scan_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT event_id,
+             value + (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
+               AS value
+      FROM events WHERE event_id % 5 <> 0
+      UNION ALL
+      SELECT event_id + 1000000000, value FROM events
+      WHERE event_id % 11 = 0
+    ),
+    n AS (SELECT event_id, value FROM events)
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'insert'
+                WHEN n.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.value AS old_value, n.value AS new_value
+    FROM o FULL JOIN n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR o.value IS DISTINCT FROM n.value
+    """,
+)
+def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change capture (operators/joins.py
+    snapshot_diff): a synthetic prior version of the events table —
+    every fifth row missing (becomes ``insert``), every third value
+    bumped (becomes ``update``), phantom rows added (become
+    ``delete``) — diffed against the current table. ONE full-outer
+    sort-merge join on the key with null-safe payload comparison, no
+    driver materialization; on bucketed snapshots even the exchange
+    disappears. This is the incremental-maintenance primitive between
+    plain-Parquet table versions (what a commit log gives transactional
+    formats), certified row-for-row against the oracle's FULL JOIN +
+    IS DISTINCT FROM formulation."""
+    from boostdb_spark.operators.joins import snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "value")
+    old = ev.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    phantom = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + F.lit(10**9)).alias("event_id"), "value"
+    )
+    old = old.unionByName(phantom)
+    return snapshot_diff(old, ev, keys=["event_id"], compare_cols=["value"])
 
 
 @_q(
@@ -2514,6 +2566,46 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns_events(t), bucket_seconds=3600, predict_seconds=14400.0,
         series_cols=("event_type",),
     )
+
+
+@_q(
+    "ts_rollup_cascade",
+    """
+    WITH l AS (SELECT epoch_ns(ts) AS tn, event_type, value FROM events)
+    SELECT 3600 AS level_s, tn - tn % 3600000000000 AS bucket, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           min(value) AS vmin, max(value) AS vmax
+    FROM l GROUP BY 2, 3
+    UNION ALL
+    SELECT 21600, tn - tn % 21600000000000, event_type, count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+           min(value), max(value)
+    FROM l GROUP BY 2, 3
+    UNION ALL
+    SELECT 86400, tn - tn % 86400000000000, event_type, count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+           min(value), max(value)
+    FROM l GROUP BY 2, 3
+    """,
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup hierarchy (operators/timeseries.py
+    rollup_cascade): hourly partials aggregate the raw scan ONCE, then
+    the 6h and 1d levels re-aggregate those partials (sum-of-sums /
+    min-of-mins), never touching raw rows again — the hypertable
+    continuous-aggregate cascade at its 100 TB shape. The oracle
+    computes EVERY level directly from the raw table, so the hash gate
+    certifies exactly the partial-aggregate composability claim: a
+    non-decomposable statistic smuggled into the partials, a
+    misaligned coarse bucket, or double-counting at a level boundary
+    all flip the hash."""
+    t = load_tables(spark, sf_dir)
+    out = ts_ops.rollup_cascade(
+        _ns_events(t), levels=(3600, 21600, 86400),
+        keys=("event_type",), value_col="value",
+    )
+    return out.withColumn("total", F.col("total").cast("double"))
 
 
 @_q(

@@ -196,3 +196,35 @@ def test_range_lookup_validates_inputs_first(spark):
     # keyless branch does NOT reserve the keyed markers as dim payload
     ok = dims.withColumnRenamed("tier", "_ord_free")
     assert range_lookup(facts, ok, "v").count() == 1
+
+
+def test_snapshot_diff_ops_and_null_safety(spark):
+    """insert/delete/update classification, NULL<->value transitions
+    surfacing as updates, unchanged rows dropped, and loud input
+    validation."""
+    import pytest as _pt
+
+    from boostdb_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, 7.0)],
+        "id long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 2.0), (3, None), (5, 9.0)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: (r["op"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {
+        2: ("update", None, 2.0),   # NULL -> value
+        3: ("update", 5.0, None),   # value -> NULL
+        4: ("delete", 7.0, None),
+        5: ("insert", None, 9.0),
+    }  # id=1 unchanged: absent
+    with _pt.raises(ValueError, match="lacks"):
+        snapshot_diff(old.drop("v"), new, ["id"], ["v"])
+    with _pt.raises(ValueError, match="no payload"):
+        snapshot_diff(old.select("id"), new.select("id"), ["id"])

@@ -705,3 +705,33 @@ def test_seasonal_decompose_recovers_textbook_split(spark):
     for r in mid:  # trend is exactly the linear part
         i = r.bucket // (60 * NS)
         assert abs(r.trend - 0.5 * i) < 1e-9
+
+
+def test_rollup_cascade_levels_and_validation(spark):
+    """Coarse levels derived from hourly partials equal direct
+    aggregation; level validation is loud."""
+    import pytest as _pt
+
+    from boostdb_spark.operators.timeseries import rollup_cascade
+
+    H = 3_600 * 10**9
+    rows = [
+        ("a", 0 * H + 5, 1.0), ("a", 0 * H + 9, 3.0),
+        ("a", 1 * H + 1, 5.0), ("a", 7 * H + 2, 7.0),
+        ("b", 2 * H + 3, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    out = rollup_cascade(df, (3600, 21600), keys=("event_type",))
+    got = {
+        (r["level_s"], r["bucket"], r["event_type"]):
+        (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+        for r in out.collect()
+    }
+    assert got[(3600, 0, "a")] == (2, 4.0, 1.0, 3.0)
+    assert got[(21600, 0, "a")] == (3, 9.0, 1.0, 5.0)  # sums the partials
+    assert got[(21600, 6 * H, "a")] == (1, 7.0, 7.0, 7.0)
+    assert got[(21600, 0, "b")] == (1, 2.0, 2.0, 2.0)
+    with _pt.raises(ValueError, match="ascending"):
+        rollup_cascade(df, (3600, 3600), keys=())
+    with _pt.raises(ValueError, match="multiple"):
+        rollup_cascade(df, (3600, 5000), keys=())
