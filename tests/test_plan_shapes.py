@@ -58,6 +58,7 @@ def test_dim_joins_broadcast(spark):
         "join_skew_salted",
         "emb_neardup_cosine",
         "join_interval_overlap",
+        "dedup_semantic",
     ],
 )
 def test_candidate_joins_are_equi_not_cartesian(spark, name):
@@ -231,3 +232,27 @@ def test_emb_dim_stats_partial_agg(spark):
     HashAggregate levels around one exchange on the 64-value dim key."""
     p = _plan(spark, "emb_dim_stats")
     assert p.count("HashAggregate") >= 2
+
+
+def test_snapshot_diff_one_join_no_cartesian(spark):
+    """CDC diff is exactly ONE full-outer equi-join on the key — never
+    a nested loop, never a second pass over either snapshot."""
+    import re
+
+    p = _plan(spark, "scan_snapshot_diff")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # formatted mode lists each node in the tree AND a details section:
+    # count the numbered detail headers only
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", p)
+    assert len(joins) == 1
+    assert "FullOuter" in p
+
+
+def test_rollup_cascade_coarse_levels_reuse_partials(spark):
+    """The hourly level is the only aggregation of raw rows: coarser
+    levels re-aggregate the checkpointed partials, so the raw events
+    scan appears ONCE in the plan (the cascade's scan-once claim)."""
+    df = suite.spark_queries()["ts_rollup_cascade"](spark, SF_DIR)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("events.parquet") <= 1
