@@ -60,7 +60,6 @@ WARMUP = [
     "ann_ivf_topk",             # k-means training + inverted-file write
     "ann_pq_topk",              # PQ codebook training + code-table write
     "scan_paged_export",        # per-slice page-directory export
-    "stream_rollup_parity",     # shared events landing-dir write
 ]
 
 
