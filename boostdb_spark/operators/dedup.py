@@ -768,6 +768,7 @@ def semantic_dedup(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): embeddings are k-means clustered, cosine
@@ -787,7 +788,11 @@ def semantic_dedup(
 
     Scale shape: the coarse quantizer trains on decimal-exact Lloyd
     iterations (similarity.ivf_train_kmeans — shuffle carries
-    O(clusters x dim) partial sums, not the corpus); assignment is one
+    O(clusters x dim) partial sums, not the corpus), or pass
+    ``centroids=`` to ride an already-trained quantizer (e.g. the IVF
+    coarse index the ANN path materializes at ingest — the production
+    shape: one cluster model serves retrieval AND dedup, and the dedup
+    pass pays zero training); assignment is one
     Arrow-batched pass against the broadcast centroid matrix; the pair
     stage is an equi-join ON THE CLUSTER ID, so the quadratic blowup
     is bounded by cluster size — grow ``n_clusters`` with the corpus
@@ -809,10 +814,12 @@ def semantic_dedup(
     normed = c.select(
         "id", F.transform("v", lambda x: x / F.col("v_nrm")).alias("v")
     )
-    cents = sim.ivf_train_kmeans(
-        df, n_centroids=n_clusters, n_iter=n_iter,
-        id_col=id_col, vec_col=vec_col,
-    )
+    cents = centroids
+    if cents is None:
+        cents = sim.ivf_train_kmeans(
+            df, n_centroids=n_clusters, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
     a = sim.ivf_assign(normed, cents, "v", n_probe=1).select(
         "id", "v", F.element_at("list_id", 1).alias("cluster")
     )

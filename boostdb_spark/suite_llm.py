@@ -647,7 +647,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures is pinned by tests/test_text_dedup_ops.py."""
     t = load_tables(spark, sf_dir)
     tau = 0.4
-    sd = dd.semantic_dedup(t["embeddings"], tau=tau, n_clusters=16)
+    # ride the session's ingest-amortized IVF coarse quantizer — one
+    # cluster model serves retrieval AND dedup (semantic_dedup trains
+    # its own only when no index exists)
+    cents = _ann_index(spark, sf_dir)["centroids"]
+    sd = dd.semantic_dedup(t["embeddings"], tau=tau, centroids=cents)
     sd = sd.localCheckpoint(eager=False)  # feeds both pair sides + output
     left = sd.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
