@@ -353,9 +353,18 @@ def ivf_train_kmeans(
     """
     c = _with_norm(corpus, id_col, vec_col, "cid", "v")
     seed = c.orderBy("cid").limit(n_centroids).collect()
-    centroids = [(int(r["cid"]), [x / r["v_nrm"] for x in r["v"]]) for r in seed]
+    # zero-norm guard (here and below): a zero vector stays the zero
+    # vector instead of dividing — ANSI mode raises DIVIDE_BY_ZERO and
+    # non-ANSI would seed NaN centroids that poison every assignment
+    centroids = [
+        (int(r["cid"]), [x / r["v_nrm"] if r["v_nrm"] else x for x in r["v"]])
+        for r in seed
+    ]
     normed = c.select(
-        "cid", F.transform("v", lambda x: x / F.col("v_nrm")).alias("v")
+        "cid",
+        F.when(F.col("v_nrm") == 0.0, F.col("v"))
+        .otherwise(F.transform("v", lambda x: x / F.col("v_nrm")))
+        .alias("v"),
     ).localCheckpoint(eager=False)  # reused every iteration
     for _ in range(n_iter):
         assigned = ivf_assign(normed, centroids, "v", n_probe=1).select(
@@ -448,8 +457,12 @@ def ivf_ann_topk(
         c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
         if centroids is None:
             seed = c.orderBy("match_id").limit(n_centroids).collect()
+            # zero-norm guard: keep the zero vector rather than raising
             centroids = [
-                (int(r["match_id"]), [x / r["cv_nrm"] for x in r["cv"]])
+                (
+                    int(r["match_id"]),
+                    [x / r["cv_nrm"] if r["cv_nrm"] else x for x in r["cv"]],
+                )
                 for r in seed
             ]
         c_assigned = ivf_assign(c, centroids, "cv", n_probe=1).select(

@@ -361,3 +361,21 @@ def test_semantic_dedup_keeps_least_prototypical(spark):
     assert {r["vec_id"] for r in out2.collect() if r["kept"]} == {0, 1, 3}
     # row preservation: one output row per input, kept+dropped
     assert out.count() == 4
+
+
+def test_semantic_dedup_zero_vector_survives(spark):
+    """A zero-norm embedding has no cosine neighbors: it must always be
+    kept and its output vector must stay finite (no NaN from the
+    normalize)."""
+    import math
+
+    from boostdb_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, tau=0.9, n_clusters=2, n_iter=1).collect()}
+    assert all(r["kept"] for r in out.values())
+    assert all(math.isfinite(x) for x in out[2]["v"])
