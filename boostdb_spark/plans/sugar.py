@@ -1273,11 +1273,29 @@ def plan(
             continue
         col = res.resolve(f)[1] if f.parts else None  # count(*) has no column
         sel.append((res.default_name(f), col, f.func, f))
-    has_computed = any(f.expr is not None for f in q.fields)
-    if has_computed and (q.group_by or any(f.func for f in q.fields)):
+    # a computed select item may serve as a GROUP BY key via its alias
+    # (SELECT floor(x/50) AS bin ... GROUP BY bin) — the derived-bucket
+    # aggregation; the expression materializes as a column before the
+    # groupBy. Any OTHER computed item in a grouped/aggregated select
+    # has no well-defined per-group value and is rejected.
+    computed_exprs = {
+        f.alias: f.expr for f in q.fields if f.expr is not None and f.alias
+    }
+    group_computed = {
+        g.parts[0]
+        for g in q.group_by
+        if len(g.parts) == 1 and g.parts[0] in computed_exprs
+    }
+    stray_computed = [
+        f.alias
+        for f in q.fields
+        if f.expr is not None and f.alias not in group_computed
+    ]
+    if stray_computed and (q.group_by or any(f.func for f in q.fields)):
         raise ValueError(
-            "computed select expressions cannot mix with GROUP BY or "
-            "aggregate calls"
+            "computed select expressions must be GROUP BY keys (by their "
+            "AS alias) when mixed with grouping or aggregate calls; "
+            f"{stray_computed} are neither grouped nor aggregated"
         )
     # WHERE splits into plain conjuncts (one Catalyst filter, pushed
     # into the scan) and subquery conjuncts: IN (SELECT ...) plans as a
@@ -1397,6 +1415,8 @@ def plan(
     elif q.where is not None:
         where_col = _compile_expr(q.where, res, params=params)
     for g in q.group_by:  # register group-by series before the scan filter
+        if len(g.parts) == 1 and g.parts[0] in group_computed:
+            continue  # computed key: bound to the select expr, not a series
         if g.parts:
             res.resolve(g)
     windowed = any(f.window is not None for f in q.fields)
@@ -1531,12 +1551,18 @@ def plan(
         for alias, scol, fn2, _r in sel:
             if fn2 is None and scol is not None and alias:
                 sel_alias_of.setdefault(scol, alias)
-        gfinal = {
-            res.resolve(g)[1]: sel_alias_of.get(
-                res.resolve(g)[1], res.default_name(g)
+        gfinal = {}
+        for g in q.group_by:
+            if len(g.parts) == 1 and g.parts[0] in group_computed:
+                gfinal[g.parts[0]] = g.parts[0]
+                continue
+            phys = res.resolve(g)[1]
+            gfinal[phys] = sel_alias_of.get(phys, res.default_name(g))
+        # materialize computed group keys as columns before the groupBy
+        for a in sorted(group_computed):
+            df = df.withColumn(
+                a, _compile_expr(computed_exprs[a], res, params=params)
             )
-            for g in q.group_by
-        }
         gcols = [
             F.col(phys).alias(name) for phys, name in gfinal.items()
         ]

@@ -142,6 +142,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_rollup_parity",    # continuous rollup maintenance, certified
     "ts_rollup_cascade",       # multi-resolution partial-agg hierarchy
     "scan_snapshot_diff",      # CDC between plain-parquet snapshots
+    "dialect_group_expr",      # GROUP BY computed/CASE keys via alias
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -159,7 +160,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange", "join_inner", "dialect_join",
-    "seriesfamily_roundtrip", "subquery_exists",
+    "seriesfamily_roundtrip",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
 )
 
@@ -4711,6 +4712,40 @@ def dialect_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rows.join(aggs, "uid").select(
         "eid", "uid", "bucket", "band", "n_big", "big6"
+    )
+
+
+@_q(
+    "dialect_group_expr",
+    """
+    SELECT floor(value / 50.0) AS bin,
+           CASE WHEN value > 100.0 THEN 'big' ELSE 'small' END AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(floor(value * 1000000.0 + 0.5)) AS total6
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+)
+def dialect_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY computed expressions through the dialect front: a
+    computed select item (scalar-fn arithmetic, CASE) serves as a
+    group key via its AS alias — the derived-bucket aggregation
+    (histograms, cohort tiers) every SQL user reaches for. The
+    expression materializes as ONE codegen column before the groupBy,
+    so the plan is the standard partial+final hash aggregate on the
+    derived key; HAVING filters the groups. The reference's GROUP BY
+    is a declared-only enum (query/base/expression.go:22-25) — this
+    completes the grammar two steps beyond (expressions, then
+    conditional expressions, as keys)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT floor(click / 50.0) AS bin, "
+        "CASE WHEN click > 100.0 THEN 'big' ELSE 'small' END AS tier, "
+        "count(*) AS n, "
+        "sum(floor(click * 1000000.0 + 0.5)) AS total6 "
+        "FROM boost.events GROUP BY bin, tier HAVING n > 1",
+        EVENTS_BINDING,
     )
 
 

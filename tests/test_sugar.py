@@ -856,7 +856,7 @@ def test_dialect_computed_select(spark):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="AS"):
         parse("SELECT s * 2 FROM d.f")
-    with pytest.raises(ValueError, match="cannot mix"):
+    with pytest.raises(ValueError, match="neither grouped nor aggregated"):
         sugar.query(
             spark,
             "SELECT click * 2 AS v, sum(click) FROM boost.events "
@@ -1117,3 +1117,37 @@ def test_dialect_case_forms(spark):
     ):
         with pytest.raises(ValueError):
             sugar.query(spark, bad, b)
+
+
+def test_dialect_group_by_computed_alias(spark):
+    """Computed select items (arithmetic / CASE) serve as GROUP BY keys
+    via their alias; non-key computed items still fail loudly; HAVING
+    and ORDER BY resolve against the derived key."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT floor(click / 50.0) AS bin, count(*) AS n "
+        "FROM boost.events GROUP BY bin ORDER BY bin",
+        b,
+    )
+    want = spark.sql(
+        "SELECT floor(value / 50.0) AS bin, count(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY bin ORDER BY bin"
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # mixed computed + plain key, CASE key, HAVING on count alias
+    mixed = sugar.query(
+        spark,
+        "SELECT CASE WHEN click > 100.0 THEN 'big' ELSE 'small' END AS t, "
+        "click.user_id, count(*) AS n FROM boost.events "
+        "GROUP BY t, click.user_id HAVING n > 0",
+        b,
+    )
+    assert mixed.columns == ["t", "user_id", "n"] and mixed.count() > 0
+    with pytest.raises(ValueError, match="neither grouped nor aggregated"):
+        sugar.query(
+            spark,
+            "SELECT floor(click / 50.0) AS bin, click * 2 AS d, "
+            "count(*) AS n FROM boost.events GROUP BY bin",
+            b,
+        )
