@@ -143,6 +143,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_rollup_cascade",       # multi-resolution partial-agg hierarchy
     "scan_snapshot_diff",      # CDC between plain-parquet snapshots
     "dialect_group_expr",      # GROUP BY computed/CASE keys via alias
+    "agg_q12_priority_lines",  # Q12 shape: dual conditional counters
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -160,7 +161,6 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange", "join_inner", "dialect_join",
-    "seriesfamily_roundtrip",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
 )
 
@@ -4712,6 +4712,48 @@ def dialect_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rows.join(aggs, "uid").select(
         "eid", "uid", "bucket", "band", "n_big", "big6"
+    )
+
+
+@_q(
+    "agg_q12_priority_lines",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape over the fixture's columns (shipmode/commit
+    dates absent — return flag and order priority carry the same
+    structure): fact-to-fact join with a pushed date-range filter, then
+    DUAL CONDITIONAL COUNTERS — sum(CASE WHEN priority-class THEN 1) —
+    per group, the one-pass pivot every report query uses instead of
+    two scans + a join. The CASE never leaves codegen; counts are
+    exact integers; AQE picks broadcast vs sort-merge from runtime
+    sizes like the other TPC-H shapes."""
+    cutlo = F.lit("1996-01-01").cast("timestamp_ntz")
+    cuthi = F.lit("1998-01-01").cast("timestamp_ntz")
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= cutlo) & (F.col("l_shipdate") < cuthi)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
