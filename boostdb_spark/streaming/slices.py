@@ -96,3 +96,34 @@ def foreach_slice(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def export_pages(
+    df: DataFrame,
+    base: str,
+    start_ns: int,
+    end_ns: int,
+    window_ns: int,
+    ts_col: str = "ts",
+) -> tuple[int, int]:
+    """Materialized RESUMABLE page export: each slice of
+    ``[start_ns, end_ns)`` lands as its own ``slice_id=<i>`` parquet
+    page under ``base``; a slice whose page directory already exists
+    (with a parquet _SUCCESS marker) is SKIPPED, so a crashed export
+    re-run completes only the missing pages — the positional-resume
+    semantics of the reference's SaveResultSetPosition/paging machinery
+    (executor.go:207-237) with the filesystem as the position store.
+    Returns ``(slices_total, slices_written)``."""
+    import os
+
+    written = 0
+    total = 0
+    for lo, _hi, sdf in time_slices(df, start_ns, end_ns, window_ns, ts_col):
+        i = (lo - start_ns) // window_ns
+        page = os.path.join(base, f"slice_id={i}")
+        total += 1
+        if os.path.exists(os.path.join(page, "_SUCCESS")):
+            continue  # resume: this page completed in a prior run
+        sdf.write.mode("overwrite").parquet(page)
+        written += 1
+    return total, written

@@ -301,7 +301,7 @@ def scan_paged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     from urllib.parse import urlparse
 
-    from boostdb_spark.streaming.slices import execute_sliced
+    from boostdb_spark.streaming.slices import export_pages
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("event_id", "ts", "value")
@@ -313,14 +313,7 @@ def scan_paged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir)
     if not layout_ready(_PAGES_WRITTEN, key, base):
         gc_stale_layouts(wh, "suite_pages_")
-
-        def page(sdf: DataFrame, lo: int, hi: int) -> None:
-            i = (lo - S_NS) // w_ns
-            sdf.write.mode("overwrite").parquet(
-                os.path.join(base, f"slice_id={i}")
-            )
-
-        n = execute_sliced(ev, S_NS, E_NS, w_ns, page)
+        n, _written = export_pages(ev, base, S_NS, E_NS, w_ns)
         if n != 5:
             raise RuntimeError(
                 f"scan_paged_export: expected 5 slices, ran {n}"
