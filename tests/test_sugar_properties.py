@@ -201,3 +201,50 @@ def test_dialect_arithmetic_matches_spark_sql(spark):
         assert got == want, (d, q)
 
     check()
+
+
+def test_dialect_case_matches_spark_sql(spark):
+    """Random searched-CASE projections (conditions from the arithmetic
+    grammar, numeric THEN/ELSE arms) through the dialect must equal
+    the equivalent spark.sql rows — parse, branch order, and CaseWhen
+    compilation under one property."""
+    from tests.conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    b = sugar.SeriesFamilyBinding(
+        view="events", series_col="event_type", value_col="value", ts_col="ts"
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        conds=st.lists(
+            st.tuples(
+                arith_exprs(),
+                st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+                arith_exprs(),
+                st.integers(-9, 9),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        els=st.none() | st.integers(-9, 9),
+    )
+    def check(conds, els):
+        whens_d = " ".join(
+            f"WHEN {l[0]} {op} {r[0]} THEN {v}" for l, op, r, v in conds
+        )
+        whens_s = " ".join(
+            f"WHEN {l[1]} {op} {r[1]} THEN {v}" for l, op, r, v in conds
+        )
+        e_d = e_s = f" ELSE {els}" if els is not None else ""
+        d = (f"SELECT click.event_id, CASE {whens_d}{e_d} END AS c "
+             f"FROM boost.events")
+        q = (f"SELECT event_id, CASE {whens_s}{e_s} END AS c "
+             f"FROM events WHERE event_type = 'click'")
+        got = sorted(map(tuple, sugar.query(spark, d, b).collect()))
+        want = sorted(map(tuple, spark.sql(q).collect()))
+        assert got == want, (d, q)
+
+    check()
