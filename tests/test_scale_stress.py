@@ -258,3 +258,62 @@ def test_bpe_train_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert m1 == m2 and len(m1) == 8
+
+
+def test_snapshot_diff_2m_rows(spark):
+    """CDC diff over 2M-row snapshots: one merge join, exact op counts
+    known by construction (every 5th id missing from old -> insert,
+    every 3rd surviving id bumped -> update, 1/11 phantoms -> delete),
+    no driver materialization."""
+    from boostdb_spark.operators.joins import snapshot_diff
+
+    new = _events_x(spark, 20).select("event_id", "value")
+    old = new.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).unionByName(
+        new.filter(F.col("event_id") % 11 == 0).select(
+            (F.col("event_id") + F.lit(10**12)).alias("event_id"), "value"
+        )
+    )
+    got = {
+        r["op"]: r["n"]
+        for r in snapshot_diff(old, new, ["event_id"], ["value"])
+        .groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = new.count()
+    assert got["insert"] == new.filter(F.col("event_id") % 5 == 0).count()
+    assert got["delete"] == new.filter(F.col("event_id") % 11 == 0).count()
+    assert got["update"] == new.filter(
+        (F.col("event_id") % 5 != 0) & (F.col("event_id") % 3 == 0)
+    ).count()
+    assert n == 2_000_000
+
+
+def test_rollup_cascade_2m_rows_levels_consistent(spark):
+    """Cascade over 2M rows: coarser levels must re-aggregate the
+    finest exactly — per-level row counts nest and the global (n,
+    total) is identical at every resolution (a partial-aggregation
+    bug double-counts or drops at a boundary)."""
+    raw = _events_x(spark, 20)
+    from boostdb_spark.functions.scalar import ts_ns
+
+    df = raw.select(
+        "event_type", ts_ns(raw, "ts").alias("ts"), "value"
+    )
+    out = ts_ops.rollup_cascade(
+        df, (3600, 21600, 86400), keys=("event_type",)
+    ).localCheckpoint(eager=True)
+    per_level = {
+        r["level_s"]: (r["rows"], r["n_sum"], float(r["t_sum"]))
+        for r in out.groupBy("level_s").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n").alias("n_sum"),
+            F.sum("total").alias("t_sum"),
+        ).collect()
+    }
+    assert per_level[3600][0] >= per_level[21600][0] >= per_level[86400][0]
+    totals = {lv: (ns, ts) for lv, (_r, ns, ts) in per_level.items()}
+    assert totals[3600] == totals[21600] == totals[86400]
+    assert per_level[3600][1] == 2_000_000
