@@ -1554,14 +1554,23 @@ def plan(
         gfinal = {}
         for g in q.group_by:
             if len(g.parts) == 1 and g.parts[0] in group_computed:
-                gfinal[g.parts[0]] = g.parts[0]
+                # INTERNAL name: materializing under the user alias
+                # would overwrite a same-named physical column that
+                # other aggregates still read (SELECT floor(x) AS value
+                # ... sum(x) would silently sum the bucket)
+                gfinal[f"_gk_{g.parts[0]}"] = g.parts[0]
                 continue
             phys = res.resolve(g)[1]
             gfinal[phys] = sel_alias_of.get(phys, res.default_name(g))
         # materialize computed group keys as columns before the groupBy
         for a in sorted(group_computed):
+            if f"_gk_{a}" in df.columns:
+                raise ValueError(
+                    f"column _gk_{a} collides with the internal "
+                    "computed-group-key marker — rename it"
+                )
             df = df.withColumn(
-                a, _compile_expr(computed_exprs[a], res, params=params)
+                f"_gk_{a}", _compile_expr(computed_exprs[a], res, params=params)
             )
         gcols = [
             F.col(phys).alias(name) for phys, name in gfinal.items()

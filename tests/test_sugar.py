@@ -1151,3 +1151,31 @@ def test_dialect_group_by_computed_alias(spark):
             "count(*) AS n FROM boost.events GROUP BY bin",
             b,
         )
+
+
+def test_dialect_group_by_computed_alias_shadowing_column(spark):
+    """A computed group key whose alias matches a physical column must
+    NOT overwrite it — aggregates over the shadowed column read the
+    original values (the key materializes under an internal name)."""
+    b = _events_binding(spark)
+    got = sorted(
+        map(
+            tuple,
+            sugar.query(
+                spark,
+                "SELECT floor(click / 50.0) AS value, sum(click) AS s "
+                "FROM boost.events GROUP BY value",
+                b,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT floor(value / 50.0) AS value, sum(value) AS s "
+                "FROM events WHERE event_type = 'click' GROUP BY 1"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
