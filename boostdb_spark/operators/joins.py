@@ -334,7 +334,13 @@ def snapshot_diff(
     NULL -> value and value -> NULL transitions surface as updates.
 
     Output: ``(*keys, op, old_<c>..., new_<c>...)`` with the missing
-    side's payload NULL for insert/delete."""
+    side's payload NULL for insert/delete.
+
+    Precondition (standard CDC): ``keys`` uniquely identify a row in
+    EACH snapshot. Duplicate keys fan the full-outer join out to the
+    pair product for that key — not validated here because a
+    uniqueness check costs a full aggregation pass per snapshot; run
+    one upstream when the key is not known-unique."""
     from functools import reduce as _reduce
 
     keys = list(keys)
