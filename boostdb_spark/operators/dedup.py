@@ -811,16 +811,10 @@ def semantic_dedup(
     from boostdb_spark.operators import similarity as sim
 
     c = sim._with_norm(df, id_col, vec_col, "id", "v")
-    # zero-norm guard: keep the zero vector as-is instead of dividing
-    # to NaN — its dots are then 0 < tau, so it neither dominates nor
-    # is dominated and always survives with no tau-edges (the NaN form
-    # would reach the output payload and poison downstream folds)
-    normed = c.select(
-        "id",
-        F.when(F.col("v_nrm") == 0.0, F.col("v"))
-        .otherwise(F.transform("v", lambda x: x / F.col("v_nrm")))
-        .alias("v"),
-    )
+    # zero-norm-safe normalize (sim.unit_vec): a zero vector keeps its
+    # zeros, so its dots are 0 < tau — it neither dominates nor is
+    # dominated and always survives with no tau-edges
+    normed = c.select("id", sim.unit_vec("v", "v_nrm").alias("v"))
     cents = centroids
     if cents is None:
         cents = sim.ivf_train_kmeans(

@@ -224,7 +224,9 @@ def range_lookup(
         )
     keys = list(keys)
     payload = [c for c in dims.columns if c not in (*keys, lo_col, hi_col)]
-    dim_reserved = {"_lo", "_hi"} if not keys else {"_ord", "_side", "_d_row"}
+    dim_reserved = (
+        {"_lo", "_hi"} if not keys else {"_ord", "_side", "_d_row", "_hit"}
+    )
     dim_clash = dim_reserved.intersection(payload if not keys else (*keys, *payload))
     if dim_clash:
         raise ValueError(
@@ -344,11 +346,22 @@ def snapshot_diff(
     from functools import reduce as _reduce
 
     keys = list(keys)
+    if not keys:
+        raise ValueError("snapshot_diff: at least one key column required")
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
     compare_cols = list(compare_cols)
     if not compare_cols:
         raise ValueError("snapshot_diff: no payload columns to compare")
+    reserved = {"op", "_o", "_n"} | {
+        f"{p}_{c}" for c in compare_cols for p in ("old", "new")
+    }
+    clash = reserved.intersection(keys)
+    if clash:
+        raise ValueError(
+            f"snapshot_diff: key columns {sorted(clash)} collide with "
+            "reserved output/marker names — rename them first"
+        )
     for side, df in (("old", old), ("new", new)):
         missing = [c for c in (*keys, *compare_cols) if c not in df.columns]
         if missing:

@@ -36,6 +36,22 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, id_as: str, v_as: str):
     return out.withColumn(f"{v_as}_nrm", norm(F.col(v_as)))
 
 
+def unit_vec(v_col: str, nrm_col: str):
+    """Zero-norm-safe unit-normalization EXPRESSION over (vector,
+    norm) columns: the zero vector stays the zero vector — ANSI-mode
+    division would raise DIVIDE_BY_ZERO and non-ANSI would emit NaN
+    components that poison every downstream fold. One shared guard so
+    the rule can't drift between call sites."""
+    return F.when(F.col(nrm_col) == 0.0, F.col(v_col)).otherwise(
+        F.transform(F.col(v_col), lambda x: x / F.col(nrm_col))
+    )
+
+
+def unit_list(vals, nrm):
+    """Python-side twin of :func:`unit_vec` for collected seed rows."""
+    return [x / nrm if nrm else x for x in vals]
+
+
 def dot(a, b):
     """Left-fold dot product over aligned arrays (deterministic order)."""
     return F.aggregate(
@@ -353,18 +369,11 @@ def ivf_train_kmeans(
     """
     c = _with_norm(corpus, id_col, vec_col, "cid", "v")
     seed = c.orderBy("cid").limit(n_centroids).collect()
-    # zero-norm guard (here and below): a zero vector stays the zero
-    # vector instead of dividing — ANSI mode raises DIVIDE_BY_ZERO and
-    # non-ANSI would seed NaN centroids that poison every assignment
     centroids = [
-        (int(r["cid"]), [x / r["v_nrm"] if r["v_nrm"] else x for x in r["v"]])
-        for r in seed
+        (int(r["cid"]), unit_list(r["v"], r["v_nrm"])) for r in seed
     ]
     normed = c.select(
-        "cid",
-        F.when(F.col("v_nrm") == 0.0, F.col("v"))
-        .otherwise(F.transform("v", lambda x: x / F.col("v_nrm")))
-        .alias("v"),
+        "cid", unit_vec("v", "v_nrm").alias("v")
     ).localCheckpoint(eager=False)  # reused every iteration
     for _ in range(n_iter):
         assigned = ivf_assign(normed, centroids, "v", n_probe=1).select(
@@ -457,12 +466,8 @@ def ivf_ann_topk(
         c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
         if centroids is None:
             seed = c.orderBy("match_id").limit(n_centroids).collect()
-            # zero-norm guard: keep the zero vector rather than raising
             centroids = [
-                (
-                    int(r["match_id"]),
-                    [x / r["cv_nrm"] if r["cv_nrm"] else x for x in r["cv"]],
-                )
+                (int(r["match_id"]), unit_list(r["cv"], r["cv_nrm"]))
                 for r in seed
             ]
         c_assigned = ivf_assign(c, centroids, "cv", n_probe=1).select(

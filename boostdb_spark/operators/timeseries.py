@@ -1564,6 +1564,8 @@ def rollup_cascade(
     from functools import reduce
 
     levels = [int(x) for x in levels]
+    if not levels or levels[0] <= 0:
+        raise ValueError("levels must be positive bucket widths in seconds")
     if levels != sorted(levels) or len(set(levels)) != len(levels):
         raise ValueError("levels must be strictly ascending")
     for lv in levels[1:]:

@@ -113,7 +113,17 @@ def export_pages(
     re-run completes only the missing pages — the positional-resume
     semantics of the reference's SaveResultSetPosition/paging machinery
     (executor.go:207-237) with the filesystem as the position store.
-    Returns ``(slices_total, slices_written)``."""
+    Returns ``(slices_total, slices_written)``.
+
+    LIMITATION: resume detection stats the DRIVER-VISIBLE filesystem
+    (``os.path``) for the ``_SUCCESS`` marker, so it only works for
+    ``base`` on a locally-mounted path. On an object store / HDFS, or
+    with success markers disabled
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``), the
+    check is always False and every call degrades to a full re-export
+    — correct output, no resume saving. Route the existence check
+    through the Hadoop FileSystem API before pointing this at a remote
+    store."""
     import os
 
     written = 0

@@ -311,7 +311,11 @@ def scan_paged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(wh, f"suite_pages_{tag}_{app_id}")
     w_ns = (E_NS - S_NS) // 5
     key = (app_id, sf_dir)
-    if not layout_ready(_PAGES_WRITTEN, key, base):
+    # check every PAGE dir, not just base: a partially-deleted layout
+    # (racing GC's non-atomic rmtree, crash mid-delete) must rebuild,
+    # not serve 4/5 pages forever
+    pages_paths = [os.path.join(base, f"slice_id={i}") for i in range(5)]
+    if not layout_ready(_PAGES_WRITTEN, key, *pages_paths):
         gc_stale_layouts(wh, "suite_pages_")
         n, _written = export_pages(ev, base, S_NS, E_NS, w_ns)
         if n != 5:

@@ -228,3 +228,38 @@ def test_snapshot_diff_ops_and_null_safety(spark):
         snapshot_diff(old.drop("v"), new, ["id"], ["v"])
     with _pt.raises(ValueError, match="no payload"):
         snapshot_diff(old.select("id"), new.select("id"), ["id"])
+
+
+def test_snapshot_diff_reserved_names_and_empty_keys(spark):
+    """Keys colliding with output/marker names and empty key lists are
+    rejected loudly instead of silently corrupting output (review
+    finding: keys=['op'] previously emitted two 'op' columns and lost
+    the key data)."""
+    import pytest as _pt
+
+    from boostdb_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame([(1, 1.0)], "op long, v double")
+    new = spark.createDataFrame([(1, 2.0)], "op long, v double")
+    with _pt.raises(ValueError, match="reserved"):
+        snapshot_diff(old, new, ["op"], ["v"])
+    o2 = spark.createDataFrame([(1, 1.0)], "old_v long, v double")
+    with _pt.raises(ValueError, match="reserved"):
+        snapshot_diff(o2, o2, ["old_v"], ["v"])
+    with _pt.raises(ValueError, match="at least one key"):
+        snapshot_diff(old, new, [], ["v"])
+
+
+def test_range_lookup_keyed_rejects_hit_payload(spark):
+    """A dim payload named _hit on the keyed path collides with the
+    match marker (dropped or ambiguous) — rejected up front."""
+    import pytest as _pt
+
+    from boostdb_spark.operators.joins import range_lookup
+
+    fk = spark.createDataFrame([("a", 1, 5.0)], "k string, id long, v double")
+    dk = spark.createDataFrame(
+        [("a", 0.0, 10.0, "x")], "k string, lo double, hi double, _hit string"
+    )
+    with _pt.raises(ValueError, match="reserved"):
+        range_lookup(fk, dk, "v", keys=["k"])

@@ -735,3 +735,15 @@ def test_rollup_cascade_levels_and_validation(spark):
         rollup_cascade(df, (3600, 3600), keys=())
     with _pt.raises(ValueError, match="multiple"):
         rollup_cascade(df, (3600, 5000), keys=())
+
+
+def test_rollup_cascade_rejects_nonpositive_levels(spark):
+    import pytest as _pt
+
+    from boostdb_spark.operators.timeseries import rollup_cascade
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "event_type string, ts long, value double")
+    with _pt.raises(ValueError, match="positive"):
+        rollup_cascade(df, (0, 3600), keys=())
+    with _pt.raises(ValueError, match="positive"):
+        rollup_cascade(df, (-3600, 3600), keys=())
