@@ -144,6 +144,7 @@ _WINDOW: tuple[str, ...] = (
     "scan_snapshot_diff",      # CDC between plain-parquet snapshots
     "dialect_group_expr",      # GROUP BY computed/CASE keys via alias
     "agg_q12_priority_lines",  # Q12 shape: dual conditional counters
+    "pipeline_anomaly",        # decompose -> residual z-score pipeline
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -160,7 +161,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_latest_point", "ts_histogram", "ts_time_weighted_avg",
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
-    "scan_timerange", "join_inner", "dialect_join",
+    "scan_timerange", "join_inner",
     "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
 )
 
@@ -1790,6 +1791,113 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.seasonal_decompose(
         _ns_events(t), period=4, bucket_seconds=21600,
         series_cols=("event_type",),
+    )
+
+
+@_q(
+    "pipeline_anomaly",
+    """
+    WITH e AS (SELECT event_type, epoch_ns(ts) AS t, value FROM events),
+    b AS (
+      SELECT event_type, (t - t % 21600000000000) AS bucket,
+             (t - t % 21600000000000) // 21600000000000 AS bi,
+             floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS value
+      FROM e GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT *, count(*) OVER w AS nf,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+             first(value) OVER w AS fv, last(value) OVER w AS lv
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bi
+                          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+    t2 AS (
+      SELECT event_type, bucket, bi, value,
+             CASE WHEN nf = 5
+                  THEN (s - 0.5 * fv - 0.5 * lv) / 4.0 END AS trend
+      FROM tr),
+    ph AS (
+      SELECT event_type, bi % 4 AS phase,
+             CAST(sum(CAST(floor((value - trend) * 1000000.0 + 0.5)
+                           / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+               / count(value - trend) AS s_raw
+      FROM t2 GROUP BY 1, 2),
+    ctr AS (
+      SELECT event_type,
+             CAST(sum(CAST(floor(s_raw * 1000000.0 + 0.5) / 1000000.0
+                           AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS s_mean
+      FROM ph GROUP BY 1),
+    sfin AS (SELECT ph.event_type, ph.phase, s_raw - s_mean AS seasonal
+             FROM ph JOIN ctr USING (event_type)),
+    d AS (
+      SELECT t2.event_type, t2.bucket, t2.value,
+             t2.value - t2.trend - s.seasonal AS residual
+      FROM t2 JOIN sfin s
+        ON t2.event_type = s.event_type AND t2.bi % 4 = s.phase),
+    q AS (
+      SELECT event_type, bucket, value,
+             CASE WHEN residual IS NOT NULL
+                  THEN floor(residual * 1000000.0 + 0.5) END AS qr
+      FROM d),
+    st AS (
+      SELECT event_type, count(qr) AS n,
+             CAST(sum(CAST(qr AS DECIMAL(18,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(qr AS DECIMAL(18,0)) * CAST(qr AS DECIMAL(18,0)))
+                  AS DOUBLE) AS s2
+      FROM q GROUP BY 1),
+    zc AS (
+      SELECT q.event_type, q.bucket, q.value,
+             CASE WHEN sqrt(s2 / n - (s / n) * (s / n)) > 0
+                       AND qr IS NOT NULL
+                  THEN (qr - s / n) / sqrt(s2 / n - (s / n) * (s / n))
+             END AS zraw
+      FROM q JOIN st USING (event_type))
+    SELECT event_type, bucket, value,
+           floor(zraw * 1000000.0 + 0.5) / 1000000.0 AS z,
+           abs(floor(zraw * 1000000.0 + 0.5) / 1000000.0) > 2.5 AS anomaly
+    FROM zc
+    """,
+)
+def pipeline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring anomaly pipeline END TO END in one certified
+    plan: seasonal_decompose strips trend + daily seasonal from each
+    series' 6h means, then each residual is z-scored against its own
+    series' residual distribution and flagged at |z| > 2.5 — anomalies
+    relative to the seasonal baseline, not the raw level (a nightly
+    dip is normal; the same value at noon is not). The residual
+    moments run on the 1e-6 quantized integer grid with DECIMAL sums
+    (qr^2 reaches ~1e16 — a double sum would lose integer exactness
+    past 2^53), the variance/sqrt/z tree is the identical IEEE
+    expression in both engines, and edge buckets without a trend stay
+    NULL through the whole chain. Composition cost: one extra
+    broadcast of the |series|-row moment table on top of the decompose
+    plan."""
+    t = load_tables(spark, sf_dir)
+    dec = ts_ops.seasonal_decompose(
+        _ns_events(t), period=4, bucket_seconds=21600,
+        series_cols=("event_type",),
+    )
+    qr = F.when(
+        F.col("residual").isNotNull(),
+        F.floor(F.col("residual") * F.lit(1000000.0) + F.lit(0.5)),
+    )
+    qd = dec.select("event_type", "bucket", "value", qr.alias("qr"))
+    qdec = F.col("qr").cast("decimal(18,0)")
+    st = qd.groupBy("event_type").agg(
+        F.count("qr").alias("n"),
+        F.sum(qdec).cast("double").alias("s"),
+        F.sum(qdec * qdec).cast("double").alias("s2"),
+    )
+    j = qd.join(F.broadcast(st), "event_type")
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    zraw = F.when(
+        (sd > 0) & F.col("qr").isNotNull(), (F.col("qr") - mean) / sd
+    )
+    z = F.floor(zraw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return j.select(
+        "event_type", "bucket", "value",
+        z.alias("z"), (F.abs(z) > F.lit(2.5)).alias("anomaly"),
     )
 
 
