@@ -669,6 +669,23 @@ def touch_layout(path: str) -> None:
         pass
 
 
+def session_tmpdir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that self-cleans at interpreter exit.
+    Suite entries create landing dirs / checkpoints / rollup tables as
+    temp dirs; without this they accumulate across bench and test runs
+    on a long-lived machine (~1200 dirs after one build day, enough to
+    drift bench wall measurably). atexit instead of eager deletion
+    because the dirs are cached per (app, SF) and reused for the whole
+    session."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def layout_ready(written: set, key, *paths: str) -> bool:
     """True iff this session already wrote the layout under ``key``
     AND every backing dir still exists on disk. Guarding write-once
@@ -3852,7 +3869,7 @@ def _events_landing(spark: SparkSession, sf_dir: str) -> str:
     ev = ev.select("event_type", F.col("ts").cast("timestamp"), "value")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STREAM_LANDING:
-        landing = tempfile.mkdtemp(prefix="boost_suite_stream_")
+        landing = session_tmpdir(prefix="boost_suite_stream_")
         ev.repartition(4).write.mode("overwrite").parquet(landing)
         _STREAM_LANDING[key] = landing
     return _STREAM_LANDING[key]
@@ -3907,7 +3924,7 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
         )
         .trigger(availableNow=True)
         .start()
@@ -3983,7 +4000,7 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 2)
             .parquet(landing)
         )
-        rollup = tempfile.mkdtemp(prefix=f"boost_rollup_{variant}_")
+        rollup = session_tmpdir(prefix=f"boost_rollup_{variant}_")
         try:
             # state partitions pin to shuffle.partitions at the FIRST
             # checkpoint and every micro-batch commits every state
@@ -3994,7 +4011,7 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = runner(
                 src, os.path.join(rollup, "t"),
                 checkpoint=os.path.join(
-                    tempfile.mkdtemp(prefix="boost_ckpt_"), "c"
+                    session_tmpdir(prefix="boost_ckpt_"), "c"
                 ),
                 duration="1 day", keys=["event_type"], aggs=aggs,
                 watermark="3650 days",  # never finalize: stays updatable
@@ -4058,7 +4075,7 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = t["events"].select(
             F.col("event_type").alias("series"), "ts", "value", "user_id"
         )
-        landing = tempfile.mkdtemp(prefix="boost_suite_singest_")
+        landing = session_tmpdir(prefix="boost_suite_singest_")
         src.repartition(4).write.mode("overwrite").parquet(landing)
         sdf = (
             spark.readStream.schema(spark.read.parquet(landing).schema)
@@ -4068,7 +4085,7 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_write(
             fam, sdf,
             checkpoint=os.path.join(
-                tempfile.mkdtemp(prefix="boost_ckpt_"), "c"
+                session_tmpdir(prefix="boost_ckpt_"), "c"
             ),
         )
         q.awaitTermination()
@@ -4134,7 +4151,7 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(t, array(0.33, 0.66))").alias("q")
         ).collect()[0]["q"]
         lo, hi = int(qs[0]), int(qs[1])
-        landing = tempfile.mkdtemp(prefix="boost_suite_ssess_")
+        landing = session_tmpdir(prefix="boost_suite_ssess_")
         us = F.unix_micros(F.col("ts"))
         parts = [
             src.filter(us <= lo),
@@ -4165,7 +4182,7 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
         )
         .trigger(availableNow=True)
         .start()
@@ -4219,7 +4236,7 @@ def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(t, array(0.33, 0.66))").alias("q")
         ).collect()[0]["q"]
         lo, hi = int(qs[0]), int(qs[1])
-        landing = tempfile.mkdtemp(prefix="boost_suite_sslide_")
+        landing = session_tmpdir(prefix="boost_suite_sslide_")
         us = F.unix_micros(F.col("ts"))
         parts = [
             src.filter(us <= lo),
@@ -4250,7 +4267,7 @@ def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
         )
         .trigger(availableNow=True)
         .start()
@@ -4310,7 +4327,7 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(t, array(0.33, 0.66))").alias("q")
         ).collect()[0]["q"]
         lo, hi = int(qs[0]), int(qs[1])
-        landing = tempfile.mkdtemp(prefix="boost_suite_ssjoin_")
+        landing = session_tmpdir(prefix="boost_suite_ssjoin_")
         us = F.unix_micros(F.col("ts"))
         parts = [
             src0.filter(us <= lo),
@@ -4354,7 +4371,7 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
         )
         .trigger(availableNow=True)
         .start()
@@ -4390,7 +4407,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, "dedup")
     if key not in _STREAM_LANDING:
-        landing = tempfile.mkdtemp(prefix="boost_suite_sdedup_")
+        landing = session_tmpdir(prefix="boost_suite_sdedup_")
         ev.union(ev).repartition(4).write.mode("overwrite").parquet(landing)
         _STREAM_LANDING[key] = landing
     landing = _STREAM_LANDING[key]
@@ -4408,7 +4425,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
         )
         .trigger(availableNow=True)
         .start()
@@ -4463,7 +4480,7 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(t, array(0.33, 0.66))").alias("q")
         ).collect()[0]["q"]
         lo, hi = int(qs[0]), int(qs[1])
-        landing = tempfile.mkdtemp(prefix="boost_suite_sewma_")
+        landing = session_tmpdir(prefix="boost_suite_sewma_")
         us = F.unix_micros(F.col("ts"))
         parts = [
             src.filter(us <= lo),
@@ -4493,7 +4510,7 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("update")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="boost_ckpt_"), "c"),
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
         )
         .trigger(availableNow=True)
         .start()
