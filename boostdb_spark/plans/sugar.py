@@ -18,6 +18,20 @@ The reference parses its dialect with the TiDB parser into ``QueryOps``
            with a correlated equality decorrelates to a semi/anti join>]
     [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
 
+CASE expressions (both SQL forms) are operands anywhere an expression
+is accepted — SELECT projections, WHERE predicates, aggregate/window
+arguments (``sum(CASE WHEN ... THEN ... END)`` is the
+conditional-aggregation idiom):
+
+    CASE WHEN <bool> THEN <expr> [WHEN ...]* [ELSE <expr>] END
+    CASE <expr> WHEN <val> THEN <expr> [...]  [ELSE <expr>] END
+
+GROUP BY accepts plain sugared refs AND the alias of a computed
+select item (``SELECT floor(x/50) AS bin ... GROUP BY bin`` — the
+derived-bucket aggregation; the expression materializes as an
+internal column before the groupBy so an alias that shadows a
+physical column cannot corrupt other aggregates).
+
 Scalar functions (whitelisted, usable in SELECT expressions, WHERE,
 and aggregate/window arguments; a function name followed by ``(``
 wins over a same-named series):
