@@ -22,6 +22,16 @@ Numeric-determinism rules used throughout (so hashes match bit-for-bit):
   rounded (2 places); its FP noise is far below the rounding step.
 - Timestamps never cross the boundary raw: the ns-native ``events.ts``
   (INT64 under nanosAsLong) is matched with DuckDB ``epoch_ns(ts)``.
+- DuckDB ``sum(INTEGER)`` is INT128 while Spark's is LONG -> wrap the
+  oracle side in ``CAST(... AS BIGINT)`` (conditional-count idiom).
+- Squares of quantized integers can exceed 2^53 (a 1e-6-grid residual
+  of ~300 squares to ~9e16): sum them as
+  ``CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))`` — exact in
+  both engines — and cast the final sum to DOUBLE (pipeline_anomaly).
+- ``floor()`` returns LONG in Spark and DOUBLE in DuckDB: safe inside
+  further arithmetic (long/double coerces) and as a DECIMAL cast
+  input, but never emit a bare floor() as an output column without a
+  shared cast.
 
 Query set mirrors SURVEY.md section 2: the reference's IMPL surface
 (scan/project/where, section 2.1-2.2), its declared-but-stub surface
