@@ -155,6 +155,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_group_expr",      # GROUP BY computed/CASE keys via alias
     "agg_q12_priority_lines",  # Q12 shape: dual conditional counters
     "pipeline_anomaly",        # decompose -> residual z-score pipeline
+    "stream_cascade_parity",   # streamed partials -> derived coarse level
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -172,7 +173,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange", "join_inner",
-    "dedup_minhash_lsh", "txt_quality", "doc_pack_tokens",
+    "dedup_minhash_lsh", "txt_quality",
 )
 
 
@@ -3945,6 +3946,94 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("win_start")).alias("win_start_us"),
         "event_type", "n", "vmin", "vmax",
     )
+
+
+@_q(
+    "stream_cascade_parity",
+    """
+    SELECT 21600 AS level_s,
+           epoch_us(time_bucket(INTERVAL 6 HOUR, ts)) AS win_start_us,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 86400, epoch_us(time_bucket(INTERVAL 1 DAY, ts)), event_type,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def stream_cascade_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED partials as rollup-cascade inputs, hash-certified: the
+    6h level is maintained by Structured Streaming (multi-batch
+    availableNow drain, complete-mode state accumulation — the
+    continuous-aggregate half) and the 1d level is DERIVED from the
+    streamed table by partial re-aggregation (sum of counts / sum of
+    decimal sums — the hierarchy half, rollup_cascade's rule). The
+    oracle computes BOTH levels directly from raw rows, so the hash
+    certifies the full composition: a non-cumulative streaming
+    emission, a dropped group in the drain, or a coarse bucket
+    misalignment in the derivation all flip it. This is the
+    TimescaleDB continuous-aggregate-with-hierarchy shape: raw rows
+    are touched once by the stream; every coarser resolution costs
+    O(fine cardinality)."""
+    import os
+    import tempfile
+
+    from boostdb_spark.streaming.windows import tumbling_agg
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cascade")
+    landing = _events_landing(spark, sf_dir)
+    schema = spark.read.parquet(landing).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+    )
+    agg = tumbling_agg(
+        src, "6 hours", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        ],
+    )
+    sink = f"stream_cascade_{abs(hash(key)) % 10**9}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fine = spark.table(sink).select(
+        F.unix_micros(F.col("win_start")).alias("win_start_us"),
+        "event_type", "n", "total",
+    )
+    fine = fine.localCheckpoint(eager=False)  # feeds both levels
+    day_us = 86400 * 10**6
+    coarse = (
+        fine.withColumn(
+            "win_start_us",
+            F.col("win_start_us") - F.col("win_start_us") % F.lit(day_us),
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    out = fine.select(
+        F.lit(21600).alias("level_s"), "win_start_us", "event_type",
+        "n", "total",
+    ).unionByName(
+        coarse.select(
+            F.lit(86400).alias("level_s"), "win_start_us", "event_type",
+            "n", "total",
+        )
+    )
+    return out.withColumn("total", F.col("total").cast("double"))
 
 
 @_q(
