@@ -156,6 +156,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_q12_priority_lines",  # Q12 shape: dual conditional counters
     "pipeline_anomaly",        # decompose -> residual z-score pipeline
     "stream_cascade_parity",   # streamed partials -> derived coarse level
+    "agg_hll_merge_cascade",   # HLL sketch-merge associativity + bound
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -173,7 +174,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange", "join_inner",
-    "dedup_minhash_lsh", "txt_quality",
+    "dedup_minhash_lsh",
 )
 
 
@@ -2957,6 +2958,59 @@ def ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return ts_ops.mad_over_time(
         _ns_events(t), bucket_seconds=21600, series_cols=("event_type",)
+    )
+
+
+@_q(
+    "agg_hll_merge_cascade",
+    """
+    WITH e AS (SELECT epoch_ns(ts) AS t, event_type, user_id FROM events)
+    SELECT (t - t % 86400000000000) // 1000 AS day_us, event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nu,
+           true AS merged_equals_direct, true AS within_bound
+    FROM e GROUP BY 1, 2
+    """,
+)
+def agg_hll_merge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH MERGEABILITY under the hash gate — the distinct-count
+    cascade. count(DISTINCT) does not decompose (a rollup hierarchy
+    cannot sum per-6h distinct users into per-day), which is exactly
+    why 100 TB pipelines materialize MERGEABLE sketches instead: HLL
+    union is a register-wise max, so union(6h sketches) is the SAME
+    sketch as one built over the whole day. This entry builds Apache
+    DataSketches HLLs (F.hll_sketch_agg, lgK=14) per (6h, series),
+    merges them to per-day (F.hll_union_agg), and certifies two
+    booleans per (day, series): the merged estimate EQUALS the
+    direct-over-raw day estimate (associativity — bit-exact, not
+    approximate), and the estimate sits within 3 standard errors
+    (~2.5% at lgK=14) of the in-query exact distinct. The exact count
+    hashes alongside. A sketch that lost registers in the merge, a
+    mis-bucketed row, or accuracy drift all flip the hash; the
+    estimate itself stays out of the hash (engine-specific), the r4
+    sketch-certification pattern."""
+    t = load_tables(spark, sf_dir)
+    ev = _ns_events(t)
+    day = F.expr(f"(ts - ts % {86400 * 10**9}) div 1000").alias("day_us")
+    h6 = F.expr(f"ts - ts % {21600 * 10**9}").alias("h6")
+    base = ev.select(day, h6, "event_type", "user_id")
+    fine = base.groupBy("day_us", "h6", "event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = fine.groupBy("day_us", "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m")
+    )
+    direct = base.groupBy("day_us", "event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("est_d"),
+        F.countDistinct("user_id").alias("exact_nu"),
+    )
+    j = merged.join(direct, ["day_us", "event_type"])
+    err = F.abs(F.col("est_m") - F.col("exact_nu")) / F.col("exact_nu")
+    return j.select(
+        "day_us", "event_type", "exact_nu",
+        (F.col("est_m") == F.col("est_d")).alias("merged_equals_direct"),
+        (err <= F.lit(0.025)).alias("within_bound"),
     )
 
 
