@@ -173,7 +173,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_latest_point", "ts_histogram", "ts_time_weighted_avg",
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
-    "scan_timerange", "join_inner",
+    "scan_timerange",
     "dedup_minhash_lsh",
 )
 
