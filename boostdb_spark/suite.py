@@ -174,7 +174,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
     "scan_timerange",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh", "txt_quality",
 )
 
 
