@@ -1598,3 +1598,100 @@ def rollup_cascade(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def pattern_topk(
+    df: DataFrame,
+    pattern: Sequence[float],
+    bucket_seconds: int,
+    k: int,
+    series_cols: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-series SIMILARITY SEARCH: the top-k windows (across every
+    series) most similar to a query pattern, under z-normalized
+    Euclidean distance — the "find more shaped like this" primitive of
+    the distributed-data-series-search literature (Odyssey VLDB'23 /
+    EDBT'19 streaming-similarity line; matrix-profile methods serve
+    the all-pairs/long-series regime this deliberately does not).
+
+    Shape: raw rows collapse to per-(series, bucket) exact decimal
+    means (one shuffle, partial-agg); each series' bucket vector is
+    assembled ONCE (sort_array(collect_list(struct))) — bounded by
+    retention/bucket width, the short-pattern regime — then every
+    window start explodes BESIDE the kept vector (one scan, one agg —
+    no self-join), F.slice cuts the m-length window, and
+    z-normalization + the distance fold run as index-ordered HOF
+    expressions (identical IEEE trees in DuckDB, so the top-k cut is
+    engine-exact). Flat windows (zero variance) carry no shape and are
+    excluded, as is a flat pattern (rejected). Global top-k is a
+    TakeOrdered on the quantized distance with (series, start)
+    tie-breaks — no global sort materialization.
+
+    Returns ``(*series_cols, start_bucket, dist)`` with ``dist`` on
+    the 1e-6 grid, exactly ``k`` rows (fewer if the corpus has fewer
+    candidate windows)."""
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    pat_mean = sum(pattern) / m
+    pat_var = sum(x * x for x in pattern) / m - pat_mean * pat_mean
+    if not pat_var > 0:
+        raise ValueError("pattern is flat (zero variance) — no shape to match")
+    pat_sd = pat_var ** 0.5
+    zp = [(x - pat_mean) / pat_sd for x in pattern]
+    series_cols = list(series_cols)
+    b = bucket_agg(
+        df, bucket_seconds, series_cols,
+        [
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m_val")
+        ],
+        ts_col=ts_col,
+    )
+    arr = b.groupBy(*series_cols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "m_val"))).alias("pts")
+    )
+    n_starts = F.size("pts") - F.lit(m - 1)
+    win = (
+        arr.filter(n_starts > 0)
+        .select(
+            *series_cols,
+            "pts",
+            F.explode(F.sequence(F.lit(1), n_starts)).alias("start_i"),
+        )
+        .select(
+            *series_cols,
+            F.element_at("pts", F.col("start_i")).getField("bucket").alias(
+                "start_bucket"
+            ),
+            F.transform(
+                F.slice("pts", F.col("start_i"), m), lambda s: s.getField("m_val")
+            ).alias("w"),
+        )
+    )
+    s1 = F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate("w", F.lit(0.0), lambda a, x: a + x * x)
+    mean = (s1 / F.lit(float(m))).alias("mu")
+    win = win.withColumn("mu", mean).withColumn(
+        "sd",
+        F.sqrt(s2 / F.lit(float(m)) - F.col("mu") * F.col("mu")),
+    )
+    zw = F.transform("w", lambda x: (x - F.col("mu")) / F.col("sd"))
+    zpat = F.array(*[F.lit(float(x)) for x in zp])
+    dist = F.aggregate(
+        F.zip_with(zw, zpat, lambda a, p: (a - p) * (a - p)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        win.filter(F.col("sd") > 0)
+        .withColumn("dist", _q6(dist))
+        .select(*series_cols, "start_bucket", "dist")
+        .orderBy(F.col("dist").asc(), *series_cols, F.col("start_bucket").asc())
+        .limit(k)
+    )
+    return out

@@ -157,6 +157,7 @@ _WINDOW: tuple[str, ...] = (
     "pipeline_anomaly",        # decompose -> residual z-score pipeline
     "stream_cascade_parity",   # streamed partials -> derived coarse level
     "agg_hll_merge_cascade",   # HLL sketch-merge associativity + bound
+    "ts_pattern_topk",         # pattern similarity search (z-norm top-k)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -169,7 +170,7 @@ _WINDOW: tuple[str, ...] = (
     "setop_except", "window_delta", "window_rate",
     "window_topk_per_group", "resample_first_last", "gapfill_locf",
     "gapfill_interp", "asof_join_backward", "join_full_outer",
-    "asof_join_forward", "window_counter_increase", "ts_zscore_anomaly",
+    "asof_join_forward", "ts_zscore_anomaly",
     "ts_latest_point", "ts_histogram", "ts_time_weighted_avg",
     "ts_series_correlation", "udf_vectorized", "ts_ewma",
     # --- re-certification: last driver-green in ROUND 2 ---
@@ -1927,6 +1928,80 @@ def pipeline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type", "bucket", "value",
         z.alias("z"), (F.abs(z) > F.lit(2.5)).alias("anomaly"),
+    )
+
+
+#: query pattern for ts_pattern_topk — a V-shape recovery; z-normalized
+#: ONCE here in python and the identical literals inlined into BOTH the
+#: Spark plan and the oracle SQL (pattern_topk recomputes the same zp
+#: from the raw pattern with the same float ops)
+_PAT = [3.0, 1.0, 0.0, 1.0, 3.0, 5.0]
+_PAT_M = len(_PAT)
+
+
+def _pattern_oracle_sql() -> str:
+    """Explicit-fold oracle for ts_pattern_topk: window moments and the
+    distance are written as the SAME left-to-right parenthesized chains
+    Spark's F.aggregate produces (init 0.0, index order), so every
+    float op matches bit-for-bit."""
+    m = _PAT_M
+    mu0 = sum(_PAT) / m
+    sd0 = (sum(x * x for x in _PAT) / m - mu0 * mu0) ** 0.5
+    zp = [(x - mu0) / sd0 for x in _PAT]
+    w = [f"vs[start + {i}]" for i in range(m)]
+    chain = "0.0"
+    for t in w:
+        chain = f"({chain} + {t})"
+    s1 = chain
+    chain = "0.0"
+    for t in w:
+        chain = f"({chain} + {t} * {t})"
+    s2 = chain
+    mu = f"({s1} / {float(m)!r})"
+    sd = f"sqrt({s2} / {float(m)!r} - {mu} * {mu})"
+    chain = "0.0"
+    for i, t in enumerate(w):
+        z = f"(({t} - {mu}) / {sd})"
+        chain = f"({chain} + ({z} - {zp[i]!r}) * ({z} - {zp[i]!r}))"
+    dist = f"floor({chain} * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS m_val
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type, list(m_val ORDER BY bucket) AS vs,
+             list(bucket ORDER BY bucket) AS bs
+      FROM b GROUP BY 1),
+    st AS (
+      SELECT event_type, vs, bs,
+             unnest(range(1, len(vs) - {m} + 2)) AS start
+      FROM arr WHERE len(vs) >= {m})
+    SELECT event_type, bs[start] AS start_bucket, {dist} AS dist
+    FROM st WHERE {sd} > 0
+    ORDER BY dist ASC, event_type ASC, start_bucket ASC LIMIT 20
+    """
+
+
+@_q("ts_pattern_topk", _pattern_oracle_sql())
+def ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SIMILARITY SEARCH (operators/timeseries.py
+    pattern_topk): the 20 windows across all series most similar to a
+    V-shaped query pattern under z-normalized Euclidean distance — the
+    "find more shaped like this" primitive of the distributed
+    data-series-search literature (Odyssey VLDB'23 lineage). Raw rows
+    collapse to per-series 6h decimal means once; per-series vectors
+    are bounded by retention (the short-pattern regime — matrix
+    profile serves the all-pairs case); every window start explodes
+    into a z-normalized HOF fold whose float tree the oracle writes
+    out term by term, so the global top-k cut (TakeOrdered on the
+    quantized distance with full tie-breaks) is engine-exact."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.pattern_topk(
+        _ns_events(t), _PAT, bucket_seconds=21600, k=20,
+        series_cols=("event_type",),
     )
 
 

@@ -747,3 +747,30 @@ def test_rollup_cascade_rejects_nonpositive_levels(spark):
         rollup_cascade(df, (0, 3600), keys=())
     with _pt.raises(ValueError, match="positive"):
         rollup_cascade(df, (-3600, 3600), keys=())
+
+
+def test_pattern_topk_finds_planted_occurrence(spark):
+    """z-normalized distance is affine-invariant: a scaled+shifted copy
+    of the pattern is an exact (dist==0) match; flat series contribute
+    no candidate windows."""
+    import pytest as _pt
+
+    NS = 1_000_000_000
+    pat = [1.0, 3.0, 2.0, 5.0]
+    vals = [0.0, 1.0, 0.0] + [10 + 2 * x for x in pat] + [0.0, 7.0, 0.0]
+    rows = [("s1", i * 60 * NS, v) for i, v in enumerate(vals)]
+    # an entirely flat series: every window has sd==0 -> excluded
+    rows += [("flat", i * 60 * NS, 4.0) for i in range(len(vals))]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = ts_ops.pattern_topk(
+        df, pat, bucket_seconds=60, k=3, series_cols=("series",)
+    ).collect()
+    assert len(out) == 3
+    assert out[0].series == "s1"
+    assert out[0].start_bucket == 3 * 60 * NS
+    assert out[0].dist == 0.0
+    assert all(r.series == "s1" for r in out)  # flat series never surfaces
+    with _pt.raises(ValueError, match="flat"):
+        ts_ops.pattern_topk(df, [2.0, 2.0, 2.0], 60, 3, ("series",))
+    with _pt.raises(ValueError, match="at least 2"):
+        ts_ops.pattern_topk(df, [1.0], 60, 3, ("series",))
