@@ -59,6 +59,7 @@ WARMUP = [
     "dedup_incremental",        # corpus dedup-index materialization
     "ann_ivf_topk",             # k-means training + inverted-file write
     "ann_pq_topk",              # PQ codebook training + code-table write
+    "ann_append_certified",     # append-maintenance layout build
     "scan_paged_export",        # per-slice page-directory export
 ]
 
@@ -293,22 +294,39 @@ def main() -> None:
     times.update(stream_times)
 
     total = round(sum(times.values()), 3)
-    # headline fields LAST: the driver records only the tail of the
-    # output, so the summary must survive front-truncation of this line
-    print(
-        json.dumps(
-            {
-                "queries": times,
-                "stream_detail": stream_detail,
-                "warmup_amortized": [] if stream_only else WARMUP,
-                "metric": "suite_wall_seconds",
-                "unit": "sec",
-                "n_queries": len(times),
-                "value": total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The driver records only the LAST ~2000 chars of this line, so the
+    # record is ordered to survive front-truncation: the big per-entry
+    # map goes first and the self-explaining summary goes last — the 20
+    # slowest entries (`top20`, the hotspot digest that made the r6
+    # 41% wall jump unattributable when it lived only in the truncated
+    # head), then total/sf. The COMPLETE per-entry record is also
+    # written to $SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL.json,
+    # committed per round as BENCH_LOCAL_r{N}.json) so any driver round
+    # can be diffed per-entry against a same-code local run.
+    top20 = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
+    record = {
+        "queries": times,
+        "stream_detail": stream_detail,
+        "warmup_amortized": [] if stream_only else WARMUP,
+        "metric": "suite_wall_seconds",
+        "unit": "sec",
+        "n_queries": len(times),
+        "top20": top20,
+        "value": total,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", str(_REPO / "BENCH_LOCAL.json")
+    )
+    try:
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: the stdout line stands
+        print(f"  local record not written: {exc}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

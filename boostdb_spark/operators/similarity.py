@@ -141,6 +141,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
+    max_pairs: float = 1e10,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, id_a < id_b — embedding
     near-duplicate detection. Exact all-pairs semantics (correctness
@@ -161,9 +162,32 @@ def cosine_neardup_pairs(
     the SQL left fold (and symmetric: x_i*y_i == y_i*x_i), so the
     threshold cut matches the oracle exactly regardless of which side
     of a block pair a row lands on.
+
+    ``max_pairs`` is the PAIR BUDGET: exact all-pairs is O(N^2) and can
+    never finish on a web-scale corpus, so inputs whose estimated
+    candidate count N*(N-1)/2 exceeds the budget are REFUSED loudly
+    (same contract as the media codecs' NotImplementedError refusals)
+    with a pointer at the scale paths — dedup_minhash_lsh /
+    semantic_dedup / lsh_ann_topk. The default 1e10 (~140k rows) is a
+    few minutes of numpy matmul across a 32-way local run; raise it
+    explicitly when a bigger exactness baseline is genuinely wanted.
+    The estimate is a ``limit(n_cap+1)`` probe — a narrow early-stop
+    scan, not a full count.
     """
     import numpy as np
 
+    n_cap = int((2.0 * max_pairs) ** 0.5) + 1
+    probe = df.select(F.lit(1)).limit(n_cap + 1).count()
+    if probe > n_cap:
+        est = probe * (probe - 1) / 2
+        raise ValueError(
+            f"cosine_neardup_pairs: input has >{n_cap} rows (>= {est:.2g} "
+            f"candidate pairs, budget max_pairs={max_pairs:.2g}) — exact "
+            "all-pairs cosine is the O(N^2) correctness baseline, not a "
+            "scale path. Use dedup_minhash_lsh / semantic_dedup / "
+            "lsh_ann_topk for large corpora, or raise max_pairs "
+            "explicitly to insist."
+        )
     src = _spread(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -180,11 +204,18 @@ def cosine_neardup_pairs(
         "id",
         "v",
     )
+    # the right side re-ALIASES id/v (fresh expression ids): both sides
+    # derive from the same src plan, and with shared expr ids Spark's
+    # column pruner satisfies the right side's references against the
+    # left's attributes and prunes the right projection down to the
+    # grouping keys whenever downstream needs no output columns (e.g.
+    # .count()) — the UDF would then receive right batches without the
+    # vector column
     right = src.select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("p"),
         F.col("blk").alias("q"),
-        "id",
-        "v",
+        F.col("id").alias("rid"),
+        F.col("v").alias("rv"),
     )
     id_type = dict(src.dtypes)["id"]
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
@@ -194,9 +225,9 @@ def cosine_neardup_pairs(
         if len(lpdf) == 0 or len(rpdf) == 0:
             return empty
         X = np.stack(lpdf["v"].values)
-        Y = np.stack(rpdf["v"].values)
+        Y = np.stack(rpdf["rv"].values)
         ida = lpdf["id"].to_numpy()
-        idb = rpdf["id"].to_numpy()
+        idb = rpdf["rid"].to_numpy()
         S = np.zeros((len(X), len(Y)))
         na = np.zeros(len(X))
         nb = np.zeros(len(Y))
@@ -423,6 +454,58 @@ def ivf_build_index(
     return ivf_assign(c, centroids, "cv", n_probe=1).select(
         "match_id", "cv", "cv_nrm", F.element_at("list_id", 1).alias("list_id")
     )
+
+
+def ivf_append_index(
+    new_corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL inverted-file maintenance: assign ONLY the new
+    vectors to the PERSISTED coarse quantizer — no retrain, no corpus
+    rescan. Same output schema as :func:`ivf_build_index`; append the
+    result to the stored inverted file (``.write.mode("append")``) and
+    probes immediately retrieve the new ids. Assignment is the same
+    deterministic tie-broken pass as the full build, so
+    append-then-read-back equals rebuild-from-scratch over the same
+    centroids row for row — the invariant the ``ann_append_certified``
+    suite entry pins. A 100-TB vector store is append-heavy; this is
+    the path that makes corpus growth O(new), with
+    :func:`ivf_centroid_drift` as the retrain trigger."""
+    return ivf_build_index(new_corpus, centroids, id_col, vec_col)
+
+
+def ivf_centroid_drift(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector angular distance to its assigned coarse centroid —
+    ``(id, list_id, dist)`` with ``dist = 1 - cos(v, centroid)`` on
+    the 1e-6 grid (quantized so per-set DECIMAL-sum means are
+    partition-invariant). The quantizer-fit statistic for incremental
+    maintenance: compare mean(dist) over newly appended vectors to
+    mean(dist) over the training corpus — a rising ratio says the
+    persisted quantizer no longer fits incoming data and a retrain
+    should be scheduled (the classic IVF index-maintenance signal).
+    One vectorized assignment pass + a broadcast join against the tiny
+    centroid table; no shuffle beyond the caller's aggregation."""
+    c = _with_norm(df, id_col, vec_col, "id", "v")
+    u = c.select("id", unit_vec("v", "v_nrm").alias("v"))
+    a = ivf_assign(u, centroids, "v", n_probe=1).select(
+        "id", "v", F.element_at("list_id", 1).alias("list_id")
+    )
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "list_id long, cvec array<double>",
+    )
+    j = a.join(F.broadcast(cent), "list_id")
+    dist = F.lit(1.0) - fold_dot(F.col("v"), F.col("cvec"))
+    d6 = F.floor(dist * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return j.select("id", "list_id", d6.alias("dist"))
 
 
 def ivf_ann_topk(

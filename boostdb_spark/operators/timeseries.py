@@ -1676,9 +1676,19 @@ def pattern_topk(
     s1 = F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
     s2 = F.aggregate("w", F.lit(0.0), lambda a, x: a + x * x)
     mean = (s1 / F.lit(float(m))).alias("mu")
+    # clamp the fold variance at 0 before sqrt: for numerically-flat
+    # windows s2/m - mu*mu underflows to a tiny NEGATIVE (e.g. c=0.23,
+    # m=5 gives -1.4e-17), sqrt(neg) = NaN, and Spark evaluates
+    # NaN > 0 as TRUE — the sd > 0 filter below would admit a shapeless
+    # window whose quantized distance floors to 0.0 and ranks FIRST.
+    # Clamped, flat windows get sd == 0.0 exactly and are excluded.
     win = win.withColumn("mu", mean).withColumn(
         "sd",
-        F.sqrt(s2 / F.lit(float(m)) - F.col("mu") * F.col("mu")),
+        F.sqrt(
+            F.greatest(
+                s2 / F.lit(float(m)) - F.col("mu") * F.col("mu"), F.lit(0.0)
+            )
+        ),
     )
     zw = F.transform("w", lambda x: (x - F.col("mu")) / F.col("sd"))
     zpat = F.array(*[F.lit(float(x)) for x in zp])

@@ -114,7 +114,7 @@ _KEYWORDS = {
     "partition", "left", "outer", "union", "intersect", "except", "all",
     "rows", "unbounded", "preceding", "following", "current", "row",
     "offset", "distinct", "rollup", "cube", "exists",
-    "case", "when", "then", "else", "end",
+    "case", "when", "then", "else", "end", "with", "right", "full",
 }
 
 
@@ -200,10 +200,10 @@ class JoinClause:
     drops on the floor (joinparser.go:84-201 parses it; AddJoinOp at
     query/base/queryops.go:60-66 has an empty body). Here it plans."""
 
-    domain: str
+    domain: str  # "" = WITH-clause (CTE) reference
     family: str
     alias: str | None
-    kind: str  # 'inner' | 'left' | 'cross'
+    kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
     on: tuple[FieldRef, FieldRef] | None  # equi pair, None for cross
 
 
@@ -230,6 +230,12 @@ class BoostQuery:
     #: | 'intersect' | 'except' — the set-operation completion of the
     #: declared query surface (the reference's SQL front has none)
     set_ops: list[tuple[str, "BoostQuery"]] = field(default_factory=list)
+    #: WITH-clause named subqueries, in declaration order; a later CTE
+    #: body (and the main query) may reference earlier names as plain
+    #: (unqualified) FROM/JOIN sources. The reference's TiDB parser
+    #: accepts CTEs before dropping the statement on the floor
+    #: (query/parser/parser.go:25-45); here they plan.
+    ctes: list[tuple[str, "BoostQuery"]] = field(default_factory=list)
 
 
 class _Parser:
@@ -265,14 +271,38 @@ class _Parser:
     def peek2(self):
         return self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
 
-    # query := core {(UNION [ALL] | INTERSECT | EXCEPT) core}
+    # query := [WITH name AS ( query ) {, name AS ( query )}]
+    #          core {(UNION [ALL] | INTERSECT | EXCEPT) core}
     #          [ORDER BY ...] [LIMIT n]
     # core  := SELECT fields FROM name [alias] [JOIN ...] [WHERE expr]
     #          [GROUP BY ...] [HAVING expr]
     # ``sub=True`` parses a parenthesized subquery body: the caller owns
-    # the closing ')' and the eof check is skipped.
+    # the closing ')' and the eof check is skipped. WITH attaches only
+    # to the top-level statement (no nested WITH inside CTE bodies or
+    # subqueries — same single-level shape most engines had before
+    # recursive CTEs).
     def parse_query(self, sub: bool = False) -> BoostQuery:
+        ctes: list[tuple[str, BoostQuery]] = []
+        if not sub and self.accept_kw("with"):
+            while True:
+                kind, name = self.next()
+                if kind != "name" or "." in name:
+                    raise ValueError(
+                        f"WITH requires a plain (unqualified) name, got {name!r}"
+                    )
+                if any(name == n for n, _ in ctes):
+                    raise ValueError(f"duplicate WITH name {name!r}")
+                self.expect_kw("as")
+                if not self.accept_op("("):
+                    raise ValueError("WITH name AS ( SELECT ... ) requires '('")
+                body = self.parse_query(sub=True)
+                if not self.accept_op(")"):
+                    raise ValueError(f"unbalanced WITH subquery for {name!r}")
+                ctes.append((name, body))
+                if not self.accept_op(","):
+                    break
         q = self.parse_core()
+        q.ctes = ctes
         while True:  # left-associative set-op chain
             if self.accept_kw("union"):
                 op = "union_all" if self.accept_kw("all") else "union"
@@ -347,9 +377,19 @@ class _Parser:
                 self.next()
                 self.expect_kw("join")
             elif self.accept_kw("left"):
-                # LEFT [OUTER] JOIN — the outer completion of the
-                # declared join grammar (ref parses inner/cross only)
+                # LEFT/RIGHT/FULL [OUTER] JOIN — the outer completion
+                # of the declared join grammar (ref parses inner/cross
+                # only); NULL propagation matches the certified
+                # DataFrame-path join_full_outer semantics
                 kind = "left"
+                self.accept_kw("outer")
+                self.expect_kw("join")
+            elif self.accept_kw("right"):
+                kind = "right"
+                self.accept_kw("outer")
+                self.expect_kw("join")
+            elif self.accept_kw("full"):
+                kind = "full"
                 self.accept_kw("outer")
                 self.expect_kw("join")
             elif not self.accept_kw("join"):
@@ -399,13 +439,20 @@ class _Parser:
         if kind != "name":
             raise ValueError(f"expected source name, got {src!r}")
         parts = src.split(".")
-        if len(parts) != 2:
-            # qualified-source rule as in parser.go:36-38
+        if len(parts) == 1:
+            # a bare name is only legal as a WITH-clause reference; the
+            # planner validates it against the declared CTEs and keeps
+            # the qualified-source rule (parser.go:36-38) otherwise.
+            # domain "" is the CTE sentinel.
+            domain, family = "", parts[0]
+        elif len(parts) == 2:
+            domain, family = parts
+        else:
             raise ValueError("FROM requires qualified domain.family")
         alias = None
         if self.peek()[0] == "name":
             alias = self.next()[1]
-        return parts[0], parts[1], alias
+        return domain, family, alias
 
     def parse_on_ref(self) -> FieldRef:
         kind, v = self.next()
@@ -900,33 +947,74 @@ class _JoinResolver:
     resolve/default_name interface as :class:`_Resolver`, so the whole
     downstream planner (WHERE/agg/HAVING/ORDER machinery) is shared."""
 
-    def __init__(self, q: BoostQuery, bindings: dict[str, SeriesFamilyBinding]):
+    def __init__(
+        self,
+        q: BoostQuery,
+        bindings: dict[str, SeriesFamilyBinding],
+        ctes: dict[str, DataFrame] | None = None,
+    ):
         self.b = bindings
+        self.ctes = ctes or {}
         self.sources: dict[str, tuple[str, SeriesFamilyBinding]] = {}
+        #: CTE sources: key -> planned DataFrame (plain-column
+        #: semantics, no series sugar, no implicit time range — the
+        #: CTE body already applied its own)
+        self.cte_df: dict[str, DataFrame] = {}
         self.series: dict[str, set] = {}
+        #: all source keys (family AND CTE) in FROM/JOIN order — the
+        #: scan/join loop pairs this with q.joins positionally
+        self.order: list[str] = []
         self._register(q.domain, q.family, q.source_alias)
         for j in q.joins:
             self._register(j.domain, j.family, j.alias)
 
     def _register(self, domain: str, family: str, alias: str | None) -> None:
         key = alias or family
+        if key in self.sources or key in self.cte_df:
+            raise ValueError(f"duplicate source name {key!r} in FROM/JOIN")
+        self.order.append(key)
+        if domain == "":  # WITH-clause reference
+            if family not in self.ctes:
+                raise ValueError(
+                    f"unqualified source {family!r} names no WITH clause — "
+                    "FROM requires qualified domain.family (parser.go:36-38) "
+                    "or a declared CTE"
+                )
+            self.cte_df[key] = self.ctes[family]
+            self.series[key] = set()
+            return
         qn = f"{domain}.{family}"
         if qn not in self.b:
             raise ValueError(f"no binding for source {qn}")
-        if key in self.sources:
-            raise ValueError(f"duplicate source name {key!r} in FROM/JOIN")
         self.sources[key] = (qn, self.b[qn])
         self.series[key] = set()
 
+    def _cte_col(self, src: str, col: str) -> str:
+        cols = self.cte_df[src].columns
+        if col not in cols:
+            raise ValueError(
+                f"{src}.{col}: WITH source {src!r} has no column {col!r} "
+                f"(columns: {cols})"
+            )
+        return f"{src}__{col}"
+
     def resolve(self, ref: FieldRef) -> tuple[str, str]:
         parts = ref.parts
-        if len(parts) < 2 or parts[0] not in self.sources:
+        if len(parts) < 2 or (
+            parts[0] not in self.sources and parts[0] not in self.cte_df
+        ):
             raise ValueError(
                 f"field {'.'.join(parts)} must be source-qualified in a join query"
             )
         src = parts[0]
-        b = self.sources[src][1]
         rest = parts[1:]
+        if src in self.cte_df:  # plain-column semantics, no sugar
+            if len(rest) != 1:
+                raise ValueError(
+                    f"{'.'.join(parts)}: WITH sources take alias.column refs"
+                )
+            return None, self._cte_col(src, rest[0])
+        b = self.sources[src][1]
         if len(rest) == 1:
             self.series[src].add(rest[0])
             return rest[0], f"{src}__{b.value_col}"
@@ -940,11 +1028,16 @@ class _JoinResolver:
     def resolve_on(self, ref: FieldRef) -> str:
         """ON refs are plain ``source.column`` (the reference's
         JoinInfo LeftSource/LeftColumn shape) — no series implied."""
-        if len(ref.parts) != 2 or ref.parts[0] not in self.sources:
+        if len(ref.parts) != 2 or (
+            ref.parts[0] not in self.sources
+            and ref.parts[0] not in self.cte_df
+        ):
             raise ValueError(
                 f"ON ref {'.'.join(ref.parts)} must be source.column"
             )
         src, col = ref.parts
+        if src in self.cte_df:
+            return self._cte_col(src, col)
         b = self.sources[src][1]
         return f"{src}__{b.value_col if col == 'value' else col}"
 
@@ -954,11 +1047,51 @@ class _JoinResolver:
         if ref.func is not None and not ref.parts:
             return ref.func  # count(*)
         parts = ref.parts
-        if len(parts) >= 3:
+        if len(parts) >= 3 or (parts and parts[0] in self.cte_df):
             base = parts[-1]
         else:
             b = self.sources[parts[0]][1] if parts[0] in self.sources else None
             base = b.value_col if b is not None else parts[-1]
+        return f"{ref.func}_{base}" if ref.func else base
+
+
+class _CteResolver:
+    """Single-source resolution when FROM names a WITH-clause result:
+    the CTE output is a plain table (arbitrary columns, no series
+    sugar, no value column), so ``[alias.]col`` resolves directly to a
+    column of the planned CTE DataFrame. Implements the same
+    resolve/default_name interface as :class:`_Resolver`."""
+
+    def __init__(self, q: BoostQuery, df: DataFrame):
+        self.q = q
+        self.df = df
+        self.series: set[str] = set()  # CTEs carry no series
+        self.cols = set(df.columns)
+
+    def strip_alias(self, parts: tuple[str, ...]) -> tuple[str, ...]:
+        if (
+            self.q.source_alias
+            and len(parts) > 1
+            and parts[0] == self.q.source_alias
+        ):
+            return parts[1:]
+        return parts
+
+    def resolve(self, ref: FieldRef) -> tuple[str | None, str]:
+        parts = self.strip_alias(ref.parts)
+        if len(parts) == 1 and parts[0] in self.cols:
+            return None, parts[0]
+        raise ValueError(
+            f"{'.'.join(ref.parts)} is not a column of WITH source "
+            f"{self.q.family!r} (columns: {sorted(self.cols)})"
+        )
+
+    def default_name(self, ref: FieldRef) -> str:
+        if ref.alias:
+            return ref.alias
+        if ref.func is not None and not ref.parts:
+            return ref.func  # count(*)
+        base = self.strip_alias(ref.parts)[-1]
         return f"{ref.func}_{base}" if ref.func else base
 
 
@@ -1161,7 +1294,14 @@ def _source_scan(
     spark: SparkSession, key: str, res: "_JoinResolver", start, end
 ) -> DataFrame:
     """One join source: scan -> series filter -> implicit time range ->
-    rename every column to ``<src>__<col>``."""
+    rename every column to ``<src>__<col>``. A WITH-clause source's
+    plan IS its scan (filters already pushed inside the CTE body); it
+    only takes the rename."""
+    if key in res.cte_df:
+        df = res.cte_df[key]
+        return df.select(
+            [F.col(c).alias(f"{key}__{c}") for c in df.columns]
+        )
     b = res.sources[key][1]
     df = spark.table(b.view)
     series = sorted(res.series[key])
@@ -1193,6 +1333,7 @@ def plan(
     start=None,
     end=None,
     params: dict | None = None,
+    _ctes: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Plan a BoostQuery onto a DataFrame.
 
@@ -1208,7 +1349,23 @@ def plan(
     ``domain.family``; a single binding serves self-joins. Each source
     scans/filters independently, then equi- or cross-joins; Spark picks
     the physical join strategy.
+
+    WITH-clause subqueries (``q.ctes``) plan first, in declaration
+    order — each body is an independent declarative plan whose filters
+    push into ITS scan — and become plain-column sources for later
+    CTEs and the main query (``_ctes`` is the internal accumulator
+    threaded through recursive calls). Everything stays lazy: a CTE
+    referenced twice is the same DataFrame lineage, and Spark reuses
+    the subplan (ReusedExchange) or recomputes it per Catalyst's own
+    cost logic — no driver-side materialization.
     """
+    ctes: dict[str, DataFrame] = dict(_ctes or {})
+    for cname, body in q.ctes:
+        if cname in ctes:
+            raise ValueError(f"duplicate WITH name {cname!r}")
+        ctes[cname] = plan(
+            spark, body, binding, start, end, params, _ctes=ctes
+        )
     if q.set_ops:
         # set-operation statement: plan each core independently (each
         # core's filters push into ITS scan), align by position, then
@@ -1219,7 +1376,7 @@ def plan(
         import dataclasses
 
         def _core_binding(c: "BoostQuery"):
-            if isinstance(binding, dict) and not c.joins:
+            if isinstance(binding, dict) and not c.joins and c.domain != "":
                 qn = f"{c.domain}.{c.family}"
                 if qn not in binding:
                     raise ValueError(f"no binding for set-op source {qn}")
@@ -1227,11 +1384,13 @@ def plan(
             return binding
 
         base = dataclasses.replace(
-            q, set_ops=[], order_by=[], limit=None, offset=None
+            q, set_ops=[], order_by=[], limit=None, offset=None, ctes=[]
         )
-        df = plan(spark, base, _core_binding(base), start, end, params)
+        df = plan(spark, base, _core_binding(base), start, end, params,
+                  _ctes=ctes)
         for op, rhs in q.set_ops:
-            rdf = plan(spark, rhs, _core_binding(rhs), start, end, params)
+            rdf = plan(spark, rhs, _core_binding(rhs), start, end, params,
+                       _ctes=ctes)
             if len(rdf.columns) != len(df.columns):
                 raise ValueError(
                     f"set-operation sides have {len(df.columns)} vs "
@@ -1267,10 +1426,21 @@ def plan(
         if isinstance(binding, dict):
             bindings = dict(binding)
         else:
-            bindings = {f"{q.domain}.{q.family}": binding}
+            bindings = {}
+            if q.domain != "":
+                bindings[f"{q.domain}.{q.family}"] = binding
             for j in q.joins:  # a single binding serves self-joins
-                bindings.setdefault(f"{j.domain}.{j.family}", binding)
-        res = _JoinResolver(q, bindings)
+                if j.domain != "":
+                    bindings.setdefault(f"{j.domain}.{j.family}", binding)
+        res = _JoinResolver(q, bindings, ctes)
+    elif q.domain == "":  # FROM a WITH-clause source, plain columns
+        if q.family not in ctes:
+            raise ValueError(
+                f"unqualified source {q.family!r} names no WITH clause — "
+                "FROM requires qualified domain.family (parser.go:36-38) "
+                "or a declared CTE"
+            )
+        res = _CteResolver(q, ctes[q.family])
     else:
         res = _Resolver(q, binding)
     sel: list[tuple[str, str | None, str | None, FieldRef]] = []
@@ -1446,7 +1616,7 @@ def plan(
                 res.resolve(o)
 
     if q.joins:
-        keys = list(res.sources)
+        keys = res.order
         df = _source_scan(spark, keys[0], res, start, end)
         for j, key in zip(q.joins, keys[1:]):
             right = _source_scan(spark, key, res, start, end)
@@ -1455,6 +1625,11 @@ def plan(
             else:
                 lc, rc = res.resolve_on(j.on[0]), res.resolve_on(j.on[1])
                 df = df.join(right, F.col(lc) == F.col(rc), j.kind)
+    elif q.domain == "":
+        # FROM a WITH source: the CTE body's plan IS the scan — its own
+        # filters/range already pushed; no series filter, no implicit
+        # range re-application
+        df = res.df
     else:
         df = spark.table(binding.view)
         series = sorted(res.series)
@@ -1467,7 +1642,7 @@ def plan(
         df = df.filter(where_col)
 
     def _sub_binding(sq: "BoostQuery"):
-        if isinstance(binding, dict) and not sq.joins:
+        if isinstance(binding, dict) and not sq.joins and sq.domain != "":
             qn = f"{sq.domain}.{sq.family}"
             if qn not in binding:
                 raise ValueError(f"no binding for subquery source {qn}")
@@ -1475,7 +1650,8 @@ def plan(
         return binding
 
     for neg, lhs, subq in in_subs:
-        sub_df = plan(spark, subq, _sub_binding(subq), start, end, params)
+        sub_df = plan(spark, subq, _sub_binding(subq), start, end, params,
+                      _ctes=ctes)
         if len(sub_df.columns) != 1:
             raise ValueError("IN (SELECT ...) must select exactly one column")
         right = sub_df.toDF("__in_key")
@@ -1500,7 +1676,8 @@ def plan(
                     "(query/base/expression.go:16-18)"
                 )
             name = f"__scalar_{i}_{j}"
-            sub_df = plan(spark, sq, _sub_binding(sq), start, end, params)
+            sub_df = plan(spark, sq, _sub_binding(sq), start, end, params,
+                          _ctes=ctes)
             df = df.crossJoin(F.broadcast(sub_df.toDF(name)))
             names[id(s)] = name
         df = df.filter(
@@ -1528,7 +1705,8 @@ def plan(
             sq, fields=key_fields, where=inner_where,
             order_by=[], limit=None, offset=None,
         )
-        sub_df = plan(spark, sub, _sub_binding(sub), start, end, params)
+        sub_df = plan(spark, sub, _sub_binding(sub), start, end, params,
+                      _ctes=ctes)
         cond = None
         for j, (outer_ref, _) in enumerate(pairs):
             c = (
@@ -1576,8 +1754,20 @@ def plan(
                 continue
             phys = res.resolve(g)[1]
             gfinal[phys] = sel_alias_of.get(phys, res.default_name(g))
-        # materialize computed group keys as columns before the groupBy
+        # materialize computed group keys as columns before the groupBy.
+        # A computed alias that ALSO names a physical source column is
+        # ambiguous (Spark's own precedence would group by the column,
+        # ours by the alias expression — SELECT floor(x) AS value ...
+        # GROUP BY value would silently group by the bucket): refuse
+        # loudly, same contract as the _gk_ collision check below.
         for a in sorted(group_computed):
+            if a in df.columns:
+                raise ValueError(
+                    f"GROUP BY {a} is ambiguous: {a!r} is both a computed "
+                    "select alias and a physical column of the source — "
+                    "rename the alias (Spark precedence would pick the "
+                    "column; this dialect refuses instead of guessing)"
+                )
             if f"_gk_{a}" in df.columns:
                 raise ValueError(
                     f"column _gk_{a} collides with the internal "

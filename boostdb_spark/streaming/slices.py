@@ -115,24 +115,37 @@ def export_pages(
     (executor.go:207-237) with the filesystem as the position store.
     Returns ``(slices_total, slices_written)``.
 
-    LIMITATION: resume detection stats the DRIVER-VISIBLE filesystem
-    (``os.path``) for the ``_SUCCESS`` marker, so it only works for
-    ``base`` on a locally-mounted path. On an object store / HDFS, or
-    with success markers disabled
-    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``), the
-    check is always False and every call degrades to a full re-export
-    — correct output, no resume saving. Route the existence check
-    through the Hadoop FileSystem API before pointing this at a remote
-    store."""
-    import os
-
+    Resume detection goes through the Hadoop ``FileSystem`` API (the
+    same resolver the writer itself uses), so it works uniformly for
+    local paths, HDFS, and object stores — not just driver-mounted
+    filesystems. With success markers disabled
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``) no
+    page ever looks complete, so the export would silently degrade to
+    a full re-run every time; that misconfiguration is rejected
+    loudly instead."""
+    spark = df.sparkSession
+    hconf = spark._jsc.hadoopConfiguration()
+    if (
+        hconf.get(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+        ).lower()
+        == "false"
+    ):
+        raise ValueError(
+            "export_pages resume requires _SUCCESS markers; "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs is false — "
+            "re-enable it or use execute_sliced for marker-free export"
+        )
+    jvm = spark._jvm
     written = 0
     total = 0
     for lo, _hi, sdf in time_slices(df, start_ns, end_ns, window_ns, ts_col):
         i = (lo - start_ns) // window_ns
-        page = os.path.join(base, f"slice_id={i}")
+        page = f"{base.rstrip('/')}/slice_id={i}"
         total += 1
-        if os.path.exists(os.path.join(page, "_SUCCESS")):
+        marker = jvm.org.apache.hadoop.fs.Path(f"{page}/_SUCCESS")
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
             continue  # resume: this page completed in a prior run
         sdf.write.mode("overwrite").parquet(page)
         written += 1

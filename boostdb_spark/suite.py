@@ -1877,9 +1877,10 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q GROUP BY 1),
     zc AS (
       SELECT q.event_type, q.bucket, q.value,
-             CASE WHEN sqrt(s2 / n - (s / n) * (s / n)) > 0
+             CASE WHEN sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) > 0
                        AND qr IS NOT NULL
-                  THEN (qr - s / n) / sqrt(s2 / n - (s / n) * (s / n))
+                  THEN (qr - s / n)
+                       / sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0))
              END AS zraw
       FROM q JOIN st USING (event_type))
     SELECT event_type, bucket, value,
@@ -1920,7 +1921,13 @@ def pipeline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = qd.join(F.broadcast(st), "event_type")
     mean = F.col("s") / F.col("n")
-    sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # variance clamped at 0 before sqrt: an underflowed tiny-negative
+    # variance would give sd = NaN, and Spark's NaN > 0 is TRUE — the
+    # guard below would pass and z would silently floor to 0.0 while
+    # the oracle's NaN stays NaN (cross-engine hash flip). Clamped,
+    # zero-variance residual distributions take the NULL branch in
+    # BOTH engines.
+    sd = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)))
     zraw = F.when(
         (sd > 0) & F.col("qr").isNotNull(), (F.col("qr") - mean) / sd
     )
@@ -1958,7 +1965,7 @@ def _pattern_oracle_sql() -> str:
         chain = f"({chain} + {t} * {t})"
     s2 = chain
     mu = f"({s1} / {float(m)!r})"
-    sd = f"sqrt({s2} / {float(m)!r} - {mu} * {mu})"
+    sd = f"sqrt(greatest({s2} / {float(m)!r} - {mu} * {mu}, 0.0))"
     chain = "0.0"
     for i, t in enumerate(w):
         z = f"(({t} - {mu}) / {sd})"
@@ -3900,6 +3907,110 @@ def dialect_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM boost.events a LEFT JOIN boost.orders b "
         "ON a.user_id = b.o_custkey",
         bindings,
+    )
+
+
+@_q(
+    "dialect_join_right",
+    """
+    SELECT l.event_id AS eid, r.o_orderkey AS okey
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    RIGHT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') r
+      ON l.user_id = r.o_custkey
+    """,
+)
+def dialect_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT [OUTER] JOIN through the dialect front — symmetric
+    completion of the outer-join grammar (the certified LEFT path
+    mirrored; the reference parses inner/cross only, joinparser.go:
+    84-201). Unmatched right rows survive with NULL left columns;
+    per-source series filters still push into each scan."""
+    load_tables(spark, sf_dir)
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.orders": sugar.SeriesFamilyBinding(
+            view="orders",
+            series_col="o_orderstatus",
+            value_col="o_totalprice",
+            ts_col="o_orderdate",
+        ),
+    }
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.O.o_orderkey AS okey "
+        "FROM boost.events a RIGHT JOIN boost.orders b "
+        "ON a.user_id = b.o_custkey",
+        bindings,
+    )
+
+
+@_q(
+    "dialect_join_full",
+    """
+    SELECT l.event_id AS eid, r.o_orderkey AS okey
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') r
+      ON l.user_id = r.o_custkey
+    """,
+)
+def dialect_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN through the dialect front, closing the outer
+    grammar (DataFrame-path join_full_outer is certified r1/r6; this
+    puts the same NULL-propagation semantics behind the parsed
+    grammar). Unmatched rows from BOTH sides survive with NULLs on the
+    other side — the 'F' status filter guarantees both unmatched
+    populations exist in the fixture."""
+    load_tables(spark, sf_dir)
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.orders": sugar.SeriesFamilyBinding(
+            view="orders",
+            series_col="o_orderstatus",
+            value_col="o_totalprice",
+            ts_col="o_orderdate",
+        ),
+    }
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.F.o_orderkey AS okey "
+        "FROM boost.events a FULL OUTER JOIN boost.orders b "
+        "ON a.user_id = b.o_custkey",
+        bindings,
+    )
+
+
+@_q(
+    "dialect_cte",
+    """
+    WITH u AS (
+      SELECT user_id AS uid, count(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT e.user_id AS user_id, e.value AS amount, u.n AS clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    JOIN u ON e.user_id = u.uid
+    """,
+)
+def dialect_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause (CTE) through the dialect front: a named aggregate
+    subquery joined back to the family — the multi-step query shape
+    the reference's TiDB parser accepts before dropping the statement
+    (query/parser/parser.go:25-45) and the one place a SQL user
+    previously hit a wall in this front. The CTE body is its own
+    declarative plan (series filter + grouping pushed into ITS scan);
+    the outer JOIN treats it as a plain-column source, so Catalyst
+    sees one tree: two pushed scans -> partial-agg -> join (broadcast
+    at this cardinality — per-user counts are tiny relative to the
+    fact side)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "WITH u AS (SELECT click.user_id AS uid, count(*) AS n "
+        "FROM boost.events GROUP BY click.user_id) "
+        "SELECT e.purchase.user_id AS user_id, e.purchase AS amount, "
+        "u.n AS clicks "
+        "FROM boost.events e JOIN u ON e.user_id = u.uid",
+        EVENTS_BINDING,
     )
 
 

@@ -1013,6 +1013,197 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: append-maintenance ANN layouts this session:
+#: {(app_id, sf_dir): {"path", "centroids", "codebooks", "cutoff"}}
+_ANN_APPEND: dict = {}
+
+
+def _ann_append_layout(spark: SparkSession, sf_dir: str) -> dict:
+    """The INCREMENTAL-maintenance layout: quantizer + codebooks
+    trained on the FIRST ~80% of the corpus (by vec_id), inverted file
+    + PQ code table written for that train slice, then the remaining
+    ~20% APPENDED through assignment-only maintenance
+    (similarity.py::ivf_append_index / pq_encode_codes against the
+    persisted models — ``mode("append")`` parquet writes, the
+    production append-heavy vector-store shape; O(new) work, no
+    retrain, no corpus rescan). Same GC/heartbeat/rebuild-on-missing
+    contract as the other per-app layouts."""
+    import os
+    from urllib.parse import urlparse
+
+    from boostdb_spark.suite import gc_stale_layouts, touch_layout
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ANN_APPEND:
+        p = _ANN_APPEND[key]["path"]
+        if os.path.isdir(os.path.join(p, "ivf")) and os.path.isdir(
+            os.path.join(p, "pq")
+        ):
+            touch_layout(p)
+            return _ANN_APPEND[key]
+        del _ANN_APPEND[key]  # lost to a racing GC: rebuild below
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(wh, f"suite_annapp_{tag}_{key[0]}")
+    gc_stale_layouts(wh, "suite_annapp_")
+    # deterministic 80/20 split on the id space (ingest-time scalar)
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(max_id * 0.8)
+    train = e.filter(F.col("vec_id") < cutoff)
+    new = e.filter(F.col("vec_id") >= cutoff)
+    cents = sim.ivf_train_kmeans(train, n_centroids=16, n_iter=3)
+    sim.ivf_build_index(train, cents).write.mode("overwrite").parquet(
+        os.path.join(base, "ivf")
+    )
+    cb = sim.pq_train(train, m=8, k=16, n_iter=3)
+    sim.pq_encode_codes(train, cb).select("vec_id", "codes").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "pq"))
+    # --- the append path under test: assignment-only maintenance ---
+    sim.ivf_append_index(new, cents).write.mode("append").parquet(
+        os.path.join(base, "ivf")
+    )
+    sim.pq_encode_codes(new, cb).select("vec_id", "codes").write.mode(
+        "append"
+    ).parquet(os.path.join(base, "pq"))
+    _ANN_APPEND[key] = {
+        "path": base, "centroids": cents, "codebooks": cb, "cutoff": cutoff,
+    }
+    return _ANN_APPEND[key]
+
+
+@_q(
+    "ann_append_certified",
+    """
+    WITH c(invariant) AS (VALUES
+      ('appended_present'), ('drift_bounded'),
+      ('ivf_append_equals_rebuild'), ('pq_append_equals_rebuild'),
+      ('recall_floor_met'))
+    SELECT invariant, true AS passed FROM c
+    """,
+)
+def ann_append_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED incremental-ANN-maintenance certificate (the
+    ann_recall_certified pattern applied to index APPEND): the 80%
+    train / 20% append layout (_ann_append_layout) must satisfy, all
+    computed as lazy aggregates — no driver materialization:
+
+    - ivf_append_equals_rebuild / pq_append_equals_rebuild: the stored
+      index after append-only maintenance equals a from-scratch
+      rebuild over the full corpus with the SAME persisted models,
+      row for row (both exceptAll directions empty) — assignment and
+      encoding are deterministic, so incremental == batch.
+    - appended_present: every appended vec_id is in the read-back
+      inverted file exactly once.
+    - recall_floor_met: probing 5 APPENDED vectors against the
+      appended index hits the true top-3 >= 3/15 (the certified ANN
+      floor) — new ids are retrievable, not just stored.
+    - drift_bounded: mean centroid distance of appended vectors is
+      <= 2x the train-set mean (ivf_centroid_drift, 1e-6-grid DECIMAL
+      means) — the retrain-trigger statistic reads healthy on an
+      in-distribution append."""
+    import os
+
+    from pyspark.sql import Window
+
+    lay = _ann_append_layout(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    cutoff = lay["cutoff"]
+    idx = spark.read.parquet(os.path.join(lay["path"], "ivf"))
+    codes = spark.read.parquet(os.path.join(lay["path"], "pq"))
+
+    cols = ["match_id", "cv", "cv_nrm", "list_id"]
+    rebuild = sim.ivf_build_index(e, lay["centroids"]).select(*cols)
+    stored = idx.select(*cols)
+    ivf_bad = (
+        stored.exceptAll(rebuild).select(F.lit(1).alias("x"))
+        .unionAll(rebuild.exceptAll(stored).select(F.lit(1).alias("x")))
+        .agg(F.count("*").alias("bad"))
+    )
+    pq_rebuild = sim.pq_encode_codes(e, lay["codebooks"]).select(
+        "vec_id", "codes"
+    )
+    pq_bad = (
+        codes.exceptAll(pq_rebuild).select(F.lit(1).alias("x"))
+        .unionAll(pq_rebuild.exceptAll(codes).select(F.lit(1).alias("x")))
+        .agg(F.count("*").alias("bad"))
+    )
+
+    n_new = e.filter(F.col("vec_id") >= cutoff).agg(
+        F.count("*").alias("n_new")
+    )
+    present = idx.filter(F.col("match_id") >= cutoff).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("match_id").alias("n_ids"),
+    )
+
+    q = e.filter(
+        (F.col("vec_id") >= cutoff) & (F.col("vec_id") < cutoff + 5)
+    )
+    k, floor = 3, 3
+    probe = sim.ivf_ann_topk(
+        q, e, k=k, n_probe=4, centroids=lay["centroids"], index=idx
+    )
+    exact = sim.cosine_topk(q, e, k=10**9)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("match_id").asc()
+    )
+    truek = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "match_id")
+    )
+    hits = probe.join(truek, ["query_id", "match_id"], "left_semi").agg(
+        F.count("*").alias("h")
+    )
+
+    def _mean_dist(df):
+        d = sim.ivf_centroid_drift(df, lay["centroids"])
+        return d.agg(
+            (
+                F.sum(F.col("dist").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    drift_train = _mean_dist(e.filter(F.col("vec_id") < cutoff)).toDF("m_tr")
+    drift_new = _mean_dist(e.filter(F.col("vec_id") >= cutoff)).toDF("m_new")
+
+    flags = (
+        ivf_bad.toDF("ivf_bad")
+        .crossJoin(F.broadcast(pq_bad.toDF("pq_bad")))
+        .crossJoin(F.broadcast(n_new))
+        .crossJoin(F.broadcast(present))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(drift_train))
+        .crossJoin(F.broadcast(drift_new))
+    )
+    out = flags.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("appended_present"),
+                    F.lit("drift_bounded"),
+                    F.lit("ivf_append_equals_rebuild"),
+                    F.lit("pq_append_equals_rebuild"),
+                    F.lit("recall_floor_met"),
+                ),
+                F.array(
+                    (F.col("n_rows") == F.col("n_new"))
+                    & (F.col("n_ids") == F.col("n_new")),
+                    F.col("m_new") <= F.lit(2.0) * F.col("m_tr"),
+                    F.col("ivf_bad") == 0,
+                    F.col("pq_bad") == 0,
+                    F.col("h") >= floor,
+                ),
+            )
+        ).alias("invariant", "passed")
+    )
+    return out
+
+
 @_q("ann_lsh_topk", None)  # LSH recall < 1 by design -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH approximate top-k (8 tables x 6 hyperplanes,

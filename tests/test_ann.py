@@ -129,6 +129,19 @@ def test_neardup_block_count_invariant(spark, emb):
     assert all(x < y for x, y, _ in a)
 
 
+def test_neardup_refuses_over_pair_budget(spark, emb):
+    """Exact all-pairs cosine is the O(N^2) baseline: an input whose
+    estimated pair count exceeds max_pairs must be refused loudly with
+    a pointer at the scale paths, BEFORE any O(N^2) work is planned."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        sim.cosine_neardup_pairs(emb, threshold=0.4, max_pairs=100.0)
+    # raising the budget explicitly re-admits the same input
+    out = sim.cosine_neardup_pairs(emb, threshold=0.4, max_pairs=1e10)
+    assert out.count() > 0
+
+
 def test_pq_deterministic_and_recall(spark, emb):
     """PQ: bit-deterministic retraining/search; raw ADC recall clears a
     floor and exact re-ranking strictly improves it."""
@@ -255,3 +268,32 @@ def test_empty_batch_guard_lsh_and_ivf(spark):
     # nonempty rows still produce one bucket per table / n_probe lists
     assert sim._lsh_tables(one, "embedding", 4, 8, 2).count() == 2
     assert sim.ivf_assign(one, cents, "embedding", n_probe=2).count() == 1
+
+
+def test_ivf_append_equals_rebuild(spark, emb):
+    """Incremental maintenance invariant: building the inverted file
+    for a train slice and APPENDING the rest via ivf_append_index
+    (assignment-only, no retrain) equals a from-scratch rebuild over
+    the full corpus with the same centroids — row for row."""
+    train = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    cents = sim.ivf_train_kmeans(train, n_centroids=8, n_iter=2)
+    full = sim.ivf_build_index(emb, cents)
+    merged = sim.ivf_build_index(train, cents).unionByName(
+        sim.ivf_append_index(new, cents)
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_ivf_centroid_drift_stat(spark, emb):
+    """Drift statistic: every distance is on [0, 2] (1 - cos of unit
+    vectors), on the 1e-6 grid, deterministic across partitionings."""
+    cents = sim.ivf_train_kmeans(emb, n_centroids=8, n_iter=2)
+    d = sim.ivf_centroid_drift(emb, cents)
+    lo, hi = d.agg(F.min("dist"), F.max("dist")).collect()[0]
+    assert 0.0 <= lo <= hi <= 2.000001
+    a = sorted(map(tuple, d.collect()))
+    b = sorted(map(tuple, sim.ivf_centroid_drift(
+        emb.repartition(7), cents).collect()))
+    assert a == b

@@ -69,6 +69,18 @@ def test_candidate_joins_are_equi_not_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_cte_pushes_filters_per_scan(spark):
+    """dialect_cte: the WITH body's series filter and the outer query's
+    series filter each reach THEIR parquet scan as PushedFilters, the
+    CTE aggregation runs partial+final, and the join is key-based."""
+    p = _plan(spark, "dialect_cte")
+    assert "EqualTo(event_type,click)" in p       # CTE body scan
+    assert "EqualTo(event_type,purchase)" in p    # outer scan
+    assert p.count("HashAggregate") >= 2          # partial+final CTE agg
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 @pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
 def test_ann_candidate_join_broadcasts_queries(spark, name):
     """The ANN candidate join must broadcast the (tiny by construction)

@@ -83,3 +83,26 @@ def test_export_pages_resumes_at_missing_page(spark, tmp_path):
         (F.col("ts") / (1000 * NS)).cast("long") != F.col("slice_id")
     ).count()
     assert bad == 0
+
+
+def test_export_pages_rejects_disabled_success_markers(spark, tmp_path):
+    """With _SUCCESS markers disabled no page ever looks complete, so
+    every re-run would silently degrade to a full re-export — the
+    misconfiguration is refused loudly instead."""
+    import pytest
+
+    from boostdb_spark.streaming.slices import export_pages
+
+    NS = 1_000_000_000
+    df = spark.createDataFrame(
+        [(1, 0 * NS, 1.0)], "event_id long, ts long, value double"
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key, "true")
+    hconf.set(key, "false")
+    try:
+        with pytest.raises(ValueError, match="_SUCCESS markers"):
+            export_pages(df, str(tmp_path / "p"), 0, 1000 * NS, 1000 * NS)
+    finally:
+        hconf.set(key, old)

@@ -102,8 +102,14 @@ def test_parse_rejects_bad_sql():
     # explicit names required (selectfieldparser.go:108-114)
     with pytest.raises(ValueError):
         parse("SELECT FROM d.f")
+    # a bare FROM name parses (it may reference a WITH clause) but
+    # planning without a matching CTE enforces the qualified-source
+    # rule (parser.go:36-38)
+    q = parse("SELECT a FROM unqualified")
+    with pytest.raises(ValueError, match="WITH clause"):
+        sugar.plan(None, q, None)
     with pytest.raises(ValueError):
-        parse("SELECT a FROM unqualified")
+        parse("SELECT a FROM d.f.extra")
 
 
 def test_plan_executes_flagship(spark):
@@ -1154,17 +1160,27 @@ def test_dialect_group_by_computed_alias(spark):
 
 
 def test_dialect_group_by_computed_alias_shadowing_column(spark):
-    """A computed group key whose alias matches a physical column must
-    NOT overwrite it — aggregates over the shadowed column read the
-    original values (the key materializes under an internal name)."""
+    """A computed group key whose alias matches a physical source
+    column is AMBIGUOUS (Spark's own precedence would group by the
+    column; grouping by the alias expression silently diverges) — the
+    front refuses loudly instead of guessing. Renaming the alias
+    resolves it."""
     b = _events_binding(spark)
+    with pytest.raises(ValueError, match="ambiguous"):
+        sugar.query(
+            spark,
+            "SELECT floor(click / 50.0) AS value, sum(click) AS s "
+            "FROM boost.events GROUP BY value",
+            b,
+        )
+    # the renamed form groups by the bucket and still sums raw values
     got = sorted(
         map(
             tuple,
             sugar.query(
                 spark,
-                "SELECT floor(click / 50.0) AS value, sum(click) AS s "
-                "FROM boost.events GROUP BY value",
+                "SELECT floor(click / 50.0) AS bkt, sum(click) AS s "
+                "FROM boost.events GROUP BY bkt",
                 b,
             ).collect(),
         )
@@ -1173,9 +1189,104 @@ def test_dialect_group_by_computed_alias_shadowing_column(spark):
         map(
             tuple,
             spark.sql(
-                "SELECT floor(value / 50.0) AS value, sum(value) AS s "
+                "SELECT floor(value / 50.0) AS bkt, sum(value) AS s "
                 "FROM events WHERE event_type = 'click' GROUP BY 1"
             ).collect(),
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_dialect_with_cte(spark):
+    """WITH-clause named subqueries: single-source (aggregate of
+    aggregate), JOIN source, chained CTEs (later references earlier),
+    and the parse/plan error contract."""
+    b = _events_binding(spark)
+    # aggregate over a CTE's aggregate — the multi-step shape the
+    # reference's parser accepts and drops (parser.go:25-45)
+    got = sugar.query(
+        spark,
+        "WITH u AS (SELECT click.user_id, count(*) AS n "
+        "FROM boost.events GROUP BY click.user_id) "
+        "SELECT sum(u.n) AS total FROM u u",
+        b,
+    ).collect()
+    want = spark.sql(
+        "SELECT count(*) AS total FROM events WHERE event_type = 'click'"
+    ).collect()
+    assert got[0].total == want[0].total
+    # CTE as a JOIN source; bare-column refs inside a chained CTE
+    got2 = sugar.query(
+        spark,
+        "WITH u AS (SELECT click.user_id AS uid, count(*) AS n "
+        "FROM boost.events GROUP BY click.user_id), "
+        "big AS (SELECT uid, n FROM u WHERE n > 1) "
+        "SELECT e.click.event_id AS eid, big.n AS n "
+        "FROM boost.events e JOIN big ON e.user_id = big.uid",
+        b,
+    )
+    assert got2.columns == ["eid", "n"]
+    want2 = spark.sql(
+        "WITH u AS (SELECT user_id AS uid, count(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "big AS (SELECT uid, n FROM u WHERE n > 1) "
+        "SELECT e.event_id AS eid, big.n AS n FROM events e "
+        "JOIN big ON e.user_id = big.uid WHERE e.event_type = 'click'"
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    # error contract
+    with pytest.raises(ValueError, match="duplicate WITH name"):
+        parse("WITH x AS (SELECT a FROM d.f), x AS (SELECT b FROM d.f) "
+              "SELECT x.a FROM x")
+    with pytest.raises(ValueError, match="no column"):
+        sugar.query(
+            spark,
+            "WITH u AS (SELECT click.user_id AS uid FROM boost.events) "
+            "SELECT e.click, u.missing FROM boost.events e "
+            "JOIN u ON e.user_id = u.uid",
+            b,
+        )
+    with pytest.raises(ValueError, match="WITH clause"):
+        sugar.query(spark, "SELECT q.a FROM nosuchcte q", b)
+
+
+def test_dialect_right_and_full_join(spark):
+    """RIGHT/FULL [OUTER] JOIN through the front match Spark's own
+    outer-join NULL propagation on the same per-source-filtered
+    inputs."""
+    b = _events_binding(spark)
+    for kw, kind in (("RIGHT", "right"), ("FULL OUTER", "full")):
+        got = sugar.query(
+            spark,
+            "SELECT a.click.event_id AS eid, b.error.event_id AS rid "
+            f"FROM boost.events a {kw} JOIN boost.events b "
+            "ON a.user_id = b.user_id",
+            b,
+        )
+        want = spark.sql(
+            "SELECT l.eid, r.rid FROM "
+            "(SELECT event_id AS eid, user_id AS lu FROM events "
+            " WHERE event_type = 'click') l "
+            f"{kw} JOIN "
+            "(SELECT event_id AS rid, user_id AS ru FROM events "
+            " WHERE event_type = 'error') r ON l.lu = r.ru"
+        )
+        assert sorted(
+            map(tuple, got.collect()), key=lambda t: (t[0] is None, t)
+        ) == sorted(
+            map(tuple, want.collect()), key=lambda t: (t[0] is None, t)
+        )
+    # outer semantics actually exercised: a right side whose WHERE
+    # leaves most users unmatched must surface NULLs on both sides of
+    # the FULL join and on the left side of the RIGHT join
+    got = sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.purchase.event_id AS rid "
+        "FROM boost.events a FULL OUTER JOIN boost.events b "
+        "ON a.event_id = b.event_id",
+        b,
+    ).collect()
+    assert any(v.eid is None for v in got)  # purchase-only event_ids
+    assert any(v.rid is None for v in got)  # click-only event_ids

@@ -774,3 +774,28 @@ def test_pattern_topk_finds_planted_occurrence(spark):
         ts_ops.pattern_topk(df, [2.0, 2.0, 2.0], 60, 3, ("series",))
     with _pt.raises(ValueError, match="at least 2"):
         ts_ops.pattern_topk(df, [1.0], 60, 3, ("series",))
+
+
+def test_pattern_topk_excludes_variance_underflow_windows(spark):
+    """A constant window whose fold variance UNDERFLOWS to a tiny
+    negative (c=0.23, m=5 gives s2/m - mu*mu == -1.4e-17) must still be
+    excluded: unclamped, sqrt(negative) = NaN and Spark's NaN > 0 is
+    TRUE, so the shapeless window would pass the sd filter and its
+    quantized distance would floor to 0.0 — ranking FIRST and
+    displacing the real match."""
+    NS = 1_000_000_000
+    pat = [1.0, 3.0, 2.0, 5.0, 4.0]  # m=5
+    vals = [0.0, 9.0] + [10 + 2 * x for x in pat] + [9.0, 0.0]
+    rows = [("s1", i * 60 * NS, v) for i, v in enumerate(vals)]
+    # constant series at 0.23: every length-5 window's variance
+    # underflows negative in the double fold
+    rows += [("ufl", i * 60 * NS, 0.23) for i in range(len(vals))]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = ts_ops.pattern_topk(
+        df, pat, bucket_seconds=60, k=4, series_cols=("series",)
+    ).collect()
+    assert out, "planted match must surface"
+    assert out[0].series == "s1" and out[0].dist == 0.0
+    assert all(r.series == "s1" for r in out), (
+        "underflow-variance flat windows must never rank"
+    )
