@@ -124,58 +124,44 @@ def _q(name: str, oracle: str | None):
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Round-6
-# window: the 6 oracle-paired entries added after the r4/r5 windows
-# froze and therefore never driver-certified (banding join, seasonal
-# decomposition, dialect scalar functions, dialect EXISTS, the
-# ANN-recall certificate, the BPE round-trip certificate — green here
-# closes the registry to EVERY oracle-paired entry driver-certified at
-# least once), the 5 standing canaries, and 39 re-certification slots
-# refreshing the STALEST cumulative signal: every entry whose last
-# driver-green row dates to round 1, plus the round-2 cohort's family
-# representatives (joins, dialect, grouping sets/cube/pivot, windows,
-# dedup, text, sampling, embeddings). New round-6 entries displace
-# re-certification slots as they land.
+# cumulative driver-certified coverage grows every round. Round-7
+# window: the 5 entries NEW this round (CTE + RIGHT/FULL outer joins
+# through the dialect front, the incremental-ANN-append certificate,
+# exact substring dedup), the 5 standing canaries, and 40
+# re-certification slots refreshing the STALEST cumulative signal:
+# window_counter_increase (last green r1 — the only r1-stale row
+# left) and 39 of the 42-entry round-2 cohort (dialect_select_star /
+# distinct_series / where_ops defer to round 8 — lowest-risk plain
+# scans with fresh same-family representatives elsewhere in the
+# window). The r3/r5/r6 cohorts are younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
-    # --- never-certified: added after the r4/r5 windows froze ---
-    "join_range_lookup",       # point-in-range banding join (r4 tail)
-    "ts_seasonal_decompose",   # classical additive decomposition (r4 tail)
-    "dialect_scalar_fns",      # scalar-call grammar through the front (r5)
-    "dialect_exists",          # [NOT] EXISTS -> semi/anti via the front (r5)
-    "ann_recall_certified",    # LSH/IVF/PQ recall>=floor + PQ rerank == exact,
-    #                            the bound-boolean pattern over retrieval (r5)
-    "txt_bpe_roundtrip",       # detokenize(tokenize(x)) == normalize(x) (r5)
-    # --- new in round 6 ---
-    "dialect_case",            # CASE (searched/simple/conditional agg)
-    "dedup_semantic",          # SemDeDup invariants, hash-certified
-    "scan_paged_export",       # paged/resumable export under the gate
-    "stream_rollup_parity",    # continuous rollup maintenance, certified
-    "ts_rollup_cascade",       # multi-resolution partial-agg hierarchy
-    "scan_snapshot_diff",      # CDC between plain-parquet snapshots
-    "dialect_group_expr",      # GROUP BY computed/CASE keys via alias
-    "agg_q12_priority_lines",  # Q12 shape: dual conditional counters
-    "pipeline_anomaly",        # decompose -> residual z-score pipeline
-    "stream_cascade_parity",   # streamed partials -> derived coarse level
-    "agg_hll_merge_cascade",   # HLL sketch-merge associativity + bound
-    "ts_pattern_topk",         # pattern similarity search (z-norm top-k)
+    # --- new in round 7 (never driver-certified) ---
+    "dialect_cte",             # WITH named subqueries through the front
+    "dialect_join_right",      # RIGHT [OUTER] JOIN grammar completion
+    "dialect_join_full",       # FULL OUTER JOIN grammar completion
+    "ann_append_certified",    # append==rebuild + recall + drift cert
+    "dedup_substring",         # exact verbatim-span dedup (Lee et al.)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: last driver-green in ROUND 1 (stalest signal) ---
-    "where_extended", "projection_compute", "join_implicit_where",
-    "join_anti", "join_cross", "agg_stats", "setop_intersect",
-    "setop_except", "window_delta", "window_rate",
-    "window_topk_per_group", "resample_first_last", "gapfill_locf",
-    "gapfill_interp", "asof_join_backward", "join_full_outer",
-    "asof_join_forward", "ts_zscore_anomaly",
-    "ts_latest_point", "ts_histogram", "ts_time_weighted_avg",
-    "ts_series_correlation", "udf_vectorized", "ts_ewma",
-    # --- re-certification: last driver-green in ROUND 2 ---
-    "scan_timerange",
-    "dedup_minhash_lsh", "txt_quality",
+    # --- re-certification: last driver-green ROUND 1 ---
+    "window_counter_increase",
+    # --- re-certification: last driver-green ROUND 2 (39 of 42) ---
+    "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_percentiles", "agg_pivot", "agg_q5_local_revenue", "agg_rollup",
+    "dialect_groupby_agg", "dialect_having", "dialect_join",
+    "dialect_orderby_limit", "doc_pack_tokens", "doc_sample_det",
+    "doc_shuffle_det", "emb_centroid", "emb_cosine_topk", "join_dims",
+    "join_inner", "join_left_outer", "join_range", "join_semi",
+    "orderby_limit_topk", "pipeline_curate", "scalar_functions",
+    "seriesfamily_roundtrip", "setop_union", "subquery_exists",
+    "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
+    "txt_tfidf_topk", "udaf_grouped_range", "window_moving_avg",
+    "window_navigation", "window_rank_ntile", "window_running_sum",
+    "window_session_agg", "window_sliding_agg",
 )
 
 

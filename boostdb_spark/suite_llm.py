@@ -298,6 +298,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_substring",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+    sp AS (
+      SELECT doc_id AS id,
+             unnest(range(0, greatest(len(tk) - 7, 0)))::BIGINT AS pos, tk
+      FROM d),
+    sh AS (
+      SELECT id, pos, array_to_string(tk[pos+1 : pos+8], ' ') AS s
+      FROM sp),
+    hits AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id),
+    runs AS (
+      SELECT doc_a, doc_b, pa, pb, diag,
+             CASE WHEN lag(pa) OVER w IS NULL
+                       OR pa - lag(pa) OVER w <> 1 THEN 1 ELSE 0 END AS nr
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
+    rid AS (
+      SELECT *, sum(nr) OVER (PARTITION BY doc_a, doc_b, diag
+                              ORDER BY pa) AS run_id
+      FROM runs)
+    SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+           (count(*) + 7)::BIGINT AS span_tokens
+    FROM rid GROUP BY doc_a, doc_b, diag, run_id
+    HAVING count(*) + 7 >= 8
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup (operators/dedup.py::substring_spans —
+    Lee et al. 2021's 50-token-overlap method at fixture-scale k=8):
+    maximal verbatim token runs shared across document pairs, found by
+    bucketing positioned 8-token shingles on their text (the
+    distributed suffix-array analog; candidate generation is the same
+    banded equi-join posture as MinHash-LSH, never all-pairs) and
+    chaining consecutive diagonal hits into maximal runs with one
+    window pass. Output is all-integer (doc pair, 0-based start
+    offsets, token span) so the oracle comparison is bit-exact —
+    the txt_ngram_novelty oracle style."""
+    t = load_tables(spark, sf_dir)
+    return dd.substring_spans(t["documents"], k=8)
+
+
+@_q(
     "dedup_levenshtein",
     f"""
     WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),

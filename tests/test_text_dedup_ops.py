@@ -379,3 +379,44 @@ def test_semantic_dedup_zero_vector_survives(spark):
         emb, tau=0.9, n_clusters=2, n_iter=1).collect()}
     assert all(r["kept"] for r in out.values())
     assert all(math.isfinite(x) for x in out[2]["v"])
+
+
+def test_substring_spans_planted_overlap(spark):
+    """Exact substring dedup (Lee et al. 2021 style): a planted
+    20-token verbatim run is reported as ONE maximal span with exact
+    0-based offsets; unrelated text yields nothing; two disjoint
+    shared runs stay two spans; max_doc_freq drops boilerplate."""
+    from boostdb_spark.operators.dedup import substring_spans
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    run2 = " ".join(f"zz{i}" for i in range(9))
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three four five {shared} six"),
+        (3, "totally different words without any overlap at all "
+            "pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8"),
+        (4, f"{run2} filler1 filler2 filler3 filler4 filler5 {run2}"),
+        (5, f"{run2} other stuff here now entirely new words again"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = substring_spans(df, k=8)
+    rows = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    # the planted 20-token run: one maximal span, exact offsets
+    r12 = rows[(1, 2)]
+    assert (r12.a_start, r12.b_start, r12.span_tokens) == (2, 5, 20)
+    assert not any(3 in k for k in rows)  # no-overlap doc never pairs
+    # doc4 repeats run2 twice; doc5 has it once -> two diagonal runs
+    spans45 = sorted(
+        (r.a_start, r.b_start, r.span_tokens)
+        for r in out.filter("doc_a = 4 AND doc_b = 5").collect()
+    )
+    assert spans45 == [(0, 0, 9), (14, 0, 9)]
+    # min_span raises the report floor
+    hi = substring_spans(df, k=8, min_span=15).collect()
+    assert {(r.doc_a, r.doc_b) for r in hi} == {(1, 2)}
+    # a ubiquitous shingle capped away: df cap of 1 kills everything
+    assert substring_spans(df, k=8, max_doc_freq=1).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="min_span"):
+        substring_spans(df, k=8, min_span=4)
