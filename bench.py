@@ -60,6 +60,11 @@ WARMUP = [
     "ann_ivf_topk",             # k-means training + inverted-file write
     "ann_pq_topk",              # PQ codebook training + code-table write
     "ann_append_certified",     # append-maintenance layout build
+    "txt_bpe_tokenize",         # 10%-sample BPE merge-table training
+    #                             (shared by tokenize + roundtrip; was
+    #                             amortized by r6's window order, which
+    #                             ran roundtrip early — the r7 rotation
+    #                             moved it below the fold)
     "scan_paged_export",        # per-slice page-directory export
 ]
 
@@ -227,6 +232,38 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     return times, detail
 
 
+def _calibration(spark) -> dict:
+    """Machine-speed canary: FIXED work independent of any suite code,
+    so two bench records taken on different hosts/days are comparable
+    speed-normalized. The r6 driver bench jumped 41% with per-entry
+    inflation uniform across entries (including the zero-state
+    streaming floor) — environmental, but unprovable without a fixed
+    yardstick in the record. jvm = one codegen range-agg across all
+    cores (JVM+scheduler speed); py = a single-thread Python loop
+    (interpreter/CPU speed); shuffle = a fixed 2M-row exchange +
+    hash-agg (disk/shuffle path)."""
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 7 % 1000)"
+    ).collect()
+    jvm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * 31 % 97
+    py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(0, 2_000_000, 1, 32).selectExpr(
+        "id % 10000 AS k", "id AS v"
+    ).groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+    sh = time.perf_counter() - t0
+    return {
+        "jvm_range_sum": round(jvm, 3),
+        "py_loop": round(py, 3),
+        "shuffle_2m": round(sh, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -313,6 +350,7 @@ def main() -> None:
         "metric": "suite_wall_seconds",
         "unit": "sec",
         "n_queries": len(times),
+        "calibration": _calibration(spark),
         "top20": top20,
         "value": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -5,14 +5,15 @@ The reference parses its dialect with the TiDB parser into ``QueryOps``
 (query/executor/planner.go:115-243), and hand-executes it row by row
 (query/executor/executor.go:184-274). Here the same dialect —
 
+    [WITH name AS ( SELECT ... ) [, name2 AS ( ... )]]
     SELECT * | [alias.]series[.attribute] | count(*)|count|sum|avg|min|max(expr)
            | rank()|dense_rank()|row_number()|lag(f)|lead(f)|agg(expr)
              OVER (PARTITION BY ... [ORDER BY ... [DESC]]
                    [ROWS BETWEEN ... AND ...])
            [AS name] [, ...]
-    FROM domain.family [alias]
-         [ [INNER|LEFT [OUTER]|CROSS] JOIN domain.family [alias]
-           ON a.x = b.y ]...
+    FROM domain.family [alias] | cte_name [alias]
+         [ [INNER|LEFT|RIGHT|FULL [OUTER]|CROSS] JOIN
+           (domain.family | cte_name) [alias] ON a.x = b.y ]...
     [WHERE <expr over the same sugared names; :name placeholders bind
            from a params dict at plan time; [NOT] EXISTS (SELECT ...)
            with a correlated equality decorrelates to a semi/anti join>]
@@ -29,8 +30,13 @@ conditional-aggregation idiom):
 GROUP BY accepts plain sugared refs AND the alias of a computed
 select item (``SELECT floor(x/50) AS bin ... GROUP BY bin`` — the
 derived-bucket aggregation; the expression materializes as an
-internal column before the groupBy so an alias that shadows a
-physical column cannot corrupt other aggregates).
+internal column before the groupBy). A computed alias that ALSO
+names a physical source column is rejected as ambiguous.
+
+WITH (CTE) bodies are single-level (no nested WITH); a later CTE and
+the main query reference earlier CTE names as bare FROM/JOIN sources
+with plain-column (non-sugared) ``[alias.]col`` refs — the CTE's own
+plan is its scan, filters already pushed.
 
 Scalar functions (whitelisted, usable in SELECT expressions, WHERE,
 and aggregate/window arguments; a function name followed by ``(``

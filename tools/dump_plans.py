@@ -55,6 +55,10 @@ SHOWCASE = [
     ("scan_paged_export", "paged export readback: partition-discovered slice pages, one pruned scan"),
     ("pipeline_anomaly", "anomaly pipeline: decompose plan + one broadcast of the per-series moment table"),
     ("ts_pattern_topk", "pattern search: one bucket agg, per-series vector built once, HOF z-norm folds, TakeOrdered top-k"),
+    ("dialect_cte", "WITH clause: CTE body plans its own pushed scan + partial agg, outer join treats it as a plain source"),
+    ("dialect_join_full", "dialect FULL OUTER: per-source series filters still pushed below the outer join"),
+    ("dedup_substring", "substring dedup: positioned shingles bucket by text (equi-join), one window pass chains diagonal runs"),
+    ("ann_append_certified", "ANN append certificate: read-back index vs rebuild exceptAll, broadcast probe join, drift via broadcast centroid table"),
 ]
 
 
