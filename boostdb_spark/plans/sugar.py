@@ -206,11 +206,12 @@ class JoinClause:
     drops on the floor (joinparser.go:84-201 parses it; AddJoinOp at
     query/base/queryops.go:60-66 has an empty body). Here it plans."""
 
-    domain: str  # "" = WITH-clause (CTE) reference
+    domain: str  # "" = WITH-clause (CTE) / derived-table reference
     family: str
     alias: str | None
     kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
-    on: tuple[FieldRef, FieldRef] | None  # equi pair, None for cross
+    #: AND-ed equi pairs (a.x = b.y [AND a.z = b.w] ...), None for cross
+    on: list[tuple[FieldRef, FieldRef]] | None
 
 
 @dataclass
@@ -248,6 +249,12 @@ class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
+        #: derived tables found while parsing the CURRENT query level
+        #: (FROM/JOIN ``( SELECT ... ) alias`` — anonymous CTEs); each
+        #: parse_query call snapshots/restores this so a derived table
+        #: attaches to the query level where it appears
+        self.derived: list[tuple[str, "BoostQuery"]] = []
+        self._dt_n = 0  # statement-global counter: unique internal names
 
     def peek(self):
         return self.toks[self.i]
@@ -288,6 +295,8 @@ class _Parser:
     # subqueries — same single-level shape most engines had before
     # recursive CTEs).
     def parse_query(self, sub: bool = False) -> BoostQuery:
+        saved_derived = self.derived
+        self.derived = []
         ctes: list[tuple[str, BoostQuery]] = []
         if not sub and self.accept_kw("with"):
             while True:
@@ -308,7 +317,6 @@ class _Parser:
                 if not self.accept_op(","):
                     break
         q = self.parse_core()
-        q.ctes = ctes
         while True:  # left-associative set-op chain
             if self.accept_kw("union"):
                 op = "union_all" if self.accept_kw("all") else "union"
@@ -323,6 +331,10 @@ class _Parser:
         q.order_by, q.limit, q.offset = self.parse_order_limit()
         if not sub and self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
+        # named CTEs first (a derived table may reference them), then
+        # this level's anonymous derived tables, in appearance order
+        q.ctes = ctes + self.derived
+        self.derived = saved_derived
         return q
 
     def parse_order_limit(self):
@@ -402,11 +414,18 @@ class _Parser:
                 break
             jd, jf, ja = self.parse_source()
             self.expect_kw("on")
-            left = self.parse_on_ref()
-            if not self.accept_op("="):
-                raise ValueError("JOIN ... ON requires an equi pair a.x = b.y")
-            right = self.parse_on_ref()
-            joins.append(JoinClause(jd, jf, ja, kind, (left, right)))
+            pairs: list[tuple[FieldRef, FieldRef]] = []
+            while True:
+                left = self.parse_on_ref()
+                if not self.accept_op("="):
+                    raise ValueError(
+                        "JOIN ... ON requires equi pairs a.x = b.y "
+                        "[AND a.z = b.w]..."
+                    )
+                pairs.append((left, self.parse_on_ref()))
+                if not self.accept_kw("and"):
+                    break
+            joins.append(JoinClause(jd, jf, ja, kind, pairs))
         where = None
         if self.accept_kw("where"):
             where = self.parse_or()
@@ -441,6 +460,23 @@ class _Parser:
         return q
 
     def parse_source(self) -> tuple[str, str, str | None]:
+        if self.accept_op("("):
+            # derived table ``( SELECT ... ) alias`` — an ANONYMOUS CTE:
+            # the body parses like any subquery, gets a unique internal
+            # name, and rides the exact WITH-clause planning path
+            # (plain-column source, its own pushed scans)
+            body = self.parse_query(sub=True)
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced derived-table parenthesis")
+            if self.peek()[0] != "name":
+                raise ValueError(
+                    "derived table requires an alias: ( SELECT ... ) name"
+                )
+            alias = self.next()[1]
+            name = f"__dt{self._dt_n}"
+            self._dt_n += 1
+            self.derived.append((name, body))
+            return "", name, alias
         kind, src = self.next()
         if kind != "name":
             raise ValueError(f"expected source name, got {src!r}")
@@ -1629,8 +1665,12 @@ def plan(
             if j.kind == "cross":
                 df = df.crossJoin(right)
             else:
-                lc, rc = res.resolve_on(j.on[0]), res.resolve_on(j.on[1])
-                df = df.join(right, F.col(lc) == F.col(rc), j.kind)
+                cond = None
+                for lref, rref in j.on:
+                    lc, rc = res.resolve_on(lref), res.resolve_on(rref)
+                    c = F.col(lc) == F.col(rc)
+                    cond = c if cond is None else cond & c
+                df = df.join(right, cond, j.kind)
     elif q.domain == "":
         # FROM a WITH source: the CTE body's plan IS the scan — its own
         # filters/range already pushed; no series filter, no implicit

@@ -125,15 +125,17 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 5 entries NEW this round (CTE + RIGHT/FULL outer joins
-# through the dialect front, the incremental-ANN-append certificate,
-# exact substring dedup), the 5 standing canaries, and 40
-# re-certification slots refreshing the STALEST cumulative signal:
-# window_counter_increase (last green r1 — the only r1-stale row
-# left) and 39 of the 42-entry round-2 cohort (dialect_select_star /
-# distinct_series / where_ops defer to round 8 — lowest-risk plain
-# scans with fresh same-family representatives elsewhere in the
-# window). The r3/r5/r6 cohorts are younger and wait their turn.
+# window: the 7 entries NEW this round (CTE + derived tables +
+# RIGHT/FULL outer joins + composite join keys through the dialect
+# front, the incremental-ANN-append certificate, exact substring
+# dedup), the 5 standing canaries, and 38 re-certification slots
+# refreshing the STALEST cumulative signal: window_counter_increase
+# (last green r1 — the only r1-stale row left) and 37 of the
+# 42-entry round-2 cohort (dialect_select_star / distinct_series /
+# where_ops / window_running_sum / window_sliding_agg defer to
+# round 8 — lowest-risk entries with fresh same-family
+# representatives elsewhere in the window). The r3/r5/r6 cohorts are
+# younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
     # --- new in round 7 (never driver-certified) ---
     "dialect_cte",             # WITH named subqueries through the front
@@ -141,6 +143,8 @@ _WINDOW: tuple[str, ...] = (
     "dialect_join_full",       # FULL OUTER JOIN grammar completion
     "ann_append_certified",    # append==rebuild + recall + drift cert
     "dedup_substring",         # exact verbatim-span dedup (Lee et al.)
+    "dialect_derived_table",   # ( SELECT ... ) alias as anonymous CTE
+    "dialect_join_multikey",   # composite equi-join keys via AND chain
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -160,8 +164,10 @@ _WINDOW: tuple[str, ...] = (
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
     "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
     "txt_tfidf_topk", "udaf_grouped_range", "window_moving_avg",
-    "window_navigation", "window_rank_ntile", "window_running_sum",
-    "window_session_agg", "window_sliding_agg",
+    "window_navigation", "window_rank_ntile", "window_session_agg",
+    # window_running_sum / window_sliding_agg displaced to round 8 by
+    # the two late-round-7 entries (dialect_derived_table /
+    # dialect_join_multikey) — new entries outrank re-certification
 )
 
 
@@ -3996,6 +4002,57 @@ def dialect_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT e.purchase.user_id AS user_id, e.purchase AS amount, "
         "u.n AS clicks "
         "FROM boost.events e JOIN u ON e.user_id = u.uid",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_derived_table",
+    """
+    SELECT uid AS user_id, n AS clicks
+    FROM (SELECT user_id AS uid, count(*) AS n
+          FROM events WHERE event_type = 'click' GROUP BY user_id) d
+    WHERE n > 10
+    """,
+)
+def dialect_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived table in FROM — ``( SELECT ... ) alias`` parses as an
+    ANONYMOUS CTE and rides the WITH-clause planning path exactly
+    (plain-column source, its own pushed scan + partial agg), so the
+    two spellings of a named subquery cannot drift apart. Outer WHERE
+    filters the aggregate — the inline HAVING idiom."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT d.uid AS user_id, d.n AS clicks "
+        "FROM (SELECT click.user_id AS uid, count(*) AS n "
+        "FROM boost.events GROUP BY click.user_id) d WHERE d.n > 10",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_join_multikey",
+    """
+    SELECT l.event_id AS eid, l.value AS v1, r.value AS v2
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.event_id = r.event_id
+    """,
+)
+def dialect_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (multi-column) equi-join keys through the dialect
+    front: ``ON a.x = b.y AND a.z = b.w`` AND-chains into one join
+    condition — Catalyst plans a single hash/merge join on the
+    composite key, not a join + post-filter. The reference's JoinInfo
+    carries exactly one column pair (joinparser.go:84-201); real
+    multi-tenant keys are composite, so the grammar completes it."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, a.click AS v1, b.click AS v2 "
+        "FROM boost.events a JOIN boost.events b "
+        "ON a.user_id = b.user_id AND a.event_id = b.event_id",
         EVENTS_BINDING,
     )
 

@@ -223,7 +223,7 @@ def test_parse_join_clause():
     assert len(q.joins) == 1
     j = q.joins[0]
     assert (j.domain, j.family, j.alias, j.kind) == ("d", "g", "b", "inner")
-    assert j.on[0].parts == ("a", "host") and j.on[1].parts == ("b", "host")
+    assert j.on[0][0].parts == ("a", "host") and j.on[0][1].parts == ("b", "host")
     assert q.where is not None
 
     q2 = parse("SELECT a.x.v FROM d.f a CROSS JOIN d.g b")
@@ -1290,3 +1290,69 @@ def test_dialect_right_and_full_join(spark):
     ).collect()
     assert any(v.eid is None for v in got)  # purchase-only event_ids
     assert any(v.rid is None for v in got)  # click-only event_ids
+
+
+def test_dialect_derived_table(spark):
+    """( SELECT ... ) alias in FROM and JOIN — anonymous CTEs riding
+    the WITH planning path; alias required; works inside CTE bodies."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT d.uid AS u, d.n AS n FROM (SELECT click.user_id AS uid, "
+        "count(*) AS n FROM boost.events GROUP BY click.user_id) d "
+        "WHERE d.n > 5 ORDER BY d.n DESC, d.uid LIMIT 3",
+        b,
+    )
+    want = spark.sql(
+        "SELECT uid AS u, n FROM (SELECT user_id AS uid, count(*) AS n "
+        "FROM events WHERE event_type = 'click' GROUP BY user_id) "
+        "WHERE n > 5 ORDER BY n DESC, uid LIMIT 3"
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # derived table as a JOIN source
+    j = sugar.query(
+        spark,
+        "SELECT e.click.event_id AS eid, d.n AS n FROM boost.events e "
+        "JOIN (SELECT click.user_id AS uid, count(*) AS n "
+        "FROM boost.events GROUP BY click.user_id) d ON e.user_id = d.uid",
+        b,
+    )
+    wantj = spark.sql(
+        "SELECT e.event_id AS eid, d.n FROM events e JOIN "
+        "(SELECT user_id AS uid, count(*) AS n FROM events "
+        " WHERE event_type = 'click' GROUP BY user_id) d "
+        "ON e.user_id = d.uid WHERE e.event_type = 'click'"
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, wantj.collect())
+    )
+    # alias is mandatory
+    with pytest.raises(ValueError, match="alias"):
+        parse("SELECT a FROM (SELECT click FROM boost.events)")
+
+
+def test_dialect_join_multikey(spark):
+    """Composite ON keys: AND-chained equi pairs become one join
+    condition (self-match on (user_id, event_id) pairs click to
+    itself)."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.click AS v "
+        "FROM boost.events a JOIN boost.events b "
+        "ON a.user_id = b.user_id AND a.event_id = b.event_id",
+        b,
+    )
+    want = spark.sql(
+        "SELECT event_id AS eid, value AS v FROM events "
+        "WHERE event_type = 'click'"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    q = parse(
+        "SELECT a.x FROM d.f a JOIN d.g b ON a.k1 = b.k1 AND a.k2 = b.k2"
+    )
+    assert len(q.joins[0].on) == 2
