@@ -125,16 +125,17 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 7 entries NEW this round (CTE + derived tables +
+# window: the 8 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
-# dedup), the 5 standing canaries, and 38 re-certification slots
+# dedup, the stream-stream OUTER-join parity certificate), the 5
+# standing canaries, and 37 re-certification slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 37 of the
+# (last green r1 — the only r1-stale row left) and 36 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / window_running_sum / window_sliding_agg defer to
-# round 8 — lowest-risk entries with fresh same-family
-# representatives elsewhere in the window). The r3/r5/r6 cohorts are
+# where_ops / window_running_sum / window_sliding_agg /
+# window_session_agg defer to round 8 — lowest-risk entries with
+# fresh same-family representatives elsewhere in the window). The r3/r5/r6 cohorts are
 # younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
     # --- new in round 7 (never driver-certified) ---
@@ -145,6 +146,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_substring",         # exact verbatim-span dedup (Lee et al.)
     "dialect_derived_table",   # ( SELECT ... ) alias as anonymous CTE
     "dialect_join_multikey",   # composite equi-join keys via AND chain
+    "stream_outer_join_parity",  # watermark-evicted NULL side certified
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -164,10 +166,11 @@ _WINDOW: tuple[str, ...] = (
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
     "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
     "txt_tfidf_topk", "udaf_grouped_range", "window_moving_avg",
-    "window_navigation", "window_rank_ntile", "window_session_agg",
-    # window_running_sum / window_sliding_agg displaced to round 8 by
-    # the two late-round-7 entries (dialect_derived_table /
-    # dialect_join_multikey) — new entries outrank re-certification
+    "window_navigation", "window_rank_ntile",
+    # window_running_sum / window_sliding_agg / window_session_agg
+    # displaced to round 8 by the three late-round-7 entries
+    # (dialect_derived_table / dialect_join_multikey /
+    # stream_outer_join_parity) — new entries outrank re-certification
 )
 
 
@@ -4747,6 +4750,118 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors.withWatermark("e_ts", "0 seconds"), cond
     )
     sink = f"stream_join_{abs(hash(key)) % 10**9}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
+        "p_value",
+        F.unix_micros(F.col("e_ts")).alias("e_ts_us"),
+    )
+
+
+@_q(
+    "stream_outer_join_parity",
+    """
+    WITH p AS (SELECT user_id, ts AS p_ts, value AS p_value
+               FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT user_id AS e_user, ts AS e_ts
+          FROM events WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                        (SELECT max(e_ts) FROM e)) AS w)
+    SELECT p.user_id, epoch_us(p.p_ts) AS p_ts_us, p.p_value AS p_value,
+           epoch_us(e.e_ts) AS e_ts_us
+    FROM p JOIN e ON p.user_id = e.e_user
+     AND e.e_ts >= p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT p.user_id, epoch_us(p.p_ts), p.p_value, CAST(NULL AS BIGINT)
+    FROM p, wm
+    WHERE p.p_ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (SELECT 1 FROM e WHERE e.e_user = p.user_id
+                      AND e.e_ts >= p.p_ts
+                      AND e.e_ts <= p.p_ts + INTERVAL 1 HOUR)
+    """,
+)
+def stream_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE stream-stream LEFT OUTER join — the NULL-side
+    semantics the inner parity entry cannot see: a buffered purchase
+    with no matching error emits NULL-extended exactly when the final
+    watermark proves no future batch can match it, i.e. strictly
+    ``p_ts + 1h < min(max p_ts, max e_ts)`` (pinned empirically: an
+    exact-tie expiry does NOT emit — state eviction is strict-less).
+    The oracle replicates inner matches + that precise cutoff over the
+    batch table, so the appended sink hashes certify watermark-bounded
+    outer-row eviction, not just row buffering. Reuses the inner
+    entry's time-ordered landing (zero-delay watermarks tolerate no
+    out-of-order batch)."""
+    import os
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src0 = ev.select(
+        "event_type", F.col("ts").cast("timestamp"), "user_id", "value"
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "ssjoin")  # shared with stream_join_parity
+    if key not in _STREAM_LANDING:
+        import time as _time
+
+        qs = src0.select(F.unix_micros("ts").alias("t")).agg(
+            F.expr("percentile(t, array(0.33, 0.66))").alias("q")
+        ).collect()[0]["q"]
+        lo, hi = int(qs[0]), int(qs[1])
+        landing = session_tmpdir(prefix="boost_suite_ssjoin_")
+        us = F.unix_micros(F.col("ts"))
+        parts = [
+            src0.filter(us <= lo),
+            src0.filter((us > lo) & (us <= hi)),
+            src0.filter(us > hi),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(landing, f"f{i}"))
+            if i < len(parts) - 1:
+                _time.sleep(1.1)
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    schema = spark.read.parquet(os.path.join(landing, "f0")).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    errors = stream().filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.withWatermark("p_ts", "0 seconds").join(
+        errors.withWatermark("e_ts", "0 seconds"), cond, "leftOuter"
+    )
+    sink = f"stream_ljoin_{abs(hash(key)) % 10**9}"
     q = (
         joined.writeStream.format("memory")
         .queryName(sink)
