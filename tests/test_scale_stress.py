@@ -358,3 +358,80 @@ def test_semantic_dedup_8k_vectors_invariants(spark):
     ids1 = {r["vec_id"] for r in kept.select("vec_id").collect()}
     ids2 = {r["vec_id"] for r in sd2.filter("kept").select("vec_id").collect()}
     assert ids1 == ids2
+
+
+def test_substring_spans_100k_docs_planted(spark):
+    """Substring dedup at 100k docs: replicate the documents corpus
+    40x with per-copy token rotation (so copies share few shingles),
+    plant ONE known 30-token verbatim run in two far-apart docs, and
+    assert the planted span (and only spans >= threshold) surfaces —
+    bucketed candidate generation must not blow up quadratically."""
+    d = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text")
+    n = d.count()
+    big = (
+        d.crossJoin(F.broadcast(spark.range(40).withColumnRenamed("id", "rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+        # rotate text at a copy-dependent split: copies are not dups
+        .withColumn(
+            "text",
+            F.expr(
+                "concat(substring(text, CAST(rep * 31 % greatest(length(text), 1) AS INT) + 1), ' ', "
+                "substring(text, 1, CAST(rep * 31 % greatest(length(text), 1) AS INT)))"
+            ),
+        )
+        .drop("rep")
+    )
+    planted = " ".join(f"plantedtok{i}" for i in range(30))
+    extra = spark.createDataFrame(
+        [
+            (10_000_001, f"prefix words here {planted} and a suffix"),
+            (10_000_002, f"{planted} entirely different tail content"),
+        ],
+        "doc_id long, text string",
+    )
+    big = big.unionByName(extra)
+    out = dd.substring_spans(big, k=8, min_span=25, max_doc_freq=200)
+    rows = out.filter(
+        (F.col("doc_a") == 10_000_001) | (F.col("doc_b") == 10_000_001)
+        | (F.col("doc_a") == 10_000_002) | (F.col("doc_b") == 10_000_002)
+    ).collect()
+    assert any(
+        r.doc_a == 10_000_001 and r.doc_b == 10_000_002
+        and r.span_tokens == 30
+        for r in rows
+    ), f"planted 30-token span must surface, got {rows[:5]}"
+
+
+def test_ann_append_equals_rebuild_20k_vectors(spark):
+    """Incremental ANN maintenance at 20k vectors: append-only
+    assignment against a quantizer trained on the first half must
+    equal the full rebuild row-for-row (the certificate invariant at
+    10x the fixture)."""
+    from boostdb_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n = e.count()
+    dim = len(e.select("embedding").first()[0])
+    big = (
+        e.crossJoin(F.broadcast(spark.range(10).withColumnRenamed("id", "rep")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n)
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"concat(slice(embedding, CAST(rep % {dim} AS INT) + 1, "
+                f"{dim} - CAST(rep % {dim} AS INT)), "
+                f"slice(embedding, 1, CAST(rep % {dim} AS INT)))"
+            ),
+        )
+        .drop("rep")
+    )
+    cut = n * 5
+    train = big.filter(F.col("vec_id") < cut)
+    new = big.filter(F.col("vec_id") >= cut)
+    cents = sim.ivf_train_kmeans(train, n_centroids=16, n_iter=2)
+    full = sim.ivf_build_index(big, cents)
+    merged = sim.ivf_build_index(train, cents).unionByName(
+        sim.ivf_append_index(new, cents)
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
