@@ -237,6 +237,79 @@ def substring_spans(
     return out
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_span: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. 2021 cut
+    the duplicated bytes out of the corpus, not whole documents):
+    every verbatim span reported by :func:`substring_spans` is deleted
+    from the HIGHER-id document of its pair (first occurrence wins —
+    deterministic, and transitively correct: in a 3-way copy the
+    lowest id keeps the text, both later docs shed it). Returns
+    ``(id, clean_text, n_tokens, n_removed)`` for EVERY document —
+    ``clean_text`` is the normalized (lowercased, punctuation-split)
+    token stream with dropped positions removed, ``n_tokens`` the
+    original token count.
+
+    Shape: span positions explode to a (doc, pos) drop set (bounded by
+    the duplicated token volume, not the corpus), tokens posexplode
+    once, one anti-join on (doc, pos), and an ordered rebuild via
+    sort_array(collect_list(struct(pos, tok))) — grouped by doc, so
+    per-task memory is one document's tokens, the same bound the
+    tokenizer already implies."""
+    if spans is None:
+        spans = substring_spans(
+            df, k=k, min_span=min_span, text_col=text_col, id_col=id_col,
+            max_doc_freq=max_doc_freq,
+        )
+    from boostdb_spark.operators.text import tokens as _tokens
+
+    drops = (
+        spans.select(
+            F.col("doc_b").alias("id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
+    ).select("id", F.col("pos").cast("long").alias("pos"), "tok")
+    kept = toks.join(drops, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toks.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
 def keep_best(
     df: DataFrame,
     pairs: DataFrame,

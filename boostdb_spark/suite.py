@@ -125,17 +125,19 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 8 entries NEW this round (CTE + derived tables +
+# window: the 9 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
-# dedup, the stream-stream OUTER-join parity certificate), the 5
-# standing canaries, and 37 re-certification slots
+# dedup find + REMOVE, the stream-stream OUTER-join parity
+# certificate), the 5 standing canaries, and 36 re-certification
+# slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 36 of the
+# (last green r1 — the only r1-stale row left) and 35 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / window_running_sum / window_sliding_agg /
-# window_session_agg defer to round 8 — lowest-risk entries with
-# fresh same-family representatives elsewhere in the window). The r3/r5/r6 cohorts are
+# where_ops / window_rank_ntile / window_running_sum /
+# window_sliding_agg / window_session_agg defer to round 8 — lowest-
+# risk entries with fresh same-family representatives elsewhere in
+# the window). The r3/r5/r6 cohorts are
 # younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
     # --- new in round 7 (never driver-certified) ---
@@ -147,6 +149,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_derived_table",   # ( SELECT ... ) alias as anonymous CTE
     "dialect_join_multikey",   # composite equi-join keys via AND chain
     "stream_outer_join_parity",  # watermark-evicted NULL side certified
+    "dedup_substring_clean",   # span REMOVAL: cleaned corpus certified
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -166,11 +169,12 @@ _WINDOW: tuple[str, ...] = (
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
     "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
     "txt_tfidf_topk", "udaf_grouped_range", "window_moving_avg",
-    "window_navigation", "window_rank_ntile",
-    # window_running_sum / window_sliding_agg / window_session_agg
-    # displaced to round 8 by the three late-round-7 entries
-    # (dialect_derived_table / dialect_join_multikey /
-    # stream_outer_join_parity) — new entries outrank re-certification
+    "window_navigation",
+    # window_rank_ntile / window_running_sum / window_sliding_agg /
+    # window_session_agg displaced to round 8 by the four
+    # late-round-7 entries (dialect_derived_table /
+    # dialect_join_multikey / stream_outer_join_parity /
+    # dedup_substring_clean) — new entries outrank re-certification
 )
 
 

@@ -297,10 +297,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(t["documents"], threshold=0.5, n=3)
 
 
-@_q(
-    "dedup_substring",
-    f"""
-    WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+#: shared spans pipeline (8-token shingles, maximal diagonal runs) —
+#: the dedup_substring result set as a reusable CTE chain
+_SPANS_CTES = f"""
+    d AS (SELECT doc_id, {TOKS} AS tk FROM documents),
     sp AS (
       SELECT doc_id AS id,
              unnest(range(0, greatest(len(tk) - 7, 0)))::BIGINT AS pos, tk
@@ -321,11 +321,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rid AS (
       SELECT *, sum(nr) OVER (PARTITION BY doc_a, doc_b, diag
                               ORDER BY pa) AS run_id
-      FROM runs)
-    SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
-           (count(*) + 7)::BIGINT AS span_tokens
-    FROM rid GROUP BY doc_a, doc_b, diag, run_id
-    HAVING count(*) + 7 >= 8
+      FROM runs),
+    spans AS (
+      SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+             (count(*) + 7)::BIGINT AS span_tokens
+      FROM rid GROUP BY doc_a, doc_b, diag, run_id
+      HAVING count(*) + 7 >= 8)
+"""
+
+
+@_q(
+    "dedup_substring",
+    f"""
+    WITH {_SPANS_CTES}
+    SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
     """,
 )
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +350,45 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the txt_ngram_novelty oracle style."""
     t = load_tables(spark, sf_dir)
     return dd.substring_spans(t["documents"], k=8)
+
+
+@_q(
+    "dedup_substring_clean",
+    f"""
+    WITH {_SPANS_CTES},
+    drops AS (
+      SELECT DISTINCT doc_b AS id,
+             unnest(range(b_start, b_start + span_tokens))::BIGINT AS pos
+      FROM spans),
+    toks0 AS (
+      SELECT doc_id AS id, unnest(range(0, len(tk)))::BIGINT AS pos, tk
+      FROM d),
+    toks AS (SELECT id, pos, tk[pos+1] AS tok FROM toks0),
+    kept AS (SELECT t.id, t.pos, t.tok FROM toks t
+             ANTI JOIN drops USING (id, pos)),
+    reb AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY id),
+    tot AS (SELECT id, count(*) AS n_tokens FROM toks GROUP BY id)
+    SELECT tot.id, coalesce(reb.clean_text, '') AS clean_text,
+           tot.n_tokens,
+           (tot.n_tokens - coalesce(reb.n_kept, 0)) AS n_removed
+    FROM tot LEFT JOIN reb USING (id)
+    """,
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact substring dedup
+    (operators/dedup.py::remove_duplicate_spans — Lee et al. 2021 cut
+    the duplicated bytes, not whole documents): every verbatim span
+    found by dedup_substring is deleted from the HIGHER-id document of
+    its pair (first occurrence wins, transitively correct for n-way
+    copies), and each document's normalized token stream rebuilds in
+    position order. Hash-certifies the cleaned corpus text itself plus
+    the removed-token accounting. Shape: the span drop-set explodes to
+    (doc, pos) rows bounded by duplicated volume; one anti-join; the
+    ordered rebuild groups per document (per-task memory = one doc)."""
+    t = load_tables(spark, sf_dir)
+    return dd.remove_duplicate_spans(t["documents"], k=8)
 
 
 @_q(

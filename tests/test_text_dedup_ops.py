@@ -420,3 +420,31 @@ def test_substring_spans_planted_overlap(spark):
 
     with pytest.raises(ValueError, match="min_span"):
         substring_spans(df, k=8, min_span=4)
+
+
+def test_remove_duplicate_spans_first_wins(spark):
+    """Span removal: the higher-id doc sheds the planted run, the
+    lower-id doc keeps it; 3-way copies keep exactly one occurrence;
+    untouched docs pass through with n_removed=0."""
+    from boostdb_spark.operators.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    docs = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"one two {shared} three"),
+        (3, f"start {shared} finish"),
+        (4, "totally different words without any overlap whatsoever "
+            "p1 p2 p3 p4 p5 p6"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[1].n_removed == 0 and "tok0" in out[1].clean_text
+    for i in (2, 3):  # later copies shed the 12-token run
+        assert out[i].n_removed == 12
+        assert "tok0" not in out[i].clean_text
+    assert out[2].clean_text == "one two three"
+    assert out[3].clean_text == "start finish"
+    assert out[4].n_removed == 0
+    # total kept occurrences across the corpus: exactly one
+    kept_runs = sum("tok0 tok1" in out[i].clean_text for i in out)
+    assert kept_runs == 1
