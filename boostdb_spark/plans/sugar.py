@@ -328,7 +328,7 @@ class _Parser:
                 break
             q.set_ops.append((op, self.parse_core()))
         # ORDER BY / LIMIT attach to the WHOLE statement (after set ops)
-        q.order_by, q.limit, q.offset = self.parse_order_limit()
+        q.order_by, q.limit, q.offset = self.parse_order_limit(q.fields)
         if not sub and self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
         # named CTEs first (a derived table may reference them), then
@@ -337,12 +337,52 @@ class _Parser:
         self.derived = saved_derived
         return q
 
-    def parse_order_limit(self):
+    def _ordinal_item(
+        self, fields: list[FieldRef], clause: str, allow_agg: bool
+    ) -> "FieldRef | None":
+        """``GROUP BY 1`` / ``ORDER BY 2`` positional references —
+        resolved AT PARSE TIME to the select item they name (plain refs
+        become the ref; computed/aggregate items route through their AS
+        alias). Returns None when the next token is not a number."""
+        if self.peek()[0] != "num":
+            return None
+        _, n = self.next()
+        if "." in n:
+            raise ValueError(
+                f"{clause} position must be an integer, got {n}"
+            )
+        i = int(n)
+        if not fields or not (1 <= i <= len(fields)):
+            raise ValueError(
+                f"{clause} {i} is out of range "
+                f"(select list has {len(fields)} items)"
+            )
+        f = fields[i - 1]
+        if f.window is not None:
+            raise ValueError(f"{clause} {i} names a window-function item")
+        if f.func is not None:
+            if not allow_agg:
+                raise ValueError(
+                    f"{clause} {i} names an aggregate select item"
+                )
+            if not f.alias:
+                raise ValueError(
+                    f"{clause} {i} names an aggregate item without an "
+                    "AS alias — add one to reference it by position"
+                )
+            return FieldRef((f.alias,))
+        if f.expr is not None:
+            return FieldRef((f.alias,))  # computed items always carry AS
+        return FieldRef(f.parts)
+
+    def parse_order_limit(self, fields: list[FieldRef] | None = None):
         order_by: list[tuple[FieldRef, bool]] = []
         if self.accept_kw("order"):
             self.expect_kw("by")
             while True:
-                f2 = self.parse_field()
+                f2 = self._ordinal_item(
+                    fields or [], "ORDER BY", allow_agg=True
+                ) or self.parse_field()
                 desc = False
                 if self.accept_kw("desc"):
                     desc = True
@@ -434,19 +474,24 @@ class _Parser:
         group_mode = "plain"
         if self.accept_kw("group"):
             self.expect_kw("by")
+            def _gitem() -> FieldRef:
+                return self._ordinal_item(
+                    fields, "GROUP BY", allow_agg=False
+                ) or self.parse_field()
+
             if self.peek() in (("kw", "rollup"), ("kw", "cube")):
                 _, group_mode = self.next()
                 if not self.accept_op("("):
                     raise ValueError(f"{group_mode.upper()} requires (cols)")
-                group_by.append(self.parse_field())
+                group_by.append(_gitem())
                 while self.accept_op(","):
-                    group_by.append(self.parse_field())
+                    group_by.append(_gitem())
                 if not self.accept_op(")"):
                     raise ValueError(f"unbalanced {group_mode.upper()} list")
             else:
-                group_by.append(self.parse_field())
+                group_by.append(_gitem())
                 while self.accept_op(","):
-                    group_by.append(self.parse_field())
+                    group_by.append(_gitem())
             if self.accept_kw("having"):
                 having = self.parse_or()
         if star and (group_by or joins):

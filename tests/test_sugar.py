@@ -1356,3 +1356,43 @@ def test_dialect_join_multikey(spark):
         "SELECT a.x FROM d.f a JOIN d.g b ON a.k1 = b.k1 AND a.k2 = b.k2"
     )
     assert len(q.joins[0].on) == 2
+
+
+def test_group_order_by_ordinals(spark):
+    """GROUP BY 1 / ORDER BY 2 positional references resolve at parse
+    time to the select items they name — plain refs, computed items
+    (via alias), aggregate items (ORDER BY only, via alias)."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT floor(click / 50.0) AS bin, count(*) AS n "
+        "FROM boost.events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3",
+        b,
+    )
+    want = spark.sql(
+        "SELECT floor(value / 50.0) AS bin, count(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3"
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # plain-ref ordinal
+    got2 = sugar.query(
+        spark,
+        "SELECT click.user_id, count(*) AS n FROM boost.events "
+        "GROUP BY 1 ORDER BY 1",
+        b,
+    )
+    want2 = spark.sql(
+        "SELECT user_id, count(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"
+    )
+    assert [tuple(r) for r in got2.collect()] == [
+        tuple(r) for r in want2.collect()
+    ]
+    with pytest.raises(ValueError, match="out of range"):
+        parse("SELECT a FROM d.f GROUP BY 3")
+    with pytest.raises(ValueError, match="aggregate select item"):
+        parse("SELECT a.k, count(*) AS n FROM d.f GROUP BY 2")
+    with pytest.raises(ValueError, match="AS alias"):
+        parse("SELECT a.k, count(*) FROM d.f GROUP BY 1 ORDER BY 2")
