@@ -803,10 +803,13 @@ def matryoshka_truncate(
     MRL-trained embedding stores (a 64 -> 16 truncation is 4x less
     storage and ~4x faster brute-force scoring, recoverable recall).
 
-    Pure codegen: slice + one deterministic left-fold norm + transform
-    divide; zero shuffle, fuses into the scan. The fold order matches
-    the DuckDB ``list_reduce`` oracle bit-for-bit; zero vectors pass
-    through unnormalized (no 0/0 NaN)."""
+    Pure expressions: slice + one deterministic left-fold norm +
+    transform divide; zero shuffle. The fold order matches the DuckDB
+    ``list_reduce`` oracle bit-for-bit; zero vectors pass through
+    unnormalized (no 0/0 NaN). Input spreads across cores first — HOF
+    lambdas evaluate interpreted, and a one-file parquet input would
+    otherwise pin the map to a single task."""
+    df = _spread(df)
     v = F.transform(
         F.slice(F.col(vec_col), 1, dims), lambda x: x.cast("double")
     )
@@ -835,7 +838,7 @@ def embedding_dim_stats(
     Shape: posexplode to (dim, x) -> ONE partial-aggregating groupBy on
     the dimension index (the shuffle carries |dims| rows per map
     task, nothing else)."""
-    x = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+    x = _spread(df).select(F.posexplode(F.col(vec_col)).alias("dim", "_x"))
     q = F.floor(F.col("_x").cast("double") * scale + F.lit(0.5)).cast("long")
     xq = x.select("dim", q.alias("_q"))
     agg = xq.groupBy("dim").agg(
@@ -875,9 +878,13 @@ def quantize_int8(
     an index-ordered left fold — bit-exact against a SQL oracle. Zero
     vectors (scale == 0) quantize to all-zero q with err 0.
 
-    Scale shape: pure per-row codegen HOF expressions — a narrow map,
-    no shuffle, no UDF, no driver involvement.
+    Scale shape: pure per-row HOF expressions — a narrow map, no
+    shuffle, no UDF, no driver involvement. HOF lambdas evaluate
+    INTERPRETED, so the input spreads across cores first (a one-file
+    parquet fixture otherwise pins the whole map to a single task —
+    measured 2.8 s -> ~0.3 s at sf0.1 on local[32]).
     """
+    df = _spread(df)
     xa = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(xa, F.abs))
     s = F.lit(127.0) / scale
