@@ -1405,6 +1405,147 @@ def holt_winters(
     )
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    bucket_seconds: int,
+    warmup: int = 8,
+    k_mult: float = 0.5,
+    h_mult: float = 4.0,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM mean-shift CHANGEPOINT detection per series (Page 1954,
+    the tabular two-sided form every SPC/monitoring stack uses): over
+    bucketed means, the one-sided cumulative sums
+
+        S+ = max(0, S+ + (y - mu0) - k);  S- = max(0, S- - (y - mu0) - k)
+
+    flag a changepoint when either exceeds ``h``, then BOTH reset
+    (restart detection after the shift). ``mu0``/``sd`` calibrate on
+    the first ``warmup`` buckets; ``k = k_mult*sd`` (slack — shifts
+    below it accumulate nothing), ``h = h_mult*sd`` (decision
+    interval). Ties between directions break toward the larger
+    statistic, then upward.
+
+    Returns one row per changepoint: ``(series..., bucket, direction
+    [+1/-1], stat)`` with ``stat`` on the 1e-6 grid. Series shorter
+    than ``warmup`` or with a FLAT warmup (sd == 0 — no scale to
+    calibrate) emit nothing.
+
+    Determinism: the recurrence is inherently sequential, so it runs
+    as ONE left fold over the bucket-sorted mean list with a growing
+    ``array<double>`` accumulator ``[S+, S-, next_i, cp_i, cp_dir,
+    cp_stat, ...]`` — indices (exact small doubles) stand in for
+    bucket timestamps inside the fold (an ns epoch exceeds 2^53) and
+    map back through the sorted bucket list afterwards. The identical
+    expression tree evaluates in a SQL oracle bit-for-bit, including
+    the warmup variance clamped at 0 before sqrt (the underflow-NaN
+    guard).
+
+    Scale: the fold is over per-bucket means — bounded by the
+    retention/bucket width, not datapoint count; raw rows reduce
+    map-side in the bucket aggregate. One shuffle total."""
+    if warmup < 2:
+        raise ValueError("warmup needs at least 2 buckets")
+    v = F.col(value_col)
+    means = bucket_agg(
+        df,
+        bucket_seconds,
+        keys=list(series_cols),
+        aggs=[
+            (
+                F.sum(v.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        ],
+        ts_col=ts_col,
+    )
+    agg = means.groupBy(*series_cols).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "_m"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    agg = agg.filter(F.col("n") > warmup)
+    wvals = F.transform(
+        F.slice("_a", 1, warmup), lambda s: s.getField("_m")
+    )
+    s1 = F.aggregate(wvals, F.lit(0.0), lambda a, x: a + x)
+    mu0 = s1 / F.lit(float(warmup))
+    s2 = F.aggregate(wvals, F.lit(0.0), lambda a, x: a + x * x)
+    sd = F.sqrt(
+        F.greatest(s2 / F.lit(float(warmup)) - mu0 * mu0, F.lit(0.0))
+    )
+    agg = (
+        agg.withColumn("_mu0", mu0)
+        .withColumn("_k", F.lit(float(k_mult)) * sd)
+        .withColumn("_h", F.lit(float(h_mult)) * sd)
+        .filter(F.col("_h") > 0)
+    )
+
+    def step(acc, t):
+        y = t.getField("_m")
+        dev = y - F.col("_mu0")
+        sp1 = F.greatest(F.lit(0.0), acc[0] + dev - F.col("_k"))
+        sm1 = F.greatest(F.lit(0.0), acc[1] - dev - F.col("_k"))
+        i = acc[2]
+        tail = F.slice(acc, 4, F.greatest(F.size(acc) - 3, F.lit(0)))
+        up = (sp1 > F.col("_h")) & (sp1 >= sm1)
+        dn = (sm1 > F.col("_h")) & ~up
+        return (
+            F.when(
+                up,
+                F.concat(
+                    F.array(F.lit(0.0), F.lit(0.0), i + F.lit(1.0)),
+                    tail,
+                    F.array(i, F.lit(1.0), sp1),
+                ),
+            )
+            .when(
+                dn,
+                F.concat(
+                    F.array(F.lit(0.0), F.lit(0.0), i + F.lit(1.0)),
+                    tail,
+                    F.array(i, F.lit(-1.0), sm1),
+                ),
+            )
+            .otherwise(
+                F.concat(F.array(sp1, sm1, i + F.lit(1.0)), tail)
+            )
+        )
+
+    # detection starts AFTER the warmup window; next_i starts at
+    # warmup+1 (1-based position of the first monitored bucket)
+    acc = F.aggregate(
+        F.slice("_a", warmup + 1, F.greatest(F.size("_a") - warmup, F.lit(0))),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(float(warmup + 1))),
+        step,
+    )
+    n_cp = ((F.size("_acc") - 3) / 3).cast("int")
+    out = agg.withColumn("_acc", acc).select(
+        *series_cols,
+        "_a",
+        # guard: sequence(0, -1) would DESCEND; empty array drops the
+        # no-changepoint series instead
+        F.explode(
+            F.when(
+                F.size("_acc") > 3, F.sequence(F.lit(0), n_cp - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_c"),
+        "_acc",
+    )
+    idx = F.element_at("_acc", (F.col("_c") * 3 + 4).cast("int"))
+    return out.select(
+        *series_cols,
+        F.element_at("_a", idx.cast("int")).getField("bucket").alias("bucket"),
+        F.element_at("_acc", (F.col("_c") * 3 + 5).cast("int"))
+        .cast("int")
+        .alias("direction"),
+        _q6(
+            F.element_at("_acc", (F.col("_c") * 3 + 6).cast("int"))
+        ).alias("stat"),
+    )
+
+
 def mad_over_time(
     df: DataFrame,
     bucket_seconds: int,

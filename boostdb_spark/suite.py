@@ -125,19 +125,19 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 9 entries NEW this round (CTE + derived tables +
+# window: the 10 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
 # dedup find + REMOVE, the stream-stream OUTER-join parity
-# certificate), the 5 standing canaries, and 36 re-certification
-# slots
+# certificate, CUSUM changepoints), the 5 standing canaries, and 35
+# re-certification slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 35 of the
+# (last green r1 — the only r1-stale row left) and 34 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / window_rank_ntile / window_running_sum /
-# window_sliding_agg / window_session_agg defer to round 8 — lowest-
-# risk entries with fresh same-family representatives elsewhere in
-# the window). The r3/r5/r6 cohorts are
+# where_ops / window_navigation / window_rank_ntile /
+# window_running_sum / window_sliding_agg / window_session_agg defer
+# to round 8 — lowest-risk entries with fresh same-family
+# representatives elsewhere in the window). The r3/r5/r6 cohorts are
 # younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
     # --- new in round 7 (never driver-certified) ---
@@ -150,6 +150,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_join_multikey",   # composite equi-join keys via AND chain
     "stream_outer_join_parity",  # watermark-evicted NULL side certified
     "dedup_substring_clean",   # span REMOVAL: cleaned corpus certified
+    "ts_cusum_changepoint",    # CUSUM mean-shift detection (Page 1954)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -169,12 +170,12 @@ _WINDOW: tuple[str, ...] = (
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
     "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
     "txt_tfidf_topk", "udaf_grouped_range", "window_moving_avg",
-    "window_navigation",
-    # window_rank_ntile / window_running_sum / window_sliding_agg /
-    # window_session_agg displaced to round 8 by the four
-    # late-round-7 entries (dialect_derived_table /
+    # window_navigation / window_rank_ntile / window_running_sum /
+    # window_sliding_agg / window_session_agg displaced to round 8 by
+    # the five late-round-7 entries (dialect_derived_table /
     # dialect_join_multikey / stream_outer_join_parity /
-    # dedup_substring_clean) — new entries outrank re-certification
+    # dedup_substring_clean / ts_cusum_changepoint) — new entries
+    # outrank re-certification
 )
 
 
@@ -2926,6 +2927,93 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.holt_winters(
         _ns_events(t), alpha=0.5, beta=0.25, bucket_seconds=3600,
         series_cols=("event_type",),
+    )
+
+
+@_q(
+    "ts_cusum_changepoint",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             list(m ORDER BY bucket) AS vs,
+             list(bucket ORDER BY bucket) AS bs,
+             count(*) AS n
+      FROM h GROUP BY event_type),
+    cal AS (
+      SELECT event_type, vs, bs, n,
+             list_reduce(list_prepend(0.0, vs[1:8]),
+                         (a, x) -> a + x) / 8.0 AS mu0,
+             sqrt(greatest(
+               list_reduce(list_prepend(0.0, vs[1:8]),
+                           (a, x) -> a + x * x) / 8.0
+               - (list_reduce(list_prepend(0.0, vs[1:8]),
+                              (a, x) -> a + x) / 8.0)
+                 * (list_reduce(list_prepend(0.0, vs[1:8]),
+                                (a, x) -> a + x) / 8.0),
+               0.0)) AS sd
+      FROM g WHERE n > 8),
+    prm AS (
+      SELECT event_type, vs, bs, 0.5 * sd AS k, 2.0 * sd AS hh, mu0
+      FROM cal WHERE sd > 0),
+    folded AS (
+      SELECT event_type, bs,
+             list_reduce(
+               list_prepend([0.0, 0.0, 9.0],
+                            list_transform(vs[9:len(vs)], y -> [y])),
+               (acc, y) -> CASE
+                 WHEN greatest(0.0, acc[1] + (y[1] - mu0) - k) > hh
+                      AND greatest(0.0, acc[1] + (y[1] - mu0) - k)
+                          >= greatest(0.0, acc[2] - (y[1] - mu0) - k)
+                 THEN list_concat(
+                        list_concat([0.0, 0.0, acc[3] + 1.0],
+                                    acc[4:len(acc)]),
+                        [acc[3], 1.0,
+                         greatest(0.0, acc[1] + (y[1] - mu0) - k)])
+                 WHEN greatest(0.0, acc[2] - (y[1] - mu0) - k) > hh
+                 THEN list_concat(
+                        list_concat([0.0, 0.0, acc[3] + 1.0],
+                                    acc[4:len(acc)]),
+                        [acc[3], -1.0,
+                         greatest(0.0, acc[2] - (y[1] - mu0) - k)])
+                 ELSE list_concat(
+                        [greatest(0.0, acc[1] + (y[1] - mu0) - k),
+                         greatest(0.0, acc[2] - (y[1] - mu0) - k),
+                         acc[3] + 1.0],
+                        acc[4:len(acc)])
+               END) AS acc
+      FROM prm),
+    cps AS (
+      SELECT event_type, bs, acc,
+             unnest(range(0, (len(acc) - 3) // 3)) AS c
+      FROM folded WHERE len(acc) > 3)
+    SELECT event_type,
+           bs[CAST(acc[c * 3 + 4] AS INT)] AS bucket,
+           CAST(acc[c * 3 + 5] AS INT) AS direction,
+           floor(acc[c * 3 + 6] * 1000000.0 + 0.5) / 1000000.0 AS stat
+    FROM cps
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint detection (Page 1954 tabular
+    two-sided; operators/timeseries.py::cusum_changepoints) over 6h
+    means per series: calibrate mu0/sd on the first 8 buckets, slack
+    k=0.5sd, decision interval h=2sd, reset-on-fire. The inherently
+    sequential recurrence runs as ONE declarative left fold with a
+    GROWING array<double> accumulator ([S+, S-, next_i, then one
+    (index, direction, stat) triple per changepoint]) — no UDF, no
+    driver loop — and the oracle evaluates the identical expression
+    tree (indices stand in for ns buckets inside the fold: an ns
+    epoch exceeds 2^53 in doubles; they map back through the sorted
+    bucket list)."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.cusum_changepoints(
+        _ns_events(t), bucket_seconds=21600, warmup=8,
+        k_mult=0.5, h_mult=2.0, series_cols=("event_type",),
     )
 
 

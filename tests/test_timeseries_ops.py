@@ -799,3 +799,38 @@ def test_pattern_topk_excludes_variance_underflow_windows(spark):
     assert all(r.series == "s1" for r in out), (
         "underflow-variance flat windows must never rank"
     )
+
+
+def test_cusum_changepoints_planted_shifts(spark):
+    """CUSUM detects a planted +5sd mean shift at its onset bucket (and
+    keeps firing while the level stays shifted — reset-on-fire
+    semantics); downward shifts flag direction -1; flat-warmup and
+    too-short series emit nothing."""
+    import pytest as _pt
+
+    NS = 1_000_000_000
+    rows = []
+    for i in range(40):
+        rows.append(("up", i * 60 * NS,
+                     10.0 + (5.0 if i >= 20 else 0.0) + (0.3 if i % 2 else -0.3)))
+    for i in range(40):
+        rows.append(("down", i * 60 * NS,
+                     50.0 - (8.0 if i >= 25 else 0.0)
+                     + (0.5 if i % 3 == 0 else -0.25)))
+    rows += [("flat", i * 60 * NS, 7.0) for i in range(40)]
+    rows += [("short", i * 60 * NS, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = ts_ops.cusum_changepoints(
+        df, bucket_seconds=60, warmup=8, k_mult=0.5, h_mult=4.0,
+        series_cols=("series",),
+    ).collect()
+    ups = sorted(r.bucket // (60 * NS) for r in out if r.series == "up")
+    downs = sorted(r.bucket // (60 * NS) for r in out if r.series == "down")
+    assert ups[0] == 20 and ups == list(range(20, 40))
+    assert downs[0] == 25 and downs == list(range(25, 40))
+    assert all(r.direction == 1 for r in out if r.series == "up")
+    assert all(r.direction == -1 for r in out if r.series == "down")
+    assert not any(r.series in ("flat", "short") for r in out)
+    assert all(r.stat > 0 for r in out)
+    with _pt.raises(ValueError, match="warmup"):
+        ts_ops.cusum_changepoints(df, 60, warmup=1, series_cols=("series",))
