@@ -858,6 +858,54 @@ def embedding_dim_stats(
     )
 
 
+def whiten_embeddings(
+    df: DataFrame,
+    stats: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of the
+    embedding store: ``z_j = (x_j - mean_j) / sd_j`` with the corpus
+    profile from :func:`embedding_dim_stats` — the centering step that
+    makes cosine/L2 geometry comparable across dimensions with very
+    different scales (and the cheap approximation of full ZCA without
+    a covariance pass). Zero-variance dimensions map to 0.0 (they
+    carry no information; the centered value is 0 up to quantization).
+
+    ``stats=`` takes a precomputed (persisted) profile — at 100 TB the
+    stats pass is ingest work and every downstream job reuses it; the
+    default computes it from ``df`` in one aggregate.
+
+    Determinism: means/variances come from decimal-exact integer sums
+    (partition-order independent); sd is ``math.sqrt`` on the driver
+    (correctly-rounded IEEE, identical to SQL ``sqrt``), shipped as
+    per-dimension LITERALS into one zip_with projection — no join, no
+    shuffle beyond the tiny stats aggregate itself."""
+    import math
+
+    if stats is None:
+        stats = embedding_dim_stats(df, vec_col)
+    rows = stats.orderBy("dim").collect()  # |dims| rows — bounded
+    if not rows:
+        raise ValueError("whiten_embeddings: empty stats profile")
+    means = [float(r["mean"]) for r in rows]
+    sds = [math.sqrt(max(float(r["variance"]), 0.0)) for r in rows]
+    m_arr = F.array(*[F.lit(m) for m in means])
+    s_arr = F.array(*[F.lit(s) for s in sds])
+    centered = F.zip_with(
+        _as_double(F.col(vec_col)), m_arr, lambda x, mu: x - mu
+    )
+    z = F.zip_with(
+        centered,
+        s_arr,
+        lambda c, s: F.when(s > 0.0, c / s).otherwise(F.lit(0.0)),
+    )
+    return _spread(df).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], z.alias("z")
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

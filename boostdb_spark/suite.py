@@ -125,19 +125,19 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 10 entries NEW this round (CTE + derived tables +
+# window: the 11 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
 # dedup find + REMOVE, the stream-stream OUTER-join parity
-# certificate, CUSUM changepoints), the 5 standing canaries, and 35
-# re-certification slots
+# certificate, CUSUM changepoints, embedding whitening), the 5
+# standing canaries, and 34 re-certification slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 34 of the
+# (last green r1 — the only r1-stale row left) and 33 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / window_navigation / window_rank_ntile /
-# window_running_sum / window_sliding_agg / window_session_agg defer
-# to round 8 — lowest-risk entries with fresh same-family
-# representatives elsewhere in the window). The r3/r5/r6 cohorts are
+# where_ops / window_moving_avg / window_navigation /
+# window_rank_ntile / window_running_sum / window_sliding_agg /
+# window_session_agg defer to round 8 — lowest-risk entries with
+# fresh same-family representatives elsewhere in the window). The r3/r5/r6 cohorts are
 # younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
     # --- new in round 7 (never driver-certified) ---
@@ -151,6 +151,7 @@ _WINDOW: tuple[str, ...] = (
     "stream_outer_join_parity",  # watermark-evicted NULL side certified
     "dedup_substring_clean",   # span REMOVAL: cleaned corpus certified
     "ts_cusum_changepoint",    # CUSUM mean-shift detection (Page 1954)
+    "emb_whiten",              # per-dim standardization vs corpus profile
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -169,13 +170,14 @@ _WINDOW: tuple[str, ...] = (
     "orderby_limit_topk", "pipeline_curate", "scalar_functions",
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
     "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
-    "txt_tfidf_topk", "udaf_grouped_range", "window_moving_avg",
-    # window_navigation / window_rank_ntile / window_running_sum /
-    # window_sliding_agg / window_session_agg displaced to round 8 by
-    # the five late-round-7 entries (dialect_derived_table /
-    # dialect_join_multikey / stream_outer_join_parity /
-    # dedup_substring_clean / ts_cusum_changepoint) — new entries
-    # outrank re-certification
+    "txt_tfidf_topk", "udaf_grouped_range",
+    # window_moving_avg / window_navigation / window_rank_ntile /
+    # window_running_sum / window_sliding_agg / window_session_agg
+    # displaced to round 8 by the six late-round-7 entries
+    # (dialect_derived_table / dialect_join_multikey /
+    # stream_outer_join_parity / dedup_substring_clean /
+    # ts_cusum_changepoint / emb_whiten) — new entries outrank
+    # re-certification
 )
 
 

@@ -2348,6 +2348,55 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_whiten",
+    """
+    WITH x AS (
+      SELECT CAST(t.i - 1 AS INT) AS dim,
+             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS q
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i)),
+    a AS (
+      SELECT dim, count(*) AS n,
+             sum(CAST(q AS DECIMAL(38,0))) AS s,
+             sum(CAST(q AS DECIMAL(19,0)) * q) AS s2
+      FROM x GROUP BY dim),
+    st AS (
+      SELECT dim,
+             CAST(s AS DOUBLE) / (n * 1000000.0) AS mean,
+             sqrt(greatest(
+               CAST(s2 AS DOUBLE) / (n * 1000000000000.0)
+               - (CAST(s AS DOUBLE) / (n * 1000000.0))
+                 * (CAST(s AS DOUBLE) / (n * 1000000.0)), 0.0)) AS sd
+      FROM a),
+    v AS (
+      SELECT vec_id, CAST(t.i - 1 AS INT) AS dim,
+             CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i))
+    SELECT v.vec_id, v.dim,
+           CASE WHEN st.sd > 0.0 THEN (v.x - st.mean) / st.sd
+                ELSE 0.0 END AS z
+    FROM v JOIN st USING (dim)
+    """,
+)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whiten_embeddings(): per-dimension standardization of the
+    embedding store against its own decimal-exact corpus profile —
+    the centering/whitening consumer emb_dim_stats exists for. The
+    |dims|-row profile collects once and ships as literals into one
+    zip_with projection (no join, no full-data shuffle); output is
+    scalarized long form (vec_id, dim, z) so the driver compare hashes
+    doubles, not arrays. sd is driver-side math.sqrt == SQL sqrt
+    (correctly-rounded IEEE), so z trees are engine-identical."""
+    t = load_tables(spark, sf_dir)
+    out = sim.whiten_embeddings(t["embeddings"])
+    return out.select(
+        "vec_id", F.posexplode("z").alias("dim", "z")
+    ).select("vec_id", "dim", "z")
+
+
+@_q(
     "emb_dim_stats",
     """
     WITH x AS (

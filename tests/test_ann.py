@@ -297,3 +297,30 @@ def test_ivf_centroid_drift_stat(spark, emb):
     b = sorted(map(tuple, sim.ivf_centroid_drift(
         emb.repartition(7), cents).collect()))
     assert a == b
+
+
+def test_whiten_embeddings_standardizes(spark, emb):
+    """Whitened dimensions have ~zero mean and ~unit variance against
+    the corpus profile; a precomputed stats profile gives identical
+    output; zero-variance dimensions map to exactly 0."""
+    import math
+
+    out = sim.whiten_embeddings(emb)
+    stats = sim.embedding_dim_stats(
+        out.select(F.col("vec_id"), F.col("z").alias("embedding"))
+    ).collect()
+    for r in stats:
+        assert abs(r["mean"]) < 1e-3
+        assert abs(r["variance"] - 1.0) < 1e-2
+    pre = sim.embedding_dim_stats(emb)
+    out2 = sim.whiten_embeddings(emb, stats=pre)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+    const = spark.createDataFrame(
+        [(1, [3.0, 1.0]), (2, [3.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    z = {r.vec_id: r.z for r in sim.whiten_embeddings(const).collect()}
+    assert z[1][0] == 0.0 and z[2][0] == 0.0  # zero-variance dim -> 0
+    assert z[1][1] == -z[2][1] != 0.0
