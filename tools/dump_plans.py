@@ -59,6 +59,8 @@ SHOWCASE = [
     ("dialect_join_full", "dialect FULL OUTER: per-source series filters still pushed below the outer join"),
     ("dedup_substring", "substring dedup: positioned shingles bucket by text (equi-join), one window pass chains diagonal runs"),
     ("ann_append_certified", "ANN append certificate: read-back index vs rebuild exceptAll, broadcast probe join, drift via broadcast centroid table"),
+    ("ts_cusum_changepoint", "CUSUM changepoints: one bucket agg + growing-array fold per series, triples explode — no join, no window"),
+    ("emb_whiten", "whitening: dim-stats aggregate once, literals into one zip_with projection — no join on the data path"),
 ]
 
 
