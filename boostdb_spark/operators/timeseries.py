@@ -1405,6 +1405,31 @@ def holt_winters(
     )
 
 
+def ohlc(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OHLC candles per (series, bucket): time-ordered open/close via
+    min_by/max_by on the timestamp plus min/max/count/decimal-exact
+    volume-style sum — the downsampling primitive of every financial /
+    metering dashboard. ONE hash aggregate with map-side partials; no
+    window, no second scan. Requires ts unique within a series for
+    open/close to be well-defined (the series-family contract)."""
+    bdf = time_bucket(df, bucket_seconds, ts_col=ts_col)
+    v = F.col(value_col)
+    return bdf.groupBy(*series_cols, "bucket").agg(
+        F.min_by(value_col, ts_col).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(value_col, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("vsum"),
+    )
+
+
 def cusum_changepoints(
     df: DataFrame,
     bucket_seconds: int,

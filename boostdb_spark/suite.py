@@ -125,18 +125,18 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 11 entries NEW this round (CTE + derived tables +
+# window: the 12 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
 # dedup find + REMOVE, the stream-stream OUTER-join parity
-# certificate, CUSUM changepoints, embedding whitening), the 5
-# standing canaries, and 34 re-certification slots
+# certificate, CUSUM changepoints, embedding whitening, OHLC
+# candles), the 5 standing canaries, and 33 re-certification slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 33 of the
+# (last green r1 — the only r1-stale row left) and 32 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / window_moving_avg / window_navigation /
-# window_rank_ntile / window_running_sum / window_sliding_agg /
-# window_session_agg defer to round 8 — lowest-risk entries with
+# where_ops / udaf_grouped_range / window_moving_avg /
+# window_navigation / window_rank_ntile / window_running_sum /
+# window_sliding_agg / window_session_agg defer to round 8 — lowest-risk entries with
 # fresh same-family representatives elsewhere in the window). The r3/r5/r6 cohorts are
 # younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
@@ -152,6 +152,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_substring_clean",   # span REMOVAL: cleaned corpus certified
     "ts_cusum_changepoint",    # CUSUM mean-shift detection (Page 1954)
     "emb_whiten",              # per-dim standardization vs corpus profile
+    "ts_ohlc",                 # OHLC candles: one partial-agg aggregate
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -170,7 +171,7 @@ _WINDOW: tuple[str, ...] = (
     "orderby_limit_topk", "pipeline_curate", "scalar_functions",
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
     "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
-    "txt_tfidf_topk", "udaf_grouped_range",
+    "txt_tfidf_topk",
     # window_moving_avg / window_navigation / window_rank_ntile /
     # window_running_sum / window_sliding_agg / window_session_agg
     # displaced to round 8 by the six late-round-7 entries
@@ -1562,6 +1563,29 @@ def resample_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("value", "ts").alias("first_value"),
         F.max_by("value", "ts").alias("last_value"),
     )
+
+
+@_q(
+    "ts_ohlc",
+    """
+    SELECT event_type,
+           (epoch_ns(ts) - epoch_ns(ts) % 21600000000000) AS bucket,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohlc(): 6h OHLC candles per series — time-ordered open/close
+    (min_by/max_by on ts), high/low, count, decimal-exact sum; the
+    financial/metering downsampling primitive as ONE partial-agg hash
+    aggregate, no window."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.ohlc(_ns_events(t), 21600, series_cols=("event_type",))
 
 
 @_q(
