@@ -60,6 +60,7 @@ WARMUP = [
     "ann_ivf_topk",             # k-means training + inverted-file write
     "ann_pq_topk",              # PQ codebook training + code-table write
     "ann_append_certified",     # append-maintenance layout build
+    "emb_pca_certified",        # power-iteration component training
     "txt_bpe_tokenize",         # 10%-sample BPE merge-table training
     #                             (shared by tokenize + roundtrip; was
     #                             amortized by r6's window order, which

@@ -858,6 +858,130 @@ def embedding_dim_stats(
     )
 
 
+def top_principal_component(
+    df: DataFrame,
+    n_iter: int = 12,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[list[float], float, int]:
+    """Top principal component of the embedding store by DISTRIBUTED
+    power iteration — the dominant-variance direction behind drift
+    monitoring, ABTT-style common-direction removal (Mu & Viswanath
+    2018 "All-but-the-Top"), and 1-D corpus visualization. Returns
+    ``(component (unit, dim list), eigenvalue, n_rows)``.
+
+    Each iteration is one pass: every row contributes
+    ``c_j = x~_j * (x~ . v)`` (x~ centered against the decimal-exact
+    dim_stats means), the contribution QUANTIZES to the 1e-6 grid and
+    sums per dimension as exact decimal integers — so the iterate is
+    bit-identical under any partitioning, and repeated runs converge
+    identically (the same partition-invariance contract as
+    ivf_train_kmeans' decimal re-centering). Only the dim-length
+    vector collects per iteration. v0 is the axis of the
+    largest-variance dimension (deterministic, no RNG); the returned
+    component is sign-fixed so its largest-magnitude entry is
+    positive. The eigenvalue is the Rayleigh quotient v.(C v) from
+    the final exact pass.
+
+    Scale: per iteration one posexplode + decimal hash-agg on the dim
+    key (shuffle carries |dims| rows per map task); everything else is
+    broadcast literals. 100 TB-safe by construction."""
+    import math
+
+    stats = embedding_dim_stats(df, vec_col, scale=scale).collect()
+    if not stats:
+        raise ValueError("top_principal_component: empty input")
+    dim = len(stats)
+    means = [0.0] * dim
+    for r in stats:
+        means[int(r["dim"])] = float(r["mean"])
+    n_rows = int(stats[0]["n"])
+    v = [0.0] * dim
+    v[max(stats, key=lambda r: (float(r["variance"]), int(r["dim"])))["dim"]] = 1.0
+
+    src = _spread(df).select(_as_double(F.col(vec_col)).alias("_x"))
+    m_arr = F.array(*[F.lit(m) for m in means])
+    centered = F.zip_with(F.col("_x"), m_arr, lambda x, mu: x - mu)
+    src = src.select(centered.alias("_c")).localCheckpoint(eager=False)
+
+    lam = 0.0
+    for _ in range(n_iter):
+        v_arr = F.array(*[F.lit(x) for x in v])
+        d = dot(F.col("_c"), v_arr)
+        contrib = F.transform(F.col("_c"), lambda x: x * d)
+        q = F.transform(
+            contrib,
+            lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        sums = (
+            src.select(F.posexplode(q).alias("dim", "_q"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("_q").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in sums:
+            w[int(r["dim"])] = float(r["s"]) / float(scale)
+        # Rayleigh quotient BEFORE normalization: lam = v.(Cv) with
+        # Cv = w/n (v is unit)
+        lam = sum(a * b for a, b in zip(v, w)) / n_rows
+        nrm = math.sqrt(sum(x * x for x in w))
+        if nrm == 0.0:  # degenerate (all-identical corpus): keep v0
+            break
+        v = [x / nrm for x in w]
+    # deterministic orientation: largest-|component| entry positive
+    j = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[j] < 0:
+        v = [-x for x in v]
+    return v, lam, n_rows
+
+
+def pca_residual(
+    df: DataFrame,
+    component: list[float],
+    eigenvalue: float,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> float:
+    """Relative eigen-residual ``||C v - lam v|| / lam`` for a
+    component/eigenvalue pair from :func:`top_principal_component` —
+    the convergence certificate. One pass with the same
+    quantized-decimal per-dimension sums (partition-invariant), so the
+    scalar is deterministic."""
+    import math
+
+    stats = embedding_dim_stats(df, vec_col, scale=scale).collect()
+    dim = len(stats)
+    means = [0.0] * dim
+    for r in stats:
+        means[int(r["dim"])] = float(r["mean"])
+    n_rows = int(stats[0]["n"])
+    src = _spread(df).select(_as_double(F.col(vec_col)).alias("_x"))
+    m_arr = F.array(*[F.lit(m) for m in means])
+    c = F.zip_with(F.col("_x"), m_arr, lambda x, mu: x - mu)
+    v_arr = F.array(*[F.lit(x) for x in component])
+    d = dot(c, v_arr)
+    q = F.transform(
+        F.transform(c, lambda x: x * d),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+    sums = (
+        src.select(F.posexplode(q).alias("dim", "_q"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("_q").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    cv = [0.0] * dim
+    for r in sums:
+        cv[int(r["dim"])] = float(r["s"]) / float(scale) / n_rows
+    resid = math.sqrt(
+        sum((a - eigenvalue * b) ** 2 for a, b in zip(cv, component))
+    )
+    return resid / eigenvalue if eigenvalue > 0 else float("inf")
+
+
 def whiten_embeddings(
     df: DataFrame,
     stats: DataFrame | None = None,

