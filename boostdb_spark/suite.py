@@ -125,17 +125,17 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 13 entries NEW this round (CTE + derived tables +
+# window: the 14 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
 # dedup find + REMOVE, the stream-stream OUTER-join parity
 # certificate, CUSUM changepoints, embedding whitening, OHLC
-# candles, the power-iteration PCA certificate), the 5 standing
-# canaries, and 32 re-certification slots
+# candles, the power-iteration PCA + All-but-the-Top certificates),
+# the 5 standing canaries, and 31 re-certification slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 31 of the
+# (last green r1 — the only r1-stale row left) and 30 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / txt_tfidf_topk / udaf_grouped_range /
+# where_ops / txt_redact_pii / txt_tfidf_topk / udaf_grouped_range /
 # window_moving_avg /
 # window_navigation / window_rank_ntile / window_running_sum /
 # window_sliding_agg / window_session_agg defer to round 8 — lowest-risk entries with
@@ -156,6 +156,7 @@ _WINDOW: tuple[str, ...] = (
     "emb_whiten",              # per-dim standardization vs corpus profile
     "ts_ohlc",                 # OHLC candles: one partial-agg aggregate
     "emb_pca_certified",       # power-iteration top-PC invariants
+    "emb_abtt_certified",      # All-but-the-Top projection invariants
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -173,7 +174,7 @@ _WINDOW: tuple[str, ...] = (
     "join_inner", "join_left_outer", "join_range", "join_semi",
     "orderby_limit_topk", "pipeline_curate", "scalar_functions",
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
-    "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
+    "time_bucket_agg", "ts_histogram_quantile",
     # window_moving_avg / window_navigation / window_rank_ntile /
     # window_running_sum / window_sliding_agg / window_session_agg
     # displaced to round 8 by the six late-round-7 entries

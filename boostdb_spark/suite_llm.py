@@ -2413,6 +2413,72 @@ def emb_pca_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_abtt_certified",
+    """
+    WITH c(invariant) AS (VALUES
+      ('centered_mean_zero'), ('component_projected_out'),
+      ('variance_drops_by_eigenvalue'))
+    SELECT invariant, true AS passed FROM c
+    """,
+)
+def emb_abtt_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED All-but-the-Top certificate (similarity.py::
+    remove_top_component — Mu & Viswanath ICLR'18): after centering
+    and projecting out the cached top principal component, recompute
+    from scratch and pin:
+
+    - component_projected_out: max |x' . v| over the corpus <= 1e-9
+      (the defining property — the dominant direction is GONE).
+    - centered_mean_zero: every post-transform dimension mean within
+      2/scale of 0 (centering + projection of a centered cloud).
+    - variance_drops_by_eigenvalue: total variance after <= total
+      before - 0.9 * lambda (removing the top PC removes AT LEAST
+      ~its eigenvalue of variance; 10% slack for the iterate grid).
+
+    All three recomputed as lazy aggregates over the transformed
+    corpus each run — a wrong projection, a lost centering, or a
+    stale cached component flips a certified hash."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_MODELS:
+        _PCA_MODELS[key] = sim.top_principal_component(e, n_iter=15)
+    v, lam, n = _PCA_MODELS[key]
+    cleaned = sim.remove_top_component(e, v)
+    v_arr = F.array(*[F.lit(x) for x in v])
+    resid = cleaned.agg(
+        F.max(F.abs(sim.dot(F.col("embedding"), v_arr))).alias("mx")
+    )
+    stats_after = sim.embedding_dim_stats(cleaned)
+    after = stats_after.agg(
+        F.max(F.abs(F.col("mean"))).alias("max_mean"),
+        F.sum("variance").alias("tot_after"),
+    )
+    stats_before = sim.embedding_dim_stats(e)
+    before = stats_before.agg(F.sum("variance").alias("tot_before"))
+    flags = (
+        resid.crossJoin(F.broadcast(after)).crossJoin(F.broadcast(before))
+    )
+    return flags.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("centered_mean_zero"),
+                    F.lit("component_projected_out"),
+                    F.lit("variance_drops_by_eigenvalue"),
+                ),
+                F.array(
+                    F.col("max_mean") <= F.lit(2e-6),
+                    F.col("mx") <= F.lit(1e-9),
+                    F.col("tot_after")
+                    <= F.col("tot_before") - F.lit(0.9 * lam),
+                ),
+            )
+        ).alias("invariant", "passed")
+    )
+
+
+@_q(
     "emb_whiten",
     """
     WITH x AS (

@@ -354,3 +354,27 @@ def test_top_principal_component_recovers_planted_direction(spark):
     assert sim.pca_residual(df, v1, lam1) < 0.05
     j = max(range(16), key=lambda i: (abs(v1[i]), -i))
     assert v1[j] > 0
+
+
+def test_remove_top_component_orthogonalizes(spark, emb):
+    """ABTT: after removal, every embedding is orthogonal to the
+    removed component; total variance drops by ~the eigenvalue;
+    retransform with the same component is a no-op direction-wise."""
+    v, lam, n = sim.top_principal_component(emb, n_iter=20)
+    out = sim.remove_top_component(emb, v)
+    v_arr = F.array(*[F.lit(x) for x in v])
+    mx = out.agg(
+        F.max(F.abs(sim.dot(F.col("embedding"), v_arr)))
+    ).collect()[0][0]
+    assert mx <= 1e-9, mx
+    tot_before = sum(
+        float(r["variance"]) for r in sim.embedding_dim_stats(emb).collect()
+    )
+    tot_after = sum(
+        float(r["variance"]) for r in sim.embedding_dim_stats(out).collect()
+    )
+    assert tot_after <= tot_before - 0.9 * lam
+    import pytest
+
+    with pytest.raises(ValueError, match="dimensions differ"):
+        sim.remove_top_component(emb, v[:-1], means=[0.0] * 64)
