@@ -1807,6 +1807,48 @@ def plan(
             cond = c if cond is None else cond & c
         df = df.join(sub_df, cond, "left_anti" if neg else "left_semi")
 
+    # scalar subqueries in the SELECT list: each plans once and joins
+    # in as a broadcast single-row cross join (the same decorrelated
+    # shape WHERE-side scalar subqueries use); the select expression
+    # then references the joined column. Plain projections only — in a
+    # grouped/windowed select a per-row scalar has no defined grain.
+    sel_sub_names: dict[int, str] = {}
+
+    def _sub_nodes(e: Expr):
+        if e.kind == "subquery":
+            yield e
+        for c in e.children:
+            yield from _sub_nodes(c)
+
+    _k_sel = 0
+    for f in q.fields:
+        if f.expr is None or not _has_subquery(f.expr):
+            continue
+        if q.group_by or windowed or any(x.func for x in q.fields):
+            raise ValueError(
+                "scalar subqueries in the SELECT list are supported in "
+                "plain (non-grouped, non-windowed) projections only"
+            )
+        for s in _sub_nodes(f.expr):
+            sq = s.value
+            if (
+                sq.group_by
+                or len(sq.fields) != 1
+                or sq.fields[0].func is None
+                or sq.fields[0].window is not None
+            ):
+                raise ValueError(
+                    "scalar subquery must be a single ungrouped aggregate — "
+                    "the reference's Aggregate-as-expression shape "
+                    "(query/base/expression.go:16-18)"
+                )
+            name = f"__sel_scalar_{_k_sel}"
+            _k_sel += 1
+            sub_df = plan(spark, sq, _sub_binding(sq), start, end, params,
+                          _ctes=ctes)
+            df = df.crossJoin(F.broadcast(sub_df.toDF(name)))
+            sel_sub_names[id(s)] = name
+
     agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
                "max": F.max, "count_distinct": F.countDistinct}
 
@@ -1998,8 +2040,13 @@ def plan(
         proj_cols = []
         for alias, col, _, ref in sel:
             if ref.expr is not None:
+                e2 = (
+                    _subst_subqueries(ref.expr, sel_sub_names)
+                    if sel_sub_names
+                    else ref.expr
+                )
                 proj_cols.append(
-                    _compile_expr(ref.expr, res, params=params).alias(alias)
+                    _compile_expr(e2, res, params=params).alias(alias)
                 )
             else:
                 proj_cols.append(F.col(col).alias(alias))

@@ -125,17 +125,19 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 14 entries NEW this round (CTE + derived tables +
+# window: the 15 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys through the dialect
 # front, the incremental-ANN-append certificate, exact substring
 # dedup find + REMOVE, the stream-stream OUTER-join parity
 # certificate, CUSUM changepoints, embedding whitening, OHLC
-# candles, the power-iteration PCA + All-but-the-Top certificates),
-# the 5 standing canaries, and 31 re-certification slots
+# candles, the power-iteration PCA + All-but-the-Top certificates,
+# SELECT-list scalar subqueries), the 5 standing canaries, and 30
+# re-certification slots
 # refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 30 of the
+# (last green r1 — the only r1-stale row left) and 29 of the
 # 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / txt_redact_pii / txt_tfidf_topk / udaf_grouped_range /
+# where_ops / ts_histogram_quantile / txt_redact_pii /
+# txt_tfidf_topk / udaf_grouped_range /
 # window_moving_avg /
 # window_navigation / window_rank_ntile / window_running_sum /
 # window_sliding_agg / window_session_agg defer to round 8 — lowest-risk entries with
@@ -157,6 +159,7 @@ _WINDOW: tuple[str, ...] = (
     "ts_ohlc",                 # OHLC candles: one partial-agg aggregate
     "emb_pca_certified",       # power-iteration top-PC invariants
     "emb_abtt_certified",      # All-but-the-Top projection invariants
+    "dialect_select_scalar_sub",  # scalar subquery in the SELECT list
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -174,7 +177,7 @@ _WINDOW: tuple[str, ...] = (
     "join_inner", "join_left_outer", "join_range", "join_semi",
     "orderby_limit_topk", "pipeline_curate", "scalar_functions",
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
-    "time_bucket_agg", "ts_histogram_quantile",
+    "time_bucket_agg",
     # window_moving_avg / window_navigation / window_rank_ntile /
     # window_running_sum / window_sliding_agg / window_session_agg
     # displaced to round 8 by the six late-round-7 entries
@@ -4177,6 +4180,31 @@ def dialect_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT a.click.event_id AS eid, a.click AS v1, b.click AS v2 "
         "FROM boost.events a JOIN boost.events b "
         "ON a.user_id = b.user_id AND a.event_id = b.event_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_select_scalar_sub",
+    """
+    SELECT event_id AS eid, value AS v,
+           value / (SELECT max(value) FROM events
+                    WHERE event_type = 'click') AS frac
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def dialect_select_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries in the SELECT list: each plans once and joins
+    in as a broadcast single-row cross join (the same decorrelated
+    shape the WHERE-side scalar machinery uses), and the select
+    expression references the joined column — normalize-by-corpus-max
+    without a second query. Identical IEEE division both engines."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click AS v, "
+        "click / (SELECT max(click) FROM boost.events) AS frac "
+        "FROM boost.events",
         EVENTS_BINDING,
     )
 

@@ -1396,3 +1396,35 @@ def test_group_order_by_ordinals(spark):
         parse("SELECT a.k, count(*) AS n FROM d.f GROUP BY 2")
     with pytest.raises(ValueError, match="AS alias"):
         parse("SELECT a.k, count(*) FROM d.f GROUP BY 1 ORDER BY 2")
+
+
+def test_dialect_scalar_subquery_in_select(spark):
+    """SELECT-list scalar subqueries plan as broadcast single-row
+    cross joins; usable standalone and inside arithmetic; grouped
+    selects reject them loudly."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "(SELECT max(click) FROM boost.events) AS mx, "
+        "click / (SELECT max(click) FROM boost.events) AS frac "
+        "FROM boost.events WHERE click > 100.0",
+        b,
+    )
+    want = spark.sql(
+        "SELECT event_id AS eid, "
+        "(SELECT max(value) FROM events WHERE event_type = 'click') AS mx, "
+        "value / (SELECT max(value) FROM events WHERE event_type = 'click')"
+        " AS frac FROM events WHERE event_type = 'click' AND value > 100.0"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(ValueError):
+        sugar.query(
+            spark,
+            "SELECT click.user_id, count(*) AS n, "
+            "(SELECT max(click) FROM boost.events) AS mx "
+            "FROM boost.events GROUP BY click.user_id",
+            b,
+        )
