@@ -56,6 +56,7 @@ WARMUP = [
     "stream_session_parity",    # time-split landing incl. mtime-gap sleeps
     "stream_sliding_parity",    # time-split landing incl. mtime-gap sleeps
     "stream_join_parity",       # time-split landing incl. mtime-gap sleeps
+    "stream_upsert_parity",     # unordered upsert landing write
     "dedup_incremental",        # corpus dedup-index materialization
     "ann_ivf_topk",             # k-means training + inverted-file write
     "ann_pq_topk",              # PQ codebook training + code-table write

@@ -125,24 +125,22 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 15 entries NEW this round (CTE + derived tables +
-# RIGHT/FULL outer joins + composite join keys through the dialect
-# front, the incremental-ANN-append certificate, exact substring
-# dedup find + REMOVE, the stream-stream OUTER-join parity
-# certificate, CUSUM changepoints, embedding whitening, OHLC
-# candles, the power-iteration PCA + All-but-the-Top certificates,
-# SELECT-list scalar subqueries), the 5 standing canaries, and 30
-# re-certification slots
-# refreshing the STALEST cumulative signal: window_counter_increase
-# (last green r1 — the only r1-stale row left) and 29 of the
-# 42-entry round-2 cohort (dialect_select_star / distinct_series /
-# where_ops / ts_histogram_quantile / txt_redact_pii /
-# txt_tfidf_topk / udaf_grouped_range /
-# window_moving_avg /
-# window_navigation / window_rank_ntile / window_running_sum /
-# window_sliding_agg / window_session_agg defer to round 8 — lowest-risk entries with
-# fresh same-family representatives elsewhere in the window). The r3/r5/r6 cohorts are
-# younger and wait their turn.
+# window: the 16 entries NEW this round (CTE + derived tables +
+# RIGHT/FULL outer joins + composite join keys + SELECT-list scalar
+# subqueries through the dialect front, the incremental-ANN-append
+# certificate, exact substring dedup find + REMOVE, the stream-stream
+# OUTER-join and UPSERT-view parity certificates, CUSUM changepoints,
+# OHLC candles, embedding whitening, the power-iteration PCA +
+# All-but-the-Top certificates), the 5 standing canaries, and 29
+# re-certification slots refreshing the STALEST cumulative signal:
+# window_counter_increase (last green r1 — the only r1-stale row
+# left) and 28 of the 42-entry round-2 cohort. Fourteen r2 entries
+# defer to round 8 (dialect_select_star, distinct_series, where_ops,
+# time_bucket_agg, ts_histogram_quantile, txt_redact_pii,
+# txt_tfidf_topk, udaf_grouped_range, and the six window_* family
+# rows — lowest-risk entries with fresh same-family representatives
+# elsewhere in the window). The r3/r5/r6 cohorts are younger and
+# wait their turn.
 _WINDOW: tuple[str, ...] = (
     # --- new in round 7 (never driver-certified) ---
     "dialect_cte",             # WITH named subqueries through the front
@@ -160,6 +158,7 @@ _WINDOW: tuple[str, ...] = (
     "emb_pca_certified",       # power-iteration top-PC invariants
     "emb_abtt_certified",      # All-but-the-Top projection invariants
     "dialect_select_scalar_sub",  # scalar subquery in the SELECT list
+    "stream_upsert_parity",    # keyed MERGE materialized view parity
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -168,7 +167,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_exact",            # dedup family
     # --- re-certification: last driver-green ROUND 1 ---
     "window_counter_increase",
-    # --- re-certification: last driver-green ROUND 2 (39 of 42) ---
+    # --- re-certification: last driver-green ROUND 2 (28 of 42) ---
     "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
     "agg_percentiles", "agg_pivot", "agg_q5_local_revenue", "agg_rollup",
     "dialect_groupby_agg", "dialect_having", "dialect_join",
@@ -177,14 +176,6 @@ _WINDOW: tuple[str, ...] = (
     "join_inner", "join_left_outer", "join_range", "join_semi",
     "orderby_limit_topk", "pipeline_curate", "scalar_functions",
     "seriesfamily_roundtrip", "setop_union", "subquery_exists",
-    "time_bucket_agg",
-    # window_moving_avg / window_navigation / window_rank_ntile /
-    # window_running_sum / window_sliding_agg / window_session_agg
-    # displaced to round 8 by the six late-round-7 entries
-    # (dialect_derived_table / dialect_join_multikey /
-    # stream_outer_join_parity / dedup_substring_clean /
-    # ts_cusum_changepoint / emb_whiten) — new entries outrank
-    # re-certification
 )
 
 
@@ -5028,6 +5019,72 @@ def stream_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
         "p_value",
         F.unix_micros(F.col("e_ts")).alias("e_ts_us"),
+    )
+
+
+@_q(
+    "stream_upsert_parity",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
+    FROM (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE streaming UPSERT materialized view
+    (streaming/stateful.py::upsert_view — the MERGE-INTO/CDC-apply
+    pattern on plain parquet): the events table replayed as ~4
+    unordered micro-batches, each batch MERGING into a persisted
+    keyed-latest state table (union state + batch, one row per user_id
+    by ts DESC with event_id tie-break, atomic replace). The final
+    state must hash-equal a batch latest-per-key over the whole table
+    — certifying that cross-batch merge maintenance converges to the
+    batch answer regardless of how rows split across batches. No
+    watermark involved, so the landing needs no time ordering."""
+    import os
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src0 = ev.select(
+        "user_id", F.col("ts").cast("timestamp"), "value", "event_id"
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "upsert")
+    if key not in _STREAM_LANDING:
+        landing = session_tmpdir(prefix="boost_suite_supsert_")
+        src0.repartition(4).write.mode("overwrite").parquet(landing)
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    schema = spark.read.parquet(landing).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    from boostdb_spark.streaming.stateful import upsert_view
+
+    work = session_tmpdir(prefix="boost_upsert_state_")
+    state = os.path.join(work, f"state_{abs(hash(key)) % 10**9}")
+    q = upsert_view(
+        sdf, ["user_id"], "ts", state,
+        checkpoint=os.path.join(work, "ckpt"),
+        order_extra=("event_id",),
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(state)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        "event_id",
     )
 
 

@@ -439,3 +439,44 @@ def test_stream_static_join_equals_batch(spark, landing):
     cols = ["event_id", "event_type", "value", "domain"]
     assert _rows(got, cols) == _rows(want, cols)
     assert len(_rows(got, cols)) > 0
+
+
+def test_upsert_view_cross_batch_merge(spark, tmp_path):
+    """upsert_view: rows for the same key split across micro-batches
+    converge to the single latest row (ts, then tie-break order);
+    state survives and merges across batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.streaming.stateful import upsert_view
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0, 100),
+        (1, "2024-01-01 12:00:00", 2.0, 101),   # latest for key 1
+        (2, "2024-01-01 09:00:00", 5.0, 200),
+        (2, "2024-01-01 09:00:00", 6.0, 201),   # ts tie -> higher event_id
+        (3, "2024-01-01 08:00:00", 7.0, 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    landing = str(tmp_path / "landing")
+    # one row per file -> every merge is a real cross-batch upsert
+    df.repartition(5).write.parquet(landing)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    state = str(tmp_path / "state")
+    q = upsert_view(
+        sdf, ["user_id"], "ts", state,
+        checkpoint=str(tmp_path / "ckpt"), order_extra=("event_id",),
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.value, r.event_id)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {1: (2.0, 101), 2: (6.0, 201), 3: (7.0, 300)}
