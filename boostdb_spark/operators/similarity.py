@@ -992,6 +992,51 @@ def remove_top_component(
     )
 
 
+def top_principal_components(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 15,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[tuple[list[float], float]]:
+    """Top-``k`` principal components by power iteration WITH
+    DEFLATION: after each component converges, project it out of the
+    (already centered) corpus (:func:`remove_top_component` with zero
+    means — the data is centered once up front) and iterate again on
+    the residual cloud. Returns ``[(component, eigenvalue), ...]`` in
+    decreasing eigenvalue order — the top-D directions
+    All-but-the-Top removes (D ~ dim/100 in Mu & Viswanath 2018) and
+    the axes of a k-D corpus map. Each deflated corpus materializes
+    via localCheckpoint so iteration t+1 does not replay t chained
+    projections; determinism is inherited from
+    :func:`top_principal_component`'s quantized-decimal iterate."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    comps: list[tuple[list[float], float]] = []
+    cur = df.select(F.col(vec_col))
+    zero_means: list[float] | None = None
+    for t in range(k):
+        v, lam, n = top_principal_component(
+            cur, n_iter=n_iter, vec_col=vec_col, scale=scale
+        )
+        comps.append((v, lam))
+        if t == k - 1:
+            break
+        if zero_means is None:
+            zero_means = [0.0] * len(v)
+        # deflate: the first pass centers (means from the data); later
+        # passes are already centered, so means pin to zero
+        cur = remove_top_component(
+            cur.withColumn("_rid", F.monotonically_increasing_id()),
+            v,
+            means=None if t == 0 else zero_means,
+            id_col="_rid",
+            vec_col=vec_col,
+            out_col=vec_col,
+        ).drop("_rid").localCheckpoint(eager=False)
+    return comps
+
+
 def pca_residual(
     df: DataFrame,
     component: list[float],

@@ -125,20 +125,20 @@ def _q(name: str, oracle: str | None):
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
 # cumulative driver-certified coverage grows every round. Round-7
-# window: the 16 entries NEW this round (CTE + derived tables +
+# window: the 17 entries NEW this round (CTE + derived tables +
 # RIGHT/FULL outer joins + composite join keys + SELECT-list scalar
 # subqueries through the dialect front, the incremental-ANN-append
 # certificate, exact substring dedup find + REMOVE, the stream-stream
 # OUTER-join and UPSERT-view parity certificates, CUSUM changepoints,
-# OHLC candles, embedding whitening, the power-iteration PCA +
-# All-but-the-Top certificates), the 5 standing canaries, and 29
-# re-certification slots refreshing the STALEST cumulative signal:
+# OHLC candles, the weighted median, embedding whitening, the
+# power-iteration PCA + All-but-the-Top certificates), the 5 standing
+# canaries, and 28 re-certification slots refreshing the STALEST cumulative signal:
 # window_counter_increase (last green r1 — the only r1-stale row
-# left) and 28 of the 42-entry round-2 cohort. Fourteen r2 entries
+# left) and 27 of the 42-entry round-2 cohort. Fifteen r2 entries
 # defer to round 8 (dialect_select_star, distinct_series, where_ops,
-# time_bucket_agg, ts_histogram_quantile, txt_redact_pii,
-# txt_tfidf_topk, udaf_grouped_range, and the six window_* family
-# rows — lowest-risk entries with fresh same-family representatives
+# subquery_exists, time_bucket_agg, ts_histogram_quantile,
+# txt_redact_pii, txt_tfidf_topk, udaf_grouped_range, and the six
+# window_* family rows — lowest-risk entries with fresh same-family representatives
 # elsewhere in the window). The r3/r5/r6 cohorts are younger and
 # wait their turn.
 _WINDOW: tuple[str, ...] = (
@@ -159,6 +159,7 @@ _WINDOW: tuple[str, ...] = (
     "emb_abtt_certified",      # All-but-the-Top projection invariants
     "dialect_select_scalar_sub",  # scalar subquery in the SELECT list
     "stream_upsert_parity",    # keyed MERGE materialized view parity
+    "agg_weighted_median",     # exact decimal weighted median per group
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -175,7 +176,9 @@ _WINDOW: tuple[str, ...] = (
     "doc_shuffle_det", "emb_centroid", "emb_cosine_topk", "join_dims",
     "join_inner", "join_left_outer", "join_range", "join_semi",
     "orderby_limit_topk", "pipeline_curate", "scalar_functions",
-    "seriesfamily_roundtrip", "setop_union", "subquery_exists",
+    "seriesfamily_roundtrip", "setop_union",
+    # subquery_exists joins the round-8 deferral list — displaced by
+    # the 17th round-7 entry (agg_weighted_median)
 )
 
 
@@ -3481,6 +3484,55 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
+    )
+
+
+@_q(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS cumw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem)
+    SELECT l_returnflag, min(v) AS wmedian,
+           CAST(min(totw) AS DOUBLE) AS total_weight
+    FROM w WHERE cumw * 2 >= totw GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group (lower weighted median: the smallest
+    value whose cumulative weight reaches half the total) — the
+    quantity-weighted price statistic plain percentile() cannot
+    express. Exact DECIMAL cumulative weights over a fully
+    deterministic ordering (value, then the unique line key), compared
+    as ``2*cumw >= totw`` in decimal — no float threshold, so the
+    boundary row is engine-exact. One shuffle for the window, one
+    partial-agg min; with equal values straddling the threshold, the
+    minimal qualifying VALUE is order-invariant by construction."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(F.col("l_quantity")).over(wo).alias("cumw"),
+        F.sum(F.col("l_quantity")).over(wp).alias("totw"),
+    )
+    return (
+        w.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.min("totw").cast("double").alias("total_weight"),
+        )
     )
 
 

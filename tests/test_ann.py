@@ -378,3 +378,32 @@ def test_remove_top_component_orthogonalizes(spark, emb):
 
     with pytest.raises(ValueError, match="dimensions differ"):
         sim.remove_top_component(emb, v[:-1], means=[0.0] * 64)
+
+
+def test_top_principal_components_deflation(spark):
+    """k-component PCA: two planted orthogonal directions with
+    distinct variances come back in order, mutually orthogonal, with
+    decreasing eigenvalues; deterministic across calls."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    d1 = [1.0 if i < 8 else 0.0 for i in range(16)]
+    d1 = [x / math.sqrt(8) for x in d1]
+    d2 = [0.0 if i < 8 else (1.0 if i % 2 == 0 else -1.0) for i in range(16)]
+    n2 = math.sqrt(sum(x * x for x in d2))
+    d2 = [x / n2 for x in d2]
+    rows = []
+    for i in range(400):
+        a, b = rng.gauss(0, 6), rng.gauss(0, 3)
+        vec = [a * x + b * y + rng.gauss(0, 0.2) for x, y in zip(d1, d2)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps = sim.top_principal_components(df, k=2, n_iter=25)
+    (v1, l1), (v2, l2) = comps
+    assert l1 > l2 > 0
+    assert abs(sum(a * b for a, b in zip(v1, d1))) > 0.99
+    assert abs(sum(a * b for a, b in zip(v2, d2))) > 0.99
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 0.02  # orthogonal
+    comps2 = sim.top_principal_components(df, k=2, n_iter=25)
+    assert comps == comps2
