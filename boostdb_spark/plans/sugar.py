@@ -121,6 +121,7 @@ _KEYWORDS = {
     "rows", "unbounded", "preceding", "following", "current", "row",
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
+    "qualify", "nulls", "first", "last",
 }
 
 
@@ -225,7 +226,12 @@ class BoostQuery:
     where: Expr | None
     group_by: list[FieldRef] = field(default_factory=list)
     having: Expr | None = None
-    order_by: list[tuple[FieldRef, bool]] = field(default_factory=list)  # (ref, desc)
+    #: (ref, desc, nulls) — nulls is 'first' | 'last' | None (engine
+    #: default: Spark puts NULLs first ASC / last DESC, so an explicit
+    #: NULLS FIRST/LAST is the only portable ordering for nullable keys)
+    order_by: list[tuple[FieldRef, bool, str | None]] = field(
+        default_factory=list
+    )
     limit: int | None = None
     offset: int | None = None  # LIMIT n OFFSET m — skip m rows first
     joins: list[JoinClause] = field(default_factory=list)
@@ -243,6 +249,11 @@ class BoostQuery:
     #: accepts CTEs before dropping the statement on the floor
     #: (query/parser/parser.go:25-45); here they plan.
     ctes: list[tuple[str, "BoostQuery"]] = field(default_factory=list)
+    #: QUALIFY <pred> — filter on window-function results (the HAVING
+    #: analog for analytic queries; DuckDB/Snowflake surface). Refs name
+    #: select-list output columns; planned as a filter AFTER the window
+    #: projection, before DISTINCT/ORDER/LIMIT.
+    qualify: Expr | None = None
 
 
 class _Parser:
@@ -376,7 +387,7 @@ class _Parser:
         return FieldRef(f.parts)
 
     def parse_order_limit(self, fields: list[FieldRef] | None = None):
-        order_by: list[tuple[FieldRef, bool]] = []
+        order_by: list[tuple[FieldRef, bool, str | None]] = []
         if self.accept_kw("order"):
             self.expect_kw("by")
             while True:
@@ -388,7 +399,19 @@ class _Parser:
                     desc = True
                 else:
                     self.accept_kw("asc")
-                order_by.append((f2, desc))
+                nulls = None
+                if self.accept_kw("nulls"):
+                    # explicit NULLS FIRST/LAST — required for portable
+                    # ordering of nullable keys (engines disagree on the
+                    # default: Spark ties it to ASC/DESC, DuckDB defaults
+                    # to NULLS LAST)
+                    if self.accept_kw("first"):
+                        nulls = "first"
+                    elif self.accept_kw("last"):
+                        nulls = "last"
+                    else:
+                        raise ValueError("NULLS requires FIRST or LAST")
+                order_by.append((f2, desc, nulls))
                 if not self.accept_op(","):
                     break
         limit = None
@@ -494,6 +517,12 @@ class _Parser:
                     group_by.append(_gitem())
             if self.accept_kw("having"):
                 having = self.parse_or()
+        qualify = None
+        if self.accept_kw("qualify"):
+            # QUALIFY binds per-core (like HAVING), before any set-op /
+            # statement-level ORDER BY — it filters the window-function
+            # projection by its select-list output names
+            qualify = self.parse_or()
         if star and (group_by or joins):
             raise ValueError("SELECT * supports single-source, non-grouped queries")
         q = BoostQuery(
@@ -502,6 +531,7 @@ class _Parser:
         )
         q.distinct = distinct
         q.group_mode = group_mode
+        q.qualify = qualify
         return q
 
     def parse_source(self) -> tuple[str, str, str | None]:
@@ -1297,6 +1327,18 @@ def _compile_fn(e: Expr, res, name_of, params) -> Column:
     return impl(*args)
 
 
+def _order_col(name: str, desc: bool, nulls: str | None) -> Column:
+    """Sort key with explicit NULLS FIRST/LAST. Spark's bare asc/desc
+    ties the null position to the direction (ASC→first, DESC→last);
+    an explicit NULLS clause overrides it, matching ANSI engines."""
+    c = F.col(name)
+    if nulls == "first":
+        return c.desc_nulls_first() if desc else c.asc_nulls_first()
+    if nulls == "last":
+        return c.desc_nulls_last() if desc else c.asc_nulls_last()
+    return c.desc() if desc else c.asc()
+
+
 def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = None) -> Column:
     if e.kind == "physcol":  # pre-joined subquery result column
         return F.col(e.value)
@@ -1494,14 +1536,13 @@ def plan(
                 df = df.subtract(rdf)
         if q.order_by:
             order = []
-            for ref, desc in q.order_by:
+            for ref, desc, nulls in q.order_by:
                 if ref.func or len(ref.parts) != 1 or ref.parts[0] not in df.columns:
                     raise ValueError(
                         "ORDER BY after a set operation must name an "
                         f"output column (one of {df.columns})"
                     )
-                col = F.col(ref.parts[0])
-                order.append(col.desc() if desc else col.asc())
+                order.append(_order_col(ref.parts[0], desc, nulls))
             df = df.orderBy(*order)
         if q.offset is not None:
             df = df.offset(q.offset)
@@ -1695,6 +1736,11 @@ def plan(
         f.func and f.window is None for f in q.fields
     )):
         raise ValueError("window functions cannot mix with GROUP BY/aggregates")
+    if q.qualify is not None and not windowed:
+        raise ValueError(
+            "QUALIFY requires a window-function select item "
+            "(use WHERE or HAVING for non-analytic predicates)"
+        )
     for f in q.fields:  # register window-ref series before the scan filter
         if f.window is not None:
             for p in f.window.partition_by:
@@ -1967,7 +2013,7 @@ def plan(
         if q.having is not None:
             for ref in _expr_refs(q.having):
                 post_name(ref)
-        for ref, _ in q.order_by:
+        for ref, _desc, _nulls in q.order_by:
             post_name(ref)
 
         if gcols:
@@ -2034,6 +2080,29 @@ def plan(
                 c = agg_map[func](F.col(col)).over(wspec)
             proj.append(c.alias(alias))
         df = df.select(*proj)
+        if q.qualify is not None:
+            # QUALIFY: filter the analytic projection by its OUTPUT
+            # names (select aliases) — evaluated after the window
+            # functions, before DISTINCT/ORDER/LIMIT, per the
+            # DuckDB/Snowflake contract
+            out_cols = df.columns
+
+            def qual_name(ref: FieldRef) -> str:
+                if ref.func is not None or ref.window is not None:
+                    raise ValueError(
+                        "QUALIFY references select-list output names — "
+                        "alias the window item and filter on the alias"
+                    )
+                if len(ref.parts) == 1 and ref.parts[0] in out_cols:
+                    return ref.parts[0]
+                raise ValueError(
+                    f"QUALIFY must name an output column (one of "
+                    f"{out_cols}), got {'.'.join(ref.parts)}"
+                )
+
+            df = df.filter(
+                _compile_expr(q.qualify, res, name_of=qual_name, params=params)
+            )
     elif q.star:
         pass  # SELECT *: the scan's full column set, no projection
     else:
@@ -2066,7 +2135,7 @@ def plan(
         df = df.distinct()
     if q.order_by:
         order = []
-        for ref, desc in q.order_by:
+        for ref, desc, nulls in q.order_by:
             if post_name is not None:
                 target = post_name(ref)
             elif (
@@ -2080,7 +2149,7 @@ def plan(
             else:
                 name = res.default_name(ref)
                 target = name if name in df.columns else res.resolve(ref)[1]
-            order.append(F.col(target).desc() if desc else F.col(target).asc())
+            order.append(_order_col(target, desc, nulls))
         df = df.orderBy(*order)
     if q.offset is not None:
         df = df.offset(q.offset)

@@ -124,61 +124,45 @@ def _q(name: str, oracle: str | None):
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Round-7
-# window: the 17 entries NEW this round (CTE + derived tables +
-# RIGHT/FULL outer joins + composite join keys + SELECT-list scalar
-# subqueries through the dialect front, the incremental-ANN-append
-# certificate, exact substring dedup find + REMOVE, the stream-stream
-# OUTER-join and UPSERT-view parity certificates, CUSUM changepoints,
-# OHLC candles, the weighted median, embedding whitening, the
-# power-iteration PCA + All-but-the-Top certificates), the 5 standing
-# canaries, and 28 re-certification slots refreshing the STALEST cumulative signal:
-# window_counter_increase (last green r1 — the only r1-stale row
-# left) and 27 of the 42-entry round-2 cohort. Fifteen r2 entries
-# defer to round 8 (dialect_select_star, distinct_series, where_ops,
-# subquery_exists, time_bucket_agg, ts_histogram_quantile,
-# txt_redact_pii, txt_tfidf_topk, udaf_grouped_range, and the six
-# window_* family rows — lowest-risk entries with fresh same-family representatives
-# elsewhere in the window). The r3/r5/r6 cohorts are younger and
-# wait their turn.
+# cumulative driver-certified coverage grows every round. Round-8
+# window: new round-8 entries lead (each landing displaces the
+# youngest re-cert slot from the tail), then the 5 standing canaries,
+# then re-certification slots refreshing the STALEST cumulative
+# signal: the 15 round-2 entries deferred from the r7 rotation
+# (dialect_select_star, distinct_series, where_ops, subquery_exists,
+# time_bucket_agg, ts_histogram_quantile, txt_redact_pii,
+# txt_tfidf_topk, udaf_grouped_range, and the six window_* family
+# rows) plus the oldest of the round-3 cohort in name order. The
+# r5/r6/r7 cohorts are younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
-    # --- new in round 7 (never driver-certified) ---
-    "dialect_cte",             # WITH named subqueries through the front
-    "dialect_join_right",      # RIGHT [OUTER] JOIN grammar completion
-    "dialect_join_full",       # FULL OUTER JOIN grammar completion
-    "ann_append_certified",    # append==rebuild + recall + drift cert
-    "dedup_substring",         # exact verbatim-span dedup (Lee et al.)
-    "dialect_derived_table",   # ( SELECT ... ) alias as anonymous CTE
-    "dialect_join_multikey",   # composite equi-join keys via AND chain
-    "stream_outer_join_parity",  # watermark-evicted NULL side certified
-    "dedup_substring_clean",   # span REMOVAL: cleaned corpus certified
-    "ts_cusum_changepoint",    # CUSUM mean-shift detection (Page 1954)
-    "emb_whiten",              # per-dim standardization vs corpus profile
-    "ts_ohlc",                 # OHLC candles: one partial-agg aggregate
-    "emb_pca_certified",       # power-iteration top-PC invariants
-    "emb_abtt_certified",      # All-but-the-Top projection invariants
-    "dialect_select_scalar_sub",  # scalar subquery in the SELECT list
-    "stream_upsert_parity",    # keyed MERGE materialized view parity
-    "agg_weighted_median",     # exact decimal weighted median per group
+    # --- new in round 8 (never driver-certified) --- entries are
+    # inserted here as they land, displacing tail re-cert slots.
+    "dialect_qualify",        # QUALIFY: filter on window-fn results
+    "dialect_nulls_order",    # ORDER BY ... NULLS FIRST/LAST
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: last driver-green ROUND 1 ---
-    "window_counter_increase",
-    # --- re-certification: last driver-green ROUND 2 (28 of 42) ---
-    "agg_count_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
-    "agg_percentiles", "agg_pivot", "agg_q5_local_revenue", "agg_rollup",
-    "dialect_groupby_agg", "dialect_having", "dialect_join",
-    "dialect_orderby_limit", "doc_pack_tokens", "doc_sample_det",
-    "doc_shuffle_det", "emb_centroid", "emb_cosine_topk", "join_dims",
-    "join_inner", "join_left_outer", "join_range", "join_semi",
-    "orderby_limit_topk", "pipeline_curate", "scalar_functions",
-    "seriesfamily_roundtrip", "setop_union",
-    # subquery_exists joins the round-8 deferral list — displaced by
-    # the 17th round-7 entry (agg_weighted_median)
+    # --- re-certification: last driver-green ROUND 2 (final 15) ---
+    "dialect_select_star", "distinct_series", "subquery_exists",
+    "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
+    "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
+    "window_moving_avg", "window_navigation", "window_rank_ntile",
+    "window_running_sum", "window_session_agg", "window_sliding_agg",
+    # --- re-certification: last driver-green ROUND 3 (28 of 45,
+    # stalest-by-name; the rest defer to round 9) ---
+    "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
+    "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
+    "dedup_simhash", "dialect_join_left", "dialect_join_multi",
+    "dialect_window", "dialect_window_nav", "doc_chunk",
+    "doc_mixture_sample", "doc_repeat_epochs", "doc_source_overlap",
+    "doc_split_train_val", "emb_centroid_bucketed",
+    "emb_neardup_cosine", "emb_outliers", "join_bucketed_colocated",
+    "join_skew_auto", "join_skew_salted", "multimodal_audio",
+    "multimodal_frame_sample", "multimodal_meta", "multimodal_pixels",
+    "multimodal_resize", "pipeline_assemble",
 )
 
 
@@ -5431,6 +5415,78 @@ def dialect_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3 "
         "FROM boost.events ORDER BY eid LIMIT 200 OFFSET 50",
         EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_qualify",
+    """
+    SELECT user_id, event_id AS eid, value AS v,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+    FROM events
+    WHERE event_type = 'click' AND value < 100.0
+    QUALIFY rnk <= 3
+    """,
+)
+def dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY through the dialect front — the HAVING analog for
+    analytic queries (DuckDB/Snowflake surface; the reference's parser
+    has neither OVER nor QUALIFY). ``QUALIFY rnk <= 3`` filters the
+    window projection by its select-list OUTPUT name, planned as a
+    filter AFTER the Window operator and before ORDER/LIMIT — the
+    top-k-per-group idiom in one statement instead of a derived-table
+    wrap. rank() (not row_number) keeps the kept set deterministic
+    under value ties: tied rows share a rank and are kept or dropped
+    together."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id AS user_id, click.event_id AS eid, "
+        "click AS v, "
+        "rank() OVER (PARTITION BY click.user_id ORDER BY click DESC) AS rnk "
+        "FROM boost.events WHERE click < 100.0 QUALIFY rnk <= 3",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_nulls_order",
+    """
+    SELECT l.event_id AS eid, r.o_orderkey AS okey
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') r
+      ON l.user_id = r.o_custkey
+    ORDER BY okey ASC NULLS FIRST, eid ASC
+    LIMIT 300
+    """,
+)
+def dialect_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... NULLS FIRST/LAST through the dialect front. The
+    engines DISAGREE on the default null position (Spark ties it to
+    the direction — ASC puts NULLs first; DuckDB defaults to NULLS
+    LAST) so an explicit NULLS clause is the only portable ordering
+    for nullable sort keys — here the NULL-extended right side of a
+    LEFT JOIN under a LIMIT, where the null position decides WHICH
+    rows survive pagination. (okey, eid) is a unique pair (each side
+    of the equi join keys one entity), so the kept set is fully
+    deterministic."""
+    load_tables(spark, sf_dir)
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.orders": sugar.SeriesFamilyBinding(
+            view="orders",
+            series_col="o_orderstatus",
+            value_col="o_totalprice",
+            ts_col="o_orderdate",
+        ),
+    }
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.O.o_orderkey AS okey "
+        "FROM boost.events a LEFT JOIN boost.orders b "
+        "ON a.user_id = b.o_custkey "
+        "ORDER BY okey NULLS FIRST, eid LIMIT 300",
+        bindings,
     )
 
 

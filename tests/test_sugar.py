@@ -1428,3 +1428,78 @@ def test_dialect_scalar_subquery_in_select(spark):
             "FROM boost.events GROUP BY click.user_id",
             b,
         )
+
+
+# --------------------------------------------------------------------------
+# QUALIFY + ORDER BY ... NULLS FIRST/LAST (round 8)
+# --------------------------------------------------------------------------
+
+
+def test_parse_qualify_and_nulls_order():
+    q = parse(
+        "SELECT rank() OVER (PARTITION BY s.k ORDER BY s) AS r "
+        "FROM d.f QUALIFY r <= 2 ORDER BY r NULLS LAST, s.k DESC NULLS FIRST"
+    )
+    assert q.qualify is not None
+    assert q.order_by[0][1] is False and q.order_by[0][2] == "last"
+    assert q.order_by[1][1] is True and q.order_by[1][2] == "first"
+
+
+def test_qualify_requires_window(spark):
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="QUALIFY requires"):
+        sugar.query(
+            spark,
+            "SELECT click.user_id FROM boost.events QUALIFY click > 1",
+            b,
+        )
+
+
+def test_qualify_requires_output_name(spark):
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="output column"):
+        sugar.query(
+            spark,
+            "SELECT rank() OVER (PARTITION BY click.user_id "
+            "ORDER BY click) AS r FROM boost.events QUALIFY nosuch > 1",
+            b,
+        )
+
+
+def test_nulls_requires_first_or_last():
+    with pytest.raises(ValueError, match="NULLS requires"):
+        parse("SELECT s FROM d.f ORDER BY s NULLS")
+
+
+def test_qualify_topk_matches_derived_filter(spark):
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, rank() OVER (PARTITION BY "
+        "click.user_id ORDER BY click DESC) AS r "
+        "FROM boost.events QUALIFY r <= 2",
+        b,
+    )
+    ref = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, rank() OVER (PARTITION BY "
+        "click.user_id ORDER BY click DESC) AS r FROM boost.events",
+        b,
+    ).filter("r <= 2")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_nulls_first_orders_null_block_first(spark):
+    b = _events_binding(spark)
+    rows = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "lag(click) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id) AS prev "
+        "FROM boost.events ORDER BY prev NULLS LAST, eid LIMIT 100000",
+        b,
+    ).collect()
+    nulls = [i for i, r in enumerate(rows) if r.prev is None]
+    assert nulls and nulls == list(range(len(rows) - len(nulls), len(rows)))
