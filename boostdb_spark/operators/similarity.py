@@ -1427,3 +1427,47 @@ def pq_ann_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "match_id", "dist")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    k: int = 20,
+    c: float = 60.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N candidate rankings — the standard hybrid-retrieval combiner
+    (sparse BM25 + dense ANN): ``rrf(d) = sum_i 1/(c + rank_i(d))``
+    over the rankings that contain d. Each input is (df, rank_col)
+    where df holds one row per candidate with a 1-based rank.
+
+    Shape: candidate lists are top-k bounded (tiny next to the
+    corpus), so the fusion is a chain of full-outer joins on the id —
+    at production scale these are broadcast joins over ~k rows per
+    ranking, nothing touches the corpus again. Scores are exact IEEE
+    divisions/additions in fixed list order, so the fused ordering is
+    engine-independent; ties break on the id."""
+    fused = None
+    contribs: list[str] = []
+    for i, (df, rank_col) in enumerate(rankings):
+        side = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"_r{i}"),
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full")
+        contribs.append(f"_r{i}")
+    score = None
+    for name in contribs:
+        s_i = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(name).cast("double")), F.lit(0.0)
+        )
+        score = s_i if score is None else score + s_i
+    return (
+        fused.select(
+            id_col,
+            score.alias("rrf"),
+            *[F.col(n).alias(f"rank_{i}") for i, n in enumerate(contribs)],
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

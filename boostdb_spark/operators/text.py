@@ -582,3 +582,82 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("mean_logprob"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 (Robertson et al., TREC-3) ranking of the corpus for
+    a fixed term query: (doc_id, score) for the top-k matching docs,
+    ``score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*len/avgdl))``
+    with the Lucene idf variant ``ln(1 + (N-df+0.5)/(df+0.5))`` (always
+    positive). The sparse-retrieval side of hybrid search; the dense
+    side is similarity.cosine_topk / the ANN paths.
+
+    Shape: per-doc tf for each query term is a narrow map (size of a
+    filtered token array — no explode, no shuffle for the tf pass);
+    corpus stats (N, total length, per-term dfs) are ONE single-row
+    aggregate broadcast back as a cross join, so the whole plan is a
+    scan + one 1-row broadcast + a top-k sort. Scales: stats are
+    map-side combined; no driver collect. The score is floor-grid
+    quantized (6dp) so last-ulp ln() differences cannot reorder the
+    cut; ordering ties break on doc_id."""
+    def _tf(term: str) -> Column:
+        # NB: a `lambda x, t=term:` default arg would make pyspark treat
+        # the lambda as the 2-arg (element, index) HOF form — bind the
+        # term via this closure instead
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    base = _spread(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("dl").alias("_tl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"_df{i}")
+                for i in range(len(query_terms))
+            ],
+        )
+    )
+    j = base.crossJoin(stats)
+    avgdl = F.col("_tl").cast("double") / F.col("_n").cast("double")
+    part = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - F.col(f"_df{i}").cast("double") + 0.5)
+            / (F.col(f"_df{i}").cast("double") + 0.5)
+        )
+        s_i = idf * ((tf * F.lit(k1 + 1.0)) / (tf + part))
+        score = s_i if score is None else score + s_i
+    hit = None
+    for i in range(len(query_terms)):
+        c = F.col(f"tf{i}") > 0
+        hit = c if hit is None else hit | c
+    return (
+        j.filter(hit)
+        .select(
+            "doc_id",
+            (F.floor(score * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

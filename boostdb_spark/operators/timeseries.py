@@ -1871,3 +1871,222 @@ def pattern_topk(
         .limit(k)
     )
     return out
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, pixel-bucket) the four extremum points — first/last by
+    time and min/max by value, each WITH its timestamp — the smallest
+    point set whose line rendering is pixel-identical to the raw
+    series. One hash aggregate with map-side partials (same shape as
+    ohlc()); first/last ride min/max_by on the unique-per-series ts,
+    min/max carry their timestamps via lexicographic struct min/max
+    ((value, ts) — so a value tie deterministically keeps the earliest
+    ts for the min and the latest for the max)."""
+    bdf = time_bucket(df, bucket_seconds, ts_col=ts_col)
+    v, ts = F.col(value_col), F.col(ts_col)
+    return (
+        bdf.groupBy(*series_cols, "bucket")
+        .agg(
+            F.min(ts).alias("t_first"),
+            F.min_by(value_col, ts_col).alias("v_first"),
+            F.max(ts).alias("t_last"),
+            F.max_by(value_col, ts_col).alias("v_last"),
+            F.min(F.struct(v.alias("v"), ts.alias("t"))).alias("_mn"),
+            F.max(F.struct(v.alias("v"), ts.alias("t"))).alias("_mx"),
+        )
+        .select(
+            *series_cols,
+            "bucket",
+            "t_first",
+            "v_first",
+            "t_last",
+            "v_last",
+            F.col("_mn.v").alias("v_min"),
+            F.col("_mn.t").alias("t_min"),
+            F.col("_mx.v").alias("v_max"),
+            F.col("_mx.t").alias("t_max"),
+        )
+    )
+
+
+def interp_align(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Interpolated as-of alignment: for each left row, the right
+    series' value LINEARLY INTERPOLATED at the left timestamp between
+    the bracketing right samples (TimescaleDB ``interpolate`` /
+    kdb+ aj-with-interpolation semantics — the alignment step before
+    any cross-series arithmetic on unaligned clocks). An exact-ts
+    match returns that sample; a left ts before the first or after the
+    last right sample yields NULL (no extrapolation).
+
+    Implementation: like asof_join — union both sides tagged by
+    origin, ONE shuffle on the equi-keys, then two frames over the
+    same (ts, tag) sort: LOCF for the previous right sample, first
+    following for the next. The interpolation weight is a pure IEEE
+    divide of integer-ns deltas, so results are bit-reproducible
+    across engines. Scales to both sides huge: no broadcast, no
+    range explode; per-key windows partition the shuffle."""
+    on = list(on)
+    lpayload = [c for c in left.columns if c not in on and c != ts_col]
+    l = left.select(
+        *on,
+        *lpayload,
+        F.col(ts_col).alias("_t"),
+        F.lit(None).cast("double").alias("_rv"),
+        F.lit(1).alias("_tag"),
+    )
+    r = right.select(
+        *on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
+        F.col(ts_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_rv"),
+        F.lit(0).alias("_tag"),
+    )
+    u = l.unionByName(r)
+    # right rows sort before left at equal ts, so an exact-ts sample is
+    # the "previous" point and the weight degenerates to 0 -> exact value
+    w_prev = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rv = F.when(F.col("_tag") == 0, F.col("_rv"))
+    rt = F.when(F.col("_tag") == 0, F.col("_t"))
+    marked = u.select(
+        *on,
+        *lpayload,
+        "_t",
+        "_tag",
+        F.last(rv, ignorenulls=True).over(w_prev).alias("_pv"),
+        F.last(rt, ignorenulls=True).over(w_prev).alias("_pt"),
+        F.first(rv, ignorenulls=True).over(w_next).alias("_nv"),
+        F.first(rt, ignorenulls=True).over(w_next).alias("_nt"),
+    )
+    interp = (
+        F.when(F.col("_pt").isNull(), F.lit(None).cast("double"))
+        .when(F.col("_t") == F.col("_pt"), F.col("_pv"))
+        .when(F.col("_nt").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (
+                (F.col("_t") - F.col("_pt")).cast("double")
+                / (F.col("_nt") - F.col("_pt")).cast("double")
+            )
+        )
+    )
+    return (
+        marked.filter(F.col("_tag") == 1)
+        .select(*on, *lpayload, F.col("_t").alias(ts_col), interp.alias("interp"))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_ns: int,
+    user_col: str = "user_id",
+    type_col: str = "series",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` /
+    Amplitude funnel primitive): per user, the greedy-from-earliest
+    conversion chain through ``steps`` — t1 = first step-1 event;
+    t_{i+1} = first step-(i+1) event STRICTLY after t_i and within
+    ``window_ns`` of t1 — and the level reached. Returns
+    (user, level, t1..tN as nullable ns longs).
+
+    The greedy-earliest rule makes the result a pure function of the
+    event set (no per-row state machine), so it is certifiable against
+    a SQL oracle AND decomposes into per-step grouped aggregates: each
+    step is one groupBy(user).min(ts) on a filtered scan plus an
+    equi-join back — every shuffle keyed on the user, so AQE
+    co-partitions the chain; nothing is quadratic in events-per-user."""
+    t = F.col(ts_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .select(user_col, t.alias("_ts"))
+            .join(cur, user_col)
+            .filter(
+                (F.col("_ts") > F.col(f"t{i-1}"))
+                & (F.col("_ts") <= F.col("t1") + F.lit(window_ns))
+            )
+            .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = cur.join(
+            nxt.select(user_col, f"t{i}"), user_col, "left"
+        )
+    level = None
+    for i in range(len(steps), 0, -1):
+        c = F.col(f"t{i}").isNotNull()
+        level = (
+            F.when(c, F.lit(i)) if level is None else level.when(c, F.lit(i))
+        )
+    return cur.select(
+        user_col,
+        level.otherwise(F.lit(0)).cast("long").alias("level"),
+        *[f"t{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    cohort_type: str,
+    active_type: str,
+    period_ns: int,
+    user_col: str = "user_id",
+    type_col: str = "series",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention (the product-analytics staple): users cohorted
+    by the period of their FIRST ``cohort_type`` event; for each
+    (cohort period, offset) cell, how many cohort users had an
+    ``active_type`` event in that later period. Returns
+    (cohort, offset, n_users) with periods as ns-epoch bucket starts.
+
+    Shape: first-touch is one grouped min; activity is a DISTINCT over
+    (user, period) — both map-side combined; the join is user-keyed.
+    The cells are tiny (periods x offsets), so the final aggregate is
+    a near-free shuffle."""
+    t = F.col(ts_col)
+    p = F.lit(period_ns)
+    first = (
+        df.filter(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(t - (t % p)).alias("cohort"))
+    )
+    active = (
+        df.filter(F.col(type_col) == active_type)
+        .select(user_col, (t - (t % p)).alias("period"))
+        .distinct()
+    )
+    return (
+        active.join(first, user_col)
+        .filter(F.col("period") >= F.col("cohort"))
+        .groupBy("cohort", ((F.col("period") - F.col("cohort")) / p).cast("long").alias("offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

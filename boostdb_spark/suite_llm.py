@@ -2557,3 +2557,134 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result partitioning-independent and oracle-exact."""
     t = load_tables(spark, sf_dir)
     return sim.embedding_dim_stats(t["embeddings"])
+
+
+# ===========================================================================
+# Sparse retrieval: Okapi BM25 (round 8)
+# ===========================================================================
+
+#: shared BM25 oracle arithmetic — the EXACT double tree of
+#: operators/text.py::bm25_topk (only +,-,*,/ and one ln per term; the
+#: final score floor-grid quantized at 6dp, same as tf_idf_topk)
+_BM25_TERMS = ("dup", "spark", "key")
+_BM25_TF = "\n".join(
+    f"        len(list_filter(toks, x -> x = '{t}')) AS tf{i},"
+    for i, t in enumerate(_BM25_TERMS)
+).rstrip(",")
+_BM25_SCORE = " + ".join(
+    f"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+    f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+    f" * ((CAST(tf{i} AS DOUBLE) * (1.2 + 1.0))"
+    f" / (CAST(tf{i} AS DOUBLE) + part)))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@_q(
+    "txt_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl,
+{_BM25_TF}
+          FROM t),
+    s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl,
+                 {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+          FROM d),
+    p AS (SELECT d.*, s.*,
+                 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                        / (CAST(tl AS DOUBLE) / CAST(n AS DOUBLE)))) AS part
+          FROM d CROSS JOIN s)
+    SELECT doc_id,
+           floor(({_BM25_SCORE}) * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM p
+    WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+    ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 for a fixed three-term query (rare + two
+    mid-frequency terms) — the sparse-retrieval ranking that pairs
+    with the dense ANN paths for hybrid search. Per-doc term
+    frequencies are narrow token-array maps (no explode); corpus
+    stats (N, total length, per-term document frequencies) are ONE
+    single-row aggregate broadcast back; the plan is scan -> 1-row
+    broadcast join -> top-k sort. Both engines quantize the score on
+    the 6dp floor grid so last-ulp ln() differences cannot reorder
+    the cut; ties break on doc_id."""
+    t = load_tables(spark, sf_dir)
+    return tx.bm25_topk(t["documents"], list(_BM25_TERMS), k=50)
+
+
+@_q(
+    "pipeline_hybrid_rrf",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl,
+{_BM25_TF}
+          FROM t),
+    s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl,
+                 {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+          FROM d),
+    p AS (SELECT d.*, s.*,
+                 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                        / (CAST(tl AS DOUBLE) / CAST(n AS DOUBLE)))) AS part
+          FROM d CROSS JOIN s),
+    bm AS (SELECT doc_id,
+                  floor(({_BM25_SCORE}) * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM p
+           WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+           ORDER BY score DESC, doc_id ASC LIMIT 100),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r_s
+            FROM bm),
+    e AS ({_EMB}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    cs AS (SELECT b.vec_id AS doc_id,
+                  {DOT64.format(a='qv', b='b.v')}
+                  / (sqrt({DOT64.format(a='qv', b='qv')})
+                     * sqrt({DOT64.format(a='b.v', b='b.v')})) AS cos
+           FROM q, e b WHERE b.vec_id != 7),
+    ct AS (SELECT * FROM cs ORDER BY cos DESC, doc_id ASC LIMIT 100),
+    cr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cos DESC, doc_id) AS r_d
+           FROM ct)
+    SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id,
+           coalesce(1.0 / (60.0 + CAST(r_s AS DOUBLE)), 0.0)
+             + coalesce(1.0 / (60.0 + CAST(r_d AS DOUBLE)), 0.0) AS rrf,
+           r_s AS rank_0, r_d AS rank_1
+    FROM bmr FULL JOIN cr ON bmr.doc_id = cr.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+)
+def pipeline_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 sparse top-100 and exact-cosine dense
+    top-100 (query = the vec_id-7 embedding; the corpus id space is
+    shared with documents) fused by reciprocal-rank fusion
+    ``sum_i 1/(60 + rank_i)`` — the standard production combiner for
+    keyword+vector search. Both branch ranks are deterministic
+    (quantized/exact scores, id tie-breaks); the fusion is a
+    broadcast-sized full-outer join over two 100-row candidate lists,
+    so at 100 TB the only heavy work stays in the branch top-k scans
+    (and the dense branch swaps to the certified IVF/PQ ANN paths
+    unchanged — rrf_fuse only sees (id, rank) lists)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as _W
+
+    sparse = tx.bm25_topk(t["documents"], list(_BM25_TERMS), k=100)
+    s_rank = sparse.withColumn(
+        "r_s",
+        F.row_number().over(
+            _W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    e = t["embeddings"]
+    dense = sim.cosine_topk(e.filter(F.col("vec_id") == 7), e, k=100)
+    d_rank = dense.select(
+        F.col("match_id").alias("doc_id"),
+        F.row_number()
+        .over(_W.orderBy(F.col("cos").desc(), F.col("match_id").asc()))
+        .alias("r_d"),
+    )
+    return sim.rrf_fuse(
+        [(s_rank, "r_s"), (d_rank, "r_d")], k=20, c=60.0, id_col="doc_id"
+    )

@@ -280,3 +280,37 @@ def test_rollup_cascade_coarse_levels_reuse_partials(spark):
     df = suite.spark_queries()["ts_rollup_cascade"](spark, SF_DIR)
     p = df._jdf.queryExecution().optimizedPlan().toString()
     assert p.count("events.parquet") <= 1
+
+
+def test_hive_partition_prune_in_plan(spark):
+    # the day predicate must prune DIRECTORIES (PartitionFilters), not
+    # just row groups; the residual event_type filter stays pushed
+    p = _plan(spark, "scan_hive_partition_prune")
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "2024-01-15" in pf[0]
+    assert "EqualTo(event_type,click)" in p
+
+
+def test_bm25_single_broadcast_stats_join(spark):
+    # corpus stats ride ONE single-row broadcast join; no sort-merge
+    p = _plan(spark, "txt_bm25_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_funnel_joins_stay_user_keyed(spark):
+    # no cartesian products anywhere in the step chain
+    p = _plan(spark, "agg_funnel")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interp_align_single_exchange(spark):
+    # union + two frames over ONE (ts, tag) sort: exactly one shuffle
+    # on the join key feeds both window frames
+    p = _plan(spark, "ts_interp_align")
+    import re
+
+    exch = len(re.findall(r"\bExchange hashpartitioning\(user_id", p))
+    assert exch <= 2  # one per union branch pre-AQE accounting
+    assert "CartesianProduct" not in p
