@@ -147,6 +147,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_retention_cohort",   # weekly cohort retention triangle
     "scan_hive_partition_prune",  # directory-level partition pruning
     "scan_schema_evolution",  # mergeSchema union-by-name, NULL fill
+    "stream_ann_ingest_parity",  # foreachBatch IVF append == batch
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -159,7 +160,7 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (20 of 45,
+    # --- re-certification: last driver-green ROUND 3 (19 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
@@ -167,7 +168,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_window", "dialect_window_nav", "doc_chunk",
     "doc_mixture_sample", "doc_repeat_epochs", "doc_source_overlap",
     "doc_split_train_val", "emb_centroid_bucketed",
-    "emb_neardup_cosine", "emb_outliers", "join_bucketed_colocated",
+    "emb_neardup_cosine", "emb_outliers",
 )
 
 

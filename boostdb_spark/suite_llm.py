@@ -2688,3 +2688,121 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rrf_fuse(
         [(s_rank, "r_s"), (d_rank, "r_d")], k=20, c=60.0, id_col="doc_id"
     )
+
+
+@_q(
+    "stream_ann_ingest_parity",
+    """
+    WITH c(invariant) AS (VALUES
+      ('appended_present_once'), ('probe_retrieves_appended'),
+      ('streamed_equals_batch'))
+    SELECT invariant, true AS passed FROM c ORDER BY invariant
+    """,
+)
+def stream_ann_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED streaming vector-index maintenance: the append slice
+    of the embedding corpus replayed as unordered micro-batches through
+    ``foreachBatch(ivf_append_index)`` — each batch assigns ONLY its
+    new vectors to the persisted coarse quantizer (no retrain, no
+    corpus rescan) and appends to the parquet inverted file, exactly
+    how a production vector store keeps its ANN index live behind a
+    streaming ingest. The gate pins, all as lazy aggregates:
+
+    - streamed_equals_batch: the stream-maintained inverted file
+      row-for-row equals a one-shot batch build over the same slice +
+      quantizer (both exceptAll directions empty) — per-batch
+      incremental assignment == batch assignment under ANY batch split
+      (assignment is per-row deterministic).
+    - appended_present_once: every appended vec_id appears exactly once.
+    - probe_retrieves_appended: probing 3 appended vectors against the
+      STREAMED index returns a hit for every query and every hit is an
+      appended id (self-matches are excluded by contract) — the new
+      rows are immediately searchable, not just stored."""
+    import os
+
+    from boostdb_spark.suite import _STREAM_LANDING, session_tmpdir
+
+    lay = _ann_append_layout(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    cutoff = lay["cutoff"]
+    new = e.filter(F.col("vec_id") >= cutoff)
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "annstream")
+    if key not in _STREAM_LANDING:
+        landing = session_tmpdir(prefix="boost_suite_annstream_")
+        new.repartition(4).write.mode("overwrite").parquet(landing)
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    schema = spark.read.parquet(landing).schema
+
+    work = session_tmpdir(prefix="boost_annstream_sink_")
+    sink = os.path.join(work, "ivf")
+    cents = lay["centroids"]
+    cols = ["match_id", "cv", "cv_nrm", "list_id"]
+
+    def _apply(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        sim.ivf_append_index(bdf, cents).select(*cols).write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(sink).select(*cols)
+    batch = sim.ivf_build_index(new, cents).select(*cols)
+    bad = (
+        streamed.exceptAll(batch).select(F.lit(1).alias("x"))
+        .unionAll(batch.exceptAll(streamed).select(F.lit(1).alias("x")))
+        .agg(F.count("*").alias("bad"))
+    )
+    n_new = new.agg(F.count("*").alias("n_new"))
+    present = streamed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("match_id").alias("n_ids"),
+    )
+    probes = new.orderBy("vec_id").limit(3)
+    hits = sim.ivf_ann_topk(
+        probes, new, k=1, n_probe=4, centroids=cents,
+        index=spark.read.parquet(sink),
+    ).agg(
+        F.count("*").alias("h"),
+        F.min(F.col("match_id") >= F.lit(cutoff)).alias("all_appended"),
+    )
+    flags = (
+        bad.toDF("bad")
+        .crossJoin(F.broadcast(n_new))
+        .crossJoin(F.broadcast(present))
+        .crossJoin(F.broadcast(hits))
+    )
+    return (
+        flags.select(
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("appended_present_once"),
+                        F.lit("probe_retrieves_appended"),
+                        F.lit("streamed_equals_batch"),
+                    ),
+                    F.array(
+                        (F.col("n_rows") == F.col("n_new"))
+                        & (F.col("n_ids") == F.col("n_new")),
+                        (F.col("h") == F.lit(3)) & F.col("all_appended"),
+                        F.col("bad") == F.lit(0),
+                    ),
+                )
+            ).alias("invariant", "passed")
+        )
+        .orderBy("invariant")
+    )
