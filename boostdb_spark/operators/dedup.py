@@ -1014,3 +1014,59 @@ def semantic_dedup(
         F.col("id").alias(id_col), "cluster", "cent_sim", "v",
         F.col("_dropped").isNull().alias("kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT (Broder 1997, "On the resemblance and
+    containment of documents"): ``C(A,B) = |S(A) ∩ S(B)| / |S(A)|`` —
+    the asymmetric companion to Jaccard that catches a short document
+    embedded in a longer one (quote farms, boilerplate wrappers,
+    excerpt pages), where Jaccard stays low because the union is
+    dominated by the container. Returns
+    (contained_id, container_id, containment >= threshold), both
+    directions of each sharing pair considered.
+
+    Same scale shape as ngram_jaccard_pairs: shingle-explode +
+    equi-join on the shingle (never an all-pairs product), intersection
+    counts map-side combined; ``max_doc_freq`` drops ubiquitous
+    shingles whose fanout is quadratic and whose signal is zero. The
+    containment value is one exact IEEE division of two ints."""
+    ds = _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_doc_freq is not None:
+        rare = (
+            ds.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        ds = ds.join(rare, "sh")
+    a = ds.select(F.col("id").alias("id_a"), "sh")
+    b = ds.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sized = common.join(
+        sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+    fwd = sized.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("common").cast("double") / F.col("sz_a")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("common").cast("double") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -121,7 +121,7 @@ _KEYWORDS = {
     "rows", "unbounded", "preceding", "following", "current", "row",
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
-    "qualify", "nulls", "first", "last",
+    "qualify", "nulls", "first", "last", "asof",
 }
 
 
@@ -472,6 +472,15 @@ class _Parser:
             elif self.accept_kw("full"):
                 kind = "full"
                 self.accept_kw("outer")
+                self.expect_kw("join")
+            elif self.accept_kw("asof"):
+                # ASOF JOIN (kdb/DuckDB/QuestDB surface): equi keys in
+                # ON; the time ordering is IMPLICIT on each family's
+                # canonical ts column (backward: latest right row at or
+                # before the left row's ts) — the series-family
+                # contract makes the ordering column unambiguous, so
+                # the grammar needs no inequality clause
+                kind = "asof"
                 self.expect_kw("join")
             elif not self.accept_kw("join"):
                 break
@@ -1755,6 +1764,34 @@ def plan(
             right = _source_scan(spark, key, res, start, end)
             if j.kind == "cross":
                 df = df.crossJoin(right)
+            elif j.kind == "asof":
+                # plan through the certified one-shuffle union+window
+                # asof_join (operators/timeseries.py) — backward
+                # direction, ordering on each family's canonical ts
+                if keys[0] in res.cte_df or key in res.cte_df:
+                    raise ValueError(
+                        "ASOF JOIN requires series-family sources on "
+                        "both sides (a WITH source has no canonical "
+                        "time column)"
+                    )
+                from boostdb_spark.operators.timeseries import asof_join
+
+                lts = f"{keys[0]}__{res.sources[keys[0]][1].ts_col}"
+                rts = f"{key}__{res.sources[key][1].ts_col}"
+                on_cols = []
+                r2 = right
+                for lref, rref in j.on:
+                    lc, rc = res.resolve_on(lref), res.resolve_on(rref)
+                    if rc != lc:
+                        # asof_join's equi keys are same-name columns;
+                        # the <src>__ prefixes keep the rename
+                        # collision-free
+                        r2 = r2.withColumnRenamed(rc, lc)
+                    on_cols.append(lc)
+                df = asof_join(
+                    df, r2, on=on_cols, ts_col=lts, right_ts_col=rts,
+                    direction="backward",
+                )
             else:
                 cond = None
                 for lref, rref in j.on:

@@ -148,6 +148,8 @@ _WINDOW: tuple[str, ...] = (
     "scan_hive_partition_prune",  # directory-level partition pruning
     "scan_schema_evolution",  # mergeSchema union-by-name, NULL fill
     "stream_ann_ingest_parity",  # foreachBatch IVF append == batch
+    "dialect_asof_join",      # ASOF JOIN grammar -> union+window plan
+    "dedup_containment",      # Broder containment (asymmetric dedup)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -160,7 +162,7 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (19 of 45,
+    # --- re-certification: last driver-green ROUND 3 (17 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
@@ -168,7 +170,6 @@ _WINDOW: tuple[str, ...] = (
     "dialect_window", "dialect_window_nav", "doc_chunk",
     "doc_mixture_sample", "doc_repeat_epochs", "doc_source_overlap",
     "doc_split_train_val", "emb_centroid_bucketed",
-    "emb_neardup_cosine", "emb_outliers",
 )
 
 
@@ -5761,6 +5762,34 @@ def dialect_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON a.user_id = b.o_custkey "
         "ORDER BY okey NULLS FIRST, eid LIMIT 300",
         bindings,
+    )
+
+
+@_q(
+    "dialect_asof_join",
+    """
+    SELECT a.event_id AS eid, a.value AS v, b.value AS pv
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN through the dialect front (the kdb/DuckDB/QuestDB
+    time-series join surface): equi keys in ON, time ordering IMPLICIT
+    on each family's canonical ts column (backward — latest right row
+    at or before the left ts; unmatched left rows keep NULLs, matching
+    DuckDB's ASOF LEFT JOIN). Plans through the certified one-shuffle
+    union+window asof_join (operators/timeseries.py:246), not a range
+    explode — so it scales to both sides being 100 TB streams. Here:
+    every click enriched with the user's latest preceding purchase."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, a.click AS v, b.purchase AS pv "
+        "FROM boost.events a ASOF JOIN boost.events b "
+        "ON a.user_id = b.user_id",
+        EVENTS_BINDING,
     )
 
 

@@ -2806,3 +2806,38 @@ def stream_ann_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("invariant")
     )
+
+
+@_q(
+    "dedup_containment",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id,
+                  unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    sized AS (
+      SELECT id_a, id_b, c, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM common JOIN sizes sa ON id_a = sa.id
+                  JOIN sizes sb ON id_b = sb.id),
+    dirs AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             c::DOUBLE / sz_a AS containment FROM sized
+      UNION ALL
+      SELECT id_b AS contained_id, id_a AS container_id,
+             c::DOUBLE / sz_b AS containment FROM sized)
+    SELECT contained_id, container_id, containment
+    FROM dirs WHERE containment >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle containment pairs at 0.6 (Broder 1997) —
+    the asymmetric dedup signal Jaccard misses: a short doc embedded
+    in a long container scores high containment but low Jaccard. Same
+    never-all-pairs shape as the Jaccard entry (shingle equi-join);
+    the score is one exact int/int IEEE division, so no quantization
+    is needed."""
+    t = load_tables(spark, sf_dir)
+    return dd.containment_pairs(t["documents"], threshold=0.6, n=3)

@@ -1503,3 +1503,50 @@ def test_nulls_first_orders_null_block_first(spark):
     ).collect()
     nulls = [i for i, r in enumerate(rows) if r.prev is None]
     assert nulls and nulls == list(range(len(rows) - len(nulls), len(rows)))
+
+
+def test_parse_asof_join():
+    q = parse(
+        "SELECT a.s FROM d.f a ASOF JOIN d.g b ON a.k = b.k"
+    )
+    assert q.joins[0].kind == "asof" and q.joins[0].on is not None
+
+
+def test_asof_join_rejects_cte_sources(spark):
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="ASOF JOIN requires"):
+        sugar.query(
+            spark,
+            "WITH x AS (SELECT click.user_id AS uid FROM boost.events) "
+            "SELECT a.click AS v, b.uid AS u FROM boost.events a "
+            "ASOF JOIN x b ON a.user_id = b.uid",
+            b,
+        ).collect()
+
+
+def test_dialect_asof_matches_operator(spark):
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators.timeseries import asof_join
+
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.purchase AS pv "
+        "FROM boost.events a ASOF JOIN boost.events b "
+        "ON a.user_id = b.user_id",
+        b,
+    )
+    ev = spark.table("events")
+    left = ev.filter("event_type = 'click'").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    ref = asof_join(left, right, on=["user_id"]).select(
+        F.col("event_id").alias("eid"), F.col("value").alias("pv")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
