@@ -2815,9 +2815,11 @@ def stream_ann_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds AS (SELECT DISTINCT doc_id AS id,
                   unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
     sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= 100),
+    dsr AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-      FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+      FROM dsr a JOIN dsr b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
     sized AS (
       SELECT id_a, id_b, c, sa.sz AS sz_a, sb.sz AS sz_b
       FROM common JOIN sizes sa ON id_a = sa.id
@@ -2836,8 +2838,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram shingle containment pairs at 0.6 (Broder 1997) —
     the asymmetric dedup signal Jaccard misses: a short doc embedded
     in a long container scores high containment but low Jaccard. Same
-    never-all-pairs shape as the Jaccard entry (shingle equi-join);
-    the score is one exact int/int IEEE division, so no quantization
-    is needed."""
+    never-all-pairs shape as the Jaccard entry (shingle equi-join),
+    with the ubiquitous-shingle cap ENGAGED (max_doc_freq=100; the
+    round-8 sf1 probe measured 44x wall on 10x rows without it — a
+    shingle shared by d docs fans out d^2 pairs while carrying zero
+    dedup signal, so the cap is load-bearing at scale, exactly like
+    the boilerplate cap on substring dedup). Containment denominators
+    stay the PRE-cap set sizes; the score is one exact int/int IEEE
+    division, so no quantization is needed."""
     t = load_tables(spark, sf_dir)
-    return dd.containment_pairs(t["documents"], threshold=0.6, n=3)
+    return dd.containment_pairs(
+        t["documents"], threshold=0.6, n=3, max_doc_freq=100
+    )

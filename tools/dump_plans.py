@@ -61,6 +61,15 @@ SHOWCASE = [
     ("ann_append_certified", "ANN append certificate: read-back index vs rebuild exceptAll, broadcast probe join, drift via broadcast centroid table"),
     ("ts_cusum_changepoint", "CUSUM changepoints: one bucket agg + growing-array fold per series, triples explode — no join, no window"),
     ("emb_whiten", "whitening: dim-stats aggregate once, literals into one zip_with projection — no join on the data path"),
+    ("dialect_qualify", "QUALIFY: filter applied ABOVE the Window operator, below sort/limit"),
+    ("dialect_asof_join", "dialect ASOF JOIN: union + one per-key window carry, no join node, both series filters pushed"),
+    ("txt_bm25_topk", "BM25: narrow tf maps, ONE single-row broadcast stats join, TakeOrdered top-k"),
+    ("pipeline_hybrid_rrf", "hybrid RRF: two candidate branches fused by a bounded full-outer join"),
+    ("ts_m4_downsample", "M4 downsampling: one partial+final hash agg carrying struct min/max"),
+    ("ts_interp_align", "interpolated align: ONE Exchange+Sort, both bracket carries as frames over it"),
+    ("agg_funnel", "funnel: user-keyed grouped mins + equi-joins, no cartesian anywhere"),
+    ("scan_hive_partition_prune", "partition pruning: day predicate in PartitionFilters (directory-level), residual filter pushed"),
+    ("dedup_containment", "containment: shingle equi-join + one division, never all-pairs"),
 ]
 
 

@@ -64,6 +64,13 @@ DEFAULT_ENTRIES = [
     "ts_seasonal_decompose",
     "agg_groupby_q1",
     "flagship_series_scan",
+    # round-8 additions: the retrieval pair (stats broadcast + fusion
+    # join) and the heaviest new dedup/event aggregates
+    "txt_bm25_topk",
+    "pipeline_hybrid_rrf",
+    "dedup_containment",
+    "agg_funnel",
+    "ts_interp_align",
 ]
 
 
