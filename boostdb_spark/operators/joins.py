@@ -394,3 +394,46 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def snapshot_apply(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` changeset to the OLD snapshot and
+    reproduce the NEW one — the MERGE-INTO half of plain-parquet CDC:
+    deletes drop, updates replace the payload, inserts append. Together
+    with snapshot_diff this closes the incremental-maintenance loop
+    (``apply(old, diff(old, new)) == new`` exactly, which the
+    scan_snapshot_apply suite entry hash-certifies).
+
+    Shape: one left anti/outer join of old against the (small relative
+    to the table) changeset on the key, plus a union of the insert
+    rows — all key-partitioned; bucket both sides on the key and the
+    exchanges disappear. No driver materialization."""
+    keys = list(keys)
+    upd = diff.filter(F.col("op") == "update").select(
+        *keys,
+        *[F.col(f"new_{c}").alias(f"_n_{c}") for c in payload_cols],
+        F.lit(True).alias("_upd"),
+    )
+    dels = diff.filter(F.col("op") == "delete").select(*keys)
+    ins = diff.filter(F.col("op") == "insert").select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in payload_cols]
+    )
+    survived = old.join(dels, keys, "left_anti")
+    # an explicit update marker, NOT coalesce: a null-safe diff can
+    # legitimately update a payload TO NULL, and coalesce would
+    # silently keep the old value instead
+    merged = survived.join(upd, keys, "left").select(
+        *keys,
+        *[
+            F.when(F.col("_upd"), F.col(f"_n_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload_cols
+        ],
+    )
+    return merged.unionByName(ins)

@@ -150,6 +150,8 @@ _WINDOW: tuple[str, ...] = (
     "stream_ann_ingest_parity",  # foreachBatch IVF append == batch
     "dialect_asof_join",      # ASOF JOIN grammar -> union+window plan
     "dedup_containment",      # Broder containment (asymmetric dedup)
+    "ts_theilsen_trend",      # robust median-slope trend per bucket
+    "scan_snapshot_apply",    # apply(old, diff) == new (CDC closure)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -162,14 +164,13 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (17 of 45,
+    # --- re-certification: last driver-green ROUND 3 (15 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dialect_join_left", "dialect_join_multi",
     "dialect_window", "dialect_window_nav", "doc_chunk",
     "doc_mixture_sample", "doc_repeat_epochs", "doc_source_overlap",
-    "doc_split_train_val", "emb_centroid_bucketed",
 )
 
 
@@ -388,6 +389,40 @@ def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = old.unionByName(phantom)
     return snapshot_diff(old, ev, keys=["event_id"], compare_cols=["value"])
+
+
+@_q(
+    "scan_snapshot_apply",
+    """
+    SELECT event_id, value FROM events
+    """,
+)
+def scan_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-INTO half of plain-parquet CDC
+    (operators/joins.py::snapshot_apply): the scan_snapshot_diff
+    changeset applied BACK onto the synthetic old snapshot — deletes
+    drop, updates replace (via an explicit marker, so value->NULL
+    updates apply), inserts append — and the result must hash-equal
+    the current table exactly: ``apply(old, diff(old, new)) == new``,
+    closing the incremental-maintenance loop end to end under the
+    driver gate. One anti join + one left join + a union, all
+    key-partitioned; bucket both snapshots and the exchanges
+    disappear."""
+    from boostdb_spark.operators.joins import snapshot_apply, snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "value")
+    old = ev.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    phantom = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + F.lit(10**9)).alias("event_id"), "value"
+    )
+    old = old.unionByName(phantom)
+    d = snapshot_diff(old, ev, keys=["event_id"], compare_cols=["value"])
+    return snapshot_apply(old, d, keys=["event_id"], payload_cols=["value"])
 
 
 @_q(
@@ -1777,6 +1812,48 @@ def ts_interp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     return ts_ops.interp_align(left, right, on=["user_id"])
+
+
+@_q(
+    "ts_theilsen_trend",
+    """
+    WITH b AS (
+      SELECT event_type,
+             (epoch_ns(ts) - epoch_ns(ts) % 21600000000000) AS bucket,
+             epoch_ns(ts) AS t, value AS v
+      FROM events),
+    g AS (
+      SELECT event_type, bucket,
+             list_sort(list(struct_pack(t := t, v := v))) AS pts,
+             count(*) AS n
+      FROM b GROUP BY 1, 2 HAVING count(*) >= 2),
+    s AS (
+      SELECT event_type, bucket, n,
+             flatten(list_transform(range(1, n::INT), i ->
+               list_transform(range(i + 1, n::INT + 1), j ->
+                 (pts[j].v - pts[i].v)
+                 / (CAST(pts[j].t - pts[i].t AS DOUBLE)
+                    / 1000000000.0)))) AS slopes
+      FROM g)
+    SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+           list_sort(slopes)[(n * (n - 1) // 2 + 1) // 2] AS slope
+    FROM s
+    """,
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """theilsen_trend(): per-(series, 6h bucket) Theil-Sen robust
+    slope — the median of all pairwise slopes (outlier-resistant where
+    ts_linear_trend's least squares is not; Theil 1950 / Sen 1968).
+    Quadratic in points-per-BUCKET by definition, so the bucket span
+    is the scale contract: per-task pair count is fixed by sampling
+    rate, and tasks fan out across (series, bucket). One hash
+    aggregate to a bounded sorted array; slopes as nested index
+    transforms; lower median by element indexing — exact IEEE trees on
+    both engines, no quantization."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.theilsen_trend(
+        _ns_events(t), 21600, series_cols=("event_type",)
+    )
 
 
 @_q(

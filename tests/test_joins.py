@@ -263,3 +263,21 @@ def test_range_lookup_keyed_rejects_hit_payload(spark):
     )
     with _pt.raises(ValueError, match="reserved"):
         range_lookup(fk, dk, "v", keys=["k"])
+
+
+def test_snapshot_apply_null_update(spark):
+    """An update that sets the payload to NULL must APPLY (the marker
+    path), not silently keep the old value (the coalesce trap)."""
+    from boostdb_spark.operators.joins import snapshot_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, 20.0), (4, 40.0)], "k long, v double"
+    )
+    d = snapshot_diff(old, new, keys=["k"], compare_cols=["v"])
+    got = snapshot_apply(old, d, keys=["k"], payload_cols=["v"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, new.collect())
+    )
