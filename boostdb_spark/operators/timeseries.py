@@ -2150,3 +2150,58 @@ def theilsen_trend(
         F.col("n").cast("long").alias("n"),
         med.alias("slope"),
     )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    window_seconds: int,
+    n_sigma: float = 2.0,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bollinger bands over a trailing TIME-RANGE window: per row, the
+    window mean, the population standard deviation, the upper/lower
+    bands mean ± n_sigma·sd, and a breach flag — the volatility
+    envelope behind every trading/monitoring chart (Bollinger 1992).
+
+    Same one-shuffle rangeBetween shape as moving_time_agg: sums and
+    sum-of-squares accumulate through DECIMAL on the 1e-6 quantized
+    grid, so frame totals are order-independent and the derived
+    moments are identical IEEE trees on both engines; the variance
+    clamps at 0 before sqrt (the r7 NaN-guard rule — a constant window
+    underflows to a tiny negative, and NaN comparisons silently pass
+    breach checks)."""
+    from boostdb_spark.functions.scalar import ts_ns
+
+    ord_ns = ts_ns(df, ts_col)
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ord_ns)
+        .rangeBetween(-(window_seconds * NS_PER_SEC), 0)
+    )
+    # integer 1e-6 grid (floor(x*1e6+0.5) as a LONG — not _q6, which
+    # divides back to a double)
+    q = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5))
+    s1 = F.sum(q.cast("decimal(38,0)")).over(w).cast("double")
+    s2 = F.sum((q.cast("decimal(19,0)") * q)).over(w).cast("double")
+    n = F.count(F.col(value_col)).over(w).cast("double")
+    mean = s1 / (n * F.lit(1.0e6))
+    var = F.greatest(
+        s2 / (n * F.lit(1.0e12)) - mean * mean, F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    upper = mean + F.lit(n_sigma) * sd
+    lower = mean - F.lit(n_sigma) * sd
+    return df.select(
+        *series_cols,
+        ord_ns.alias("ts_ns"),
+        F.col(value_col),
+        mean.alias("mid"),
+        sd.alias("sd"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        (
+            (F.col(value_col) > upper) | (F.col(value_col) < lower)
+        ).alias("breach"),
+    )

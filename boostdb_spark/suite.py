@@ -1815,6 +1815,58 @@ def ts_interp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_bollinger",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_ns(ts) AS tns, value,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events),
+    w AS (
+      SELECT event_type, tns, value,
+             CAST(sum(CAST(q AS DECIMAL(38,0))) OVER fr AS DOUBLE) AS s1,
+             CAST(sum(CAST(q AS DECIMAL(19,0)) * q) OVER fr AS DOUBLE) AS s2,
+             CAST(count(value) OVER fr AS DOUBLE) AS n
+      FROM b
+      WINDOW fr AS (PARTITION BY event_type ORDER BY tns
+                    RANGE BETWEEN 86400000000000 PRECEDING
+                          AND CURRENT ROW))
+    SELECT event_type, tns AS ts_ns, value,
+           s1 / (n * 1000000.0) AS mid,
+           sqrt(greatest(s2 / (n * 1000000000000.0)
+                         - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)),
+                         0.0)) AS sd,
+           s1 / (n * 1000000.0)
+             + 2.0 * sqrt(greatest(s2 / (n * 1000000000000.0)
+                 - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)),
+                 0.0)) AS upper,
+           s1 / (n * 1000000.0)
+             - 2.0 * sqrt(greatest(s2 / (n * 1000000000000.0)
+                 - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)),
+                 0.0)) AS lower,
+           (value > s1 / (n * 1000000.0)
+             + 2.0 * sqrt(greatest(s2 / (n * 1000000000000.0)
+                 - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)), 0.0)))
+           OR (value < s1 / (n * 1000000.0)
+             - 2.0 * sqrt(greatest(s2 / (n * 1000000000000.0)
+                 - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)), 0.0)))
+             AS breach
+    FROM w
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bollinger_bands(): trailing-24h volatility envelope per series —
+    window mean ± 2·sd plus a breach flag (Bollinger 1992), the
+    alerting band on every monitoring/trading chart. One rangeBetween
+    frame (tie-safe: RANGE frames are value-based, so equal timestamps
+    agree across engines); decimal sums on the 1e-6 grid, variance
+    clamped at 0 before sqrt per the NaN-guard rule."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.bollinger_bands(
+        _ns_events(t), 86400, n_sigma=2.0, series_cols=("event_type",)
+    )
+
+
+@_q(
     "ts_theilsen_trend",
     """
     WITH b AS (
