@@ -1016,7 +1016,7 @@ def semantic_dedup(
     )
 
 
-def containment_pairs(
+def shingle_containment_pairs(
     df: DataFrame,
     threshold: float,
     n: int = 3,

@@ -152,6 +152,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_containment",      # Broder containment (asymmetric dedup)
     "ts_theilsen_trend",      # robust median-slope trend per bucket
     "scan_snapshot_apply",    # apply(old, diff) == new (CDC closure)
+    "ts_bollinger",           # trailing-24h volatility envelope
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -164,13 +165,13 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (15 of 45,
+    # --- re-certification: last driver-green ROUND 3 (14 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dialect_join_left", "dialect_join_multi",
     "dialect_window", "dialect_window_nav", "doc_chunk",
-    "doc_mixture_sample", "doc_repeat_epochs", "doc_source_overlap",
+    "doc_mixture_sample", "doc_repeat_epochs",
 )
 
 

@@ -2847,6 +2847,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay the PRE-cap set sizes; the score is one exact int/int IEEE
     division, so no quantization is needed."""
     t = load_tables(spark, sf_dir)
-    return dd.containment_pairs(
+    return dd.shingle_containment_pairs(
         t["documents"], threshold=0.6, n=3, max_doc_freq=100
     )
