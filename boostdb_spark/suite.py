@@ -1829,7 +1829,7 @@ def ts_interp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(value) OVER fr AS DOUBLE) AS n
       FROM b
       WINDOW fr AS (PARTITION BY event_type ORDER BY tns
-                    RANGE BETWEEN 86400000000000 PRECEDING
+                    RANGE BETWEEN 3600000000000 PRECEDING
                           AND CURRENT ROW))
     SELECT event_type, tns AS ts_ns, value,
            s1 / (n * 1000000.0) AS mid,
@@ -1855,15 +1855,20 @@ def ts_interp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bollinger_bands(): trailing-24h volatility envelope per series —
+    """bollinger_bands(): trailing-1h volatility envelope per series —
     window mean ± 2·sd plus a breach flag (Bollinger 1992), the
     alerting band on every monitoring/trading chart. One rangeBetween
     frame (tie-safe: RANGE frames are value-based, so equal timestamps
     agree across engines); decimal sums on the 1e-6 grid, variance
-    clamped at 0 before sqrt per the NaN-guard rule."""
+    clamped at 0 before sqrt per the NaN-guard rule. Window span is a
+    COST knob, not just semantics: Spark evaluates sliding frames
+    O(rows x frame_rows) (no aggregate inversion), so trailing spans
+    should stay a small multiple of the sampling interval — the first
+    cut used 24h (~670 frame rows) and burned 97 s at sf0.1 vs ~2 s
+    at 1h."""
     t = load_tables(spark, sf_dir)
     return ts_ops.bollinger_bands(
-        _ns_events(t), 86400, n_sigma=2.0, series_cols=("event_type",)
+        _ns_events(t), 3600, n_sigma=2.0, series_cols=("event_type",)
     )
 
 
@@ -1872,7 +1877,7 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT event_type,
-             (epoch_ns(ts) - epoch_ns(ts) % 21600000000000) AS bucket,
+             (epoch_ns(ts) - epoch_ns(ts) % 7200000000000) AS bucket,
              epoch_ns(ts) AS t, value AS v
       FROM events),
     g AS (
@@ -1894,7 +1899,7 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """theilsen_trend(): per-(series, 6h bucket) Theil-Sen robust
+    """theilsen_trend(): per-(series, 2h bucket) Theil-Sen robust
     slope — the median of all pairwise slopes (outlier-resistant where
     ts_linear_trend's least squares is not; Theil 1950 / Sen 1968).
     Quadratic in points-per-BUCKET by definition, so the bucket span
@@ -1905,7 +1910,7 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, no quantization."""
     t = load_tables(spark, sf_dir)
     return ts_ops.theilsen_trend(
-        _ns_events(t), 21600, series_cols=("event_type",)
+        _ns_events(t), 7200, series_cols=("event_type",)
     )
 
 
