@@ -121,7 +121,7 @@ _KEYWORDS = {
     "rows", "unbounded", "preceding", "following", "current", "row",
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
-    "qualify", "nulls", "first", "last", "asof",
+    "qualify", "nulls", "first", "last", "asof", "using",
 }
 
 
@@ -485,18 +485,43 @@ class _Parser:
             elif not self.accept_kw("join"):
                 break
             jd, jf, ja = self.parse_source()
-            self.expect_kw("on")
             pairs: list[tuple[FieldRef, FieldRef]] = []
-            while True:
-                left = self.parse_on_ref()
-                if not self.accept_op("="):
-                    raise ValueError(
-                        "JOIN ... ON requires equi pairs a.x = b.y "
-                        "[AND a.z = b.w]..."
+            if self.accept_kw("using"):
+                # USING (k [, k2 ...]) — same-named equi keys, resolved
+                # against the FROM source (the chain anchor) on the
+                # left and this join's source on the right
+                if not self.accept_op("("):
+                    raise ValueError("USING requires a (col [, col]) list")
+                left_src = alias or family
+                right_src = ja or jf
+                while True:
+                    kind2, cname = self.next()
+                    if kind2 != "name" or "." in cname:
+                        raise ValueError(
+                            f"USING takes plain column names, got {cname!r}"
+                        )
+                    pairs.append(
+                        (
+                            FieldRef((left_src, cname)),
+                            FieldRef((right_src, cname)),
+                        )
                     )
-                pairs.append((left, self.parse_on_ref()))
-                if not self.accept_kw("and"):
-                    break
+                    if not self.accept_op(","):
+                        break
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced USING column list")
+            else:
+                self.expect_kw("on")
+                while True:
+                    left = self.parse_on_ref()
+                    if not self.accept_op("="):
+                        raise ValueError(
+                            "JOIN ... ON requires equi pairs a.x = b.y "
+                            "[AND a.z = b.w]..."
+                        )
+                    pairs.append((left, self.parse_on_ref()))
+                    if not self.accept_kw("and"):
+                        break
             joins.append(JoinClause(jd, jf, ja, kind, pairs))
         where = None
         if self.accept_kw("where"):
@@ -511,7 +536,24 @@ class _Parser:
                     fields, "GROUP BY", allow_agg=False
                 ) or self.parse_field()
 
-            if self.peek() in (("kw", "rollup"), ("kw", "cube")):
+            if self.accept_kw("all"):
+                # GROUP BY ALL (DuckDB ergonomics): every select item
+                # that is not an aggregate/window call becomes a group
+                # key — plain refs directly, computed items via their
+                # AS alias (same rule as explicit computed group keys)
+                for f in fields:
+                    if f.func is not None or f.window is not None:
+                        continue
+                    if f.expr is not None:
+                        group_by.append(FieldRef((f.alias,)))
+                    else:
+                        group_by.append(FieldRef(f.parts, alias=None))
+                if not group_by:
+                    raise ValueError(
+                        "GROUP BY ALL found no non-aggregate select "
+                        "items to group by"
+                    )
+            elif self.peek() in (("kw", "rollup"), ("kw", "cube")):
                 _, group_mode = self.next()
                 if not self.accept_op("("):
                     raise ValueError(f"{group_mode.upper()} requires (cols)")

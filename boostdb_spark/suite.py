@@ -152,7 +152,10 @@ _WINDOW: tuple[str, ...] = (
     "dedup_containment",      # Broder containment (asymmetric dedup)
     "ts_theilsen_trend",      # robust median-slope trend per bucket
     "scan_snapshot_apply",    # apply(old, diff) == new (CDC closure)
-    "ts_bollinger",           # trailing-24h volatility envelope
+    "ts_bollinger",           # trailing-1h volatility envelope
+    "dialect_using",          # JOIN ... USING (k) shorthand
+    "dialect_group_all",      # GROUP BY ALL expansion rules
+    "dedup_ngram_jaccard_capped",  # df-capped exact Jaccard (scale)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -165,13 +168,12 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (14 of 45,
+    # --- re-certification: last driver-green ROUND 3 (11 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dialect_join_left", "dialect_join_multi",
-    "dialect_window", "dialect_window_nav", "doc_chunk",
-    "doc_mixture_sample", "doc_repeat_epochs",
+    "dialect_window", "dialect_window_nav",
 )
 
 
@@ -5897,6 +5899,56 @@ def dialect_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON a.user_id = b.o_custkey "
         "ORDER BY okey NULLS FIRST, eid LIMIT 300",
         bindings,
+    )
+
+
+@_q(
+    "dialect_using",
+    """
+    SELECT a.event_id AS eid, b.value AS pv
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      USING (user_id)
+    """,
+)
+def dialect_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN ... USING (k) through the dialect front — the same-named
+    equi-key shorthand every ANSI engine ships; USING columns resolve
+    against the FROM source on the left and the joined source on the
+    right, compiling to the identical hash-join condition as the
+    explicit ON form."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.purchase AS pv "
+        "FROM boost.events a JOIN boost.events b USING (user_id)",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_group_all",
+    """
+    SELECT user_id AS uid, floor(value / 25.0) AS bin,
+           count(*) AS n, min(value) AS vmin, max(value) AS vmax
+    FROM events WHERE event_type = 'click'
+    GROUP BY ALL
+    """,
+)
+def dialect_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL through the dialect front (the DuckDB ergonomic
+    adopted across modern engines): every non-aggregate select item —
+    plain refs directly, computed items via their AS alias — becomes a
+    group key, so the grouping clause cannot silently drift from the
+    projection. The oracle exercises DuckDB's own GROUP BY ALL, so the
+    two engines' expansion RULES are certified against each other."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, floor(click / 25.0) AS bin, "
+        "count(*) AS n, min(click) AS vmin, max(click) AS vmax "
+        "FROM boost.events GROUP BY ALL",
+        EVENTS_BINDING,
     )
 
 

@@ -2850,3 +2850,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.shingle_containment_pairs(
         t["documents"], threshold=0.6, n=3, max_doc_freq=100
     )
+
+
+@_q(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id,
+                  unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= 100),
+    dsr AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM dsr a JOIN dsr b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, c::DOUBLE / (sa.sz + sb.sz - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-POSTURE variant of exact n-gram Jaccard: the
+    ubiquitous-shingle cap (max_doc_freq=100) engaged, certifying the
+    exact semantics OF THE CAPPED ESTIMATOR — intersections counted
+    over sub-ubiquitous shingles only (set sizes stay pre-cap, so the
+    score only under-counts boilerplate overlap, never inflates). This
+    is the knob the round-8 sf1 probe showed is load-bearing: uncapped
+    exact Jaccard reads 29.9x wall on 10x rows of the tiny-vocab
+    fixture (per-shingle d^2 fanout), capped reads 9.1x — linear. The
+    uncapped dedup_ngram_jaccard entry stays certified as the
+    exactness baseline at fixture scale."""
+    t = load_tables(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(
+        t["documents"], threshold=0.5, n=3, max_doc_freq=100
+    )

@@ -1550,3 +1550,21 @@ def test_dialect_asof_matches_operator(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_parse_using_and_group_all():
+    q = parse("SELECT a.s FROM d.f a JOIN d.g b USING (k, k2)")
+    assert q.joins[0].on == [
+        (sugar.FieldRef(("a", "k")), sugar.FieldRef(("b", "k"))),
+        (sugar.FieldRef(("a", "k2")), sugar.FieldRef(("b", "k2"))),
+    ]
+    q2 = parse(
+        "SELECT s.k AS k, floor(s / 2.0) AS b, count(*) AS n "
+        "FROM d.f s GROUP BY ALL"
+    )
+    assert [g.parts for g in q2.group_by] == [("s", "k"), ("b",)]
+
+
+def test_group_all_requires_groupable_item():
+    with pytest.raises(ValueError, match="GROUP BY ALL"):
+        parse("SELECT count(*) AS n FROM d.f GROUP BY ALL")
