@@ -328,7 +328,17 @@ def main() -> None:
                 "noop"
             ).save()
 
-        for name in headline:
+        for i, name in enumerate(headline):
+            if i % 25 == 24:
+                # untimed old-gen relief every 25 entries: 200+ plans
+                # in one JVM accumulate shuffle/broadcast/checkpoint
+                # tenure, and late registration-order entries were
+                # measuring GC pressure instead of their own plan
+                # (pipeline_hybrid_rrf: 8.4 s in-suite vs 1.3 s
+                # isolated on identical code+data). The pause is
+                # outside every timer, so entries are measured from a
+                # comparable heap state.
+                spark.sparkContext._jvm.System.gc()
             fn = registry[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
