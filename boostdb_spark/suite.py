@@ -156,6 +156,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_using",          # JOIN ... USING (k) shorthand
     "dialect_group_all",      # GROUP BY ALL expansion rules
     "dedup_ngram_jaccard_capped",  # df-capped exact Jaccard (scale)
+    "agg_grouping_fn",        # grouping() rollup-NULL disambiguator
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -168,12 +169,12 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (11 of 45,
+    # --- re-certification: last driver-green ROUND 3 (10 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dialect_join_left", "dialect_join_multi",
-    "dialect_window", "dialect_window_nav",
+    "dialect_window",
 )
 
 
@@ -5899,6 +5900,37 @@ def dialect_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON a.user_id = b.o_custkey "
         "ORDER BY okey NULLS FIRST, eid LIMIT 300",
         bindings,
+    )
+
+
+@_q(
+    "agg_grouping_fn",
+    """
+    SELECT coalesce(event_type, 'ALL') AS et,
+           CAST(grouping(event_type) AS BIGINT) AS g,
+           count(*) AS n
+    FROM events GROUP BY ROLLUP(event_type)
+    """,
+)
+def agg_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() over a ROLLUP — the disambiguator between a
+    rollup-generated NULL (the total row) and a genuine NULL key,
+    without which rollup results are unconsumable on nullable
+    dimensions. Compiles to Spark's native Expand + grouping_id
+    bitmask; the oracle is DuckDB's own GROUPING()."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .rollup("event_type")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("et"),
+            "g",
+            "n",
+        )
     )
 
 
