@@ -70,6 +70,10 @@ SHOWCASE = [
     ("agg_funnel", "funnel: user-keyed grouped mins + equi-joins, no cartesian anywhere"),
     ("scan_hive_partition_prune", "partition pruning: day predicate in PartitionFilters (directory-level), residual filter pushed"),
     ("dedup_containment", "containment: shingle equi-join + one division, never all-pairs"),
+    ("ts_theilsen_trend", "Theil-Sen: one hash agg to bounded arrays, pair slopes as nested transforms, no join"),
+    ("ts_bollinger", "Bollinger: one rangeBetween frame, three decimal sliding aggregates, single exchange"),
+    ("scan_snapshot_apply", "CDC apply: anti join (deletes) + left join (updates) + union (inserts), all key-partitioned"),
+    ("dialect_group_all", "GROUP BY ALL: expanded keys feed the standard partial+final hash aggregate"),
 ]
 
 
