@@ -121,7 +121,7 @@ _KEYWORDS = {
     "rows", "unbounded", "preceding", "following", "current", "row",
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
-    "qualify", "nulls", "first", "last", "asof", "using",
+    "qualify", "nulls", "first", "last", "asof", "using", "filter",
 }
 
 
@@ -191,6 +191,11 @@ class FieldRef:
     #: bare ref (sum(floor(x*100+0.5)) OVER ...); parts=() when set and
     #: an AS alias is required
     arg_expr: "Expr | None" = None
+    #: ANSI ``agg(x) FILTER (WHERE pred)`` — rows failing pred are
+    #: excluded from THIS aggregate only; compiled as
+    #: agg(CASE WHEN pred THEN x END) (aggregates ignore NULLs, which
+    #: is exactly the ANSI FILTER semantics)
+    filter_expr: "Expr | None" = None
 
 
 @dataclass
@@ -741,9 +746,27 @@ class _Parser:
             parts = tuple(inner.split("."))
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        filter_expr = None
+        if (
+            func is not None
+            and func in (*self._AGG_FUNCS, "count_distinct")
+            and self.accept_kw("filter")
+        ):
+            # ANSI aggregate FILTER clause: agg(x) FILTER (WHERE pred)
+            if not self.accept_op("("):
+                raise ValueError("FILTER requires (WHERE <predicate>)")
+            self.expect_kw("where")
+            filter_expr = self.parse_or()
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced FILTER (WHERE ...) clause")
         window = None
         if func is not None and self.accept_kw("over"):
             window = self.parse_window()
+        if window is not None and filter_expr is not None:
+            raise ValueError(
+                "FILTER is supported on plain aggregates, not on "
+                "window functions"
+            )
         if window is None and func in (*self._RANK_FUNCS, *self._NAV_FUNCS):
             raise ValueError(f"{func}() requires an OVER (...) clause")
         alias = None
@@ -757,7 +780,14 @@ class _Parser:
                 f"{func}(<expression>) requires AS <name> (no canonical "
                 "sugar name for an expression argument)"
             )
-        return FieldRef(parts, alias, func, window, arg_expr=arg_expr)
+        if filter_expr is not None and alias is None:
+            raise ValueError(
+                "agg(...) FILTER (WHERE ...) requires AS <name>"
+            )
+        return FieldRef(
+            parts, alias, func, window, arg_expr=arg_expr,
+            filter_expr=filter_expr,
+        )
 
     def parse_window(self) -> WindowSpec:
         if not self.accept_op("("):
@@ -1624,6 +1654,9 @@ def plan(
         res = _Resolver(q, binding)
     sel: list[tuple[str, str | None, str | None, FieldRef]] = []
     for f in q.fields:
+        if f.filter_expr is not None:  # FILTER (WHERE pred) refs
+            for r in _expr_refs(f.filter_expr):
+                res.resolve(r)  # register referenced series pre-scan
         if f.expr is not None:
             for r in _expr_refs(f.expr):
                 res.resolve(r)  # register referenced series pre-scan
@@ -1978,13 +2011,24 @@ def plan(
                "max": F.max, "count_distinct": F.countDistinct}
 
     def _agg_col(col, func, ref):
+        flt = (
+            _compile_expr(ref.filter_expr, res, params=params)
+            if ref.filter_expr is not None
+            else None
+        )
         if ref.arg_expr is not None:
-            return agg_map[func](
-                _compile_expr(ref.arg_expr, res, params=params)
-            )
-        if col is not None:
-            return agg_map[func](F.col(col))
-        return F.count(F.lit(1))  # count(*)
+            arg = _compile_expr(ref.arg_expr, res, params=params)
+        elif col is not None:
+            arg = F.col(col)
+        else:
+            arg = F.lit(1)  # count(*)
+        if flt is not None:
+            # ANSI FILTER: agg(CASE WHEN pred THEN x END) — aggregates
+            # ignore NULLs, which IS the FILTER exclusion semantics
+            arg = F.when(flt, arg)
+        if col is None and ref.arg_expr is None:
+            return F.count(arg)
+        return agg_map[func](arg)
 
     aggs = [
         _agg_col(col, func, ref).alias(alias)
@@ -2068,8 +2112,15 @@ def plan(
             col = res.resolve(ref)[1] if ref.parts else None
             for alias, scol, fn2, r4 in sel:
                 # an expression-argument aggregate (scol None) must not
-                # shadow count(*) / plain-column lookups
-                if fn2 == ref.func and scol == col and r4.arg_expr is None:
+                # shadow count(*) / plain-column lookups; a FILTERed
+                # aggregate is a DIFFERENT value than its unfiltered
+                # twin and must never satisfy a HAVING/ORDER lookup
+                if (
+                    fn2 == ref.func
+                    and scol == col
+                    and r4.arg_expr is None
+                    and r4.filter_expr is None
+                ):
                     return alias
             if ref.func == "avg":  # matches the default-AVG select fields
                 for alias, scol, fn2, _ in sel:

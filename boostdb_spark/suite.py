@@ -157,6 +157,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_group_all",      # GROUP BY ALL expansion rules
     "dedup_ngram_jaccard_capped",  # df-capped exact Jaccard (scale)
     "agg_grouping_fn",        # grouping() rollup-NULL disambiguator
+    "dialect_filter_agg",     # ANSI agg(x) FILTER (WHERE pred)
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -169,12 +170,11 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (10 of 45,
+    # --- re-certification: last driver-green ROUND 3 (9 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dialect_join_left", "dialect_join_multi",
-    "dialect_window",
 )
 
 
@@ -5931,6 +5931,42 @@ def agg_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g",
             "n",
         )
+    )
+
+
+@_q(
+    "dialect_filter_agg",
+    """
+    SELECT user_id AS uid, count(*) AS n,
+           count(*) FILTER (WHERE value > 50.0) AS n_hi,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                FILTER (WHERE value > 50.0) AS BIGINT) AS s6_hi,
+           min(value) FILTER (WHERE value > 50.0) AS min_hi
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def dialect_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI aggregate FILTER clause through the dialect front:
+    ``agg(x) FILTER (WHERE pred)`` excludes rows from THIS aggregate
+    only — the standard multi-metric one-pass idiom (every engine
+    ships it; the CASE-arm workaround is what Q12/Q14 already
+    certify). Compiled as agg(CASE WHEN pred THEN x END): aggregates
+    ignore NULLs, which IS the FILTER semantics, so the whole select
+    stays ONE partial+final hash aggregate. A FILTERed aggregate never
+    satisfies a HAVING/ORDER lookup for its unfiltered twin (post_name
+    guard). Groups with no qualifying rows surface NULL (count: 0) on
+    both engines."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, count(*) AS n, "
+        "count(*) FILTER (WHERE click > 50.0) AS n_hi, "
+        "sum(floor(click * 1000000.0 + 0.5)) "
+        "FILTER (WHERE click > 50.0) AS s6_hi, "
+        "min(click) FILTER (WHERE click > 50.0) AS min_hi "
+        "FROM boost.events GROUP BY click.user_id",
+        EVENTS_BINDING,
     )
 
 

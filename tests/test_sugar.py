@@ -1568,3 +1568,42 @@ def test_parse_using_and_group_all():
 def test_group_all_requires_groupable_item():
     with pytest.raises(ValueError, match="GROUP BY ALL"):
         parse("SELECT count(*) AS n FROM d.f GROUP BY ALL")
+
+
+def test_filter_clause_rules(spark):
+    q = parse(
+        "SELECT s.k AS k, sum(s) FILTER (WHERE s > 1.0) AS sh "
+        "FROM d.f s GROUP BY s.k"
+    )
+    assert q.fields[1].filter_expr is not None
+    with pytest.raises(ValueError, match="window"):
+        parse(
+            "SELECT sum(s) FILTER (WHERE s > 1) "
+            "OVER (PARTITION BY s.k) AS x FROM d.f s"
+        )
+    with pytest.raises(ValueError, match="AS"):
+        parse("SELECT sum(s) FILTER (WHERE s > 1) FROM d.f s GROUP BY s.k")
+
+
+def test_filter_agg_not_shadow_having(spark):
+    """HAVING sum(click) must resolve to a hidden UNFILTERED aggregate,
+    never the FILTERed select twin."""
+    b = _events_binding(spark)
+    rows = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "sum(floor(click * 100.0 + 0.5)) "
+        "FILTER (WHERE click > 50.0) AS s_hi "
+        "FROM boost.events GROUP BY click.user_id "
+        "HAVING count(*) > 0",
+        b,
+    ).collect()
+    ref = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "sum(floor(click * 100.0 + 0.5)) "
+        "FILTER (WHERE click > 50.0) AS s_hi "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref))
