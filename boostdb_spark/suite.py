@@ -158,6 +158,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard_capped",  # df-capped exact Jaccard (scale)
     "agg_grouping_fn",        # grouping() rollup-NULL disambiguator
     "dialect_filter_agg",     # ANSI agg(x) FILTER (WHERE pred)
+    "stream_retention_parity",  # streamed semilattice state == batch
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -170,11 +171,11 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (9 of 45,
+    # --- re-certification: last driver-green ROUND 3 (8 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
-    "dedup_simhash", "dialect_join_left", "dialect_join_multi",
+    "dedup_simhash", "dialect_join_left",
 )
 
 
@@ -5534,6 +5535,109 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "value",
         "event_id",
+    )
+
+
+@_q(
+    "stream_retention_parity",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+    f AS (SELECT user_id, min(t - t % 604800000000000) AS cohort FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, t - t % 604800000000000 AS period
+          FROM e WHERE event_type = 'click')
+    SELECT cohort,
+           CAST((period - cohort) / 604800000000000 AS BIGINT) AS offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    WHERE period >= cohort GROUP BY 1, 2
+    """,
+)
+def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE streaming PRODUCT-ANALYTICS state: the
+    retention triangle maintained incrementally behind a live event
+    stream. Each micro-batch MERGES two persisted state tables —
+    first-touch (min signup week per user; merge = grouped min over
+    state ∪ batch) and activity (distinct (user, click-week); merge =
+    union-distinct) — via the localCheckpoint-then-replace pattern
+    from upsert_view. Both merges are order-independent semilattice
+    folds, so the final states are split-invariant, and the retention
+    (cohort, offset, n_users) computed FROM the streamed states must
+    hash-equal the batch agg_retention_cohort over the whole table.
+    State size is O(users) + O(users x active weeks) — the bounded
+    production shape, not a replay buffer."""
+    import os
+
+    t = load_tables(spark, sf_dir)
+    ev = _ns_events(t).select("user_id", "event_type", "ts")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "retention")
+    if key not in _STREAM_LANDING:
+        landing = session_tmpdir(prefix="boost_suite_sret_")
+        ev.filter(F.col("event_type").isin("signup", "click")).repartition(
+            4
+        ).write.mode("overwrite").parquet(landing)
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    schema = spark.read.parquet(landing).schema
+    work = session_tmpdir(prefix="boost_sret_state_")
+    f_state = os.path.join(work, "first_touch")
+    a_state = os.path.join(work, "activity")
+    wk = F.lit(604_800_000_000_000)
+
+    def _merge(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        week = (F.col("ts") - (F.col("ts") % wk)).alias("wk")
+        f_new = (
+            bdf.filter(F.col("event_type") == "signup")
+            .select("user_id", week)
+            .groupBy("user_id")
+            .agg(F.min("wk").alias("cohort"))
+        )
+        if os.path.exists(f_state):
+            f_new = (
+                spark.read.parquet(f_state)
+                .unionByName(f_new.withColumnRenamed("cohort", "cohort"))
+                .groupBy("user_id")
+                .agg(F.min("cohort").alias("cohort"))
+            )
+        f_new = f_new.localCheckpoint()  # break lineage off the old dir
+        f_new.write.mode("overwrite").parquet(f_state)
+        a_new = (
+            bdf.filter(F.col("event_type") == "click")
+            .select("user_id", week.alias("period"))
+            .distinct()
+        )
+        if os.path.exists(a_state):
+            a_new = (
+                spark.read.parquet(a_state).unionByName(a_new).distinct()
+            )
+        a_new = a_new.localCheckpoint()
+        a_new.write.mode("overwrite").parquet(a_state)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(f_state)
+    act = spark.read.parquet(a_state)
+    return (
+        act.join(first, "user_id")
+        .filter(F.col("period") >= F.col("cohort"))
+        .groupBy(
+            "cohort",
+            ((F.col("period") - F.col("cohort")) / wk)
+            .cast("long")
+            .alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 
 
