@@ -215,9 +215,12 @@ class JoinClause:
     domain: str  # "" = WITH-clause (CTE) / derived-table reference
     family: str
     alias: str | None
-    kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
+    kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross' | 'asof'
     #: AND-ed equi pairs (a.x = b.y [AND a.z = b.w] ...), None for cross
     on: list[tuple[FieldRef, FieldRef]] | None
+    #: non-equi ON conjuncts (range/theta predicates) — residual
+    #: filters on the equi hash join, never a cartesian
+    extra: "list[Expr] | None" = None
 
 
 @dataclass
@@ -491,6 +494,7 @@ class _Parser:
                 break
             jd, jf, ja = self.parse_source()
             pairs: list[tuple[FieldRef, FieldRef]] = []
+            extras: list[Expr] = []
             if self.accept_kw("using"):
                 # USING (k [, k2 ...]) — same-named equi keys, resolved
                 # against the FROM source (the chain anchor) on the
@@ -517,17 +521,44 @@ class _Parser:
                     raise ValueError("unbalanced USING column list")
             else:
                 self.expect_kw("on")
-                while True:
-                    left = self.parse_on_ref()
-                    if not self.accept_op("="):
-                        raise ValueError(
-                            "JOIN ... ON requires equi pairs a.x = b.y "
-                            "[AND a.z = b.w]..."
+                # the whole ON clause parses as one expression, then
+                # decomposes: name=name equality conjuncts become the
+                # equi anchor (the hash-join keys); any OTHER conjunct
+                # (range/theta predicates like b.ts > a.ts) rides as a
+                # residual filter on the SAME hash join — never a
+                # cartesian, so at least one equi pair is required
+                cond = self.parse_or()
+                for cj in _conjuncts(cond):
+                    ch = cj.children if cj.kind == "cmp" else []
+                    if (
+                        cj.kind == "cmp"
+                        and cj.op == "="
+                        and len(ch) == 2
+                        and all(
+                            s.kind == "ref"
+                            and s.value.func is None
+                            and len(s.value.parts) >= 2
+                            for s in ch
                         )
-                    pairs.append((left, self.parse_on_ref()))
-                    if not self.accept_kw("and"):
-                        break
-            joins.append(JoinClause(jd, jf, ja, kind, pairs))
+                    ):
+                        pairs.append((ch[0].value, ch[1].value))
+                    else:
+                        extras.append(cj)
+                if not pairs:
+                    raise ValueError(
+                        "JOIN ... ON requires at least one equi pair "
+                        "a.x = b.y (theta-only ON would plan a "
+                        "cartesian product)"
+                    )
+                if extras and kind == "asof":
+                    raise ValueError(
+                        "ASOF JOIN ON takes equi pairs only (the time "
+                        "ordering is implicit on the family ts)"
+                    )
+            joins.append(
+                JoinClause(jd, jf, ja, kind, pairs, extras or None)
+            )
+            continue
         where = None
         if self.accept_kw("where"):
             where = self.parse_or()
@@ -1873,6 +1904,13 @@ def plan(
                     lc, rc = res.resolve_on(lref), res.resolve_on(rref)
                     c = F.col(lc) == F.col(rc)
                     cond = c if cond is None else cond & c
+                # residual theta conjuncts ride the SAME hash join on
+                # the equi anchor — Catalyst plans the equi keys and
+                # applies these as the join's non-equi condition
+                for e2 in j.extra or ():
+                    cond = cond & _compile_expr(
+                        e2, res, name_of=res.resolve_on, params=params
+                    )
                 df = df.join(right, cond, j.kind)
     elif q.domain == "":
         # FROM a WITH source: the CTE body's plan IS the scan — its own

@@ -159,6 +159,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_grouping_fn",        # grouping() rollup-NULL disambiguator
     "dialect_filter_agg",     # ANSI agg(x) FILTER (WHERE pred)
     "stream_retention_parity",  # streamed semilattice state == batch
+    "dialect_join_theta",     # theta conjuncts ride the equi anchor
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -171,11 +172,11 @@ _WINDOW: tuple[str, ...] = (
     "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
     "window_moving_avg", "window_navigation", "window_rank_ntile",
     "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (8 of 45,
+    # --- re-certification: last driver-green ROUND 3 (7 of 45,
     # stalest-by-name; the rest defer to round 9) ---
     "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
     "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
-    "dedup_simhash", "dialect_join_left",
+    "dedup_simhash",
 )
 
 
@@ -6035,6 +6036,35 @@ def agg_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g",
             "n",
         )
+    )
+
+
+@_q(
+    "dialect_join_theta",
+    """
+    SELECT a.event_id AS eid, b.event_id AS pid
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts > a.ts AND b.value > a.value
+    """,
+)
+def dialect_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta conjuncts in JOIN ... ON through the dialect front: the
+    whole ON clause parses as one expression and decomposes — equality
+    conjuncts between plain refs become the equi anchor (hash-join
+    keys), every other conjunct (range/theta predicates) rides the
+    SAME join as its non-equi condition. A theta-only ON is refused
+    loudly (it would plan a cartesian); with the anchor present the
+    plan stays a hash join whose residual filters bound the fanout
+    per key. Here: clicks paired with the user's LATER purchases of a
+    HIGHER value — two theta conjuncts over time and value."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, b.purchase.event_id AS pid "
+        "FROM boost.events a JOIN boost.events b "
+        "ON a.user_id = b.user_id AND b.ts > a.ts AND b.value > a.value",
+        EVENTS_BINDING,
     )
 
 

@@ -1607,3 +1607,16 @@ def test_filter_agg_not_shadow_having(spark):
         b,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, ref))
+
+
+def test_theta_only_on_refused():
+    with pytest.raises(ValueError, match="equi pair"):
+        parse("SELECT a.s FROM d.f a JOIN d.g b ON a.x > b.y")
+
+
+def test_asof_on_refuses_theta():
+    with pytest.raises(ValueError, match="equi pairs only"):
+        parse(
+            "SELECT a.s FROM d.f a ASOF JOIN d.g b "
+            "ON a.k = b.k AND a.x > b.y"
+        )
