@@ -124,59 +124,42 @@ def _q(name: str, oracle: str | None):
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Round-8
-# window: new round-8 entries lead (each landing displaces the
+# cumulative driver-certified coverage grows every round. Round-9
+# window: new round-9 entries lead (each landing displaces the
 # youngest re-cert slot from the tail), then the 5 standing canaries,
 # then re-certification slots refreshing the STALEST cumulative
-# signal: the 15 round-2 entries deferred from the r7 rotation
-# (dialect_select_star, distinct_series, where_ops, subquery_exists,
-# time_bucket_agg, ts_histogram_quantile, txt_redact_pii,
-# txt_tfidf_topk, udaf_grouped_range, and the six window_* family
-# rows) plus the oldest of the round-3 cohort in name order. The
-# r5/r6/r7 cohorts are younger and wait their turn.
+# signal: after the r8 sweep the stalest cohort is the 38 entries whose
+# last driver-green is ROUND 3 (all included below), then the oldest of
+# the round-5 cohort in name order fills the remainder. The r6/r7/r8
+# cohorts are younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
-    # --- new in round 8 (never driver-certified) --- entries are
+    # --- new in round 9 (never driver-certified) --- entries are
     # inserted here as they land, displacing tail re-cert slots.
-    "dialect_qualify",        # QUALIFY: filter on window-fn results
-    "dialect_nulls_order",    # ORDER BY ... NULLS FIRST/LAST
-    "txt_bm25_topk",          # Okapi BM25 sparse-retrieval ranking
-    "pipeline_hybrid_rrf",    # BM25 + dense cosine fused by RRF
-    "ts_m4_downsample",       # M4 pixel-exact viz downsampling
-    "ts_interp_align",        # linear-interpolated as-of alignment
-    "agg_funnel",             # ordered conversion funnel (7d window)
-    "agg_retention_cohort",   # weekly cohort retention triangle
-    "scan_hive_partition_prune",  # directory-level partition pruning
-    "scan_schema_evolution",  # mergeSchema union-by-name, NULL fill
-    "stream_ann_ingest_parity",  # foreachBatch IVF append == batch
-    "dialect_asof_join",      # ASOF JOIN grammar -> union+window plan
-    "dedup_containment",      # Broder containment (asymmetric dedup)
-    "ts_theilsen_trend",      # robust median-slope trend per bucket
-    "scan_snapshot_apply",    # apply(old, diff) == new (CDC closure)
-    "ts_bollinger",           # trailing-1h volatility envelope
-    "dialect_using",          # JOIN ... USING (k) shorthand
-    "dialect_group_all",      # GROUP BY ALL expansion rules
-    "dedup_ngram_jaccard_capped",  # df-capped exact Jaccard (scale)
-    "agg_grouping_fn",        # grouping() rollup-NULL disambiguator
-    "dialect_filter_agg",     # ANSI agg(x) FILTER (WHERE pred)
-    "stream_retention_parity",  # streamed semilattice state == batch
-    "dialect_join_theta",     # theta conjuncts ride the equi anchor
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: last driver-green ROUND 2 (final 15) ---
-    "dialect_select_star", "distinct_series", "subquery_exists",
-    "time_bucket_agg", "ts_histogram_quantile", "txt_redact_pii",
-    "txt_tfidf_topk", "udaf_grouped_range", "where_ops",
-    "window_moving_avg", "window_navigation", "window_rank_ntile",
-    "window_running_sum", "window_session_agg", "window_sliding_agg",
-    # --- re-certification: last driver-green ROUND 3 (7 of 45,
-    # stalest-by-name; the rest defer to round 9) ---
-    "agg_q14_promo_share", "agg_q3_topk", "agg_unpivot",
-    "dedup_decontaminate", "dedup_groups", "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # --- re-certification: last driver-green ROUND 3 (all 38) ---
+    "dialect_join_left", "dialect_join_multi", "dialect_window",
+    "dialect_window_nav", "doc_chunk", "doc_mixture_sample",
+    "doc_repeat_epochs", "doc_source_overlap", "doc_split_train_val",
+    "emb_centroid_bucketed", "emb_neardup_cosine", "emb_outliers",
+    "join_bucketed_colocated", "join_skew_auto", "join_skew_salted",
+    "multimodal_audio", "multimodal_frame_sample", "multimodal_meta",
+    "multimodal_pixels", "multimodal_resize", "pipeline_assemble",
+    "scan_time_sliced", "scan_zordered", "subquery_in",
+    "subquery_scalar", "ts_autocorr", "ts_ewma_bucketed",
+    "ts_ewma_rows", "txt_fingerprint", "txt_langid",
+    "txt_ngram_novelty", "txt_normalize", "txt_repetition",
+    "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
+    "txt_vocab_topk", "udtf_tokenize",
+    # --- re-certification: last driver-green ROUND 5 (7 of 45,
+    # stalest-by-name; the rest defer to round 10) ---
+    "agg_approx_count_distinct", "agg_approx_quantiles", "agg_mode",
+    "asof_join_nearest", "asof_join_tolerance", "dedup_incremental",
+    "dedup_keep_best",
 )
 
 
