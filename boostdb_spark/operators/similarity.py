@@ -1447,6 +1447,8 @@ def rrf_fuse(
     ranking, nothing touches the corpus again. Scores are exact IEEE
     divisions/additions in fixed list order, so the fused ordering is
     engine-independent; ties break on the id."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     fused = None
     contribs: list[str] = []
     for i, (df, rank_col) in enumerate(rankings):

@@ -608,6 +608,9 @@ def bm25_topk(
     map-side combined; no driver collect. The score is floor-grid
     quantized (6dp) so last-ulp ln() differences cannot reorder the
     cut; ordering ties break on doc_id."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
     def _tf(term: str) -> Column:
         # NB: a `lambda x, t=term:` default arg would make pyspark treat
         # the lambda as the 2-arg (element, index) HOF form — bind the

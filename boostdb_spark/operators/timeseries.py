@@ -1956,15 +1956,20 @@ def interp_align(
     )
     u = l.unionByName(r)
     # right rows sort before left at equal ts, so an exact-ts sample is
-    # the "previous" point and the weight degenerates to 0 -> exact value
+    # the "previous" point and the weight degenerates to 0 -> exact value.
+    # _rv is the deterministic tertiary key: without it, duplicate
+    # right-side timestamps within one key make last()/first() pick an
+    # arbitrary duplicate and the interpolated value is nondeterministic
+    # (ADVICE r8); with it, prev picks the max value among ties and next
+    # the min — pinned semantics mirrored in the SQL oracle.
     w_prev = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tag")
+        .orderBy("_t", "_tag", "_rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_next = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tag")
+        .orderBy("_t", "_tag", "_rv")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     rv = F.when(F.col("_tag") == 0, F.col("_rv"))
@@ -2087,7 +2092,17 @@ def retention_cohorts(
     return (
         active.join(first, user_col)
         .filter(F.col("period") >= F.col("cohort"))
-        .groupBy("cohort", ((F.col("period") - F.col("cohort")) / p).cast("long").alias("offset"))
+        .groupBy(
+            "cohort",
+            # period - cohort is an exact multiple of period_ns, so the
+            # offset uses exact integer division (`div` on longs):
+            # routing it through `/` (double) then .cast("long")
+            # truncates while DuckDB's CAST(double AS BIGINT) rounds —
+            # a latent cross-engine off-by-one once the span's ns
+            # magnitude eats the 2^53 double mantissa. Oracles mirror
+            # with `//`.
+            F.expr(f"(period - cohort) div {int(period_ns)}").alias("offset"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 

@@ -303,6 +303,24 @@ class _Parser:
     def peek2(self):
         return self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
 
+    #: contextual ("soft") keywords — words the r8 grammar additions
+    #: reserved that older queries may use as bare column/alias names.
+    #: In IDENTIFIER positions they downgrade back to plain names via
+    #: name_next(), so `SELECT filter FROM d.f` keeps parsing (ADVICE
+    #: r8); in CLAUSE positions (after a join source, after an
+    #: aggregate call, after ORDER BY items) they keep their keyword
+    #: role. Qualified refs (`a.filter`) never tokenized as keywords.
+    _SOFT_KW = frozenset(
+        {"first", "last", "filter", "using", "nulls", "qualify", "asof"}
+    )
+
+    def name_next(self):
+        """next() with soft-keyword downgrade for identifier positions."""
+        kind, v = self.next()
+        if kind == "kw" and v in self._SOFT_KW:
+            return "name", v
+        return kind, v
+
     # query := [WITH name AS ( query ) {, name AS ( query )}]
     #          core {(UNION [ALL] | INTERSECT | EXCEPT) core}
     #          [ORDER BY ...] [LIMIT n]
@@ -319,7 +337,7 @@ class _Parser:
         ctes: list[tuple[str, BoostQuery]] = []
         if not sub and self.accept_kw("with"):
             while True:
-                kind, name = self.next()
+                kind, name = self.name_next()
                 if kind != "name" or "." in name:
                     raise ValueError(
                         f"WITH requires a plain (unqualified) name, got {name!r}"
@@ -496,22 +514,30 @@ class _Parser:
             pairs: list[tuple[FieldRef, FieldRef]] = []
             extras: list[Expr] = []
             if self.accept_kw("using"):
-                # USING (k [, k2 ...]) — same-named equi keys, resolved
-                # against the FROM source (the chain anchor) on the
-                # left and this join's source on the right
+                # USING (k [, k2 ...]) — same-named equi keys. The left
+                # side resolves against the ACCUMULATED left side of the
+                # join chain at plan time (the first FROM/JOIN source in
+                # order that actually has the column), not blindly
+                # against the FROM anchor — so A JOIN B USING (k) JOIN C
+                # USING (m) binds C's key to whichever of A/B carries m
+                # (ADVICE r8). The empty source in the FieldRef is the
+                # plan-time sentinel for that deferred resolution (no
+                # real source can parse to an empty name). NB: unlike
+                # ANSI USING we do NOT coalesce the key columns into one
+                # output column — both prefixed columns survive; for
+                # inner joins they are equal by construction.
                 if not self.accept_op("("):
                     raise ValueError("USING requires a (col [, col]) list")
-                left_src = alias or family
                 right_src = ja or jf
                 while True:
-                    kind2, cname = self.next()
+                    kind2, cname = self.name_next()
                     if kind2 != "name" or "." in cname:
                         raise ValueError(
                             f"USING takes plain column names, got {cname!r}"
                         )
                     pairs.append(
                         (
-                            FieldRef((left_src, cname)),
+                            FieldRef(("", cname)),
                             FieldRef((right_src, cname)),
                         )
                     )
@@ -639,7 +665,7 @@ class _Parser:
             self._dt_n += 1
             self.derived.append((name, body))
             return "", name, alias
-        kind, src = self.next()
+        kind, src = self.name_next()
         if kind != "name":
             raise ValueError(f"expected source name, got {src!r}")
         parts = src.split(".")
@@ -715,7 +741,7 @@ class _Parser:
     def _finish_computed(self, expr: Expr) -> FieldRef:
         alias = None
         if self.accept_kw("as"):
-            k2, a = self.next()
+            k2, a = self.name_next()
             if k2 != "name":
                 raise ValueError("expected alias after AS")
             alias = a
@@ -727,7 +753,7 @@ class _Parser:
         return FieldRef((), alias=alias, expr=expr)
 
     def parse_field(self) -> FieldRef:
-        kind, v = self.next()
+        kind, v = self.name_next()
         if kind != "name":
             raise ValueError(f"expected field name, got {v!r} (explicit names required, selectfieldparser.go:108-114)")
         func = None
@@ -771,7 +797,7 @@ class _Parser:
                 raise ValueError(f"{func}() takes no arguments")
         elif v.lower() in self._NAV_FUNCS and self.accept_op("("):
             func = v.lower()
-            k2, inner = self.next()
+            k2, inner = self.name_next()
             if k2 != "name":
                 raise ValueError(f"expected column in {func}(...), got {inner!r}")
             parts = tuple(inner.split("."))
@@ -802,7 +828,7 @@ class _Parser:
             raise ValueError(f"{func}() requires an OVER (...) clause")
         alias = None
         if self.accept_kw("as"):
-            k2, a = self.next()
+            k2, a = self.name_next()
             if k2 != "name":
                 raise ValueError("expected alias after AS")
             alias = a
@@ -871,7 +897,7 @@ class _Parser:
         return n
 
     def parse_plain_ref(self) -> FieldRef:
-        kind, v = self.next()
+        kind, v = self.name_next()
         if kind != "name":
             raise ValueError(f"expected column reference, got {v!r}")
         return FieldRef(tuple(v.split(".")))
@@ -1058,7 +1084,7 @@ class _Parser:
             if not self.accept_op(")"):
                 raise ValueError("unbalanced subquery parenthesis")
             return Expr("subquery", value=subq)
-        kind, v = self.next()
+        kind, v = self.name_next()
         if kind == "param":
             # named-placeholder literal — the reference's parameterized
             # literal machinery (query/base/literalintexpression.go:9-113
@@ -1104,7 +1130,7 @@ class _Parser:
                         raise ValueError(f"{func}(*) is not valid; only count(*)")
                     parts: tuple[str, ...] = ()
                 else:
-                    k2, inner = self.next()
+                    k2, inner = self.name_next()
                     if k2 != "name":
                         raise ValueError(
                             f"expected column in {func}(...), got {inner!r}"
@@ -1866,8 +1892,29 @@ def plan(
     if q.joins:
         keys = res.order
         df = _source_scan(spark, keys[0], res, start, end)
-        for j, key in zip(q.joins, keys[1:]):
+        for ji, (j, key) in enumerate(zip(q.joins, keys[1:])):
             right = _source_scan(spark, key, res, start, end)
+
+            def _left_on(ref: FieldRef, _seen=keys[: ji + 1], _df_cols=None):
+                # USING sentinel (empty source): resolve against the
+                # accumulated left side — first source in FROM/JOIN
+                # order whose column exists in the joined-so-far plan
+                if ref.parts[0] != "":
+                    return res.resolve_on(ref)
+                cname = ref.parts[1]
+                cols = set(df.columns)
+                for s in _seen:
+                    try:
+                        cand = res.resolve_on(FieldRef((s, cname)))
+                    except ValueError:  # CTE source without the column
+                        continue
+                    if cand in cols:
+                        return cand
+                raise ValueError(
+                    f"USING column {cname!r} not found on any left-side "
+                    f"source {_seen} (accumulated columns: "
+                    f"{sorted(cols)})"
+                )
             if j.kind == "cross":
                 df = df.crossJoin(right)
             elif j.kind == "asof":
@@ -1887,7 +1934,7 @@ def plan(
                 on_cols = []
                 r2 = right
                 for lref, rref in j.on:
-                    lc, rc = res.resolve_on(lref), res.resolve_on(rref)
+                    lc, rc = _left_on(lref), res.resolve_on(rref)
                     if rc != lc:
                         # asof_join's equi keys are same-name columns;
                         # the <src>__ prefixes keep the rename
@@ -1901,7 +1948,7 @@ def plan(
             else:
                 cond = None
                 for lref, rref in j.on:
-                    lc, rc = res.resolve_on(lref), res.resolve_on(rref)
+                    lc, rc = _left_on(lref), res.resolve_on(rref)
                     c = F.col(lc) == F.col(rc)
                     cond = c if cond is None else cond & c
                 # residual theta conjuncts ride the SAME hash join on

@@ -1762,16 +1762,16 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT *,
         last_value(CASE WHEN tag = 0 THEN rv END IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY t, tag
+          PARTITION BY user_id ORDER BY t, tag, rv
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
         last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY t, tag
+          PARTITION BY user_id ORDER BY t, tag, rv
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
         first_value(CASE WHEN tag = 0 THEN rv END IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY t, tag
+          PARTITION BY user_id ORDER BY t, tag, rv
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
         first_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY t, tag
+          PARTITION BY user_id ORDER BY t, tag, rv
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
       FROM u)
     SELECT user_id, event_id, t AS ts,
@@ -1948,7 +1948,7 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT DISTINCT user_id, t - t % 604800000000000 AS period
           FROM e WHERE event_type = 'click')
     SELECT cohort,
-           CAST((period - cohort) / 604800000000000 AS BIGINT) AS offset,
+           CAST((period - cohort) // 604800000000000 AS BIGINT) AS offset,
            CAST(count(*) AS BIGINT) AS n_users
     FROM a JOIN f USING (user_id)
     WHERE period >= cohort GROUP BY 1, 2
@@ -5531,7 +5531,7 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT DISTINCT user_id, t - t % 604800000000000 AS period
           FROM e WHERE event_type = 'click')
     SELECT cohort,
-           CAST((period - cohort) / 604800000000000 AS BIGINT) AS offset,
+           CAST((period - cohort) // 604800000000000 AS BIGINT) AS offset,
            CAST(count(*) AS BIGINT) AS n_users
     FROM a JOIN f USING (user_id)
     WHERE period >= cohort GROUP BY 1, 2
@@ -5617,9 +5617,11 @@ def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("period") >= F.col("cohort"))
         .groupBy(
             "cohort",
-            ((F.col("period") - F.col("cohort")) / wk)
-            .cast("long")
-            .alias("offset"),
+            # exact integer division (`div`): the `/`-then-cast route is
+            # double division whose truncating cast disagrees with
+            # DuckDB's rounding CAST once spans eat the 2^53 mantissa
+            # (mirrors operators/timeseries.py::retention_cohorts).
+            F.expr("(period - cohort) div 604800000000000").alias("offset"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )

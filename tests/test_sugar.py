@@ -1553,10 +1553,13 @@ def test_dialect_asof_matches_operator(spark):
 
 
 def test_parse_using_and_group_all():
+    # the empty left source is the plan-time sentinel: USING resolves
+    # its left column against the ACCUMULATED left side, not blindly
+    # against the FROM anchor (ADVICE r8)
     q = parse("SELECT a.s FROM d.f a JOIN d.g b USING (k, k2)")
     assert q.joins[0].on == [
-        (sugar.FieldRef(("a", "k")), sugar.FieldRef(("b", "k"))),
-        (sugar.FieldRef(("a", "k2")), sugar.FieldRef(("b", "k2"))),
+        (sugar.FieldRef(("", "k")), sugar.FieldRef(("b", "k"))),
+        (sugar.FieldRef(("", "k2")), sugar.FieldRef(("b", "k2"))),
     ]
     q2 = parse(
         "SELECT s.k AS k, floor(s / 2.0) AS b, count(*) AS n "
@@ -1620,3 +1623,102 @@ def test_asof_on_refuses_theta():
             "SELECT a.s FROM d.f a ASOF JOIN d.g b "
             "ON a.k = b.k AND a.x > b.y"
         )
+
+
+def test_using_chain_resolves_against_accumulated_left(spark, tmp_path):
+    """ADVICE r8: A JOIN B USING (k) JOIN C USING (m) must bind C's key
+    to whichever accumulated source actually HAS m — here m (region)
+    exists only on B, so anchor-only resolution would fail/silently
+    mis-bind. Also pins the loud error when no left source has the
+    column."""
+    import pyspark.sql.functions as F
+    import tests.conftest as cfg
+    from boostdb_spark.session import load_tables
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    load_tables(spark, cfg.SF_DIR)
+    lim = spark.createDataFrame(
+        [("quota", 7, 100.0, "eu"), ("quota", 8, 50.0, "us"),
+         ("quota", 11, 75.0, "eu")],
+        "metric STRING, user_id BIGINT, value DOUBLE, region STRING",
+    ).withColumn("mts", F.lit(0).cast("long"))
+    lim.createOrReplaceTempView("user_limits2")
+    reg = spark.createDataFrame(
+        [("caps", "eu", 1.5), ("caps", "us", 2.0)],
+        "metric STRING, region STRING, value DOUBLE",
+    ).withColumn("mts", F.lit(0).cast("long"))
+    reg.createOrReplaceTempView("region_caps")
+    bindings = {
+        "boost.events": EVENTS_BINDING,
+        "boost.limits": sugar.SeriesFamilyBinding(
+            view="user_limits2", series_col="metric", value_col="value",
+            ts_col="mts",
+        ),
+        "boost.caps": sugar.SeriesFamilyBinding(
+            view="region_caps", series_col="metric", value_col="value",
+            ts_col="mts",
+        ),
+    }
+    df = sugar.query(
+        spark,
+        "SELECT a.click.event_id AS eid, c.caps AS mult "
+        "FROM boost.events a JOIN boost.limits b USING (user_id) "
+        "JOIN boost.caps c USING (region)",
+        bindings,
+    )
+    got = sorted((r["eid"], r["mult"]) for r in df.collect())
+    ev = spark.table("events").filter("event_type = 'click'")
+    want = sorted(
+        (r["event_id"], r["mult"])
+        for r in ev.join(
+            lim.filter("metric = 'quota'").select("user_id", "region"),
+            "user_id",
+        )
+        .join(
+            reg.filter("metric = 'caps'").select(
+                "region", F.col("value").alias("mult")
+            ),
+            "region",
+        )
+        .select("event_id", "mult")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="USING column 'nope'"):
+        sugar.query(
+            spark,
+            "SELECT a.click FROM boost.events a "
+            "JOIN boost.limits b USING (nope)",
+            bindings,
+        ).collect()
+
+
+def test_soft_keywords_usable_as_identifiers(spark):
+    """ADVICE r8: the words the r8 grammar reserved (filter, using,
+    nulls, first, last) must still parse as bare column names in
+    identifier positions — they are contextual keywords, not reserved
+    words."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("filter", 0, 10.0), ("filter", 1, 20.0), ("filter", 2, 3.0),
+         ("nulls", 0, 7.0)],
+        "series STRING, mts LONG, value DOUBLE",
+    )
+    df.createOrReplaceTempView("softkw_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="softkw_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    out = sugar.query(
+        spark,
+        "SELECT filter AS f FROM d.soft WHERE filter > 5.0",
+        b,
+    ).collect()
+    assert sorted(r.f for r in out) == [10.0, 20.0]
+    # alias named after a soft keyword
+    q = parse("SELECT a.s AS last FROM d.f a")
+    assert q.fields[0].alias == "last"
+    # clause roles keep working beside the identifier use
+    q2 = parse("SELECT a.s FROM d.f a JOIN d.g b USING (k)")
+    assert q2.joins[0].on[0][1] == sugar.FieldRef(("b", "k"))

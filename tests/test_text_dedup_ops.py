@@ -448,3 +448,18 @@ def test_remove_duplicate_spans_first_wins(spark):
     # total kept occurrences across the corpus: exactly one
     kept_runs = sum("tok0 tok1" in out[i].clean_text for i in out)
     assert kept_runs == 1
+
+
+def test_bm25_and_rrf_reject_empty_inputs(spark):
+    """ADVICE r8: degenerate empty-query / empty-rankings inputs must
+    fail loudly up front, not with an opaque TypeError on a None
+    column deep in the arithmetic."""
+    import pytest
+
+    from boostdb_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query_terms"):
+        tx.bm25_topk(df, query_terms=[])
+    with pytest.raises(ValueError, match="rankings"):
+        sim.rrf_fuse([])

@@ -834,3 +834,42 @@ def test_cusum_changepoints_planted_shifts(spark):
     assert all(r.stat > 0 for r in out)
     with _pt.raises(ValueError, match="warmup"):
         ts_ops.cusum_changepoints(df, 60, warmup=1, series_cols=("series",))
+
+
+def test_retention_offset_exact_integer_division(spark):
+    """ADVICE r8: the retention offset must be exact integer division.
+    With period_ns=3 and a click exactly k periods after the cohort,
+    k = 878997122842135258 is a concrete counterexample where the old
+    double-divide-then-cast path yields 878997122842135168 (off by 90,
+    long->double rounding), while exact `div` returns k."""
+    p = 3
+    k = 878_997_122_842_135_258
+    assert int(float(k * p) / float(p)) != k  # the trap is real
+    df = spark.createDataFrame(
+        [("u1", "signup", 0), ("u1", "click", k * p)],
+        "user_id string, series string, ts long",
+    )
+    out = ts_ops.retention_cohorts(
+        df, cohort_type="signup", active_type="click", period_ns=p
+    ).collect()
+    assert len(out) == 1
+    assert out[0].offset == k and out[0].n_users == 1
+
+
+def test_interp_align_duplicate_right_ts_deterministic(spark):
+    """ADVICE r8: duplicate right-side timestamps within one key must
+    break ties deterministically — (_t, _tag, _rv) ordering pins prev
+    to the MAX duplicate value and next to the MIN."""
+    left = spark.createDataFrame(
+        [("a", 150, 0.0), ("a", 100, 0.0)], "key string, ts long, x double"
+    ).drop("x")
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 100, 9.0), ("a", 200, 8.0), ("a", 200, 2.0)],
+        "key string, ts long, value double",
+    )
+    out = {
+        r.ts: r.interp
+        for r in ts_ops.interp_align(left, right, on=["key"]).collect()
+    }
+    assert out[100] == 9.0  # exact match -> max among dup samples (prev)
+    assert out[150] == 9.0 + (2.0 - 9.0) * 0.5  # pv=max@100, nv=min@200
