@@ -147,7 +147,28 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     # the restore MUST survive a failed drain (try/finally below) — a
     # leaked 8-partition setting would silently skew every batch entry
-    # timed after the streaming section in the same process
+    # timed after the streaming section in the same process.
+    # RocksDB state store + changelog checkpointing (same knobs the
+    # suite's _drain_conf sets around the join drains): the default
+    # HDFS-backed provider's many small fsync-ing snapshot writes were
+    # the r8 stream_detail hotspot (16.6 s state_commit_ms on the
+    # stream-stream join under driver FS pressure); RocksDB commits a
+    # per-batch changelog delta instead
+    _ss_keys = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    _ss_old = {}
+    for _k, _v in _ss_keys.items():
+        try:
+            _ss_old[_k] = spark.conf.get(_k)
+        except Exception:
+            _ss_old[_k] = None
+        spark.conf.set(_k, _v)
 
     def run(name: str, build, output_mode: str):
         # trigger sized to ~2 landing files per micro-batch: an
@@ -236,6 +257,11 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         run("stream_stream_join", stream_stream_join, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for _k, _v in _ss_old.items():
+            if _v is None:
+                spark.conf.unset(_k)
+            else:
+                spark.conf.set(_k, _v)
         shutil.rmtree(work, ignore_errors=True)
     return times, detail
 

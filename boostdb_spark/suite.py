@@ -4722,6 +4722,56 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_LANDING: dict = {}
 
+#: RocksDB state-store provider (bundled with Spark; rocksdbjni ships
+#: in the pyspark distribution) — the public fix for the default
+#: HDFS-backed provider's many small fsync-ing state-commit writes,
+#: which degrade first under driver-environment FS pressure (BENCH_r08
+#: stream_detail pinned 16.6 s of state_commit_ms on the stream-stream
+#: join drain at 3.2-3.5x the same-code local record). Changelog
+#: checkpointing writes per-batch deltas instead of full snapshots.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+class _drain_conf:
+    """Set/restore context for a stateful streaming drain: RocksDB
+    state store + changelog checkpointing + right-sized state
+    partitions (state partitions pin to shuffle.partitions at the
+    FIRST checkpoint; fresh checkpoint per call so the setting always
+    takes). Restore in finally so batch entries keep the session
+    defaults."""
+
+    _KEYS = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+    )
+
+    def __init__(self, spark: SparkSession, partitions: str = "8"):
+        self.spark = spark
+        self.vals = (partitions, _ROCKSDB_PROVIDER, "true")
+
+    def __enter__(self):
+        self.old = []
+        for k, v in zip(self._KEYS, self.vals):
+            try:
+                self.old.append(self.spark.conf.get(k))
+            except Exception:
+                self.old.append(None)
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in zip(self._KEYS, self.old):
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        return False
+
 
 def _events_landing(spark: SparkSession, sf_dir: str) -> str:
     """UNORDERED multi-file landing dir of (event_type, ts, value) —
@@ -5324,18 +5374,19 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors.withWatermark("e_ts", "0 seconds"), cond
     )
     sink = f"stream_join_{abs(hash(key)) % 10**9}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink).select(
         "user_id",
         F.unix_micros(F.col("p_ts")).alias("p_ts_us"),
@@ -5436,18 +5487,19 @@ def stream_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors.withWatermark("e_ts", "0 seconds"), cond, "leftOuter"
     )
     sink = f"stream_ljoin_{abs(hash(key)) % 10**9}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink).select(
         "user_id",
         F.unix_micros(F.col("p_ts")).alias("p_ts_us"),

@@ -480,3 +480,25 @@ def test_upsert_view_cross_batch_merge(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got == {1: (2.0, 101), 2: (6.0, 201), 3: (7.0, 300)}
+
+
+def test_drain_conf_sets_and_restores(spark):
+    """_drain_conf must leave the session exactly as it found it —
+    a leaked RocksDB provider or 8-partition setting would silently
+    skew every batch entry that follows in the same process."""
+    from boostdb_spark.suite import _ROCKSDB_PROVIDER, _drain_conf
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    with _drain_conf(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get(key) == _ROCKSDB_PROVIDER
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+            == "true"
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.conf.get(key, None) != _ROCKSDB_PROVIDER
