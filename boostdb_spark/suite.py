@@ -5563,6 +5563,10 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, ["user_id"], "ts", state,
         checkpoint=os.path.join(work, "ckpt"),
         order_extra=("event_id",),
+        # ~600 users/bucket at sf0.1 — several buckets per batch while
+        # keeping dynamic-overwrite commit overhead off the bench floor;
+        # at production scale size so one bucket ~ a few hundred MB
+        n_buckets=8,
     )
     q.awaitTermination()
     out = spark.read.parquet(state)
@@ -5592,11 +5596,14 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-CERTIFIABLE streaming PRODUCT-ANALYTICS state: the
     retention triangle maintained incrementally behind a live event
-    stream. Each micro-batch MERGES two persisted state tables —
-    first-touch (min signup week per user; merge = grouped min over
-    state ∪ batch) and activity (distinct (user, click-week); merge =
-    union-distinct) — via the localCheckpoint-then-replace pattern
-    from upsert_view. Both merges are order-independent semilattice
+    stream. Each micro-batch MERGES two persisted HASH-BUCKETED state
+    tables — first-touch (min signup week per user; merge = grouped
+    min over state ∪ batch) and activity (distinct (user, click-week);
+    merge = union-distinct) — reading and dynamically overwriting ONLY
+    the bucket partitions the batch's users hash into (O(touched
+    buckets + batch) I/O per trigger, never O(|state|); same contract
+    as streaming/stateful.py::merge_upsert_bucket, I/O-shape pinned in
+    test_streaming.py). Both merges are order-independent semilattice
     folds, so the final states are split-invariant, and the retention
     (cohort, offset, n_users) computed FROM the streamed states must
     hash-equal the batch agg_retention_cohort over the whole table.
@@ -5620,37 +5627,61 @@ def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_state = os.path.join(work, "first_touch")
     a_state = os.path.join(work, "activity")
     wk = F.lit(604_800_000_000_000)
+    # Hash-bucketed state (the r8-verdict fix, same contract as
+    # streaming/stateful.py::merge_upsert_bucket): each micro-batch
+    # reads and dynamically overwrites ONLY the bucket partitions its
+    # users hash into — I/O per batch is O(touched buckets + batch),
+    # never O(|state|). At 100 TB size n_buckets so one bucket holds a
+    # few hundred MB; here 16 keeps several buckets per 4-batch drain.
+    n_b = 8
+    bcol = F.pmod(F.hash(F.col("user_id")), F.lit(n_b)).cast("int")
+
+    from boostdb_spark.streaming.stateful import BUCKET_COL, touched_buckets
+
+    def _bucketed_merge(state_path, new_rows, merge_fn):
+        new_rows = new_rows.withColumn(BUCKET_COL, bcol)
+        touched = touched_buckets(new_rows, n_b)
+        if not touched:
+            return
+        if os.path.exists(state_path):
+            cur = spark.read.parquet(state_path).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
+            new_rows = merge_fn(cur.unionByName(new_rows))
+        # cluster by bucket pre-write: ~1 file per touched bucket per
+        # batch instead of tasks x buckets (see merge_upsert_bucket)
+        new_rows = new_rows.repartition(F.col(BUCKET_COL))
+        new_rows = new_rows.localCheckpoint()  # break lineage off old dir
+        (
+            new_rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(state_path)
+        )
 
     def _merge(bdf, _bid):
         if bdf.isEmpty():
             return
         week = (F.col("ts") - (F.col("ts") % wk)).alias("wk")
-        f_new = (
+        _bucketed_merge(
+            f_state,
             bdf.filter(F.col("event_type") == "signup")
             .select("user_id", week)
             .groupBy("user_id")
-            .agg(F.min("wk").alias("cohort"))
+            .agg(F.min("wk").alias("cohort")),
+            # semilattice merge: grouped min over state ∪ batch
+            lambda u: u.groupBy("user_id", BUCKET_COL).agg(
+                F.min("cohort").alias("cohort")
+            ),
         )
-        if os.path.exists(f_state):
-            f_new = (
-                spark.read.parquet(f_state)
-                .unionByName(f_new.withColumnRenamed("cohort", "cohort"))
-                .groupBy("user_id")
-                .agg(F.min("cohort").alias("cohort"))
-            )
-        f_new = f_new.localCheckpoint()  # break lineage off the old dir
-        f_new.write.mode("overwrite").parquet(f_state)
-        a_new = (
+        _bucketed_merge(
+            a_state,
             bdf.filter(F.col("event_type") == "click")
             .select("user_id", week.alias("period"))
-            .distinct()
+            .distinct(),
+            # semilattice merge: union-distinct
+            lambda u: u.distinct(),
         )
-        if os.path.exists(a_state):
-            a_new = (
-                spark.read.parquet(a_state).unionByName(a_new).distinct()
-            )
-        a_new = a_new.localCheckpoint()
-        a_new.write.mode("overwrite").parquet(a_state)
 
     q = (
         spark.readStream.schema(schema)
@@ -5662,8 +5693,8 @@ def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    first = spark.read.parquet(f_state)
-    act = spark.read.parquet(a_state)
+    first = spark.read.parquet(f_state).drop(BUCKET_COL)
+    act = spark.read.parquet(a_state).drop(BUCKET_COL)
     return (
         act.join(first, "user_id")
         .filter(F.col("period") >= F.col("cohort"))
