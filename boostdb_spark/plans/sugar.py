@@ -122,6 +122,7 @@ _KEYWORDS = {
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
     "qualify", "nulls", "first", "last", "asof", "using", "filter",
+    "recursive",
 }
 
 
@@ -262,6 +263,52 @@ class BoostQuery:
     #: select-list output columns; planned as a filter AFTER the window
     #: projection, before DISTINCT/ORDER/LIMIT.
     qualify: Expr | None = None
+    #: set on a CTE BODY when its WITH was declared RECURSIVE and the
+    #: body self-references: body = base UNION [ALL] recursive-core;
+    #: planned as a bounded-iteration distributed fixpoint
+    #: (semi-naive: the self-reference binds to the previous
+    #: iteration's DELTA, matching DuckDB/postgres working-table
+    #: semantics). The reference's TiDB parser accepts WITH RECURSIVE
+    #: before dropping it (query/parser/parser.go:25-45).
+    recursive: bool = False
+
+
+def _expr_subqueries(e: "Expr | None"):
+    """Yield every BoostQuery nested in an expression tree (scalar /
+    IN / EXISTS subqueries)."""
+    if e is None:
+        return
+    if e.kind == "subquery" and e.value is not None:
+        yield e.value
+    for c in e.children:
+        yield from _expr_subqueries(c)
+
+
+def _direct_cte_refs(q: "BoostQuery", name: str) -> int:
+    """References to CTE ``name`` in q's OWN FROM/JOIN chain only."""
+    n = int(q.domain == "" and q.family == name)
+    return n + sum(
+        1 for j in q.joins if j.domain == "" and j.family == name
+    )
+
+
+def _total_cte_refs(q: "BoostQuery", name: str) -> int:
+    """References to CTE ``name`` anywhere in q's subtree: FROM/JOIN,
+    nested CTE/derived bodies, set-op branches, and subquery
+    expressions — the linear-recursion validator for WITH RECURSIVE."""
+    n = _direct_cte_refs(q, name)
+    for _, b in q.ctes:
+        n += _total_cte_refs(b, name)
+    for _, rhs in q.set_ops:
+        n += _total_cte_refs(rhs, name)
+    exprs = [q.where, q.having, q.qualify]
+    for f in q.fields:
+        exprs.append(f.expr)
+        exprs.append(getattr(f, "filter_expr", None))
+    for e in exprs:
+        for sq in _expr_subqueries(e):
+            n += _total_cte_refs(sq, name)
+    return n
 
 
 class _Parser:
@@ -311,7 +358,8 @@ class _Parser:
     #: aggregate call, after ORDER BY items) they keep their keyword
     #: role. Qualified refs (`a.filter`) never tokenized as keywords.
     _SOFT_KW = frozenset(
-        {"first", "last", "filter", "using", "nulls", "qualify", "asof"}
+        {"first", "last", "filter", "using", "nulls", "qualify", "asof",
+         "recursive"}
     )
 
     def name_next(self):
@@ -320,6 +368,46 @@ class _Parser:
         if kind == "kw" and v in self._SOFT_KW:
             return "name", v
         return kind, v
+
+    @staticmethod
+    def _validate_recursive_cte(name: str, body: "BoostQuery") -> None:
+        """A recursive CTE body must be LINEAR recursion:
+        ``<base> UNION [ALL] <recursive-term>`` with exactly ONE
+        self-reference, in the recursive term's own FROM/JOIN chain —
+        the shape every mainstream engine supports. Everything else
+        (no set-op, self-reference in the base, in a subquery/derived
+        body, or more than once = non-linear/mutual recursion) is
+        refused loudly; INTERSECT/EXCEPT recursion has no monotone
+        fixpoint and is refused with the same error."""
+        import dataclasses
+
+        if len(body.set_ops) != 1 or body.set_ops[0][0] not in (
+            "union",
+            "union_all",
+        ):
+            raise ValueError(
+                f"WITH RECURSIVE {name!r}: body must be exactly "
+                "<base-term> UNION [ALL] <recursive-term>"
+            )
+        if body.order_by or body.limit is not None:
+            raise ValueError(
+                f"WITH RECURSIVE {name!r}: ORDER BY/LIMIT inside the "
+                "recursive body is not supported"
+            )
+        rec = body.set_ops[0][1]
+        base = dataclasses.replace(body, set_ops=[])
+        if _total_cte_refs(base, name) != 0:
+            raise ValueError(
+                f"WITH RECURSIVE {name!r}: the non-recursive base term "
+                "(or a derived table/subquery) references the CTE — "
+                "only the recursive term's FROM/JOIN may, once"
+            )
+        if _direct_cte_refs(rec, name) != 1 or _total_cte_refs(rec, name) != 1:
+            raise ValueError(
+                f"WITH RECURSIVE {name!r}: non-linear recursion — the "
+                "recursive term must reference the CTE exactly once, "
+                "directly in its FROM/JOIN chain"
+            )
 
     # query := [WITH name AS ( query ) {, name AS ( query )}]
     #          core {(UNION [ALL] | INTERSECT | EXCEPT) core}
@@ -336,6 +424,7 @@ class _Parser:
         self.derived = []
         ctes: list[tuple[str, BoostQuery]] = []
         if not sub and self.accept_kw("with"):
+            is_recursive = self.accept_kw("recursive")
             while True:
                 kind, name = self.name_next()
                 if kind != "name" or "." in name:
@@ -350,6 +439,14 @@ class _Parser:
                 body = self.parse_query(sub=True)
                 if not self.accept_op(")"):
                     raise ValueError(f"unbalanced WITH subquery for {name!r}")
+                if is_recursive and _total_cte_refs(body, name) > 0:
+                    self._validate_recursive_cte(name, body)
+                    body.recursive = True
+                elif _total_cte_refs(body, name) > 0:
+                    raise ValueError(
+                        f"WITH {name!r} references itself — declare "
+                        "WITH RECURSIVE for a fixpoint query"
+                    )
                 ctes.append((name, body))
                 if not self.accept_op(","):
                     break
@@ -1593,6 +1690,90 @@ def _time_range(df: DataFrame, ts_col: str, start, end) -> DataFrame:
     return df
 
 
+#: hard cap on recursive-CTE fixpoint iterations. Iteration count is
+#: the DATA's recursion depth (graph diameter, hierarchy height,
+#: time-span/period) — never its row count — so a query still
+#: expanding after this many distributed steps is almost certainly a
+#: divergent UNION ALL recursion over a cyclic graph; refuse loudly
+#: rather than spin.
+RECURSIVE_CTE_MAX_ITERS = 64
+
+
+def _plan_recursive_cte(
+    spark: SparkSession,
+    name: str,
+    body: "BoostQuery",
+    binding,
+    start,
+    end,
+    params: dict | None,
+    ctes: dict[str, DataFrame],
+) -> DataFrame:
+    """Bounded-iteration distributed fixpoint for
+    ``WITH RECURSIVE name AS (base UNION [ALL] rec)`` — the capability
+    the reference's TiDB parser accepts and drops
+    (query/parser/parser.go:25-45).
+
+    Semi-naive evaluation: the self-reference in the recursive term
+    binds to the PREVIOUS iteration's DELTA (the working table), the
+    same semantics as DuckDB/postgres. For UNION (distinct) the delta
+    is the set difference of the step result against everything
+    accumulated, so closures over cyclic graphs terminate; UNION ALL
+    keeps duplicates and terminates only when a step is empty (the
+    iteration cap backstops divergence).
+
+    Scale shape: every iteration is one ordinary distributed job over
+    the delta (joins/aggs shuffle as usual); the accumulator and delta
+    LOCALCHECKPOINT each step — without that the logical plan doubles
+    per iteration and Catalyst analysis goes quadratic, with it each
+    step reads materialized partitions. Driver traffic per step is a
+    single isEmpty probe; nothing row-sized ever collects."""
+    import dataclasses
+
+    op, rec = body.set_ops[0]
+    local = dict(ctes)
+    # body-level derived tables / nested CTEs plan once, up front
+    for nm, b in body.ctes:
+        if nm in local:
+            raise ValueError(f"duplicate WITH name {nm!r}")
+        local[nm] = plan(spark, b, binding, start, end, params, _ctes=local)
+    base_q = dataclasses.replace(
+        body, set_ops=[], ctes=[], recursive=False
+    )
+
+    def _b(c: "BoostQuery"):
+        if isinstance(binding, dict) and not c.joins and c.domain != "":
+            qn = f"{c.domain}.{c.family}"
+            if qn not in binding:
+                raise ValueError(f"no binding for recursive-CTE source {qn}")
+            return binding[qn]
+        return binding
+
+    acc = plan(spark, base_q, _b(base_q), start, end, params, _ctes=local)
+    if op == "union":
+        acc = acc.distinct()
+    acc = acc.localCheckpoint()
+    delta = acc
+    for _ in range(RECURSIVE_CTE_MAX_ITERS):
+        local[name] = delta
+        step = plan(spark, rec, _b(rec), start, end, params, _ctes=local)
+        # set-op semantics: align the recursive term by POSITION to the
+        # base term's column names (same rule as the set-op planner)
+        step = step.toDF(*acc.columns)
+        if op == "union":
+            delta = step.distinct().subtract(acc).localCheckpoint()
+        else:
+            delta = step.localCheckpoint()
+        if delta.isEmpty():
+            return acc
+        acc = acc.unionByName(delta).localCheckpoint()
+    raise ValueError(
+        f"WITH RECURSIVE {name!r} did not reach a fixpoint within "
+        f"{RECURSIVE_CTE_MAX_ITERS} iterations — divergent recursion "
+        "(UNION ALL over a cyclic graph?)"
+    )
+
+
 def plan(
     spark: SparkSession,
     q: BoostQuery,
@@ -1630,9 +1811,14 @@ def plan(
     for cname, body in q.ctes:
         if cname in ctes:
             raise ValueError(f"duplicate WITH name {cname!r}")
-        ctes[cname] = plan(
-            spark, body, binding, start, end, params, _ctes=ctes
-        )
+        if body.recursive:
+            ctes[cname] = _plan_recursive_cte(
+                spark, cname, body, binding, start, end, params, ctes
+            )
+        else:
+            ctes[cname] = plan(
+                spark, body, binding, start, end, params, _ctes=ctes
+            )
     if q.set_ops:
         # set-operation statement: plan each core independently (each
         # core's filters push into ITS scan), align by position, then

@@ -135,6 +135,8 @@ def _q(name: str, oracle: str | None):
 _WINDOW: tuple[str, ...] = (
     # --- new in round 9 (never driver-certified) --- entries are
     # inserted here as they land, displacing tail re-cert slots.
+    "dialect_recursive_cte",  # WITH RECURSIVE fixpoint (halving chain)
+    "dialect_recursive_components",  # recursive min-label closure
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -155,11 +157,10 @@ _WINDOW: tuple[str, ...] = (
     "txt_ngram_novelty", "txt_normalize", "txt_repetition",
     "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
     "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: last driver-green ROUND 5 (7 of 45,
+    # --- re-certification: last driver-green ROUND 5 (5 of 45,
     # stalest-by-name; the rest defer to round 10) ---
     "agg_approx_count_distinct", "agg_approx_quantiles", "agg_mode",
-    "asof_join_nearest", "asof_join_tolerance", "dedup_incremental",
-    "dedup_keep_best",
+    "asof_join_nearest", "asof_join_tolerance",
 )
 
 
@@ -4579,6 +4580,99 @@ def dialect_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.uid AS user_id, d.n AS clicks "
         "FROM (SELECT click.user_id AS uid, count(*) AS n "
         "FROM boost.events GROUP BY click.user_id) d WHERE d.n > 10",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_recursive_cte",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT DISTINCT user_id AS node, user_id AS a
+      FROM events WHERE event_type = 'signup'
+      UNION
+      SELECT node, CAST(floor(a / 2.0) AS BIGINT) AS a
+      FROM anc WHERE a >= 1
+    )
+    SELECT node, count(*) AS n_anc, CAST(sum(a) AS BIGINT) AS path_sum
+    FROM anc GROUP BY node
+    """,
+)
+def dialect_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the dialect front (r8-verdict ask #3) —
+    the halving-chain ancestor closure per signup user: node -> a/2 ->
+    ... -> 0, a UNION-distinct fixpoint whose depth is log2(max id),
+    BOUNDED BY THE ID SPACE, not the row count. The planner runs
+    semi-naive iteration (the self-reference binds to the previous
+    delta, DuckDB/postgres working-table semantics — the oracle IS
+    DuckDB's native WITH RECURSIVE, so the two engines' fixpoint
+    semantics certify against each other); each step localCheckpoints
+    so the plan never grows, and driver traffic is one isEmpty probe
+    per step. The reference's TiDB parser accepts WITH RECURSIVE
+    before dropping the statement (query/parser/parser.go:25-45)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "WITH RECURSIVE anc AS ("
+        "  SELECT DISTINCT signup.user_id AS node, signup.user_id AS a"
+        "  FROM boost.events"
+        "  UNION"
+        "  SELECT r.node AS node, floor(r.a / 2.0) AS a"
+        "  FROM anc r WHERE r.a >= 1.0"
+        ") "
+        "SELECT node, count(*) AS n_anc, sum(a) AS path_sum "
+        "FROM anc GROUP BY node",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_recursive_components",
+    """
+    WITH RECURSIVE u AS (
+      SELECT DISTINCT user_id AS uid, CAST(floor(user_id / 2.0) AS BIGINT) AS bkt
+      FROM events WHERE event_type = 'signup'
+    ), e AS (
+      SELECT x.uid AS src, y.uid AS dst FROM u x JOIN u y ON x.bkt = y.bkt
+    ), reach AS (
+      SELECT DISTINCT src AS node, src AS lab FROM e
+      UNION
+      SELECT ee.dst AS node, r.lab AS lab
+      FROM e ee JOIN reach r ON ee.src = r.node
+    )
+    SELECT node, min(lab) AS group_id, count(*) AS n_labels
+    FROM reach GROUP BY node
+    """,
+)
+def dialect_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components through the front's WITH RECURSIVE — the
+    min-label transitive closure that dedup_groups' own DuckDB oracle
+    uses, now expressible in the dialect instead of a hand-written
+    DataFrame loop. A mixed WITH RECURSIVE list (u, e plain; reach
+    recursive) where the closure joins the edge CTE against the
+    recursive working table — the real graph-query shape. Edges pair
+    users in the same floor(uid/2) bucket, so components are bounded
+    cliques and the closure's row count stays O(nodes x clique) at any
+    SF (label-propagation on unbounded components needs the
+    dedup_groups operator, which iterates min-labels, not full
+    reachability)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "WITH RECURSIVE u AS ("
+        "  SELECT DISTINCT signup.user_id AS uid,"
+        "    floor(signup.user_id / 2.0) AS bkt FROM boost.events"
+        "), e AS ("
+        "  SELECT x.uid AS src, y.uid AS dst FROM u x JOIN u y"
+        "  ON x.bkt = y.bkt"
+        "), reach AS ("
+        "  SELECT DISTINCT src AS node, src AS lab FROM e"
+        "  UNION"
+        "  SELECT ee.dst AS node, r.lab AS lab"
+        "  FROM e ee JOIN reach r ON ee.src = r.node"
+        ") "
+        "SELECT node, min(lab) AS group_id, count(*) AS n_labels "
+        "FROM reach GROUP BY node",
         EVENTS_BINDING,
     )
 

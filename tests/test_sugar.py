@@ -1722,3 +1722,60 @@ def test_soft_keywords_usable_as_identifiers(spark):
     # clause roles keep working beside the identifier use
     q2 = parse("SELECT a.s FROM d.f a JOIN d.g b USING (k)")
     assert q2.joins[0].on[0][1] == sugar.FieldRef(("b", "k"))
+
+
+def test_recursive_cte_validation_and_fixpoint(spark):
+    """WITH RECURSIVE (r8-verdict ask): linear-recursion validation
+    refuses loudly, plain WITH refuses self-reference, the fixpoint
+    cap refuses divergent UNION ALL, and the working-table semantics
+    match a hand computation."""
+    df = spark.createDataFrame(
+        [("signup", 0, float(u), u) for u in (5, 9)],
+        "series STRING, mts LONG, value DOUBLE, user_id LONG",
+    )
+    df.createOrReplaceTempView("rec_tbl_t")
+    b = {
+        "d.f": sugar.SeriesFamilyBinding(
+            view="rec_tbl_t", series_col="series", value_col="value",
+            ts_col="mts",
+        )
+    }
+    base = "SELECT DISTINCT signup.user_id AS n FROM d.f"
+    # happy path: halving chain 5->2->1->0 and 9->4->2->1->0
+    out = sugar.query(
+        spark,
+        f"WITH RECURSIVE c AS ({base} UNION "
+        "SELECT floor(r.n / 2.0) AS n FROM c r WHERE r.n >= 1.0) "
+        "SELECT count(*) AS total FROM c",
+        b,
+    ).collect()
+    assert out[0].total == 6  # {5,2,1,0} u {9,4,2,1,0} = {0,1,2,4,5,9}
+    # self-reference without RECURSIVE keyword
+    with pytest.raises(ValueError, match="RECURSIVE"):
+        parse(f"WITH c AS ({base} UNION SELECT r.n AS n FROM c r) "
+              "SELECT n FROM c")
+    # no set-op body
+    with pytest.raises(ValueError, match="UNION"):
+        parse("WITH RECURSIVE c AS (SELECT r.n AS n FROM c r) "
+              "SELECT n FROM c")
+    # non-linear: two references in the recursive term
+    with pytest.raises(ValueError, match="non-linear"):
+        parse(
+            f"WITH RECURSIVE c AS ({base} UNION "
+            "SELECT x.n AS n FROM c x JOIN c y ON x.n = y.n) "
+            "SELECT n FROM c"
+        )
+    # self-reference in the base term
+    with pytest.raises(ValueError, match="base term"):
+        parse(
+            "WITH RECURSIVE c AS (SELECT r.n AS n FROM c r UNION "
+            f"{base}) SELECT n FROM c"
+        )
+    # divergent UNION ALL recursion hits the iteration cap
+    with pytest.raises(ValueError, match="fixpoint"):
+        sugar.query(
+            spark,
+            f"WITH RECURSIVE c AS ({base} UNION ALL "
+            "SELECT r.n AS n FROM c r) SELECT count(*) AS total FROM c",
+            b,
+        )
