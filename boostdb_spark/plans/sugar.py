@@ -246,8 +246,12 @@ class BoostQuery:
     joins: list[JoinClause] = field(default_factory=list)
     star: bool = False  # SELECT * — expand to the source's columns
     distinct: bool = False  # SELECT DISTINCT — dedup the projection
-    #: grouping mode: 'plain' | 'rollup' | 'cube' (GROUP BY ROLLUP/CUBE)
+    #: grouping mode: 'plain' | 'rollup' | 'cube' | 'grouping_sets'
     group_mode: str = "plain"
+    #: explicit GROUP BY GROUPING SETS ((a,b),(a),()) — the per-set key
+    #: lists ([] = grand total); group_by holds the deduped union of
+    #: all set keys so resolution/projection machinery sees every key
+    grouping_sets: list[list["FieldRef"]] | None = None
     #: (op, rhs) chain applied left-associatively: 'union' | 'union_all'
     #: | 'intersect' | 'except' — the set-operation completion of the
     #: declared query surface (the reference's SQL front has none)
@@ -688,6 +692,7 @@ class _Parser:
         group_by: list[FieldRef] = []
         having = None
         group_mode = "plain"
+        grouping_sets: list[list[FieldRef]] | None = None
         if self.accept_kw("group"):
             self.expect_kw("by")
             def _gitem() -> FieldRef:
@@ -721,6 +726,53 @@ class _Parser:
                     group_by.append(_gitem())
                 if not self.accept_op(")"):
                     raise ValueError(f"unbalanced {group_mode.upper()} list")
+            elif (
+                self.peek()[0] == "name"
+                and self.peek()[1].lower() == "grouping"
+                and self.peek2() is not None
+                and self.peek2()[0] == "name"
+                and self.peek2()[1].lower() == "sets"
+            ):
+                # GROUP BY GROUPING SETS ((a,b),(a),()) — explicit set
+                # lists, one Expand pass (r8-verdict ask #4). 'grouping'
+                # and 'sets' stay plain names everywhere else (the
+                # grouping() disambiguator function keeps working).
+                self.next()
+                self.next()
+                group_mode = "grouping_sets"
+                if not self.accept_op("("):
+                    raise ValueError(
+                        "GROUPING SETS requires ((cols), (cols), ...)"
+                    )
+                grouping_sets = []
+                while True:
+                    if not self.accept_op("("):
+                        raise ValueError(
+                            "each grouping set must be a "
+                            "parenthesized (possibly empty) column list"
+                        )
+                    cur: list[FieldRef] = []
+                    if not self.accept_op(")"):
+                        cur.append(_gitem())
+                        while self.accept_op(","):
+                            cur.append(_gitem())
+                        if not self.accept_op(")"):
+                            raise ValueError(
+                                "unbalanced grouping-set column list"
+                            )
+                    grouping_sets.append(cur)
+                    if not self.accept_op(","):
+                        break
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced GROUPING SETS list")
+                for s in grouping_sets:
+                    for item in s:
+                        if item not in group_by:
+                            group_by.append(item)
+                if not group_by:
+                    raise ValueError(
+                        "GROUPING SETS needs at least one non-empty set"
+                    )
             else:
                 group_by.append(_gitem())
                 while self.accept_op(","):
@@ -741,6 +793,7 @@ class _Parser:
         )
         q.distinct = distinct
         q.group_mode = group_mode
+        q.grouping_sets = grouping_sets
         q.qualify = qualify
         return q
 
@@ -2422,6 +2475,29 @@ def plan(
                 df = df.rollup(*gcols).agg(*aggs)
             elif q.group_mode == "cube":
                 df = df.cube(*gcols).agg(*aggs)
+            elif q.group_mode == "grouping_sets":
+                # native Expand in ONE scan pass (the same physical
+                # plan SQL GROUPING SETS compiles to). Sets and cols
+                # must be the RAW physical columns — Spark matches set
+                # entries against the grouping columns by canonicalized
+                # expression, and an alias wrapper breaks the match
+                # (every key comes back NULL); output names apply in a
+                # rename afterwards.
+                def _set_phys(g: FieldRef) -> str:
+                    if len(g.parts) == 1 and g.parts[0] in group_computed:
+                        return f"_gk_{g.parts[0]}"
+                    return res.resolve(g)[1]
+
+                sets_cols = [
+                    [F.col(_set_phys(g)) for g in s]
+                    for s in (q.grouping_sets or [])
+                ]
+                df = df.groupingSets(
+                    sets_cols, *[F.col(p) for p in gfinal]
+                ).agg(*aggs)
+                df = df.withColumnsRenamed(
+                    {p: n for p, n in gfinal.items() if p != n}
+                )
             elif aggs:
                 df = df.groupBy(*gcols).agg(*aggs)
             else:

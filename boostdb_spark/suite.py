@@ -137,6 +137,7 @@ _WINDOW: tuple[str, ...] = (
     # inserted here as they land, displacing tail re-cert slots.
     "dialect_recursive_cte",  # WITH RECURSIVE fixpoint (halving chain)
     "dialect_recursive_components",  # recursive min-label closure
+    "dialect_grouping_sets",  # explicit GROUPING SETS -> one Expand
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -157,10 +158,10 @@ _WINDOW: tuple[str, ...] = (
     "txt_ngram_novelty", "txt_normalize", "txt_repetition",
     "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
     "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: last driver-green ROUND 5 (5 of 45,
+    # --- re-certification: last driver-green ROUND 5 (4 of 45,
     # stalest-by-name; the rest defer to round 10) ---
     "agg_approx_count_distinct", "agg_approx_quantiles", "agg_mode",
-    "asof_join_nearest", "asof_join_tolerance",
+    "asof_join_nearest",
 )
 
 
@@ -5964,6 +5965,41 @@ def dialect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT purchase.user_id, count(*) AS n, sum(purchase) AS total "
         "FROM boost.events GROUP BY ROLLUP (purchase.user_id)",
+        EVENTS_BINDING,
+    )
+    return df.withColumn(
+        "total", F.col("total").cast("decimal(18,6)").cast("double")
+    )
+
+
+@_q(
+    "dialect_grouping_sets",
+    """
+    SELECT user_id AS uid, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS total
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY GROUPING SETS ((uid), (bin), ())
+    """,
+)
+def dialect_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUP BY GROUPING SETS ((a),(b),()) through the dialect
+    front (r8-verdict ask #4; the DataFrame path is certified as
+    agg_grouping_sets, ROLLUP/CUBE as dialect_rollup): three
+    independent aggregations — per-user, per-value-bin (a COMPUTED
+    group key through the _gk_ path), grand total — in ONE native
+    Expand pass over the scan. Sets must reach Spark as raw physical
+    columns (alias wrappers break set-to-key canonicalized matching
+    and NULL every key; names re-apply in a rename after the agg).
+    Decimal 6dp quantization absorbs group-sum ordering."""
+    load_tables(spark, sf_dir)
+    df = sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, floor(purchase / 50.0) AS bin, "
+        "count(*) AS n, sum(purchase) AS total "
+        "FROM boost.events "
+        "GROUP BY GROUPING SETS ((purchase.user_id), (bin), ())",
         EVENTS_BINDING,
     )
     return df.withColumn(

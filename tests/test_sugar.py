@@ -1779,3 +1779,53 @@ def test_recursive_cte_validation_and_fixpoint(spark):
             "SELECT r.n AS n FROM c r) SELECT count(*) AS total FROM c",
             b,
         )
+
+
+def test_grouping_sets_parse_and_interop(spark):
+    """GROUPING SETS grammar (r8-verdict ask #4): parse shape, refusal
+    of degenerate forms, and grouping()-bitmask interop — the front's
+    set expansion must produce exactly the rows the DataFrame
+    groupingSets path labels with F.grouping()."""
+    import pyspark.sql.functions as F
+
+    q = parse(
+        "SELECT a.s, count(*) AS n FROM d.f a "
+        "GROUP BY GROUPING SETS ((a.s, a.k), (a.s), ())"
+    )
+    assert q.group_mode == "grouping_sets"
+    assert [len(s) for s in q.grouping_sets] == [2, 1, 0]
+    # union of set keys, deduped, first-appearance order
+    assert [g.parts for g in q.group_by] == [("a", "s"), ("a", "k")]
+    with pytest.raises(ValueError, match="non-empty"):
+        parse("SELECT count(*) AS n FROM d.f GROUP BY GROUPING SETS (())")
+    with pytest.raises(ValueError, match="parenthesized"):
+        parse("SELECT a.s FROM d.f a GROUP BY GROUPING SETS (a.s)")
+    # interop: front expansion == DataFrame groupingSets + grouping()
+    df = spark.createDataFrame(
+        [("click", 0, 10.0, 1), ("click", 1, 20.0, 1),
+         ("click", 2, 5.0, 2)],
+        "series STRING, mts LONG, value DOUBLE, user_id LONG",
+    )
+    df.createOrReplaceTempView("gs_interop_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="gs_interop_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    front = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, count(*) AS n FROM d.f "
+        "GROUP BY GROUPING SETS ((click.user_id), ())",
+        b,
+    ).collect()
+    ref = (
+        df.filter("series = 'click'")
+        .groupingSets([["user_id"], []], "user_id")
+        .agg(F.grouping("user_id").alias("g"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    key = lambda t: (t[0] is None, t[0] or 0, t[1])
+    got = sorted(((r.uid, r.n) for r in front), key=key)
+    want = sorted(
+        (((None if r.g == 1 else r.user_id), r.n) for r in ref), key=key
+    )
+    assert got == want == [(1, 2), (2, 1), (None, 3)]
