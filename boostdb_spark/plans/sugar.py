@@ -122,7 +122,7 @@ _KEYWORDS = {
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
     "qualify", "nulls", "first", "last", "asof", "using", "filter",
-    "recursive",
+    "recursive", "range",
 }
 
 
@@ -170,8 +170,13 @@ class WindowSpec:
     order_by: list[tuple["FieldRef", bool]] = field(default_factory=list)
     #: ROWS BETWEEN frame as (start, end) row offsets relative to the
     #: current row (None = no explicit frame; UNBOUNDED maps to
-    #: +/-(2^63-1), Spark's Window.unbounded* sentinels)
+    #: +/-(2^63-1), Spark's Window.unbounded* sentinels). For
+    #: frame_type 'range_ns' the offsets are NANOSECOND deltas on the
+    #: single ORDER BY time column (RANGE BETWEEN INTERVAL bounds).
     frame: tuple[int, int] | None = None
+    #: 'rows' | 'range_ns' — which Spark frame API the bounds feed
+    #: (rowsBetween vs rangeBetween over the canonical ns column)
+    frame_type: str = "rows"
 
 
 @dataclass
@@ -363,7 +368,7 @@ class _Parser:
     #: role. Qualified refs (`a.filter`) never tokenized as keywords.
     _SOFT_KW = frozenset(
         {"first", "last", "filter", "using", "nulls", "qualify", "asof",
-         "recursive"}
+         "recursive", "range"}
     )
 
     def name_next(self):
@@ -1023,9 +1028,68 @@ class _Parser:
             self.expect_kw("and")
             hi = self.parse_frame_bound(start=False)
             spec.frame = (lo, hi)
+        elif self.accept_kw("range"):
+            # RANGE BETWEEN INTERVAL '<n>' <unit> PRECEDING ... — the
+            # trailing-time-window idiom this engine exists for
+            # (r8-verdict ask #5). Bounds are ns deltas applied via
+            # rangeBetween over the canonical ns time column; bare
+            # numeric RANGE offsets are refused (their unit would
+            # silently depend on the ORDER BY column's representation).
+            self.expect_kw("between")
+            lo = self.parse_range_bound()
+            self.expect_kw("and")
+            hi = self.parse_range_bound()
+            spec.frame = (lo, hi)
+            spec.frame_type = "range_ns"
         if not self.accept_op(")"):
             raise ValueError("unbalanced parenthesis in OVER (...)")
         return spec
+
+    #: ns per RANGE-frame INTERVAL unit (singular or plural spelling)
+    _INTERVAL_NS = {
+        "second": 1_000_000_000,
+        "minute": 60_000_000_000,
+        "hour": 3_600_000_000_000,
+        "day": 86_400_000_000_000,
+    }
+
+    def parse_range_bound(self) -> int:
+        """One bound of RANGE BETWEEN: UNBOUNDED PRECEDING/FOLLOWING,
+        CURRENT ROW, or INTERVAL '<n>' <unit> PRECEDING/FOLLOWING with
+        unit in second/minute/hour/day — returned as a signed ns
+        delta."""
+        UNB = (1 << 63) - 1
+        if self.accept_kw("unbounded"):
+            if self.accept_kw("preceding"):
+                return -UNB
+            self.expect_kw("following")
+            return UNB
+        if self.accept_kw("current"):
+            self.expect_kw("row")
+            return 0
+        kind, v = self.next()
+        if kind != "name" or v.lower() != "interval":
+            raise ValueError(
+                "RANGE frame bounds take INTERVAL '<n>' <unit> (or "
+                f"UNBOUNDED/CURRENT ROW), got {v!r}"
+            )
+        k2, num = self.next()
+        if k2 not in ("str", "num") or not str(num).isdigit():
+            raise ValueError(
+                f"INTERVAL takes a whole-number literal, got {num!r}"
+            )
+        k3, unit = self.name_next()
+        u = unit.lower().rstrip("s") if k3 == "name" else ""
+        if u not in self._INTERVAL_NS:
+            raise ValueError(
+                f"INTERVAL unit must be one of "
+                f"{sorted(self._INTERVAL_NS)} (got {unit!r})"
+            )
+        ns = int(num) * self._INTERVAL_NS[u]
+        if self.accept_kw("preceding"):
+            return -ns
+        self.expect_kw("following")
+        return ns
 
     def parse_frame_bound(self, start: bool) -> int:
         UNB = (1 << 63) - 1  # Spark's unboundedPreceding/Following magnitude
@@ -2528,7 +2592,26 @@ def plan(
             wspec = _W.partitionBy(
                 *[F.col(res.resolve(p)[1]) for p in ref.window.partition_by]
             )
-            if ref.window.order_by:
+            range_ns = (
+                ref.window.frame is not None
+                and ref.window.frame_type == "range_ns"
+            )
+            if range_ns:
+                # RANGE INTERVAL frame: exactly one ascending ORDER BY
+                # time column, ordered by its ns conversion so the
+                # frame's ns offsets are comparable whatever the ts
+                # representation (INT64-ns or TIMESTAMP — same rule as
+                # the certified ts_moving_time_avg/ts_bollinger shape)
+                if len(ref.window.order_by) != 1 or ref.window.order_by[0][1]:
+                    raise ValueError(
+                        "RANGE INTERVAL frames require exactly one "
+                        "ascending ORDER BY time column"
+                    )
+                from boostdb_spark.functions.scalar import ts_ns
+
+                ocol = res.resolve(ref.window.order_by[0][0])[1]
+                wspec = wspec.orderBy(ts_ns(df, ocol))
+            elif ref.window.order_by:
                 wspec = wspec.orderBy(
                     *[
                         F.col(res.resolve(o)[1]).desc()
@@ -2540,9 +2623,12 @@ def plan(
             if ref.window.frame is not None:
                 if func in rank_map or func in nav_map:
                     raise ValueError(
-                        f"{func}() does not take a ROWS BETWEEN frame"
+                        f"{func}() does not take a frame clause"
                     )
-                wspec = wspec.rowsBetween(*ref.window.frame)
+                if range_ns:
+                    wspec = wspec.rangeBetween(*ref.window.frame)
+                else:
+                    wspec = wspec.rowsBetween(*ref.window.frame)
             if func in rank_map:
                 c = rank_map[func]().over(wspec)
             elif func in nav_map:

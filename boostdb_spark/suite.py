@@ -138,6 +138,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_recursive_cte",  # WITH RECURSIVE fixpoint (halving chain)
     "dialect_recursive_components",  # recursive min-label closure
     "dialect_grouping_sets",  # explicit GROUPING SETS -> one Expand
+    "dialect_window_range_frame",  # RANGE BETWEEN INTERVAL trailing
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -158,10 +159,9 @@ _WINDOW: tuple[str, ...] = (
     "txt_ngram_novelty", "txt_normalize", "txt_repetition",
     "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
     "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: last driver-green ROUND 5 (4 of 45,
+    # --- re-certification: last driver-green ROUND 5 (3 of 45,
     # stalest-by-name; the rest defer to round 10) ---
     "agg_approx_count_distinct", "agg_approx_quantiles", "agg_mode",
-    "asof_join_nearest",
 )
 
 
@@ -6130,6 +6130,47 @@ def dialect_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY click.event_id "
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3 "
         "FROM boost.events ORDER BY eid LIMIT 200 OFFSET 50",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_window_range_frame",
+    """
+    SELECT event_id AS eid,
+           sum(floor(value * 1000000.0 + 0.5)) OVER w AS trail6,
+           count(value) OVER w AS n
+    FROM events WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def dialect_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN INTERVAL frames through the dialect front
+    (r8-verdict ask #5) — the trailing-time-window SQL idiom this
+    engine exists for: per-user trailing 1h sum/count over click
+    events, parsed as ``RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND
+    CURRENT ROW`` and planned as ``rangeBetween`` over the canonical
+    ns conversion of the ORDER BY time column (ts_ns — representation-
+    independent, the certified ts_moving_time_avg/ts_bollinger shape).
+    Frame sums run on the exact-integer grid so frame-accumulation
+    order cannot flip the hash; frames are value-ranges (no tie
+    ambiguity). Cost rule pinned at ts_bollinger: sliding frames are
+    O(rows x frame_rows) — frame span is time-bounded per user, never
+    corpus-sized."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "sum(floor(click * 1000000.0 + 0.5)) OVER (PARTITION BY "
+        "click.user_id ORDER BY click.ts "
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) "
+        "AS trail6, "
+        "count(click) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.ts "
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) "
+        "AS n "
+        "FROM boost.events",
         EVENTS_BINDING,
     )
 

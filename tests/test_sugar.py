@@ -1829,3 +1829,68 @@ def test_grouping_sets_parse_and_interop(spark):
         (((None if r.g == 1 else r.user_id), r.n) for r in ref), key=key
     )
     assert got == want == [(1, 2), (2, 1), (None, 3)]
+
+
+def test_range_interval_frame_parse_and_refusals():
+    """RANGE BETWEEN INTERVAL frames (r8-verdict ask #5): ns bounds on
+    the AST, unit spellings, and loud refusals of bare-numeric RANGE
+    offsets, unknown units, and multi-column/descending ORDER BY."""
+    q = parse(
+        "SELECT sum(a.s) OVER (PARTITION BY a.k ORDER BY a.ts "
+        "RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW) "
+        "AS tr FROM d.f a"
+    )
+    w = q.fields[0].window
+    assert w.frame_type == "range_ns"
+    assert w.frame == (-7_200_000_000_000, 0)
+    q2 = parse(
+        "SELECT sum(a.s) OVER (ORDER BY a.ts RANGE BETWEEN "
+        "INTERVAL '90' seconds PRECEDING AND INTERVAL '5' minutes "
+        "FOLLOWING) AS tr FROM d.f a"
+    )
+    assert q2.fields[0].window.frame == (-90_000_000_000, 300_000_000_000)
+    with pytest.raises(ValueError, match="INTERVAL"):
+        parse("SELECT sum(a.s) OVER (ORDER BY a.ts RANGE BETWEEN "
+              "100 PRECEDING AND CURRENT ROW) AS t FROM d.f a")
+    with pytest.raises(ValueError, match="unit"):
+        parse("SELECT sum(a.s) OVER (ORDER BY a.ts RANGE BETWEEN "
+              "INTERVAL '1' fortnight PRECEDING AND CURRENT ROW) AS t "
+              "FROM d.f a")
+
+
+def test_range_interval_frame_plan_semantics(spark):
+    """The planned rangeBetween must be a TIME frame: rows within the
+    ns window aggregate regardless of row adjacency, rows outside
+    don't."""
+    df = spark.createDataFrame(
+        [("m", 0, 1.0), ("m", 30 * 10**9, 2.0), ("m", 3700 * 10**9, 4.0)],
+        "series STRING, mts LONG, value DOUBLE",
+    )
+    df.createOrReplaceTempView("range_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="range_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    out = sugar.query(
+        spark,
+        # unaliased source: m.mts = series m, attr mts (the ts column);
+        # an alias "m" would shadow the series and turn m.mts into
+        # value sugar for a series named mts
+        "SELECT m.mts AS t, sum(m) OVER (ORDER BY m.mts RANGE BETWEEN "
+        "INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW) AS s "
+        "FROM d.f",
+        b,
+    ).collect()
+    got = {r.t: r.s for r in out}
+    # t=30s: 1.0+2.0 in the trailing minute; t=3700s: alone
+    assert got[0] == 1.0
+    assert got[30 * 10**9] == 3.0
+    assert got[3700 * 10**9] == 4.0
+    with pytest.raises(ValueError, match="ascending ORDER BY"):
+        sugar.query(
+            spark,
+            "SELECT sum(m) OVER (ORDER BY m.mts DESC RANGE BETWEEN "
+            "INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW) AS s "
+            "FROM d.f",
+            b,
+        )
