@@ -305,6 +305,7 @@ def main() -> None:
     registry = suite.spark_queries()
 
     times: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
     # SPARK_GRAFT_BENCH_ONLY=stream: run JUST the streaming drains in a
     # fresh session — the isolated (no suite JVM pressure) number that
     # BASELINE.md records next to the in-suite one
@@ -354,6 +355,21 @@ def main() -> None:
                 "noop"
             ).save()
 
+        # per-entry GC attribution (r8-verdict ask #6: txt_ngram_novelty
+        # ran 4.7x its local record in the driver with no decomposition
+        # to prove the suspected GC/heap placement): JVM-wide collector
+        # time is sampled around every timed entry, so any future
+        # driver-vs-local outlier carries its own explanation in the
+        # record — a large gc_ms says the wall was collector pressure,
+        # not the entry's plan. Driver-side jconsole-style beans; ~0 cost.
+        _mx = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+
+        def _jvm_gc_ms() -> int:
+            return sum(
+                b.getCollectionTime()
+                for b in _mx.getGarbageCollectorMXBeans()
+            )
+
         for i, name in enumerate(headline):
             if i % 25 == 24:
                 # untimed old-gen relief every 25 entries: 200+ plans
@@ -366,9 +382,11 @@ def main() -> None:
                 # comparable heap state.
                 spark.sparkContext._jvm.System.gc()
             fn = registry[name]
+            g0 = _jvm_gc_ms()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             times[name] = round(time.perf_counter() - t0, 3)
+            gc_ms[name] = _jvm_gc_ms() - g0
             print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
@@ -387,8 +405,16 @@ def main() -> None:
     top20 = dict(
         sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
+    # GC attribution digest: the 10 entries that paid the most
+    # collector time while timed (full map in the BENCH_LOCAL file via
+    # gc_ms; the digest rides the tail of the truncation-surviving
+    # stdout line like top20 does)
+    gc_top10 = dict(
+        sorted(gc_ms.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     record = {
         "queries": times,
+        "gc_ms": gc_ms,
         "stream_detail": stream_detail,
         "warmup_amortized": [] if stream_only else WARMUP,
         "metric": "suite_wall_seconds",
@@ -396,6 +422,7 @@ def main() -> None:
         "n_queries": len(times),
         "calibration": _calibration(spark),
         "top20": top20,
+        "gc_top10": gc_top10,
         "value": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

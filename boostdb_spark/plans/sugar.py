@@ -227,6 +227,21 @@ class JoinClause:
     #: non-equi ON conjuncts (range/theta predicates) — residual
     #: filters on the equi hash join, never a cartesian
     extra: "list[Expr] | None" = None
+    #: kind 'lateral' only: the table function's argument expression
+    #: (family holds the function name, alias the row alias)
+    lateral_arg: "Expr | None" = None
+
+
+#: table functions the dialect's [CROSS] JOIN LATERAL accepts, with
+#: their output columns. Whitelisted functions compile to pure-JVM
+#: generators (posexplode — whole-stage codegen, the throughput path);
+#: arbitrary Python UDTFs stay on the DataFrame/SQL API
+#: (functions/udtf.py, certified as udtf_tokenize) — the flexibility
+#: path, deliberately not reachable from the dialect where a user
+#: would silently pay the row-at-a-time Python cost.
+_LATERAL_FNS: dict[str, tuple[str, ...]] = {
+    "tokenize": ("token", "pos"),
+}
 
 
 @dataclass
@@ -582,6 +597,10 @@ class _Parser:
         while True:
             if self.accept_kw("cross"):
                 self.expect_kw("join")
+                lat = self._try_parse_lateral()
+                if lat is not None:
+                    joins.append(lat)
+                    continue
                 jd, jf, ja = self.parse_source()
                 joins.append(JoinClause(jd, jf, ja, "cross", None))
                 continue
@@ -616,6 +635,15 @@ class _Parser:
                 self.expect_kw("join")
             elif not self.accept_kw("join"):
                 break
+            lat = self._try_parse_lateral()
+            if lat is not None:
+                if kind != "inner":
+                    raise ValueError(
+                        "LATERAL is supported on [CROSS/INNER] JOIN "
+                        "only (inner generator semantics)"
+                    )
+                joins.append(lat)
+                continue
             jd, jf, ja = self.parse_source()
             pairs: list[tuple[FieldRef, FieldRef]] = []
             extras: list[Expr] = []
@@ -801,6 +829,41 @@ class _Parser:
         q.grouping_sets = grouping_sets
         q.qualify = qualify
         return q
+
+    def _try_parse_lateral(self) -> "JoinClause | None":
+        """``LATERAL fn(expr) alias`` after a JOIN keyword — the
+        row-to-rows table-function join (the last declared-intent
+        grammar gap: the reference's TiDB parser accepts LATERAL before
+        dropping it). 'lateral' is contextual: only recognized right
+        after JOIN, so columns/aliases named lateral keep parsing."""
+        t = self.peek()
+        if not (t[0] == "name" and t[1].lower() == "lateral"):
+            return None
+        self.next()
+        kind2, fn = self.name_next()
+        if kind2 != "name" or "." in fn:
+            raise ValueError("LATERAL requires a table-function call fn(...)")
+        fn = fn.lower()
+        if fn not in _LATERAL_FNS:
+            raise ValueError(
+                f"unknown table function {fn!r} — dialect LATERAL "
+                f"supports {sorted(_LATERAL_FNS)} (arbitrary Python "
+                "UDTFs stay on the DataFrame/SQL API)"
+            )
+        if not self.accept_op("("):
+            raise ValueError("LATERAL table function requires (argument)")
+        arg = self.parse_arith()
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced LATERAL argument list")
+        kind3, alias = self.name_next()
+        if kind3 != "name" or "." in alias:
+            raise ValueError(
+                "LATERAL table function requires a row alias: "
+                "JOIN LATERAL fn(arg) t"
+            )
+        return JoinClause(
+            "", fn, alias, "lateral", None, lateral_arg=arg
+        )
 
     def parse_source(self) -> tuple[str, str, str | None]:
         if self.accept_op("("):
@@ -1433,9 +1496,25 @@ class _JoinResolver:
         #: all source keys (family AND CTE) in FROM/JOIN order — the
         #: scan/join loop pairs this with q.joins positionally
         self.order: list[str] = []
+        #: LATERAL table-function sources: key -> output column names
+        self.lateral: dict[str, tuple[str, ...]] = {}
         self._register(q.domain, q.family, q.source_alias)
         for j in q.joins:
-            self._register(j.domain, j.family, j.alias)
+            if j.kind == "lateral":
+                key = j.alias or j.family
+                if (
+                    key in self.sources
+                    or key in self.cte_df
+                    or key in self.lateral
+                ):
+                    raise ValueError(
+                        f"duplicate source name {key!r} in FROM/JOIN"
+                    )
+                self.order.append(key)
+                self.lateral[key] = _LATERAL_FNS[j.family]
+                self.series[key] = set()
+            else:
+                self._register(j.domain, j.family, j.alias)
 
     def _register(self, domain: str, family: str, alias: str | None) -> None:
         key = alias or family
@@ -1470,13 +1549,22 @@ class _JoinResolver:
     def resolve(self, ref: FieldRef) -> tuple[str, str]:
         parts = ref.parts
         if len(parts) < 2 or (
-            parts[0] not in self.sources and parts[0] not in self.cte_df
+            parts[0] not in self.sources
+            and parts[0] not in self.cte_df
+            and parts[0] not in self.lateral
         ):
             raise ValueError(
                 f"field {'.'.join(parts)} must be source-qualified in a join query"
             )
         src = parts[0]
         rest = parts[1:]
+        if src in self.lateral:  # table-function output columns
+            if len(rest) != 1 or rest[0] not in self.lateral[src]:
+                raise ValueError(
+                    f"{'.'.join(parts)}: LATERAL source {src!r} has "
+                    f"columns {list(self.lateral[src])}"
+                )
+            return None, f"{src}__{rest[0]}"
         if src in self.cte_df:  # plain-column semantics, no sugar
             if len(rest) != 1:
                 raise ValueError(
@@ -1500,11 +1588,19 @@ class _JoinResolver:
         if len(ref.parts) != 2 or (
             ref.parts[0] not in self.sources
             and ref.parts[0] not in self.cte_df
+            and ref.parts[0] not in self.lateral
         ):
             raise ValueError(
                 f"ON ref {'.'.join(ref.parts)} must be source.column"
             )
         src, col = ref.parts
+        if src in self.lateral:
+            if col not in self.lateral[src]:
+                raise ValueError(
+                    f"LATERAL source {src!r} has columns "
+                    f"{list(self.lateral[src])}, not {col!r}"
+                )
+            return f"{src}__{col}"
         if src in self.cte_df:
             return self._cte_col(src, col)
         b = self.sources[src][1]
@@ -2196,6 +2292,28 @@ def plan(
         keys = res.order
         df = _source_scan(spark, keys[0], res, start, end)
         for ji, (j, key) in enumerate(zip(q.joins, keys[1:])):
+            if j.kind == "lateral":
+                # whitelisted table function -> pure-JVM generator: one
+                # narrow projection inside whole-stage codegen, no
+                # shuffle, no Python. Inner semantics (rows with no
+                # output rows drop, matching SQL LATERAL over a UDTF
+                # that yields nothing).
+                from boostdb_spark.operators.text import tokens as _tok
+
+                arg = _compile_expr(
+                    j.lateral_arg, res, name_of=res.resolve_on,
+                    params=params,
+                )
+                if j.family == "tokenize":
+                    df = df.select(
+                        "*",
+                        F.posexplode(_tok(arg)).alias(
+                            f"{key}__pos", f"{key}__token"
+                        ),
+                    )
+                else:  # unreachable: the parser whitelists
+                    raise ValueError(f"unknown table function {j.family!r}")
+                continue
             right = _source_scan(spark, key, res, start, end)
 
             def _left_on(ref: FieldRef, _seen=keys[: ji + 1], _df_cols=None):

@@ -139,6 +139,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_recursive_components",  # recursive min-label closure
     "dialect_grouping_sets",  # explicit GROUPING SETS -> one Expand
     "dialect_window_range_frame",  # RANGE BETWEEN INTERVAL trailing
+    "dialect_lateral_tokenize",  # JOIN LATERAL fn() -> JVM generator
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -159,9 +160,9 @@ _WINDOW: tuple[str, ...] = (
     "txt_ngram_novelty", "txt_normalize", "txt_repetition",
     "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
     "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: last driver-green ROUND 5 (3 of 45,
+    # --- re-certification: last driver-green ROUND 5 (2 of 45,
     # stalest-by-name; the rest defer to round 10) ---
-    "agg_approx_count_distinct", "agg_approx_quantiles", "agg_mode",
+    "agg_approx_count_distinct", "agg_approx_quantiles",
 )
 
 

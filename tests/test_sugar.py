@@ -1894,3 +1894,27 @@ def test_range_interval_frame_plan_semantics(spark):
             "FROM d.f",
             b,
         )
+
+
+def test_lateral_parse_refusals_and_contextual_name(spark):
+    """JOIN LATERAL grammar: whitelist refusal, alias requirement,
+    outer-join refusal, and 'lateral' staying usable as an ordinary
+    identifier elsewhere."""
+    with pytest.raises(ValueError, match="unknown table function"):
+        parse("SELECT t.x FROM d.f a JOIN LATERAL explode(a.text) t")
+    with pytest.raises(ValueError, match="row alias"):
+        parse("SELECT a.s FROM d.f a JOIN LATERAL tokenize(a.text)")
+    with pytest.raises(ValueError, match="LATERAL is supported"):
+        parse(
+            "SELECT a.s FROM d.f a LEFT JOIN LATERAL tokenize(a.text) t"
+        )
+    # 'lateral' is contextual: a source alias named lateral still parses
+    q = parse("SELECT lateral.s FROM d.f lateral")
+    assert q.source_alias == "lateral"
+    # output columns validated against the function's schema
+    q2 = parse(
+        "SELECT t.token AS tok FROM d.f a JOIN LATERAL tokenize(a.text) t"
+    )
+    assert q2.joins[0].kind == "lateral"
+    assert q2.joins[0].family == "tokenize"
+    assert q2.joins[0].lateral_arg is not None
