@@ -2145,21 +2145,37 @@ def theilsen_trend(
     def _pt(i, field):
         return F.element_at(arr, (i + 1).cast("int")).getField(field)
 
-    slopes = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: (_pt(j, "v") - _pt(i, "v"))
-                / ((_pt(j, "t") - _pt(i, "t")).cast("double") / F.lit(1.0e9)),
-            ),
+    def _slope(i, j):
+        # pairs with EQUAL timestamps are omitted (standard Theil-Sen:
+        # a vertical pair has no defined slope) — at production scale
+        # multiple devices per series WILL collide on a timestamp, and
+        # the unguarded division is an ANSI DIVIDE_BY_ZERO (caught by
+        # the r9 sf1 probe, whose 10-copy fixture duplicates every ts).
+        # when() evaluates the division only when the guard holds.
+        dt = (_pt(j, "t") - _pt(i, "t")).cast("double")
+        return F.when(
+            dt != 0.0,
+            (_pt(j, "v") - _pt(i, "v")) / (dt / F.lit(1.0e9)),
         )
+
+    slopes = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n - 1), lambda j: _slope(i, j)
+                ),
+            )
+        ),
+        lambda x: x.isNotNull(),
     )
-    m = (n * (n - 1) / 2).cast("long")
+    m = F.size(slopes).cast("long")
+    # lower median, 1-based: (m+1)//2 via integer shift — never a
+    # double divide-then-cast (cross-engine truncation rule)
     med = F.element_at(
-        F.array_sort(slopes), ((m + 1) / 2).cast("long").cast("int")
+        F.array_sort(slopes), F.shiftright(m + 1, 1).cast("int")
     )
-    return per.select(
+    return per.filter(m >= 1).select(
         *series_cols,
         "bucket",
         F.col("n").cast("long").alias("n"),

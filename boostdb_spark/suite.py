@@ -1878,15 +1878,19 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY 1, 2 HAVING count(*) >= 2),
     s AS (
       SELECT event_type, bucket, n,
-             flatten(list_transform(range(1, n::INT), i ->
-               list_transform(range(i + 1, n::INT + 1), j ->
-                 (pts[j].v - pts[i].v)
-                 / (CAST(pts[j].t - pts[i].t AS DOUBLE)
-                    / 1000000000.0)))) AS slopes
+             list_filter(
+               flatten(list_transform(range(1, n::INT), i ->
+                 list_transform(range(i + 1, n::INT + 1), j ->
+                   CASE WHEN pts[j].t <> pts[i].t THEN
+                     (pts[j].v - pts[i].v)
+                     / (CAST(pts[j].t - pts[i].t AS DOUBLE)
+                        / 1000000000.0)
+                   END))),
+               x -> x IS NOT NULL) AS slopes
       FROM g)
     SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
-           list_sort(slopes)[(n * (n - 1) // 2 + 1) // 2] AS slope
-    FROM s
+           list_sort(slopes)[(len(slopes) + 1) // 2] AS slope
+    FROM s WHERE len(slopes) >= 1
     """,
 )
 def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -873,3 +873,27 @@ def test_interp_align_duplicate_right_ts_deterministic(spark):
     }
     assert out[100] == 9.0  # exact match -> max among dup samples (prev)
     assert out[150] == 9.0 + (2.0 - 9.0) * 0.5  # pv=max@100, nv=min@200
+
+
+def test_theilsen_duplicate_timestamps(spark):
+    """r9 sf1-probe catch: duplicate timestamps within a bucket (the
+    multi-device norm at scale) must not DIVIDE_BY_ZERO — equal-ts
+    pairs are omitted (standard Theil-Sen), and a bucket whose points
+    ALL share one timestamp drops."""
+    NS = 10**9
+    rows = [
+        ("a", 0 * NS, 0.0), ("a", 0 * NS, 100.0),  # dup ts, diff values
+        ("a", 60 * NS, 60.0), ("a", 120 * NS, 120.0),
+        ("b", 0 * NS, 1.0), ("b", 0 * NS, 2.0),    # all-dup bucket
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r.series: r for r in ts_ops.theilsen_trend(
+        df, bucket_seconds=3600, series_cols=("series",)
+    ).collect()}
+    assert "b" not in out  # no defined slope
+    # series a: slopes from the 5 non-vertical pairs (dup-ts pair
+    # omitted): (0,60):1, (0,120):1, (100,60):-2/3, (100,120):1/6,
+    # (60,120):1 -> sorted lower median (idx 3 of 5) = 1/6... compute:
+    slopes = sorted([1.0, 1.0, (60.0-100.0)/60.0, (120.0-100.0)/120.0, 1.0])
+    assert out["a"].slope == slopes[(5 + 1) // 2 - 1]
+    assert out["a"].n == 4
