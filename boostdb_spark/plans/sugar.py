@@ -122,7 +122,7 @@ _KEYWORDS = {
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
     "qualify", "nulls", "first", "last", "asof", "using", "filter",
-    "recursive", "range",
+    "recursive", "range", "window",
 }
 
 
@@ -177,6 +177,9 @@ class WindowSpec:
     #: 'rows' | 'range_ns' — which Spark frame API the bounds feed
     #: (rowsBetween vs rangeBetween over the canonical ns column)
     frame_type: str = "rows"
+    #: OVER w forward reference to a named WINDOW clause — substituted
+    #: with the declared spec after the core parses (None once resolved)
+    pending_name: str | None = None
 
 
 @dataclass
@@ -383,7 +386,7 @@ class _Parser:
     #: role. Qualified refs (`a.filter`) never tokenized as keywords.
     _SOFT_KW = frozenset(
         {"first", "last", "filter", "using", "nulls", "qualify", "asof",
-         "recursive", "range"}
+         "recursive", "range", "window"}
     )
 
     def name_next(self):
@@ -812,6 +815,40 @@ class _Parser:
                     group_by.append(_gitem())
             if self.accept_kw("having"):
                 having = self.parse_or()
+        # WINDOW w AS (spec) [, w2 AS (spec)] — named windows (ANSI):
+        # one declaration shared by every OVER w in the select list, so
+        # repeated analytic specs cannot drift apart. Names resolve
+        # AFTER the clause parses (OVER w is a forward reference).
+        if self.accept_kw("window"):
+            named: dict[str, WindowSpec] = {}
+            while True:
+                kw, wname = self.name_next()
+                if kw != "name" or "." in wname:
+                    raise ValueError("WINDOW requires: WINDOW name AS (spec)")
+                if wname in named:
+                    raise ValueError(f"duplicate WINDOW name {wname!r}")
+                self.expect_kw("as")
+                named[wname] = self.parse_window()
+                if not self.accept_op(","):
+                    break
+            for f in fields:
+                w = f.window
+                if w is not None and w.pending_name is not None:
+                    if w.pending_name not in named:
+                        raise ValueError(
+                            f"OVER {w.pending_name} names no WINDOW "
+                            f"clause (declared: {sorted(named)})"
+                        )
+                    f.window = named[w.pending_name]
+        unresolved = [
+            f.window.pending_name
+            for f in fields
+            if f.window is not None and f.window.pending_name is not None
+        ]
+        if unresolved:
+            raise ValueError(
+                f"OVER {unresolved[0]} names no WINDOW clause in this query"
+            )
         qualify = None
         if self.accept_kw("qualify"):
             # QUALIFY binds per-core (like HAVING), before any set-op /
@@ -1036,7 +1073,18 @@ class _Parser:
                 raise ValueError("unbalanced FILTER (WHERE ...) clause")
         window = None
         if func is not None and self.accept_kw("over"):
-            window = self.parse_window()
+            if self.peek()[0] in ("name", "kw") and self.peek() != ("op", "("):
+                # OVER w — reference to a named WINDOW clause declared
+                # later in the statement; resolved after parse_core
+                kindw, wname = self.name_next()
+                if kindw != "name":
+                    raise ValueError(
+                        f"OVER takes a (spec) or a window name, got {wname!r}"
+                    )
+                window = WindowSpec()
+                window.pending_name = wname
+            else:
+                window = self.parse_window()
         if window is not None and filter_expr is not None:
             raise ValueError(
                 "FILTER is supported on plain aggregates, not on "

@@ -140,6 +140,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_grouping_sets",  # explicit GROUPING SETS -> one Expand
     "dialect_window_range_frame",  # RANGE BETWEEN INTERVAL trailing
     "dialect_lateral_tokenize",  # JOIN LATERAL fn() -> JVM generator
+    "dialect_named_window",  # ANSI WINDOW w AS (spec) shared specs
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -160,9 +161,9 @@ _WINDOW: tuple[str, ...] = (
     "txt_ngram_novelty", "txt_normalize", "txt_repetition",
     "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
     "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: last driver-green ROUND 5 (2 of 45,
+    # --- re-certification: last driver-green ROUND 5 (1 of 45,
     # stalest-by-name; the rest defer to round 10) ---
-    "agg_approx_count_distinct", "agg_approx_quantiles",
+    "agg_approx_count_distinct",
 )
 
 
@@ -6176,6 +6177,40 @@ def dialect_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) "
         "AS n "
         "FROM boost.events",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_named_window",
+    """
+    SELECT event_id AS eid,
+           sum(floor(value * 1000000.0 + 0.5)) OVER w AS rs6,
+           count(value) OVER w AS n
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def dialect_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (ANSI ``WINDOW w AS (spec)``) through the
+    dialect front: ONE declared spec shared by every ``OVER w`` in the
+    select list, so repeated analytic specs cannot silently drift
+    apart (the repo's own oracles lean on DuckDB's WINDOW clause for
+    exactly this reason — now the dialect has it too). ``OVER w`` is a
+    forward reference resolved after the clause parses; unknown or
+    missing names refuse loudly. Both projections share one window
+    sort; exact-integer grid for order-independent frame sums."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.event_id AS eid, "
+        "sum(floor(purchase * 1000000.0 + 0.5)) OVER w AS rs6, "
+        "count(purchase) OVER w AS n "
+        "FROM boost.events "
+        "WINDOW w AS (PARTITION BY purchase.user_id "
+        "ORDER BY purchase.event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
         EVENTS_BINDING,
     )
 

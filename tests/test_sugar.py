@@ -1918,3 +1918,26 @@ def test_lateral_parse_refusals_and_contextual_name(spark):
     assert q2.joins[0].kind == "lateral"
     assert q2.joins[0].family == "tokenize"
     assert q2.joins[0].lateral_arg is not None
+
+
+def test_named_window_clause_rules():
+    """WINDOW w AS (spec): forward reference resolves, unknown and
+    undeclared names refuse, duplicates refuse, and 'window' stays an
+    ordinary identifier elsewhere."""
+    q = parse(
+        "SELECT sum(a.s) OVER w AS x, count(a.s) OVER w AS n FROM d.f a "
+        "WINDOW w AS (PARTITION BY a.k ORDER BY a.ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+    )
+    assert q.fields[0].window is q.fields[1].window
+    assert q.fields[0].window.frame == (-1, 0)
+    with pytest.raises(ValueError, match="names no WINDOW"):
+        parse("SELECT sum(a.s) OVER w AS x FROM d.f a "
+              "WINDOW v AS (ORDER BY a.ts)")
+    with pytest.raises(ValueError, match="names no WINDOW"):
+        parse("SELECT sum(a.s) OVER w AS x FROM d.f a")
+    with pytest.raises(ValueError, match="duplicate WINDOW"):
+        parse("SELECT sum(a.s) OVER w AS x FROM d.f a "
+              "WINDOW w AS (ORDER BY a.ts), w AS (ORDER BY a.k)")
+    q2 = parse("SELECT a.window FROM d.f a")
+    assert q2.fields[0].parts == ("a", "window")
