@@ -745,7 +745,7 @@ def test_parse_window_frame_and_offset():
 
 def test_rank_rejects_frame(spark):
     b = _events_binding(spark)
-    with pytest.raises(ValueError, match="ROWS BETWEEN"):
+    with pytest.raises(ValueError, match="frame clause"):
         sugar.query(
             spark,
             "SELECT rank() OVER (PARTITION BY click.user_id ORDER BY click "

@@ -74,6 +74,11 @@ SHOWCASE = [
     ("ts_bollinger", "Bollinger: one rangeBetween frame, three decimal sliding aggregates, single exchange"),
     ("scan_snapshot_apply", "CDC apply: anti join (deletes) + left join (updates) + union (inserts), all key-partitioned"),
     ("dialect_group_all", "GROUP BY ALL: expanded keys feed the standard partial+final hash aggregate"),
+    ("dialect_recursive_components", "WITH RECURSIVE closure: final-iteration plan reads checkpointed deltas — constant-size per step, no lineage growth"),
+    ("dialect_grouping_sets", "explicit GROUPING SETS: ONE native Expand feeding partial+final hash agg, single scan"),
+    ("dialect_window_range_frame", "RANGE INTERVAL frame: rangeBetween over the ns conversion, one exchange+sort shared by both projections"),
+    ("dialect_lateral_tokenize", "JOIN LATERAL: pure-JVM posexplode Generate inside codegen, series filter pushed below it — no shuffle, no Python"),
+    ("dialect_named_window", "named WINDOW clause: both OVER w projections share ONE exchange+sort"),
 ]
 
 
