@@ -141,6 +141,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_window_range_frame",  # RANGE BETWEEN INTERVAL trailing
     "dialect_lateral_tokenize",  # JOIN LATERAL fn() -> JVM generator
     "dialect_named_window",  # ANSI WINDOW w AS (spec) shared specs
+    "dedup_levenshtein_capped",  # df-capped two-stage edit-dist dedup
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -161,9 +162,9 @@ _WINDOW: tuple[str, ...] = (
     "txt_ngram_novelty", "txt_normalize", "txt_repetition",
     "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
     "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: last driver-green ROUND 5 (1 of 45,
-    # stalest-by-name; the rest defer to round 10) ---
-    "agg_approx_count_distinct",
+    # --- re-certification: the ROUND-5 cohort (45 entries) is next
+    # stalest; its single slot was displaced by dedup_levenshtein_capped
+    # and the whole cohort defers to round 10. ---
 )
 
 

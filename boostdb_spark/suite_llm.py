@@ -466,6 +466,51 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_levenshtein_capped",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest({SHINGLES3.format(t='toks')}) AS sh FROM d),
+    sizes AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+    rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= 100),
+    dsr AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM dsr a JOIN dsr b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    cand AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+    t AS (SELECT cand.id_a, cand.id_b, ta.text AS ta, tb.text AS tb
+          FROM cand JOIN documents ta ON cand.id_a = ta.doc_id
+                    JOIN documents tb ON cand.id_b = tb.doc_id)
+    SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+           levenshtein(ta, tb)::DOUBLE / greatest(len(ta), len(tb), 1) AS rel
+    FROM t
+    WHERE levenshtein(ta, tb)::DOUBLE / greatest(len(ta), len(tb), 1) <= 0.4
+    """,
+)
+def dedup_levenshtein_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-POSTURE edit-distance dedup: the ubiquitous-shingle
+    cap (max_doc_freq=100) engaged on the candidate stage — the knob
+    the round-9 sf1 probe showed is load-bearing for the two-stage
+    verifier too: UNCAPPED candidates at the low 0.2 threshold read
+    49.4x wall on 10x rows of the tiny-vocab fixture (low-threshold
+    candidates inherit the full per-shingle d^2 fanout AND each pays
+    an O(len^2) Levenshtein), capped they are bounded per shingle.
+    Same capped-estimator semantics as dedup_ngram_jaccard_capped:
+    candidate intersections count sub-ubiquitous shingles only, set
+    sizes stay pre-cap; the Levenshtein verify itself is exact either
+    way. The uncapped dedup_levenshtein entry stays certified as the
+    exactness baseline at fixture scale."""
+    t = load_tables(spark, sf_dir)
+    out = dd.edit_distance_pairs(
+        t["documents"], max_rel_dist=0.4, candidate_threshold=0.2, n=3,
+        max_doc_freq=100,
+    )
+    return out.withColumn("lev", F.col("lev").cast("long"))
+
+
+@_q(
     "dedup_decontaminate",
     f"""
     WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
