@@ -21,7 +21,7 @@ DuckDB oracles reproduce results bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 import hashlib
@@ -356,6 +356,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs: (id_a, id_b, lev, rel) with
     ``rel = levenshtein / max(len_a, len_b) <= max_rel_dist`` — the
@@ -371,22 +372,65 @@ def edit_distance_pairs(
     pair sharing fewer than ``candidate_threshold`` of its shingles is
     not surfaced. Levenshtein is Spark's built-in (JVM-side, unit
     costs) — identical definition to the SQL oracle's, so pairs
-    certify exactly."""
+    certify exactly.
+
+    ``max_doc_freq`` bounds the PER-SHINGLE candidate fanout (the
+    ubiquitous-shingle d^2 blowup); ``max_candidates_per_doc`` bounds
+    the VERIFY stage itself — each doc submits only its k most-similar
+    candidates (by candidate Jaccard, ties to the smaller id_b) to the
+    O(len^2) Levenshtein, so verify cost is O(docs x k x len^2), linear
+    in corpus size regardless of the shingle df distribution. The r9
+    sf1 probe measured why both knobs exist: df-cap alone read 24.7x
+    wall on 10x rows of the tiny-vocab fixture (every surviving shingle
+    drifts toward the df ceiling, multiplying pairs-per-shingle), the
+    per-doc cap restores ~linear. Recall contract: a doc with more than
+    k true near-dups surfaces only its k closest — the standard
+    production trade for a bounded verify stage."""
+    # the candidate set is pair-sized (bounded), but its LINEAGE is the
+    # heavy shingle equi-join; materialize it here (EAGER — a lazy
+    # checkpoint only pays off for jobs AFTER the one that materializes
+    # it, and this operator is consumed as one job) so the verify
+    # stage's rank window + two text joins consume a small materialized
+    # table AQE can size honestly (broadcast-able), instead of
+    # replanning the heavy join under inflated estimates
     cand = ngram_jaccard_pairs(
         df, candidate_threshold, n=n, text_col=text_col, id_col=id_col,
         max_doc_freq=max_doc_freq,
-    ).select("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    if max_candidates_per_doc is not None:
+        w = Window.partitionBy("id_a").orderBy(
+            F.col("jaccard").desc(), F.col("id_b").asc()
+        )
+        cand = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_candidates_per_doc)
+        )
+    cand = _spread(cand.select("id_a", "id_b"))
     docs = _spread(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
-    out = (
+    # score in a SEPARATE materialization from the rel filter: a plain
+    # withColumn+filter pipeline lets Catalyst push the rel predicate
+    # into the text join as a join CONDITION, so levenshtein (the whole
+    # verify cost) evaluates twice — once in the condition, once in the
+    # projection (measured 2x wall at sf1). The checkpointed rows are
+    # narrow (ids + two ints), bounded by the candidate count.
+    scored = (
         cand.join(docs.withColumnsRenamed({"id": "id_a", "_t": "_ta"}), "id_a")
         .join(docs.withColumnsRenamed({"id": "id_b", "_t": "_tb"}), "id_b")
-        .withColumn("lev", F.levenshtein(F.col("_ta"), F.col("_tb")))
-        .withColumn(
-            "rel",
-            F.col("lev").cast("double")
-            / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)),
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).alias("lev"),
+            F.greatest(
+                F.length("_ta"), F.length("_tb"), F.lit(1)
+            ).alias("_mx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = (
+        scored.withColumn(
+            "rel", F.col("lev").cast("double") / F.col("_mx")
         )
         .filter(F.col("rel") <= max_rel_dist)
     )

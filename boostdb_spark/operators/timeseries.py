@@ -2236,3 +2236,241 @@ def bollinger_bands(
             (F.col(value_col) > upper) | (F.col(value_col) < lower)
         ).alias("breach"),
     )
+
+
+def time_weighted_integral(
+    df: DataFrame,
+    bucket_seconds: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trapezoidal time-weighted integral per series per bucket — the
+    area under the sampled curve in value*seconds (TimescaleDB
+    ``integral`` analog; the 'rich time-series functions' north star,
+    reference README.md:8). Each consecutive in-bucket pair
+    (t_i, v_i), (t_i+1, v_i+1) contributes
+    (v_i + v_i+1) / 2 * (t_i+1 - t_i) ns; pairs that CROSS a bucket
+    boundary are excluded (documented contract: per-bucket areas sum
+    sub-intervals fully inside the bucket, so bucket areas never
+    double-count and the whole-series integral is their sum plus the
+    boundary spans).
+
+    Requires INT64-ns ``ts``. Determinism: the gap is integer-exact
+    ns; each trapezoid term is one fixed double expression and the sum
+    is a ts-ordered left fold (suite fold rules), divided once by the
+    constant 1e9 — bit-identical across engines.
+
+    Scale: one window shuffle on the series key (the lead), then one
+    hash aggregate; per-(series, bucket) lists are bounded by points
+    per bucket.
+    """
+    span = bucket_seconds * NS_PER_SEC
+    ts, v = F.col(ts_col), F.col(value_col)
+    # value as a tertiary sort key makes lead() deterministic under
+    # duplicate (series, ts) rows (the r8 interp_align advice lesson)
+    w = _series_window(series_cols, ts_col, (value_col,))
+    nt = F.lead(ts_col).over(w)
+    nv = F.lead(value_col).over(w)
+    bucket = (ts - (ts % F.lit(span))).cast("long")
+    nbucket = (nt - (nt % F.lit(span))).cast("long")
+    x = (
+        df.select(
+            *series_cols,
+            ts.alias("_t"),
+            bucket.alias("bucket"),
+            nbucket.alias("_nb"),
+            ((v + nv) * F.lit(0.5) * (nt - ts).cast("double")).alias("_a"),
+        )
+        .filter(F.col("_nb") == F.col("bucket"))
+    )
+    agg = x.groupBy(*series_cols, "bucket").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("_t"), F.col("_a")))).alias("_l"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    area = F.aggregate(F.col("_l"), F.lit(0.0), lambda acc, t: acc + t["_a"])
+    return agg.select(
+        *series_cols,
+        "bucket",
+        (area / F.lit(1.0e9)).alias("integral"),
+        "n_pairs",
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Maximum drawdown per series: the largest peak-to-trough decline
+    of the running maximum — the standard robustness summary for any
+    cumulative series (finance's max-drawdown; for monitoring, 'how
+    far below its high-water mark did this gauge fall'). Returns one
+    row per series: (max_dd, max_dd_rel, peak) where max_dd is the
+    largest absolute decline, max_dd_rel the largest relative decline
+    against a POSITIVE running peak (NULL when no positive peak
+    precedes a trough), and peak the series' overall maximum.
+
+    Determinism: running max / global max of doubles are exact
+    comparisons; dd = peak - v is one subtraction per row; the maxima
+    are order-independent. No folds needed.
+
+    Scale: one window shuffle on the series key, then one hash
+    aggregate. Nothing quadratic; frames are unbounded-preceding
+    running aggregates, which Spark evaluates incrementally (only
+    bounded sliding frames pay the O(rows x frame) re-evaluation).
+    """
+    v = F.col(value_col)
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col, value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_peak = F.max(v).over(w)
+    dd = run_peak - v
+    dd_rel = F.when(run_peak > 0, dd / run_peak)
+    x = df.select(
+        *series_cols,
+        dd.alias("_dd"),
+        dd_rel.alias("_ddr"),
+        v.alias("_v"),
+    )
+    return x.groupBy(*series_cols).agg(
+        F.max("_dd").alias("max_dd"),
+        F.max("_ddr").alias("max_dd_rel"),
+        F.max("_v").alias("peak"),
+    )
+
+
+def uptime_sla(
+    df: DataFrame,
+    heartbeat_seconds: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Heartbeat-based availability per series (TimescaleDB
+    ``heartbeat_agg`` analog): each observation proves the series was
+    live for min(next_ts - ts, heartbeat) ns; a gap longer than the
+    heartbeat is downtime. Returns per series: span_ns (first to last
+    observation), uptime_ns, availability (= uptime/span, NULL for a
+    single-point series), n_gaps (gaps exceeding the heartbeat).
+
+    Requires INT64-ns ``ts``. Determinism: everything is integer ns
+    until the single final division; sums of longs stay well under
+    2^63 for spans < ~292 years.
+
+    Scale: one window shuffle on the series key (the lead), then one
+    hash aggregate.
+    """
+    hb = heartbeat_seconds * NS_PER_SEC
+    ts = F.col(ts_col)
+    gap = F.lead(ts_col).over(_series_window(series_cols, ts_col)) - ts
+    x = df.select(
+        *series_cols,
+        ts.alias("_t"),
+        gap.alias("_g"),
+    )
+    return x.groupBy(*series_cols).agg(
+        (F.max("_t") - F.min("_t")).cast("long").alias("span_ns"),
+        F.sum(F.least(F.col("_g"), F.lit(hb))).cast("long").alias("uptime_ns"),
+        (
+            F.sum(F.least(F.col("_g"), F.lit(hb))).cast("double")
+            / F.nullif((F.max("_t") - F.min("_t")).cast("double"), F.lit(0.0))
+        ).alias("availability"),
+        F.coalesce(
+            F.sum((F.col("_g") > F.lit(hb)).cast("long")), F.lit(0)
+        ).cast("long").alias("n_gaps"),
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling to ~n_out points per
+    series (Steinarsson 2013), with FIXED bucket-mean anchors: the
+    classic sequential LTTB anchors each bucket's triangle on the
+    point SELECTED in the previous bucket, which is an inherently
+    serial dependency; this distributed variant anchors on the
+    previous/next buckets' mean points instead (the standard
+    parallelization, used by e.g. downsampling gateways), which keeps
+    every bucket's argmax independent — one pass, no sequential scan.
+    First/last buckets emit their first/last point (LTTB endpoint
+    contract).
+
+    X coordinates are per-series RANK indices, not raw ns timestamps:
+    buckets are equal-count (so rank-x and time-x give the same
+    relative geometry within a bucket triple), and ns epochs exceed
+    2^53, where double x-arithmetic would silently lose exactness
+    (cross-engine hash risk). Determinism: bucket means use exact
+    integer rank sums and decimal(18,6) value sums; the area formula
+    is one fixed double expression; the per-bucket argmax breaks area
+    ties by smallest rank via row_number ordered (area DESC, rank ASC).
+
+    Scale: one window shuffle on the series key (rank), one grouped
+    aggregate for bucket means (broadcast-sized: n_out rows per
+    series), a broadcast-style equi-join of points to their bucket's
+    neighbor means, and one per-bucket row_number. Nothing quadratic.
+    """
+    ts = F.col(ts_col)
+    # rank ties on (ts, value): identical pairs are interchangeable,
+    # so row_number is deterministic in effect
+    w = _series_window(series_cols, ts_col, (value_col,))
+    cnt_w = Window.partitionBy(*series_cols)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(cnt_w)
+    k = F.lit(int(n_out))
+    # balanced equal-count buckets: floor((rn-1) * k / n) in exact
+    # integer math (rn, n <= rows-per-series; the product stays long)
+    x = df.select(
+        *series_cols,
+        ts.alias("_t"),
+        F.col(value_col).alias("_v"),
+        rn.alias("_rn"),
+        n.alias("_n"),
+        ((rn - 1).cast("long") * k / F.col("_n")).cast("long").alias("_b"),
+    )
+    means = x.groupBy(*series_cols, "_b").agg(
+        (F.sum("_rn").cast("double") / F.count(F.lit(1))).alias("_mx"),
+        (
+            F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_my"),
+    )
+    wb = Window.partitionBy(*series_cols).orderBy("_b")
+    nbr = means.select(
+        *series_cols,
+        "_b",
+        F.lag("_mx").over(wb).alias("_lx"),
+        F.lag("_my").over(wb).alias("_ly"),
+        F.lead("_mx").over(wb).alias("_rx"),
+        F.lead("_my").over(wb).alias("_ry"),
+    )
+    j = x.join(nbr, [*series_cols, "_b"])
+    xi = F.col("_rn").cast("double")
+    area = F.abs(
+        (F.col("_lx") - F.col("_rx")) * (F.col("_v") - F.col("_ly"))
+        - (F.col("_lx") - xi) * (F.col("_ry") - F.col("_ly"))
+    )
+    # interior buckets: max-area point (ties -> smallest rank);
+    # first/last bucket: the endpoint itself
+    pick_w = Window.partitionBy(*series_cols, "_b").orderBy(
+        F.col("_area").desc_nulls_last(), F.col("_rn").asc()
+    )
+    interior = (
+        j.filter(F.col("_lx").isNotNull() & F.col("_rx").isNotNull())
+        .withColumn("_area", area)
+        .withColumn("_pick", F.row_number().over(pick_w))
+        .filter(F.col("_pick") == 1)
+    )
+    edges = j.filter(
+        (F.col("_lx").isNull() & (F.col("_rn") == 1))
+        | (F.col("_rx").isNull() & (F.col("_rn") == F.col("_n")))
+    )
+    out_cols = [*series_cols, F.col("_b").alias("bucket"),
+                F.col("_t").alias("ts_ns"), F.col("_v").alias("value")]
+    return interior.select(*out_cols).unionByName(edges.select(*out_cols))

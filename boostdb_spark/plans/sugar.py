@@ -122,7 +122,8 @@ _KEYWORDS = {
     "offset", "distinct", "rollup", "cube", "exists",
     "case", "when", "then", "else", "end", "with", "right", "full",
     "qualify", "nulls", "first", "last", "asof", "using", "filter",
-    "recursive", "range", "window",
+    "recursive", "range", "window", "ignore", "respect", "values",
+    "exclude",
 }
 
 
@@ -205,6 +206,10 @@ class FieldRef:
     #: agg(CASE WHEN pred THEN x END) (aggregates ignore NULLs, which
     #: is exactly the ANSI FILTER semantics)
     filter_expr: "Expr | None" = None
+    #: ``first_value(x) IGNORE NULLS OVER (...)`` — the gap-fill/LOCF
+    #: navigation modifier (ANSI trailing form); only first_value/
+    #: last_value accept it (Spark's lag/lead do not expose the flag)
+    ignore_nulls: bool = False
 
 
 @dataclass
@@ -233,6 +238,20 @@ class JoinClause:
     #: kind 'lateral' only: the table function's argument expression
     #: (family holds the function name, alias the row alias)
     lateral_arg: "Expr | None" = None
+
+
+@dataclass
+class ValuesTable:
+    """An inline ``(VALUES (...), (...)) t(a, b)`` literal source —
+    the ANSI constant-table constructor (the reference's TiDB parser
+    accepts it before dropping the statement, query/parser/parser.go:
+    25-45). Rides the derived-table/CTE slot; the planner materializes
+    it as ONE createDataFrame whose size is bounded by the query text
+    (literal rows never scan or shuffle — Spark folds them into a
+    LocalRelation that broadcast-joins for free)."""
+
+    cols: list[str]
+    rows: list[list]
 
 
 #: table functions the dialect's [CROSS] JOIN LATERAL accepts, with
@@ -269,6 +288,14 @@ class BoostQuery:
     joins: list[JoinClause] = field(default_factory=list)
     star: bool = False  # SELECT * — expand to the source's columns
     distinct: bool = False  # SELECT DISTINCT — dedup the projection
+    #: SELECT DISTINCT ON (k, ...) — one row per key group, chosen by
+    #: the residual ORDER BY keys (postgres/DuckDB surface); ORDER BY
+    #: must lead with the ON columns and add >=1 tiebreak key so the
+    #: survivor is deterministic
+    distinct_on: list[FieldRef] = field(default_factory=list)
+    #: SELECT * EXCLUDE (col, ...) — star expansion minus the named
+    #: columns (DuckDB/Snowflake surface)
+    exclude: list[str] = field(default_factory=list)
     #: grouping mode: 'plain' | 'rollup' | 'cube' | 'grouping_sets'
     group_mode: str = "plain"
     #: explicit GROUP BY GROUPING SETS ((a,b),(a),()) — the per-set key
@@ -325,6 +352,8 @@ def _total_cte_refs(q: "BoostQuery", name: str) -> int:
     expressions — the linear-recursion validator for WITH RECURSIVE."""
     n = _direct_cte_refs(q, name)
     for _, b in q.ctes:
+        if isinstance(b, ValuesTable):
+            continue  # literal rows cannot reference a CTE
         n += _total_cte_refs(b, name)
     for _, rhs in q.set_ops:
         n += _total_cte_refs(rhs, name)
@@ -386,7 +415,8 @@ class _Parser:
     #: role. Qualified refs (`a.filter`) never tokenized as keywords.
     _SOFT_KW = frozenset(
         {"first", "last", "filter", "using", "nulls", "qualify", "asof",
-         "recursive", "range", "window"}
+         "recursive", "range", "window", "ignore", "respect", "values",
+         "exclude"}
     )
 
     def name_next(self):
@@ -581,13 +611,42 @@ class _Parser:
     def parse_core(self) -> BoostQuery:
         self.expect_kw("select")
         distinct = self.accept_kw("distinct")
+        distinct_on: list[FieldRef] = []
+        if distinct and self.accept_kw("on"):
+            # DISTINCT ON (k, ...): one survivor per key group, picked
+            # by the residual ORDER BY (postgres semantics; DuckDB runs
+            # the same surface natively as the oracle)
+            if not self.accept_op("("):
+                raise ValueError("DISTINCT ON requires a (col [, col]) list")
+            distinct_on.append(self.parse_plain_ref())
+            while self.accept_op(","):
+                distinct_on.append(self.parse_plain_ref())
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced DISTINCT ON column list")
+            distinct = False  # ON replaces the plain projection dedup
         star = False
+        exclude: list[str] = []
         fields: list[FieldRef] = []
         if self.accept_op("*"):
             # SELECT * expands to every column of the bound source (the
             # reference REJECTS it — selectfieldparser.go:108-114 requires
             # named fields — a wart users don't expect; lifted here)
             star = True
+            if self.accept_kw("exclude"):
+                # SELECT * EXCLUDE (a, b) — star minus the named columns
+                if not self.accept_op("("):
+                    raise ValueError("EXCLUDE requires a (col [, col]) list")
+                while True:
+                    k2, cname = self.name_next()
+                    if k2 != "name" or "." in cname:
+                        raise ValueError(
+                            f"EXCLUDE takes plain column names, got {cname!r}"
+                        )
+                    exclude.append(cname)
+                    if not self.accept_op(","):
+                        break
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced EXCLUDE column list")
             if self.peek() == ("op", ","):
                 raise ValueError("SELECT * cannot be mixed with named fields")
         else:
@@ -862,6 +921,8 @@ class _Parser:
             None, None, joins, star,
         )
         q.distinct = distinct
+        q.distinct_on = distinct_on
+        q.exclude = exclude
         q.group_mode = group_mode
         q.grouping_sets = grouping_sets
         q.qualify = qualify
@@ -902,8 +963,79 @@ class _Parser:
             "", fn, alias, "lateral", None, lateral_arg=arg
         )
 
+    def _values_literal(self):
+        """One literal cell inside (VALUES ...): number (optionally
+        signed), string, TRUE/FALSE/NULL."""
+        neg = self.accept_op("-")
+        kind, v = self.next()
+        if kind == "num":
+            x = float(v) if "." in v else int(v)
+            return -x if neg else x
+        if neg:
+            raise ValueError(f"unary minus before non-number {v!r} in VALUES")
+        if kind == "str":
+            return v
+        if kind == "kw" and v in ("true", "false"):
+            return v == "true"
+        if kind == "kw" and v == "null":
+            return None
+        raise ValueError(
+            f"VALUES cells are literals (number/string/true/false/null), "
+            f"got {v!r}"
+        )
+
+    def _parse_values_table(self) -> tuple[str, str, str | None]:
+        """``(VALUES (...), (...)) [AS] t(a, b)`` after the opening
+        paren+VALUES have been consumed."""
+        rows: list[list] = []
+        while True:
+            if not self.accept_op("("):
+                raise ValueError("VALUES requires parenthesized row tuples")
+            row = [self._values_literal()]
+            while self.accept_op(","):
+                row.append(self._values_literal())
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced VALUES row tuple")
+            rows.append(row)
+            if not self.accept_op(","):
+                break
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced (VALUES ...) parenthesis")
+        self.accept_kw("as")
+        kind, alias = self.name_next()
+        if kind != "name" or "." in alias:
+            raise ValueError("VALUES requires a table alias: (VALUES ...) t(a, b)")
+        if not self.accept_op("("):
+            raise ValueError(
+                "VALUES requires an explicit column list: (VALUES ...) "
+                "t(a, b) — literal rows have no canonical names"
+            )
+        cols: list[str] = []
+        while True:
+            k2, cname = self.name_next()
+            if k2 != "name" or "." in cname:
+                raise ValueError(f"expected column name in VALUES list, got {cname!r}")
+            cols.append(cname)
+            if not self.accept_op(","):
+                break
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced VALUES column list")
+        bad = [r for r in rows if len(r) != len(cols)]
+        if bad:
+            raise ValueError(
+                f"VALUES row has {len(bad[0])} cells but the column list "
+                f"names {len(cols)}"
+            )
+        name = f"__dt{self._dt_n}"
+        self._dt_n += 1
+        self.derived.append((name, ValuesTable(cols, rows)))
+        return "", name, alias
+
     def parse_source(self) -> tuple[str, str, str | None]:
         if self.accept_op("("):
+            if self.accept_kw("values"):
+                # inline constant table (VALUES (...), (...)) t(a, b)
+                return self._parse_values_table()
             # derived table ``( SELECT ... ) alias`` — an ANONYMOUS CTE:
             # the body parses like any subquery, gets a unique internal
             # name, and rides the exact WITH-clause planning path
@@ -947,7 +1079,7 @@ class _Parser:
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
     _RANK_FUNCS = ("rank", "dense_rank", "row_number")
-    _NAV_FUNCS = ("lag", "lead")
+    _NAV_FUNCS = ("lag", "lead", "first_value", "last_value")
     #: whitelisted scalar functions — a name followed by '(' parses as
     #: a call (winning over a same-named series); everything compiles
     #: to built-in Catalyst expressions (functions/scalar.py carries
@@ -1058,6 +1190,24 @@ class _Parser:
             parts = tuple(inner.split("."))
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        ignore_nulls = False
+        if func is not None and (
+            self.peek() == ("kw", "ignore") or self.peek() == ("kw", "respect")
+        ):
+            # ANSI trailing null-treatment: fn(col) IGNORE NULLS OVER w —
+            # the LOCF/gap-fill navigation modifier. Spark exposes the
+            # flag on first/last only, so lag/lead refuse loudly rather
+            # than silently treating nulls as values.
+            mode = self.next()[1]
+            self.expect_kw("nulls")
+            if func not in ("first_value", "last_value"):
+                raise ValueError(
+                    f"{mode.upper()} NULLS is supported on first_value/"
+                    "last_value only (Spark's lag/lead do not expose "
+                    "null treatment); for gap-fill use last_value(col) "
+                    "IGNORE NULLS over a preceding frame"
+                )
+            ignore_nulls = mode == "ignore"
         filter_expr = None
         if (
             func is not None
@@ -1109,7 +1259,7 @@ class _Parser:
             )
         return FieldRef(
             parts, alias, func, window, arg_expr=arg_expr,
-            filter_expr=filter_expr,
+            filter_expr=filter_expr, ignore_nulls=ignore_nulls,
         )
 
     def parse_window(self) -> WindowSpec:
@@ -2035,6 +2185,69 @@ def _plan_recursive_cte(
     )
 
 
+def _plan_values(spark: SparkSession, vt: ValuesTable) -> DataFrame:
+    """Materialize an inline VALUES table as a true LocalRelation.
+    Column types are inferred per column over ALL rows (any float ->
+    double, else bool, else any int -> bigint, else string), so mixed
+    int/float columns widen the way SQL literals do; an all-NULL
+    column has no type and is refused.
+
+    Built through a Spark SQL inline table (``SELECT * FROM VALUES
+    ...``), NOT createDataFrame: the latter ships rows through an
+    ExistingRDD whose size statistics are unknown, so the static
+    planner would never broadcast the literal dimension — the whole
+    point of an inline table in a join. A LocalRelation carries exact
+    stats and broadcast-joins for free. Cells are parser-validated
+    literals and column names are tokenizer-validated identifiers, so
+    the rendered SQL is injection-safe by construction."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+    )
+
+    fields = []
+    for i, c in enumerate(vt.cols):
+        vals = [r[i] for r in vt.rows if r[i] is not None]
+        if not vals:
+            raise ValueError(
+                f"VALUES column {c!r} is entirely NULL — no type to infer"
+            )
+        if any(isinstance(v, float) for v in vals):
+            t = DoubleType()
+        elif any(isinstance(v, bool) for v in vals):
+            if not all(isinstance(v, bool) for v in vals):
+                raise ValueError(f"VALUES column {c!r} mixes bool and non-bool")
+            t = BooleanType()
+        elif any(isinstance(v, int) for v in vals):
+            t = LongType()
+        else:
+            t = StringType()
+        fields.append(StructField(c, t, True))
+
+    def _fmt(v, dt):
+        if v is None:
+            return "NULL"
+        if isinstance(dt, DoubleType):
+            return repr(float(v))
+        if isinstance(dt, BooleanType):
+            return "true" if v else "false"
+        if isinstance(dt, LongType):
+            return str(int(v))
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows_sql = ", ".join(
+        "(" + ", ".join(_fmt(v, f.dataType) for v, f in zip(r, fields)) + ")"
+        for r in vt.rows
+    )
+    cols_sql = ", ".join(f.name for f in fields)
+    df = spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t({cols_sql})")
+    # enforce the widened per-column types (Spark infers int32 for
+    # small int literals; the cast projection collapses back into the
+    # LocalRelation at optimization time)
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+    )
+
+
 def plan(
     spark: SparkSession,
     q: BoostQuery,
@@ -2072,7 +2285,9 @@ def plan(
     for cname, body in q.ctes:
         if cname in ctes:
             raise ValueError(f"duplicate WITH name {cname!r}")
-        if body.recursive:
+        if isinstance(body, ValuesTable):
+            ctes[cname] = _plan_values(spark, body)
+        elif body.recursive:
             ctes[cname] = _plan_recursive_cte(
                 spark, cname, body, binding, start, end, params, ctes
             )
@@ -2787,7 +3002,11 @@ def plan(
                     ]
                 )
             if ref.window.frame is not None:
-                if func in rank_map or func in nav_map:
+                # rank/offset functions are frame-insensitive by ANSI
+                # definition; first_value/last_value ARE frame-sensitive
+                # (that is what makes last_value(...) IGNORE NULLS over
+                # a preceding frame the LOCF idiom) and accept one
+                if func in rank_map or func in ("lag", "lead"):
                     raise ValueError(
                         f"{func}() does not take a frame clause"
                     )
@@ -2797,6 +3016,11 @@ def plan(
                     wspec = wspec.rowsBetween(*ref.window.frame)
             if func in rank_map:
                 c = rank_map[func]().over(wspec)
+            elif func in ("first_value", "last_value"):
+                nav_fn = F.first if func == "first_value" else F.last
+                c = nav_fn(F.col(col), ignorenulls=ref.ignore_nulls).over(
+                    wspec
+                )
             elif func in nav_map:
                 c = nav_map[func](F.col(col)).over(wspec)
             elif ref.arg_expr is not None:
@@ -2833,7 +3057,18 @@ def plan(
                 _compile_expr(q.qualify, res, name_of=qual_name, params=params)
             )
     elif q.star:
-        pass  # SELECT *: the scan's full column set, no projection
+        # SELECT *: the scan's full column set; EXCLUDE drops named
+        # columns from the expansion (DuckDB/Snowflake surface) — the
+        # drop happens BEFORE the scan executes, so Catalyst's column
+        # pruning still narrows the parquet ReadSchema
+        if q.exclude:
+            missing = [c for c in q.exclude if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"EXCLUDE names unknown columns {missing} "
+                    f"(source columns: {df.columns})"
+                )
+            df = df.drop(*q.exclude)
     else:
         proj_cols = []
         for alias, col, _, ref in sel:
@@ -2862,6 +3097,58 @@ def plan(
                 "aggregates that are not in the select list"
             )
         df = df.distinct()
+    if q.distinct_on:
+        # DISTINCT ON (k, ...): one survivor per key group, chosen by
+        # the residual ORDER BY keys (postgres semantics). Compiled as
+        # ONE row_number window partitioned by the keys — never a
+        # self-join; the ORDER BY must lead with the ON columns
+        # (postgres rule) and carry >=1 extra key so the survivor is
+        # deterministic under the hash gate.
+        if hidden:
+            raise ValueError(
+                "DISTINCT ON cannot combine with HAVING/ORDER BY "
+                "aggregates that are not in the select list"
+            )
+        out_cols = df.columns
+
+        def don_name(ref: FieldRef) -> str:
+            if ref.func is not None or len(ref.parts) != 1:
+                raise ValueError(
+                    "DISTINCT ON and its ORDER BY reference select-list "
+                    "output columns by name"
+                )
+            if ref.parts[0] not in out_cols:
+                raise ValueError(
+                    f"DISTINCT ON/ORDER BY must name an output column "
+                    f"(one of {out_cols}), got {ref.parts[0]}"
+                )
+            return ref.parts[0]
+
+        keys = [don_name(r) for r in q.distinct_on]
+        if len(q.order_by) <= len(keys):
+            raise ValueError(
+                "DISTINCT ON requires ORDER BY to lead with the ON "
+                "columns and add at least one tiebreak key (which row "
+                "survives is undefined otherwise)"
+            )
+        lead_keys = [don_name(r) for r, _, _ in q.order_by[: len(keys)]]
+        if lead_keys != keys:
+            raise ValueError(
+                f"ORDER BY must lead with the DISTINCT ON columns "
+                f"{keys} (postgres rule), got {lead_keys}"
+            )
+        from pyspark.sql import Window as _W
+
+        rest = [
+            _order_col(don_name(r), d, n)
+            for r, d, n in q.order_by[len(keys):]
+        ]
+        won = _W.partitionBy(*keys).orderBy(*rest)
+        df = (
+            df.withColumn("_don", F.row_number().over(won))
+            .filter(F.col("_don") == 1)
+            .drop("_don")
+        )
     if q.order_by:
         order = []
         for ref, desc, nulls in q.order_by:

@@ -133,7 +133,7 @@ def _q(name: str, oracle: str | None):
 # the round-5 cohort in name order fills the remainder. The r6/r7/r8
 # cohorts are younger and wait their turn.
 _WINDOW: tuple[str, ...] = (
-    # --- new in round 9 (never driver-certified) --- entries are
+    # --- new in round 9 (never driver-certified, 15) --- entries are
     # inserted here as they land, displacing tail re-cert slots.
     "dialect_recursive_cte",  # WITH RECURSIVE fixpoint (halving chain)
     "dialect_recursive_components",  # recursive min-label closure
@@ -141,14 +141,27 @@ _WINDOW: tuple[str, ...] = (
     "dialect_window_range_frame",  # RANGE BETWEEN INTERVAL trailing
     "dialect_lateral_tokenize",  # JOIN LATERAL fn() -> JVM generator
     "dialect_named_window",  # ANSI WINDOW w AS (spec) shared specs
-    "dedup_levenshtein_capped",  # df-capped two-stage edit-dist dedup
+    "dedup_levenshtein_capped",  # df+per-doc-capped edit-dist dedup
+    "dialect_ignore_nulls",  # last_value(...) IGNORE NULLS (SQL LOCF)
+    "dialect_distinct_on",   # DISTINCT ON: one survivor per group
+    "dialect_select_exclude",  # SELECT * EXCLUDE (cols)
+    "dialect_values",        # (VALUES ...) inline constant dimension
+    "ts_integral",           # trapezoidal time-weighted integral
+    "ts_drawdown",           # max decline below running peak
+    "ts_uptime_sla",         # heartbeat availability + gap count
+    "ts_lttb",               # LTTB downsample, bucket-mean anchors
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: last driver-green ROUND 3 (all 38) ---
+    # --- re-certification: last driver-green ROUND 3 (30 of 38; the
+    # 8 displaced by round-9 entries — in name order doc_chunk,
+    # doc_mixture_sample, doc_repeat_epochs, doc_source_overlap,
+    # doc_split_train_val, emb_centroid_bucketed, emb_neardup_cosine,
+    # emb_outliers re-certified mid-list below stay; the LAST 8 by
+    # name were dropped) ---
     "dialect_join_left", "dialect_join_multi", "dialect_window",
     "dialect_window_nav", "doc_chunk", "doc_mixture_sample",
     "doc_repeat_epochs", "doc_source_overlap", "doc_split_train_val",
@@ -159,12 +172,10 @@ _WINDOW: tuple[str, ...] = (
     "scan_time_sliced", "scan_zordered", "subquery_in",
     "subquery_scalar", "ts_autocorr", "ts_ewma_bucketed",
     "ts_ewma_rows", "txt_fingerprint", "txt_langid",
-    "txt_ngram_novelty", "txt_normalize", "txt_repetition",
-    "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
-    "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: the ROUND-5 cohort (45 entries) is next
-    # stalest; its single slot was displaced by dedup_levenshtein_capped
-    # and the whole cohort defers to round 10. ---
+    # --- displaced to round 10: txt_ngram_novelty, txt_normalize,
+    # txt_repetition, txt_token_count, txt_token_count_bpe,
+    # txt_unigram_logprob, txt_vocab_topk, udtf_tokenize (r3-era) and
+    # the whole r5 cohort. ---
 )
 
 
@@ -6772,6 +6783,270 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 400000)
         """
+    )
+
+
+@_q(
+    "dialect_ignore_nulls",
+    """
+    WITH d AS (
+      SELECT event_id AS eid, user_id AS uid,
+             CASE WHEN value < 2.0 THEN NULL ELSE value END AS v
+      FROM events WHERE event_type = 'click')
+    SELECT eid, uid,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY uid ORDER BY eid) AS filled
+    FROM d
+    """,
+)
+def dialect_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``last_value(v) IGNORE NULLS OVER (...)`` through the dialect
+    front — the ANSI null-treatment modifier that makes SQL gap-fill
+    (LOCF: carry the last observation forward over NULL readings)
+    expressible in one analytic projection, certifying the DataFrame
+    layer's gapfill_locf idiom from SQL. Spark exposes the flag on
+    first/last, DuckDB takes it inside the call parens — same
+    semantics, both over the default RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW frame. lag/lead refuse the modifier loudly
+    (Spark does not expose it there)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT eid, uid, last_value(v) IGNORE NULLS "
+        "OVER (PARTITION BY uid ORDER BY eid) AS filled "
+        "FROM (SELECT click.event_id AS eid, click.user_id AS uid, "
+        "CASE WHEN click < 2.0 THEN null ELSE click END AS v "
+        "FROM boost.events) d",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_distinct_on",
+    """
+    SELECT DISTINCT ON (user_id) user_id AS uid, event_id AS eid,
+           value AS v
+    FROM events WHERE event_type = 'click'
+    ORDER BY user_id ASC, event_id DESC
+    """,
+)
+def dialect_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT DISTINCT ON (k)`` through the dialect front — the
+    postgres/DuckDB one-survivor-per-group idiom (here: each user's
+    LATEST click, the latest-point query ts_latest_point certifies
+    DataFrame-side). Compiled as ONE row_number window partitioned by
+    the ON keys and ordered by the residual ORDER BY — never a
+    self-join. The ORDER BY must lead with the ON columns (postgres
+    rule) and add >=1 tiebreak key, so which row survives is
+    deterministic under the hash gate (event_id is unique)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT DISTINCT ON (uid) uid, eid, v FROM "
+        "(SELECT click.user_id AS uid, click.event_id AS eid, "
+        "click AS v FROM boost.events) d "
+        "ORDER BY uid ASC, eid DESC",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_select_exclude",
+    """
+    SELECT * EXCLUDE (ts, props) FROM events
+    WHERE event_type = 'click' AND value > 50.0
+    """,
+)
+def dialect_select_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCLUDE (cols)`` through the dialect front
+    (DuckDB/Snowflake star-minus surface; the oracle runs DuckDB's
+    native EXCLUDE). The drop applies before execution, so Catalyst's
+    column pruning still narrows the parquet ReadSchema — a star
+    query that excludes the wide payload column reads a narrow scan,
+    which is the whole point of the idiom at 100 TB. Unknown names
+    refuse loudly."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT * EXCLUDE (ts, props) FROM boost.events "
+        "WHERE click > 50.0",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_values",
+    """
+    SELECT e.event_id AS eid, t.tier AS tier
+    FROM events e
+    JOIN (VALUES ('click', 'engagement'), ('purchase', 'conversion'),
+                 ('signup', 'conversion'), ('view', 'impression'),
+                 ('error', 'ops')) t(etype, tier)
+      ON e.event_type = t.etype
+    """,
+)
+def dialect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(VALUES ...) t(a, b)`` through the dialect front — the ANSI
+    inline constant table, here in its canonical 100-TB role: a tiny
+    literal dimension (event-type -> tier rollup map) joined to the
+    fact family. The literal rows materialize as ONE LocalRelation
+    (no scan, no shuffle) and Spark broadcast-joins it for free;
+    column types infer per column over all rows (int->bigint,
+    any-float->double, string/bool), all-NULL columns refuse."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT e.event_id AS eid, t.tier AS tier "
+        "FROM (SELECT * FROM boost.events) e "
+        "JOIN (VALUES ('click', 'engagement'), "
+        "('purchase', 'conversion'), ('signup', 'conversion'), "
+        "('view', 'impression'), ('error', 'ops')) t(etype, tier) "
+        "ON e.event_type = t.etype",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "ts_integral",
+    """
+    WITH x AS (
+      SELECT event_type, epoch_ns(ts) AS t, value,
+             epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket,
+             lead(epoch_ns(ts)) OVER w AS nt,
+             lead(value) OVER w AS nv
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), value)),
+    p AS (
+      SELECT event_type, bucket, t,
+             (value + nv) * 0.5 * CAST(nt - t AS DOUBLE) AS a
+      FROM x WHERE nt - nt % 21600000000000 = bucket)
+    SELECT event_type, bucket,
+           list_reduce(list_prepend(0.0, list(a ORDER BY t)),
+                       (acc, e) -> acc + e) / 1e9 AS integral,
+           count(*) AS n_pairs
+    FROM p GROUP BY event_type, bucket
+    """,
+)
+def ts_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_weighted_integral(): 6h trapezoidal area under each series
+    in value*seconds (TimescaleDB ``integral`` analog; the rich-time-
+    series north star, reference README.md:8). Boundary-crossing pairs
+    excluded by contract; the trapezoid sum is a ts-ordered left fold,
+    so the double hash-matches the oracle bit for bit."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.time_weighted_integral(
+        _ns_events(t), bucket_seconds=21600, series_cols=("event_type",)
+    )
+
+
+@_q(
+    "ts_drawdown",
+    """
+    WITH x AS (
+      SELECT event_type, value AS v,
+             max(value) OVER (PARTITION BY event_type
+                              ORDER BY epoch_ns(ts), value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pk
+      FROM events)
+    SELECT event_type,
+           max(pk - v) AS max_dd,
+           max(CASE WHEN pk > 0 THEN (pk - v) / pk END) AS max_dd_rel,
+           max(v) AS peak
+    FROM x GROUP BY event_type
+    """,
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_drawdown(): largest decline below the running high-water
+    mark per series — absolute and relative (relative only against a
+    positive peak). Running max over a (ts, value)-ordered frame is
+    exact double comparison, so no fold machinery is needed; one
+    window shuffle + one hash aggregate."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.max_drawdown(_ns_events(t), series_cols=("event_type",))
+
+
+@_q(
+    "ts_uptime_sla",
+    """
+    WITH x AS (
+      SELECT event_type, epoch_ns(ts) AS t,
+             lead(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_ns(ts))
+               - epoch_ns(ts) AS g
+      FROM events)
+    SELECT event_type,
+           max(t) - min(t) AS span_ns,
+           CAST(sum(least(g, 3600000000000)) AS BIGINT) AS uptime_ns,
+           CAST(sum(least(g, 3600000000000)) AS DOUBLE)
+             / nullif(CAST(max(t) - min(t) AS DOUBLE), 0.0)
+             AS availability,
+           coalesce(CAST(sum(CASE WHEN g > 3600000000000 THEN 1
+                             ELSE 0 END) AS BIGINT), 0) AS n_gaps
+    FROM x GROUP BY event_type
+    """,
+)
+def ts_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uptime_sla(): heartbeat-based availability per series
+    (TimescaleDB heartbeat_agg analog) with a 1h heartbeat — an
+    observation proves liveness for min(gap, heartbeat) ns; longer
+    gaps count as downtime and increment n_gaps. Integer-ns math up
+    to the single final division."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.uptime_sla(
+        _ns_events(t), heartbeat_seconds=3600, series_cols=("event_type",)
+    )
+
+
+@_q(
+    "ts_lttb",
+    """
+    WITH x AS (
+      SELECT event_type, epoch_ns(ts) AS t, value AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_ns(ts), value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    b AS (SELECT *, CAST(floor((rn - 1) * 100 / n) AS BIGINT) AS bkt
+          FROM x),
+    m AS (SELECT event_type, bkt,
+                 CAST(sum(rn) AS DOUBLE) / count(*) AS mx,
+                 CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS my
+          FROM b GROUP BY event_type, bkt),
+    nbr AS (SELECT event_type, bkt,
+                   lag(mx) OVER wb AS lx, lag(my) OVER wb AS ly,
+                   lead(mx) OVER wb AS rx, lead(my) OVER wb AS ry
+            FROM m WINDOW wb AS (PARTITION BY event_type ORDER BY bkt)),
+    j AS (SELECT b.*, nbr.lx, nbr.ly, nbr.rx, nbr.ry
+          FROM b JOIN nbr USING (event_type, bkt)),
+    interior AS (
+      SELECT event_type, bkt, t, v, rn,
+             abs((lx - rx) * (v - ly)
+                 - (lx - CAST(rn AS DOUBLE)) * (ry - ly)) AS area
+      FROM j WHERE lx IS NOT NULL AND rx IS NOT NULL),
+    pick AS (SELECT *, row_number() OVER (PARTITION BY event_type, bkt
+                                          ORDER BY area DESC, rn ASC) AS pk
+             FROM interior)
+    SELECT event_type, bkt AS bucket, t AS ts_ns, v AS value
+    FROM pick WHERE pk = 1
+    UNION ALL
+    SELECT event_type, bkt AS bucket, t AS ts_ns, v AS value
+    FROM j WHERE (lx IS NULL AND rn = 1) OR (rx IS NULL AND rn = n)
+    """,
+)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lttb_downsample(): Largest-Triangle-Three-Buckets to ~100
+    points per series (Steinarsson 2013) with fixed bucket-mean
+    anchors — the parallelizable LTTB variant (classic LTTB's
+    previously-selected-point anchor is inherently serial). X
+    coordinates are per-series rank indices, never raw ns epochs
+    (ns exceeds 2^53 where double x-math loses exactness). Both
+    engines run the identical balanced-bucket, mean-anchor, argmax
+    geometry, so the selected points hash-match."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.lttb_downsample(
+        _ns_events(t), n_out=100, series_cols=("event_type",)
     )
 
 

@@ -476,10 +476,16 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
       FROM dsr a JOIN dsr b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
-    cand AS (
-      SELECT id_a, id_b
+    cand0 AS (
+      SELECT id_a, id_b, c::DOUBLE / (sa.sz + sb.sz - c) AS j
       FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
       WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+    cand AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY j DESC, id_b ASC) AS rk
+        FROM cand0) r WHERE rk <= 20),
     t AS (SELECT cand.id_a, cand.id_b, ta.text AS ta, tb.text AS tb
           FROM cand JOIN documents ta ON cand.id_a = ta.doc_id
                     JOIN documents tb ON cand.id_b = tb.doc_id)
@@ -490,22 +496,25 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_levenshtein_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION-POSTURE edit-distance dedup: the ubiquitous-shingle
-    cap (max_doc_freq=100) engaged on the candidate stage — the knob
-    the round-9 sf1 probe showed is load-bearing for the two-stage
-    verifier too: UNCAPPED candidates at the low 0.2 threshold read
-    49.4x wall on 10x rows of the tiny-vocab fixture (low-threshold
-    candidates inherit the full per-shingle d^2 fanout AND each pays
-    an O(len^2) Levenshtein), capped they are bounded per shingle.
-    Same capped-estimator semantics as dedup_ngram_jaccard_capped:
-    candidate intersections count sub-ubiquitous shingles only, set
-    sizes stay pre-cap; the Levenshtein verify itself is exact either
-    way. The uncapped dedup_levenshtein entry stays certified as the
-    exactness baseline at fixture scale."""
+    """PRODUCTION-POSTURE edit-distance dedup: BOTH scale knobs
+    engaged — the ubiquitous-shingle cap (max_doc_freq=100) bounds the
+    per-shingle candidate fanout, and the per-doc candidate cap
+    (max_candidates_per_doc=20) bounds the O(len^2) Levenshtein verify
+    to the 20 most-similar candidates per doc (by candidate Jaccard,
+    ties to the smaller id), i.e. O(docs x k x len^2) total. The r9
+    sf1 probe motivated each knob separately: uncapped read 49.4x wall
+    on 10x rows (d^2 shingle fanout x per-pair len^2), df-cap alone
+    still 24.7x (surviving shingles drift toward the df ceiling in the
+    tiny-vocab fixture, multiplying pairs-per-shingle), df-cap +
+    per-doc cap is the linear production shape. Candidate semantics
+    match dedup_ngram_jaccard_capped (intersections count
+    sub-ubiquitous shingles only, set sizes pre-cap); the Levenshtein
+    verify itself stays exact. The uncapped dedup_levenshtein entry
+    remains certified as the exactness baseline at fixture scale."""
     t = load_tables(spark, sf_dir)
     out = dd.edit_distance_pairs(
         t["documents"], max_rel_dist=0.4, candidate_threshold=0.2, n=3,
-        max_doc_freq=100,
+        max_doc_freq=100, max_candidates_per_doc=20,
     )
     return out.withColumn("lev", F.col("lev").cast("long"))
 

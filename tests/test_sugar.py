@@ -1941,3 +1941,146 @@ def test_named_window_clause_rules():
               "WINDOW w AS (ORDER BY a.ts), w AS (ORDER BY a.k)")
     q2 = parse("SELECT a.window FROM d.f a")
     assert q2.fields[0].parts == ("a", "window")
+
+
+def test_ignore_nulls_rules(spark):
+    """IGNORE/RESPECT NULLS: first_value/last_value take the modifier,
+    lag/lead refuse loudly (Spark does not expose the flag there), and
+    the compiled LOCF projection carries the last non-null forward."""
+    import pyspark.sql.functions as F
+
+    q = parse(
+        "SELECT last_value(v) IGNORE NULLS OVER (PARTITION BY k "
+        "ORDER BY t) AS filled FROM d.f"
+    )
+    assert q.fields[0].func == "last_value" and q.fields[0].ignore_nulls
+    q2 = parse(
+        "SELECT first_value(v) RESPECT NULLS OVER (ORDER BY t) AS x "
+        "FROM d.f"
+    )
+    assert q2.fields[0].func == "first_value" and not q2.fields[0].ignore_nulls
+    with pytest.raises(ValueError, match="first_value/last_value"):
+        parse("SELECT lag(v) IGNORE NULLS OVER (ORDER BY t) AS x FROM d.f")
+    with pytest.raises(ValueError, match="OVER"):
+        parse("SELECT last_value(v) IGNORE NULLS AS x FROM d.f")
+    # LOCF semantics end-to-end (series 'a' has NULL readings at
+    # t=2,3 that must carry the t=1 observation forward)
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+         ("b", 1, None), ("b", 2, 5.0)],
+        "series STRING, mts LONG, value DOUBLE",
+    )
+    df.createOrReplaceTempView("locf_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="locf_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    out = sugar.query(
+        spark,
+        "SELECT t, last_value(v) IGNORE NULLS "
+        "OVER (ORDER BY t) AS filled "
+        "FROM (SELECT x.a.mts AS t, x.a AS v FROM d.f x) d2",
+        b,
+    ).collect()
+    got = {r.t: r.filled for r in out}
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0}
+    # RESPECT NULLS (the default) keeps the NULL readings
+    out2 = sugar.query(
+        spark,
+        "SELECT t, last_value(v) RESPECT NULLS "
+        "OVER (ORDER BY t) AS raw "
+        "FROM (SELECT x.a.mts AS t, x.a AS v FROM d.f x) d2",
+        b,
+    ).collect()
+    got2 = {r.t: r.raw for r in out2}
+    assert got2[2] is None and got2[4] == 40.0
+
+
+def test_distinct_on_rules(spark):
+    """DISTINCT ON: ORDER BY must lead with the ON columns and add a
+    tiebreak; the survivor is the first row per group by the residual
+    order; plain DISTINCT keeps working."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 5, 1.0), ("b", 3, 9.0)],
+        "series STRING, mts LONG, value DOUBLE",
+    )
+    df.createOrReplaceTempView("don_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="don_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    out = sugar.query(
+        spark,
+        "SELECT DISTINCT ON (series) series, mts, value FROM "
+        "(SELECT * FROM d.f) x "
+        "ORDER BY series ASC, mts DESC",
+        b,
+    ).collect()
+    got = {r.series: (r.mts, r.value) for r in out}
+    assert got == {"a": (2, 20.0), "b": (5, 1.0)}
+    with pytest.raises(ValueError, match="tiebreak"):
+        sugar.query(
+            spark,
+            "SELECT DISTINCT ON (series) series, mts FROM "
+            "(SELECT * FROM d.f) x ORDER BY series",
+            b,
+        )
+    with pytest.raises(ValueError, match="lead with the DISTINCT ON"):
+        sugar.query(
+            spark,
+            "SELECT DISTINCT ON (series) series, mts FROM "
+            "(SELECT * FROM d.f) x ORDER BY mts, series",
+            b,
+        )
+
+
+def test_select_exclude_rules(spark):
+    """SELECT * EXCLUDE drops named columns from the star expansion
+    and refuses unknown names."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0, "x")],
+        "series STRING, mts LONG, value DOUBLE, payload STRING",
+    )
+    df.createOrReplaceTempView("excl_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="excl_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    out = sugar.query(
+        spark, "SELECT * EXCLUDE (payload, mts) FROM d.f", b
+    )
+    assert out.columns == ["series", "value"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        sugar.query(spark, "SELECT * EXCLUDE (nope) FROM d.f", b).collect()
+    # EXCLUDE still narrows the scan: excluded cols never read
+    with pytest.raises(ValueError, match="EXCLUDE requires"):
+        parse("SELECT * EXCLUDE payload FROM d.f")
+
+
+def test_values_table_rules(spark):
+    """(VALUES ...) t(a, b): literal typing (int->bigint, any
+    float->double, bool, string, NULL cells), arity validation,
+    all-NULL refusal, and the LocalRelation join path."""
+    q = parse(
+        "SELECT t.a AS a FROM (VALUES (1, 'x'), (2, null)) t(a, b)"
+    )
+    assert isinstance(q.ctes[0][1], sugar.ValuesTable)
+    assert q.ctes[0][1].rows == [[1, "x"], [2, None]]
+    with pytest.raises(ValueError, match="column list"):
+        parse("SELECT t.a AS a FROM (VALUES (1), (2)) t")
+    with pytest.raises(ValueError, match="cells"):
+        parse("SELECT t.a AS a FROM (VALUES (1, 2), (3,)) t(a, b)")
+    with pytest.raises(ValueError, match="literals"):
+        parse("SELECT t.a AS a FROM (VALUES (x)) t(a)")
+    vt = sugar.ValuesTable(["a"], [[None], [None]])
+    with pytest.raises(ValueError, match="entirely NULL"):
+        sugar._plan_values(spark, vt)
+    mixed = sugar._plan_values(
+        spark, sugar.ValuesTable(["a", "b"], [[1, "x"], [2.5, None]])
+    )
+    assert dict(mixed.dtypes) == {"a": "double", "b": "string"}
+    assert mixed.count() == 2
+    # plan shape: literal table is a LocalRelation/LocalTableScan —
+    # no file scan, eligible for broadcast
+    plan_str = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan_str or "LocalRelation" in plan_str
