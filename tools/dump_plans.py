@@ -79,6 +79,12 @@ SHOWCASE = [
     ("dialect_window_range_frame", "RANGE INTERVAL frame: rangeBetween over the ns conversion, one exchange+sort shared by both projections"),
     ("dialect_lateral_tokenize", "JOIN LATERAL: pure-JVM posexplode Generate inside codegen, series filter pushed below it — no shuffle, no Python"),
     ("dialect_named_window", "named WINDOW clause: both OVER w projections share ONE exchange+sort"),
+    ("dialect_ignore_nulls", "IGNORE NULLS LOCF: one Window over the derived projection, last_value(ignoreNulls) in codegen"),
+    ("dialect_distinct_on", "DISTINCT ON: WindowGroupLimit (rank pushdown) -> filter rn=1, one exchange, never a self-join"),
+    ("dialect_select_exclude", "star EXCLUDE: ReadSchema narrowed — the excluded payload columns never leave the parquet scan"),
+    ("dialect_values", "inline VALUES: LocalTableScan (exact stats) -> BroadcastHashJoin, literal dim never shuffles"),
+    ("ts_lttb", "LTTB: rank window + bucket-mean agg + broadcast neighbor join + WindowGroupLimit argmax"),
+    ("ts_integral", "trapezoid integral: one lead window + hash agg to (series, bucket), ordered fold"),
 ]
 
 
