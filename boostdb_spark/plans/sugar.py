@@ -512,9 +512,12 @@ class _Parser:
             if self.accept_kw("union"):
                 op = "union_all" if self.accept_kw("all") else "union"
             elif self.accept_kw("intersect"):
-                op = "intersect"
+                # INTERSECT ALL keeps duplicate multiplicity
+                # (min of the two sides' counts, ANSI bag semantics)
+                op = "intersect_all" if self.accept_kw("all") else "intersect"
             elif self.accept_kw("except"):
-                op = "except"
+                # EXCEPT ALL subtracts multiplicities (left minus right)
+                op = "except_all" if self.accept_kw("all") else "except"
             else:
                 break
             q.set_ops.append((op, self.parse_core()))
@@ -2332,6 +2335,10 @@ def plan(
                 df = df.union(rdf).distinct()
             elif op == "intersect":
                 df = df.intersect(rdf)
+            elif op == "intersect_all":
+                df = df.intersectAll(rdf)
+            elif op == "except_all":
+                df = df.exceptAll(rdf)
             else:
                 df = df.subtract(rdf)
         if q.order_by:

@@ -4833,6 +4833,46 @@ def dialect_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dialect_setops_all",
+    """
+    SELECT user_id FROM events
+    WHERE event_type IN ('click', 'view') AND value > 150.0
+    INTERSECT ALL
+    SELECT user_id FROM events
+    WHERE event_type IN ('click', 'error') AND value > 120.0
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def dialect_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL through the dialect front — the ANSI
+    bag-semantics set operations (multiplicity-preserving: INTERSECT
+    ALL keeps min(count_l, count_r) copies, EXCEPT ALL subtracts
+    multiplicities), completing the set-op chain next to the distinct
+    forms in dialect_setops. Spark plans both as ONE aggregate-style
+    exchange on the row value (intersectAll/exceptAll), no join
+    explosion; duplicates here are real (users fire many events), so
+    the bag result genuinely differs from the distinct one and the
+    hash certifies the multiplicity arithmetic. The dialect chain is
+    left-associative, which for this INTERSECT-then-EXCEPT shape
+    coincides with ANSI precedence (INTERSECT binds tighter), so the
+    DuckDB oracle parses to the same tree."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT x.user_id FROM (SELECT * FROM boost.events) x "
+        "WHERE x.event_type IN ('click', 'view') AND x.value > 150.0 "
+        "INTERSECT ALL "
+        "SELECT y.user_id FROM (SELECT * FROM boost.events) y "
+        "WHERE y.event_type IN ('click', 'error') AND y.value > 120.0 "
+        "EXCEPT ALL "
+        "SELECT z.user_id FROM (SELECT * FROM boost.events) z "
+        "WHERE z.event_type = 'signup'",
+        EVENTS_BINDING,
+    )
+
+
 _STREAM_LANDING: dict = {}
 
 #: RocksDB state-store provider (bundled with Spark; rocksdbjni ships

@@ -314,3 +314,53 @@ def test_interp_align_single_exchange(spark):
     exch = len(re.findall(r"\bExchange hashpartitioning\(user_id", p))
     assert exch <= 2  # one per union branch pre-AQE accounting
     assert "CartesianProduct" not in p
+
+
+def test_values_localrelation_broadcast(spark):
+    # inline VALUES must be a LocalTableScan (exact stats) feeding a
+    # BroadcastHashJoin — never an ExistingRDD (unknown stats, no
+    # broadcast) and never a shuffle of the literal dimension
+    p = _plan(spark, "dialect_values")
+    assert "LocalTableScan" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "Scan ExistingRDD" not in p
+
+
+def test_distinct_on_windowgrouplimit(spark):
+    # DISTINCT ON compiles to a rank window; Spark's rank pushdown
+    # (WindowGroupLimit) must kick in so the top-1 filter never
+    # materializes full per-group sorts — and there is no self-join
+    p = _plan(spark, "dialect_distinct_on")
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+
+
+def test_select_exclude_narrows_readschema(spark):
+    # the excluded wide columns must not leave the parquet scan
+    p = _plan(spark, "dialect_select_exclude")
+    readschema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in readschema and "ts" not in readschema
+    assert "event_id" in readschema
+
+
+def test_lttb_windowgrouplimit_and_broadcast(spark):
+    # the per-bucket argmax must ride WindowGroupLimit (top-k per
+    # bucket without full sorts); the bucket-mean neighbor table is
+    # broadcast-sized (n_out rows per series)
+    p = _plan(spark, "ts_lttb")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ignore_nulls_single_window(spark):
+    # LOCF is ONE Window operator over the derived projection
+    p = _plan(spark, "dialect_ignore_nulls")
+    assert p.count("Window") >= 1
+    assert "Join" not in p
+
+
+def test_setops_all_no_join_explosion(spark):
+    # bag-semantics set ops plan as aggregate-style exchanges, not
+    # joins over duplicated rows
+    p = _plan(spark, "dialect_setops_all")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
