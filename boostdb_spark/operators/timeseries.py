@@ -2151,35 +2151,55 @@ def theilsen_trend(
         # multiple devices per series WILL collide on a timestamp, and
         # the unguarded division is an ANSI DIVIDE_BY_ZERO (caught by
         # the r9 sf1 probe, whose 10-copy fixture duplicates every ts).
-        # when() evaluates the division only when the guard holds.
-        dt = (_pt(j, "t") - _pt(i, "t")).cast("double")
-        return F.when(
-            dt != 0.0,
-            (_pt(j, "v") - _pt(i, "v")) / (dt / F.lit(1.0e9)),
+        # try_divide yields NULL on the zero delta — same omit
+        # semantics as a when() guard at ~2/3 the interpreted per-pair
+        # cost (the guard re-reads both struct elements per branch).
+        return F.try_divide(
+            _pt(j, "v") - _pt(i, "v"),
+            (_pt(j, "t") - _pt(i, "t")).cast("double") / F.lit(1.0e9),
         )
 
-    slopes = F.filter(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), n - 2),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n - 1), lambda j: _slope(i, j)
-                ),
-            )
-        ),
-        lambda x: x.isNotNull(),
+    slopes = F.array_sort(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n - 1), lambda j: _slope(i, j)
+                    ),
+                )
+            ),
+            lambda x: x.isNotNull(),
+        )
     )
-    m = F.size(slopes).cast("long")
-    # lower median, 1-based: (m+1)//2 via integer shift — never a
-    # double divide-then-cast (cross-engine truncation rule)
-    med = F.element_at(
-        F.array_sort(slopes), F.shiftright(m + 1, 1).cast("int")
-    )
-    return per.filter(m >= 1).select(
+    # EVALUATION-COUNT discipline (the r9 bench regression this block
+    # unwinds, 3.7s -> 10.8s): interpreted HOF lambdas get no common-
+    # subexpression elimination, so every REFERENCE to the slopes tree
+    # re-runs all O(n^2) pair lambdas. The m>=1 guard therefore filters
+    # on a CHEAP equivalent BEFORE the slopes projection (at least one
+    # distinct-ts pair exists iff first.t != last.t in the sorted
+    # array), and the sorted array lands in ONE projection whose alias
+    # the next projection references as a plain attribute —
+    # CollapseProject refuses to inline a non-cheap alias referenced
+    # twice, so the pair pipeline runs exactly once per bucket.
+    first_t = F.element_at(arr, 1).getField("t")
+    last_t = F.element_at(arr, F.col("n").cast("int")).getField("t")
+    staged = per.filter(first_t != last_t).select(
         *series_cols,
         "bucket",
         F.col("n").cast("long").alias("n"),
-        med.alias("slope"),
+        slopes.alias("_s"),
+    )
+    m = F.size(F.col("_s")).cast("long")
+    # lower median, 1-based: (m+1)//2 via integer shift — never a
+    # double divide-then-cast (cross-engine truncation rule)
+    return staged.select(
+        *series_cols,
+        "bucket",
+        "n",
+        F.element_at(
+            F.col("_s"), F.shiftright(m + 1, 1).cast("int")
+        ).alias("slope"),
     )
 
 

@@ -303,8 +303,10 @@ class BoostQuery:
     #: all set keys so resolution/projection machinery sees every key
     grouping_sets: list[list["FieldRef"]] | None = None
     #: (op, rhs) chain applied left-associatively: 'union' | 'union_all'
-    #: | 'intersect' | 'except' — the set-operation completion of the
-    #: declared query surface (the reference's SQL front has none)
+    #: | 'intersect' | 'intersect_all' | 'except' | 'except_all' — the
+    #: set-operation completion of the declared query surface (the
+    #: reference's SQL front has none); the _all forms are ANSI bag
+    #: semantics (intersectAll/exceptAll)
     set_ops: list[tuple[str, "BoostQuery"]] = field(default_factory=list)
     #: WITH-clause named subqueries, in declaration order; a later CTE
     #: body (and the main query) may reference earlier names as plain

@@ -283,3 +283,72 @@ def upsert_view(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+#: streaming LOCF state: the last non-null observation per key
+LOCF_STATE_SCHEMA = StructType([StructField("last", DoubleType())])
+
+
+def streaming_locf(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("series",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming gap-fill (LOCF): carry each key's last non-null
+    observation forward ACROSS micro-batches in the state store and
+    emit every input row with its filled value — the streaming
+    counterpart of operators/timeseries.gapfill_locf and the dialect's
+    ``last_value(v) IGNORE NULLS`` idiom.
+
+    Unlike the aggregate-state patterns (running_aggregate,
+    streaming_ewma — O(1) state, one row per key per batch), this is a
+    per-ROW stateful TRANSFORM: output cardinality equals input
+    cardinality, each row emitted exactly once with the fill decided
+    by rows seen so far. State is one nullable double per key; rows
+    fold in (ts, *order_extra) order within each batch, and cross-batch
+    correctness needs time-ordered batch delivery (time-partitioned
+    landing dirs / per-key-partitioned Kafka — the LOCF contract).
+    Once the stream drains, the union of emitted rows bit-matches the
+    batch last_value(... IGNORE NULLS) window on the same rows.
+
+    Scale: state store partitions by key across executors; per batch
+    the work is one shuffle of that batch's rows + an Arrow-batched
+    linear scan per key group. Nothing re-reads history.
+    """
+    key_cols = list(key_cols)
+    order_cols = [ts_col, *order_extra]
+    out_schema = StructType(
+        [StructField(k, StringType()) for k in key_cols]
+        + [
+            StructField(id_col, LongType()),
+            StructField("filled", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_cols, kind="mergesort")
+        filled = []
+        for v in batch[value_col]:
+            if pd.notna(v):
+                last = float(v)
+            filled.append(last)
+        state.update((last,))
+        out = {k: [str(kv)] * len(batch) for k, kv in zip(key_cols, key)}
+        out[id_col] = batch[id_col].astype("int64").tolist()
+        out["filled"] = filled
+        yield pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=LOCF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

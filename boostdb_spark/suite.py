@@ -6002,6 +6002,95 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_locf_parity",
+    """
+    SELECT event_type, event_id,
+           last_value(CASE WHEN value < 2.0 THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS filled
+    FROM events
+    """,
+)
+def stream_locf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CERTIFIABLE streaming gap-fill: per-key LOCF carried
+    across time-ordered micro-batches in the applyInPandasWithState
+    store (streaming/stateful.py::streaming_locf) — a per-ROW stateful
+    TRANSFORM (output cardinality == input cardinality, each row
+    emitted exactly once with its filled value), the stateful shape
+    the aggregate parities (ewma/retention/rollup) do not cover. NULL
+    readings are injected deterministically (value < 2.0), and the
+    drained union of emitted rows must bit-match the batch
+    last_value(... IGNORE NULLS) window the oracle runs — the same
+    idiom dialect_ignore_nulls certifies in SQL, now certified across
+    the state store. Reuses the ewma entry's time-ordered landing
+    (same columns, same mtime-ordered three-range layout)."""
+    import os
+    import time as _time
+
+    from boostdb_spark.streaming.stateful import streaming_locf
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    src = ev.select(
+        "event_type", F.col("ts").cast("timestamp"), "event_id", "value"
+    )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "ewma")  # shared landing with stream_ewma
+    if key not in _STREAM_LANDING:
+        qs = src.select(F.unix_micros("ts").alias("t")).agg(
+            F.expr("percentile(t, array(0.33, 0.66))").alias("q")
+        ).collect()[0]["q"]
+        lo, hi = int(qs[0]), int(qs[1])
+        landing = session_tmpdir(prefix="boost_suite_sewma_")
+        us = F.unix_micros(F.col("ts"))
+        parts = [
+            src.filter(us <= lo),
+            src.filter((us > lo) & (us <= hi)),
+            src.filter(us > hi),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(landing, f"f{i}"))
+            if i < len(parts) - 1:
+                _time.sleep(1.1)  # distinct mtimes: source orders by mtime
+        _STREAM_LANDING[key] = landing
+    landing = _STREAM_LANDING[key]
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    sdf = sdf.withColumn(
+        "value", F.when(F.col("value") < 2.0, None).otherwise(F.col("value"))
+    )
+    out = streaming_locf(
+        sdf, key_cols=["event_type"], value_col="value", ts_col="ts",
+        id_col="event_id",
+    )
+    sink = f"stream_locf_{abs(hash(key)) % 10**9}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).withColumn(
+        "event_id", F.col("event_id").cast("long")
+    )
+
+
+@_q(
     "dialect_rollup",
     """
     SELECT user_id, count(*) AS n,
