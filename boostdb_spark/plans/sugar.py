@@ -575,6 +575,41 @@ class _Parser:
         order_by: list[tuple[FieldRef, bool, str | None]] = []
         if self.accept_kw("order"):
             self.expect_kw("by")
+            if self.accept_kw("all"):
+                # ORDER BY ALL (DuckDB idiom): every select item,
+                # left-to-right, ascending — expanded at parse time
+                # like GROUP BY ALL, so it composes with DESC/NULLS on
+                # nothing (the expansion is the whole clause)
+                if not fields:
+                    raise ValueError(
+                        "ORDER BY ALL requires an explicit select list "
+                        "(SELECT * has no parse-time column order)"
+                    )
+                for f in fields:
+                    if f.window is not None:
+                        raise ValueError(
+                            "ORDER BY ALL cannot cover window-function "
+                            "items — order by their aliases explicitly"
+                        )
+                    if (f.func is not None or f.expr is not None) and not f.alias:
+                        raise ValueError(
+                            "ORDER BY ALL needs an AS alias on every "
+                            "computed/aggregate select item"
+                        )
+                    tgt = FieldRef((f.alias,)) if f.alias else FieldRef(f.parts)
+                    order_by.append((tgt, False, None))
+                limit0 = offset0 = None
+                if self.accept_kw("limit"):
+                    kind, v = self.next()
+                    if kind != "num":
+                        raise ValueError("LIMIT requires a number")
+                    limit0 = int(v)
+                    if self.accept_kw("offset"):
+                        k2, v2 = self.next()
+                        if k2 != "num":
+                            raise ValueError("OFFSET requires a number")
+                        offset0 = int(v2)
+                return order_by, limit0, offset0
             while True:
                 f2 = self._ordinal_item(
                     fields or [], "ORDER BY", allow_agg=True

@@ -2084,3 +2084,43 @@ def test_values_table_rules(spark):
     # no file scan, eligible for broadcast
     plan_str = mixed._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan_str or "LocalRelation" in plan_str
+
+
+def test_order_by_all(spark):
+    """ORDER BY ALL (DuckDB idiom): expands to every select item
+    left-to-right ascending at parse time; refuses SELECT * and
+    unaliased computed items."""
+    q = parse("SELECT a.s, a.t AS t2 FROM d.f a ORDER BY ALL LIMIT 5")
+    assert [r.parts for r, d, n in q.order_by] == [("a", "s"), ("t2",)]
+    assert all(not d for _, d, _ in q.order_by) and q.limit == 5
+    with pytest.raises(ValueError, match="explicit select list"):
+        parse("SELECT * FROM d.f ORDER BY ALL")
+    with pytest.raises(ValueError, match="AS alias"):
+        parse("SELECT count(v) FROM d.f ORDER BY ALL")
+    df = spark.createDataFrame(
+        [("b", 2, 1.0), ("a", 9, 2.0), ("a", 1, 3.0)],
+        "series STRING, mts LONG, value DOUBLE",
+    )
+    df.createOrReplaceTempView("oba_tbl")
+    b = sugar.SeriesFamilyBinding(
+        view="oba_tbl", series_col="series", value_col="value",
+        ts_col="mts",
+    )
+    out = sugar.query(
+        spark,
+        "SELECT series, mts FROM (SELECT * FROM d.f) x ORDER BY ALL",
+        b,
+    ).collect()
+    assert [(r.series, r.mts) for r in out] == [("a", 1), ("a", 9), ("b", 2)]
+
+
+def test_values_as_anchor_source(spark):
+    """(VALUES ...) works as the FROM anchor, not only a join side."""
+    b = sugar.SeriesFamilyBinding(view="oba_tbl")
+    out = sugar.query(
+        spark,
+        "SELECT t.a AS a, t.b AS b FROM (VALUES (2, 'y'), (1, 'x')) "
+        "t(a, b) ORDER BY a",
+        b,
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y")]
