@@ -664,3 +664,79 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def doc_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-distribution entropy in nats — the classic
+    diversity/quality signal (a doc repeating one token has entropy 0;
+    boilerplate and keyword-stuffed spam score low, natural prose
+    high; the Shannon companion of txt_repetition's rule-based
+    repetition ratios). Returns (id, n_tokens, entropy_grid) where
+    entropy_grid = floor(entropy * 1e6 + 0.5) as a LONG.
+
+    entropy = ln(n) - (sum over distinct tokens of c*ln(c)) / n.
+
+    Determinism across engines: ln() is not IEEE-correctly-rounded, so
+    raw nats could differ in the last ulp between the JVM and DuckDB —
+    the 1e-6 integer grid absorbs that (same rule as BM25 scores). The
+    c*ln(c) sum is folded in SORTED-TOKEN order on both sides.
+
+    Scale: ZERO shuffle — tokenize, sort the per-doc token array, and
+    run-length-fold it in one narrow pass (state: previous token, run
+    length, partial sum); no explode, no groupBy. Evaluation-count
+    discipline: the token array lands behind a non-cheap alias
+    referenced twice (size + sort), so CollapseProject cannot inline
+    and the tokenizer runs once per row.
+    """
+    t1 = _spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    t2 = t1.select(
+        "id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.array_sort("_tk").alias("_st"),
+    ).filter(F.col("n_tokens") >= 1)
+
+    def step(acc, x):
+        new_run = F.when(x == acc.getField("prev"), acc.getField("run") + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        flushed = F.when(
+            (x != acc.getField("prev")) & (acc.getField("run") > 0),
+            acc.getField("run").cast("double")
+            * F.log(acc.getField("run").cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            (acc.getField("s") + flushed).alias("s"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+    total = F.aggregate(
+        F.col("_st"),
+        init,
+        step,
+        lambda acc: acc.getField("s")
+        + F.when(
+            acc.getField("run") > 0,
+            acc.getField("run").cast("double")
+            * F.log(acc.getField("run").cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    nd = F.col("n_tokens").cast("double")
+    ent = F.log(nd) - total / nd
+    return t2.select(
+        "id",
+        "n_tokens",
+        F.floor(ent * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias(
+            "entropy_grid"
+        ),
+    )

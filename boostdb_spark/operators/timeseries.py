@@ -2494,3 +2494,75 @@ def lttb_downsample(
     out_cols = [*series_cols, F.col("_b").alias("bucket"),
                 F.col("_t").alias("ts_ns"), F.col("_v").alias("value")]
     return interior.select(*out_cols).unionByName(edges.select(*out_cols))
+
+
+def sma_crossover(
+    df: DataFrame,
+    fast_rows: int = 5,
+    slow_rows: int = 20,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Moving-average crossover events per series: rows where the
+    fast simple moving average crosses the slow one ('golden' when it
+    crosses above, 'death' below) — the canonical trend-change alarm
+    (trading's golden/death cross; for monitoring, 'short-term load
+    crossed its long-term norm'). Emits (series..., ts_ns, cross_dir)
+    for crossing rows only.
+
+    Determinism: both SMAs accumulate DECIMAL sums on the 1e-6
+    quantized grid over ROWS frames (order-independent exact totals),
+    the means are identical IEEE division trees in both engines, and
+    a cross is a strict comparison flip between consecutive rows of a
+    (ts, value)-ordered window. ROWS frames are bounded (5/20 rows),
+    so Spark's O(rows x frame) sliding evaluation stays cheap by
+    construction.
+
+    Scale: ONE window shuffle on the series key shared by all four
+    analytic columns (same partitioning+ordering), then a filter.
+    """
+    q = F.floor(F.col(value_col) * F.lit(1.0e6) + F.lit(0.5))
+
+    def sma(rows: int):
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy(ts_col, value_col)
+            .rowsBetween(-(rows - 1), 0)
+        )
+        return (
+            F.sum(q.cast("decimal(38,0)")).over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.lit(1.0e6))
+        )
+
+    x = df.select(
+        *series_cols,
+        F.col(ts_col).alias("ts_ns"),
+        sma(fast_rows).alias("_f"),
+        sma(slow_rows).alias("_s"),
+    )
+    y = x.select(
+        *series_cols,
+        "ts_ns",
+        "_f",
+        "_s",
+        F.lag("_f").over(
+            Window.partitionBy(*series_cols).orderBy("ts_ns", "_f")
+        ).alias("_pf"),
+        F.lag("_s").over(
+            Window.partitionBy(*series_cols).orderBy("ts_ns", "_f")
+        ).alias("_ps"),
+    )
+    return (
+        y.filter(
+            F.col("_pf").isNotNull()
+            & ((F.col("_f") > F.col("_s")) != (F.col("_pf") > F.col("_ps")))
+        )
+        .select(
+            *series_cols,
+            "ts_ns",
+            F.when(F.col("_f") > F.col("_s"), F.lit("golden"))
+            .otherwise(F.lit("death"))
+            .alias("cross_dir"),
+        )
+    )

@@ -6091,6 +6091,48 @@ def stream_locf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_sma_crossover",
+    """
+    WITH x AS (
+      SELECT event_type, epoch_ns(ts) AS ts_ns,
+             CAST(sum(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+                  OVER w5 AS DOUBLE)
+               / (count(*) OVER w5 * 1e6) AS f,
+             CAST(sum(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+                  OVER w20 AS DOUBLE)
+               / (count(*) OVER w20 * 1e6) AS s
+      FROM events
+      WINDOW w5 AS (PARTITION BY event_type
+                    ORDER BY epoch_ns(ts), value
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY event_type
+                     ORDER BY epoch_ns(ts), value
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    y AS (SELECT event_type, ts_ns, f, s,
+                 lag(f) OVER wl AS pf, lag(s) OVER wl AS ps
+          FROM x
+          WINDOW wl AS (PARTITION BY event_type ORDER BY ts_ns, f))
+    SELECT event_type, ts_ns,
+           CASE WHEN f > s THEN 'golden' ELSE 'death' END AS cross_dir
+    FROM y WHERE pf IS NOT NULL AND ((f > s) <> (pf > ps))
+    """,
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sma_crossover(): fast(5)/slow(20) moving-average crossover
+    events per series — 'golden' when the fast SMA crosses above the
+    slow, 'death' below (the canonical trend-change alarm). Decimal
+    grid sums make both means exact; a cross is a strict comparison
+    flip between consecutive rows, so the emitted event set is
+    hash-stable. Bounded ROWS frames keep Spark's O(rows x frame)
+    sliding evaluation cheap by construction."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.sma_crossover(
+        _ns_events(t), fast_rows=5, slow_rows=20,
+        series_cols=("event_type",),
+    )
+
+
+@_q(
     "dialect_rollup",
     """
     SELECT user_id, count(*) AS n,

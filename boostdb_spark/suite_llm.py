@@ -2979,3 +2979,35 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         t["documents"], threshold=0.5, n=3, max_doc_freq=100
     )
+
+
+@_q(
+    "txt_entropy",
+    f"""
+    WITH d AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM d GROUP BY 1, 2),
+    a AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY tok) AS cs,
+                 CAST(sum(c) AS BIGINT) AS n_tokens
+          FROM c GROUP BY doc_id)
+    SELECT doc_id AS id, n_tokens,
+           CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+                 - list_reduce(list_prepend(0.0,
+                     list_transform(cs, x -> x * ln(x))),
+                     (acc, e) -> acc + e)
+                   / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             AS entropy_grid
+    FROM a
+    """,
+)
+def txt_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_entropy(): per-document token-distribution Shannon entropy
+    (nats, 1e-6 integer grid — ln() is not correctly-rounded IEEE, so
+    the grid absorbs cross-engine ulp like BM25's scores) — the
+    diversity/quality signal next to txt_repetition's rule-based
+    ratios: boilerplate and keyword-stuffed docs score low. ZERO
+    shuffle: tokenize, sort the per-doc token array, run-length-fold
+    it in one narrow pass (no explode, no groupBy); the c*ln(c) sum
+    folds in sorted-token order on BOTH engines so the doubles match
+    before gridding."""
+    t = load_tables(spark, sf_dir)
+    return tx.doc_entropy(t["documents"])
