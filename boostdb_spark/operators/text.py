@@ -740,3 +740,49 @@ def doc_entropy(
             "entropy_grid"
         ),
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality filter (Flesch 1948; quality pipelines drop both extremes:
+    unreadably dense legalese and degenerate word salad). Returns
+    (id, n_words, n_sentences, n_syllables, flesch_grid) with
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    on the 1e-6 integer grid.
+
+    Syllables are approximated by VOWEL GROUPS ('[aeiou]+' runs — the
+    standard cheap proxy; a group never spans a word boundary, so the
+    doc-level count equals the per-word sum), sentences by terminal
+    punctuation runs ('[.!?]+', floored at 1 so unpunctuated docs
+    divide by one sentence, mirrored in the oracle).
+
+    Determinism: three integer regexp counts -> one fixed double
+    formula -> grid; both engines run the same greedy character-class
+    regexes. Scale: ZERO shuffle — one codegen projection per row.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.size(tokens(F.col(text_col)))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.regexp_count(t, F.lit(r"[aeiou]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / words.cast("double"))
+    )
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sentences"),
+            syl.cast("long").alias("n_syllables"),
+            F.floor(flesch * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias(
+                "flesch_grid"
+            ),
+        )
+        .filter(F.col("n_words") >= 1)
+    )

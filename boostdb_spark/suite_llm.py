@@ -3011,3 +3011,37 @@ def txt_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     before gridding."""
     t = load_tables(spark, sf_dir)
     return tx.doc_entropy(t["documents"])
+
+
+@_q(
+    "txt_readability",
+    f"""
+    WITH x AS (
+      SELECT doc_id AS id,
+             len({TOKS}) AS n_words,
+             greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiou]+'))
+               AS n_syllables
+      FROM documents)
+    SELECT id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(floor((206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))) * 1e6 + 0.5)
+                AS BIGINT) AS flesch_grid
+    FROM x WHERE n_words >= 1
+    """,
+)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readability(): Flesch reading-ease per doc (Flesch 1948) —
+    vowel-group syllable proxy, terminal-punctuation sentence count
+    floored at 1, three integer regexp counts into one fixed double
+    formula on the 1e-6 grid. The readability leg of the quality
+    family next to txt_quality/txt_gopher_rules/txt_entropy. ZERO
+    shuffle: one codegen projection per row."""
+    t = load_tables(spark, sf_dir)
+    return tx.readability(t["documents"])
