@@ -884,8 +884,13 @@ def simhash_pairs(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "simhash", "cc.chunk", "cc.cv")
     # materialize once: the self-join would otherwise recompute the
-    # whole fingerprint pipeline (explode + md5 + 32-way agg) per side
-    chunks = chunks.localCheckpoint(eager=False)
+    # whole fingerprint pipeline (explode + md5 + 32-way agg) per side.
+    # EAGER (r9 lesson, edit_distance_pairs 195->49 s): a lazy
+    # localCheckpoint does not cut recompute within the job that
+    # materializes it — every reference in that first job re-runs the
+    # subtree; only an up-front materialization makes both join sides
+    # read the checkpointed blocks
+    chunks = chunks.localCheckpoint(eager=True)
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "cv"])

@@ -267,6 +267,47 @@ _LATERAL_FNS: dict[str, tuple[str, ...]] = {
 
 
 @dataclass
+class PivotClause:
+    """``PIVOT (agg(col | *) FOR key IN (v1, v2, ...))`` — long-to-wide
+    reshape with an EXPLICIT value list (a dynamic pivot needs a
+    driver-side distinct pass, an anti-pattern at scale; explicit
+    values keep the schema static and the plan one aggregate). ANSI
+    implicit grouping: every source column not referenced by the
+    clause is a group key."""
+
+    func: str  # count | sum | avg | min | max
+    agg_col: str | None  # None = count(*)
+    key_col: str
+    values: list  # literal pivot values (strings/numbers)
+
+
+@dataclass
+class UnpivotClause:
+    """``UNPIVOT (val FOR key IN (c1, c2, ...))`` — wide-to-long
+    reshape: the named columns melt into (key, val) rows; every other
+    column is an id column. NULL cells are dropped (ANSI/DuckDB
+    default EXCLUDE NULLS)."""
+
+    val_col: str
+    key_col: str
+    cols: list[str]
+
+
+@dataclass
+class SampleClause:
+    """``TABLESAMPLE (p PERCENT ON key)`` — a DETERMINISTIC ~p% sample
+    keyed on a content/id column's hash bucket (operators/sampling.py
+    semantics), NOT Spark's row-level Bernoulli sample: per-partition
+    RNG changes with partitioning, retries, and cluster size, which
+    can't hash-certify and is useless for reproducible training sets.
+    Monotone: the 20% sample contains the 10% sample. Compiles to one
+    codegen hash+modulo filter in the scan pipeline — zero shuffle."""
+
+    pct: float
+    key_col: str
+
+
+@dataclass
 class BoostQuery:
     """IR #1 — the QueryOps analog (query/base/queryops.go:11-21)."""
 
@@ -327,6 +368,16 @@ class BoostQuery:
     #: semantics). The reference's TiDB parser accepts WITH RECURSIVE
     #: before dropping it (query/parser/parser.go:25-45).
     recursive: bool = False
+    #: PIVOT/UNPIVOT table operators on the anchor source (CTE/derived
+    #: tables only — plain-column sources with an explicit schema); the
+    #: reshaped result feeds the rest of the query as a plain-column
+    #: source. The reference's TiDB parser accepts PIVOT syntax before
+    #: dropping the statement (query/parser/parser.go:25-45).
+    pivot: "PivotClause | None" = None
+    unpivot: "UnpivotClause | None" = None
+    #: TABLESAMPLE (p PERCENT ON key) on the anchor source — a
+    #: deterministic hash-bucket sample (never Bernoulli RNG)
+    sample: "SampleClause | None" = None
 
 
 def _expr_subqueries(e: "Expr | None"):
@@ -695,6 +746,10 @@ class _Parser:
                 fields.append(self.parse_select_item())
         self.expect_kw("from")
         domain, family, alias = self.parse_source()
+        pivot_c, unpivot_c = self._try_parse_reshape()
+        if (pivot_c or unpivot_c) and alias is None and self.peek()[0] == "name":
+            alias = self.next()[1]  # ANSI: FROM t PIVOT (...) alias
+        sample_c = self._try_parse_tablesample()
         joins: list[JoinClause] = []
         while True:
             if self.accept_kw("cross"):
@@ -966,7 +1021,157 @@ class _Parser:
         q.group_mode = group_mode
         q.grouping_sets = grouping_sets
         q.qualify = qualify
+        q.pivot = pivot_c
+        q.unpivot = unpivot_c
+        q.sample = sample_c
+        if (pivot_c or unpivot_c) and joins:
+            raise ValueError(
+                "PIVOT/UNPIVOT on a joined query is not supported — "
+                "wrap the reshape in a CTE/derived table and join that"
+            )
+        if sample_c and joins:
+            raise ValueError(
+                "TABLESAMPLE on a joined query is not supported — wrap "
+                "the sampled scan in a CTE/derived table and join that"
+            )
         return q
+
+    def _try_parse_reshape(
+        self,
+    ) -> "tuple[PivotClause | None, UnpivotClause | None]":
+        """Optional PIVOT/UNPIVOT table operator right after the FROM
+        anchor. 'pivot'/'unpivot' are contextual names (only recognized
+        here, followed by '('), so columns/aliases with those names
+        keep parsing."""
+        t = self.peek()
+        if t[0] != "name" or t[1].lower() not in ("pivot", "unpivot"):
+            return None, None
+        if self.peek2() != ("op", "("):
+            return None, None
+        which = self.next()[1].lower()
+        if not self.accept_op("("):
+            raise ValueError(f"{which.upper()} requires (...)")
+        if which == "pivot":
+            k2, fn = self.name_next()
+            if k2 != "name" or fn.lower() not in self._AGG_FUNCS:
+                raise ValueError(
+                    "PIVOT requires an aggregate: "
+                    f"PIVOT (agg(col) FOR key IN (...)), agg one of "
+                    f"{sorted(self._AGG_FUNCS)}"
+                )
+            fn = fn.lower()
+            if not self.accept_op("("):
+                raise ValueError(f"PIVOT {fn} requires an argument list")
+            agg_col = None
+            if self.accept_op("*"):
+                if fn != "count":
+                    raise ValueError(f"{fn}(*) is not valid; only count(*)")
+            else:
+                k3, cname = self.name_next()
+                if k3 != "name" or "." in cname:
+                    raise ValueError(
+                        "PIVOT aggregate takes a plain column name"
+                    )
+                agg_col = cname
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in PIVOT {fn}(...)")
+            k4, forkw = self.name_next()
+            if k4 != "name" or forkw.lower() != "for":
+                raise ValueError("PIVOT requires FOR <col> IN (...)")
+            k5, keycol = self.name_next()
+            if k5 != "name" or "." in keycol:
+                raise ValueError("PIVOT FOR takes a plain column name")
+            if not self.accept_kw("in"):
+                raise ValueError("PIVOT requires FOR <col> IN (...)")
+            if not self.accept_op("("):
+                raise ValueError("PIVOT IN requires a (literal, ...) list")
+            values = [self._reshape_lit()]
+            while self.accept_op(","):
+                values.append(self._reshape_lit())
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced PIVOT IN value list")
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced PIVOT clause parenthesis")
+            return PivotClause(fn, agg_col, keycol, values), None
+        # UNPIVOT (val FOR key IN (c1, c2, ...))
+        k2, valcol = self.name_next()
+        if k2 != "name" or "." in valcol:
+            raise ValueError(
+                "UNPIVOT requires: UNPIVOT (val FOR key IN (col, ...))"
+            )
+        k3, forkw = self.name_next()
+        if k3 != "name" or forkw.lower() != "for":
+            raise ValueError("UNPIVOT requires FOR <key> IN (col, ...)")
+        k4, keycol = self.name_next()
+        if k4 != "name" or "." in keycol:
+            raise ValueError("UNPIVOT FOR takes a plain name")
+        if not self.accept_kw("in"):
+            raise ValueError("UNPIVOT requires FOR <key> IN (col, ...)")
+        if not self.accept_op("("):
+            raise ValueError("UNPIVOT IN requires a (col, ...) list")
+        cols = []
+        while True:
+            k5, cname = self.name_next()
+            if k5 != "name" or "." in cname:
+                raise ValueError(
+                    f"UNPIVOT IN takes plain column names, got {cname!r}"
+                )
+            cols.append(cname)
+            if not self.accept_op(","):
+                break
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced UNPIVOT IN column list")
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced UNPIVOT clause parenthesis")
+        return None, UnpivotClause(valcol, keycol, cols)
+
+    def _reshape_lit(self):
+        kind, v = self.next()
+        if kind == "num":
+            return float(v) if "." in v else int(v)
+        if kind == "str":
+            return v
+        raise ValueError(
+            f"PIVOT IN list takes string/number literals, got {v!r}"
+        )
+
+    def _try_parse_tablesample(self) -> "SampleClause | None":
+        """Optional ``TABLESAMPLE (p PERCENT ON key)`` after the FROM
+        anchor (and after any PIVOT/UNPIVOT). 'tablesample' is a
+        contextual name — only recognized here, followed by '('."""
+        t = self.peek()
+        if t[0] != "name" or t[1].lower() != "tablesample":
+            return None
+        if self.peek2() != ("op", "("):
+            return None
+        self.next()
+        self.accept_op("(")
+        kind, v = self.next()
+        if kind != "num":
+            raise ValueError("TABLESAMPLE requires (p PERCENT ON key)")
+        pct = float(v)
+        if not 0.0 <= pct <= 100.0:
+            raise ValueError(f"TABLESAMPLE percent out of range: {pct}")
+        k2, pkw = self.name_next()
+        if k2 != "name" or pkw.lower() != "percent":
+            raise ValueError(
+                "TABLESAMPLE requires PERCENT (rows-count sampling is "
+                "not deterministic under distribution; use LIMIT over "
+                "an ORDER for top-n)"
+            )
+        k3, onkw = self.next()
+        if (k3, onkw) != ("kw", "on"):
+            raise ValueError(
+                "TABLESAMPLE requires ON <key column> — the hash key "
+                "that makes the sample reproducible (Bernoulli RNG "
+                "sampling cannot be certified against an oracle)"
+            )
+        k4, keycol = self.name_next()
+        if k4 != "name" or "." in keycol:
+            raise ValueError("TABLESAMPLE ON takes a plain column name")
+        if not self.accept_op(")"):
+            raise ValueError("unbalanced TABLESAMPLE clause")
+        return SampleClause(pct, keycol)
 
     def _try_parse_lateral(self) -> "JoinClause | None":
         """``LATERAL fn(expr) alias`` after a JOIN keyword — the
@@ -1107,7 +1312,13 @@ class _Parser:
         else:
             raise ValueError("FROM requires qualified domain.family")
         alias = None
-        if self.peek()[0] == "name":
+        if self.peek()[0] == "name" and not (
+            self.peek()[1].lower() in ("pivot", "unpivot", "tablesample")
+            and self.peek2() == ("op", "(")
+        ):
+            # 'pivot'/'unpivot'/'tablesample' followed by '(' is a
+            # table operator, not a source alias (contextual, like
+            # LATERAL)
             alias = self.next()[1]
         return domain, family, alias
 
@@ -1128,6 +1339,7 @@ class _Parser:
         "abs", "sqrt", "floor", "ceil", "round", "upper", "lower",
         "length", "trim", "coalesce", "concat", "substring",
         "year", "month", "day", "hour", "minute", "date_trunc",
+        "cast",  # CAST(expr AS type) — special-cased in parse_operand
     })
 
     def parse_select_item(self) -> FieldRef:
@@ -1194,12 +1406,12 @@ class _Parser:
                 parts = ()
             else:
                 if self.accept_kw("distinct"):
-                    if func != "count":
-                        raise ValueError(
-                            f"{func}(DISTINCT ...) is not supported; "
-                            "only count(DISTINCT col)"
-                        )
-                    func = "count_distinct"
+                    # agg(DISTINCT col) for all five aggregates — the
+                    # reference's TiDB parser accepts these before
+                    # dropping the statement (query/parser/parser.go:
+                    # 25-45). min/max(DISTINCT) compile to plain
+                    # min/max (dedup is a no-op for extrema).
+                    func = f"{func}_distinct"
                 e = self.parse_arith()
                 if e.kind == "ref" and e.value.func is None:
                     parts = e.value.parts  # plain column argument
@@ -1209,9 +1421,12 @@ class _Parser:
                         raise ValueError(
                             "nested aggregate calls are not supported"
                         )
-                    if func == "count_distinct":
+                    if func in ("count_distinct", "avg_distinct"):
+                        # no expression form in the Column API for
+                        # these; sum/min/max(DISTINCT expr) compile fine
                         raise ValueError(
-                            "count(DISTINCT ...) takes a plain column"
+                            f"{func[:-9]}(DISTINCT ...) takes a plain "
+                            "column"
                         )
                     arg_expr = e
                     parts = ()
@@ -1251,7 +1466,7 @@ class _Parser:
         filter_expr = None
         if (
             func is not None
-            and func in (*self._AGG_FUNCS, "count_distinct")
+            and func.removesuffix("_distinct") in self._AGG_FUNCS
             and self.accept_kw("filter")
         ):
             # ANSI aggregate FILTER clause: agg(x) FILTER (WHERE pred)
@@ -1625,6 +1840,28 @@ class _Parser:
         if kind == "kw" and v == "null":
             return Expr("lit", value=None)
         if kind == "name":
+            # CAST(expr AS type) — ANSI cast with its own AS-infix syntax
+            # (the reference's TiDB parser accepts CAST before dropping
+            # the statement, query/parser/parser.go:25-45). Target types
+            # are whitelisted to the cross-engine-safe set; note DuckDB
+            # CAST(DOUBLE AS BIGINT) ROUNDS while Spark truncates, so a
+            # double->bigint cast only hash-certifies on integral values
+            # (e.g. a floor() result) — documented in _CAST_TYPES.
+            if v.lower() == "cast" and self.peek() == ("op", "("):
+                self.next()
+                inner = self.parse_arith()
+                k2, kw = self.next()
+                if (k2, kw) != ("kw", "as"):
+                    raise ValueError("CAST requires 'AS <type>'")
+                k3, ty = self.name_next()
+                if k3 != "name" or ty.lower() not in _CAST_TYPES:
+                    raise ValueError(
+                        f"unsupported CAST target {ty!r}; one of "
+                        f"{sorted(_CAST_TYPES)}"
+                    )
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced parenthesis in CAST(...)")
+                return Expr("cast", op=_CAST_TYPES[ty.lower()], children=[inner])
             # scalar function call — name followed by '(' wins over a
             # same-named series; args are full arithmetic expressions
             if v.lower() in self._SCALAR_FUNCS and self.peek() == ("op", "("):
@@ -1953,6 +2190,23 @@ def _operand_value(e: Expr, params: dict | None):
 #: floor/ceil pin a DOUBLE result (Spark's natural LONG vs DuckDB's
 #: DOUBLE would otherwise diverge); everything else keeps Spark's
 #: natural type and the oracle side casts where engines differ.
+#: CAST target whitelist: dialect type name -> Spark cast type. Only the
+#: cross-engine-deterministic targets are admitted. bigint/int on a
+#: DOUBLE input only certifies for integral values (DuckDB rounds,
+#: Spark truncates — never route a fractional double through these);
+#: float32 is excluded (pandas float32 vs DuckDB REAL repr drift).
+_CAST_TYPES: dict = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "varchar": "string",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
 _FN_IMPL: dict = {
     "abs": (1, 1, F.abs),
     "sqrt": (1, 1, F.sqrt),
@@ -2030,6 +2284,8 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = N
         return F.col(e.value)
     if e.kind == "fn":
         return _compile_fn(e, res, name_of, params)
+    if e.kind == "cast":
+        return _compile_expr(e.children[0], res, name_of, params).cast(e.op)
     if e.kind == "exists":
         raise ValueError(
             "EXISTS is supported as a top-level AND conjunct of WHERE only"
@@ -2288,6 +2544,56 @@ def _plan_values(spark: SparkSession, vt: ValuesTable) -> DataFrame:
     )
 
 
+def _apply_reshape(q: BoostQuery, df: DataFrame) -> DataFrame:
+    """Apply the PIVOT/UNPIVOT table operator to the anchor DataFrame.
+
+    PIVOT compiles to ONE groupBy().pivot(key, values).agg(...) — the
+    explicit value list means Spark plans a single partial+final hash
+    aggregate with per-value pivot expressions (no per-value scans, no
+    driver-side distinct pass); implicit ANSI grouping keys = every
+    column the clause doesn't reference. count(*) pivots fill absent
+    cells with 0 (ANSI/DuckDB count semantics); value aggregates leave
+    them NULL. UNPIVOT compiles to Spark's native unpivot (one Expand,
+    output rows = input rows x |cols|) with NULL cells dropped
+    (ANSI/DuckDB default EXCLUDE NULLS)."""
+    if q.pivot is not None:
+        p = q.pivot
+        if p.key_col not in df.columns:
+            raise ValueError(
+                f"PIVOT FOR column {p.key_col!r} is not a source column "
+                f"(columns: {sorted(df.columns)})"
+            )
+        if p.agg_col is not None and p.agg_col not in df.columns:
+            raise ValueError(
+                f"PIVOT aggregate column {p.agg_col!r} is not a source "
+                f"column (columns: {sorted(df.columns)})"
+            )
+        keys = [c for c in df.columns if c not in (p.key_col, p.agg_col)]
+        if not keys:
+            raise ValueError(
+                "PIVOT needs at least one implicit group-key column "
+                "(a source column not referenced by the clause)"
+            )
+        gb = df.groupBy(*keys).pivot(p.key_col, p.values)
+        if p.agg_col is None:  # count(*)
+            out = gb.agg(F.count(F.lit(1)))
+            names = [str(v) for v in p.values if str(v) in out.columns]
+            return out.na.fill(0, subset=names)
+        agg_impl = {"count": F.count, "sum": F.sum, "avg": F.avg,
+                    "min": F.min, "max": F.max}[p.func]
+        return gb.agg(agg_impl(p.agg_col))
+    u = q.unpivot
+    missing = [c for c in u.cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"UNPIVOT IN names missing columns {missing} "
+            f"(columns: {sorted(df.columns)})"
+        )
+    ids = [c for c in df.columns if c not in u.cols]
+    out = df.unpivot(ids, u.cols, u.key_col, u.val_col)
+    return out.filter(F.col(u.val_col).isNotNull())
+
+
 def plan(
     spark: SparkSession,
     q: BoostQuery,
@@ -2412,8 +2718,17 @@ def plan(
                 "FROM requires qualified domain.family (parser.go:36-38) "
                 "or a declared CTE"
             )
-        res = _CteResolver(q, ctes[q.family])
+        src_df = ctes[q.family]
+        if q.pivot is not None or q.unpivot is not None:
+            src_df = _apply_reshape(q, src_df)
+        res = _CteResolver(q, src_df)
     else:
+        if q.pivot is not None or q.unpivot is not None:
+            raise ValueError(
+                "PIVOT/UNPIVOT require a plain-column source — wrap the "
+                "family scan in a derived table: FROM (SELECT ...) t "
+                "PIVOT (...)"
+            )
         res = _Resolver(q, binding)
     sel: list[tuple[str, str | None, str | None, FieldRef]] = []
     for f in q.fields:
@@ -2700,6 +3015,22 @@ def plan(
         elif series:
             df = df.filter(F.col(binding.series_col).isin(series))
         df = _time_range(df, binding.ts_col, start, end)
+    if q.sample is not None and not q.joins:
+        # TABLESAMPLE (p PERCENT ON key): deterministic hash-bucket cut
+        # (operators/sampling.py::deterministic_sample semantics) — one
+        # codegen filter conjoined into the scan pipeline, monotone in
+        # p, reproducible on any partitioning/cluster
+        from boostdb_spark.operators.sampling import _bucket
+
+        if q.sample.key_col not in df.columns:
+            raise ValueError(
+                f"TABLESAMPLE ON {q.sample.key_col!r} is not a column "
+                f"of the source (columns: {sorted(df.columns)})"
+            )
+        df = df.filter(
+            _bucket(F.col(q.sample.key_col), 10_000)
+            < int(q.sample.pct / 100.0 * 10_000)
+        )
     if where_col is not None:
         df = df.filter(where_col)
 
@@ -2821,7 +3152,14 @@ def plan(
             sel_sub_names[id(s)] = name
 
     agg_map = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
-               "max": F.max, "count_distinct": F.countDistinct}
+               "max": F.max, "count_distinct": F.countDistinct,
+               # DISTINCT variants: sum has a native Column fn; min/max
+               # DISTINCT are the plain extrema (dedup is a no-op);
+               # avg(DISTINCT) is special-cased in _agg_col (no Column
+               # API — compiled via F.expr, still the one JVM-side
+               # partial+final hash aggregate)
+               "sum_distinct": F.sum_distinct,
+               "min_distinct": F.min, "max_distinct": F.max}
 
     def _agg_col(col, func, ref):
         flt = (
@@ -2829,6 +3167,12 @@ def plan(
             if ref.filter_expr is not None
             else None
         )
+        if func == "avg_distinct":
+            if flt is not None:
+                raise ValueError(
+                    "avg(DISTINCT col) does not combine with FILTER"
+                )
+            return F.expr(f"avg(DISTINCT `{col}`)")
         if ref.arg_expr is not None:
             arg = _compile_expr(ref.arg_expr, res, params=params)
         elif col is not None:

@@ -124,58 +124,57 @@ def _q(name: str, oracle: str | None):
 # local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
 # Rotation policy: entries the driver certified green in a PRIOR round
 # rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Round-9
-# window: new round-9 entries lead (each landing displaces the
-# youngest re-cert slot from the tail), then the 5 standing canaries,
-# then re-certification slots refreshing the STALEST cumulative
-# signal: after the r8 sweep the stalest cohort is the 38 entries whose
-# last driver-green is ROUND 3 (all included below), then the oldest of
-# the round-5 cohort in name order fills the remainder. The r6/r7/r8
-# cohorts are younger and wait their turn.
+# cumulative driver-certified coverage grows every round. Round-10
+# window: the round-9 red row (dialect_recursive_cte, fixed) and the 5
+# entries that landed after the r9 window froze lead, then the new
+# round-10 dialect surface, then the 5 standing canaries, then
+# re-certification slots refreshing the STALEST cumulative signal: the
+# 8 remaining ROUND-3 entries, then the ROUND-5 cohort — the 7
+# streaming parities first (their drains were wrapped in _drain_conf
+# this round; outputs are conf-independent but the change deserves
+# driver re-certification) and the rest in name order.
+# agg_approx_count_distinct / agg_approx_quantiles are r5-stale but
+# oracle-less (approx by design) and cannot hold window slots.
 _WINDOW: tuple[str, ...] = (
-    # --- new in round 9 (never driver-certified, 15) --- entries are
-    # inserted here as they land, displacing tail re-cert slots.
-    "dialect_recursive_cte",  # WITH RECURSIVE fixpoint (halving chain)
-    "dialect_recursive_components",  # recursive min-label closure
-    "dialect_grouping_sets",  # explicit GROUPING SETS -> one Expand
-    "dialect_window_range_frame",  # RANGE BETWEEN INTERVAL trailing
-    "dialect_lateral_tokenize",  # JOIN LATERAL fn() -> JVM generator
-    "dialect_named_window",  # ANSI WINDOW w AS (spec) shared specs
-    "dedup_levenshtein_capped",  # df+per-doc-capped edit-dist dedup
-    "dialect_ignore_nulls",  # last_value(...) IGNORE NULLS (SQL LOCF)
-    "dialect_distinct_on",   # DISTINCT ON: one survivor per group
-    "dialect_select_exclude",  # SELECT * EXCLUDE (cols)
-    "dialect_values",        # (VALUES ...) inline constant dimension
-    "ts_integral",           # trapezoidal time-weighted integral
-    "ts_drawdown",           # max decline below running peak
-    "ts_uptime_sla",         # heartbeat availability + gap count
-    "ts_lttb",               # LTTB downsample, bucket-mean anchors
+    # --- never driver-certified (r9 red + r9 post-freeze + new r10) ---
+    "dialect_recursive_cte",  # r9 FAIL (int/float repr) — FIXED, re-run
+    "dialect_setops_all",     # INTERSECT/EXCEPT ALL bag semantics
+    "stream_locf_parity",     # per-row stateful LOCF across batches
+    "ts_sma_crossover",       # golden-cross event detection
+    "txt_entropy",            # token-distribution entropy
+    "txt_readability",        # Flesch reading-ease scoring
+    "dialect_distinct_agg",   # sum/avg/min/max(DISTINCT) — new r10
+    "dialect_pivot",          # PIVOT (agg FOR k IN ...) — new r10
+    "dialect_unpivot",        # UNPIVOT melt (round-trip) — new r10
+    "dialect_sample",         # TABLESAMPLE det. hash cut — new r10
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: last driver-green ROUND 3 (30 of 38; the
-    # 8 displaced by round-9 entries — in name order doc_chunk,
-    # doc_mixture_sample, doc_repeat_epochs, doc_source_overlap,
-    # doc_split_train_val, emb_centroid_bucketed, emb_neardup_cosine,
-    # emb_outliers re-certified mid-list below stay; the LAST 8 by
-    # name were dropped) ---
-    "dialect_join_left", "dialect_join_multi", "dialect_window",
-    "dialect_window_nav", "doc_chunk", "doc_mixture_sample",
-    "doc_repeat_epochs", "doc_source_overlap", "doc_split_train_val",
-    "emb_centroid_bucketed", "emb_neardup_cosine", "emb_outliers",
-    "join_bucketed_colocated", "join_skew_auto", "join_skew_salted",
-    "multimodal_audio", "multimodal_frame_sample", "multimodal_meta",
-    "multimodal_pixels", "multimodal_resize", "pipeline_assemble",
-    "scan_time_sliced", "scan_zordered", "subquery_in",
-    "subquery_scalar", "ts_autocorr", "ts_ewma_bucketed",
-    "ts_ewma_rows", "txt_fingerprint", "txt_langid",
-    # --- displaced to round 10: txt_ngram_novelty, txt_normalize,
-    # txt_repetition, txt_token_count, txt_token_count_bpe,
-    # txt_unigram_logprob, txt_vocab_topk, udtf_tokenize (r3-era) and
-    # the whole r5 cohort. ---
+    # --- re-certification: the 8 remaining ROUND-3 entries ---
+    "txt_ngram_novelty", "txt_normalize", "txt_repetition",
+    "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
+    "txt_vocab_topk", "udtf_tokenize",
+    # --- re-certification: ROUND-5 cohort — streaming parities first
+    # (touched by the r10 _drain_conf extension), then name order ---
+    "stream_batch_parity", "stream_dedup_parity", "stream_ewma_parity",
+    "stream_ingest_parity", "stream_join_parity",
+    "stream_session_parity", "stream_sliding_parity",
+    "agg_mode", "asof_join_nearest", "asof_join_tolerance",
+    "dedup_incremental", "dedup_keep_best", "dedup_levenshtein",
+    "dialect_arith", "dialect_computed", "dialect_distinct",
+    "dialect_filter_agg", "dialect_rollup", "dialect_setops",
+    "dialect_subquery", "dialect_window_frame", "doc_cap_per_source",
+    "doc_temperature_mixture", "emb_dim_stats", "emb_matryoshka",
+    "emb_quantize_int8", "file_formats_roundtrip",
+    # --- displaced to round 11: join_interval_overlap,
+    # multimodal_binaryfile, multimodal_jpeg, multimodal_jpeg_color,
+    # scan_bloom_pointlookup, scan_compressed_blocks and the rest of
+    # the r5 cohort, then r6. dialect_filter_agg is pulled forward out
+    # of name order: its ORACLE changed this round (BIGINT->DOUBLE,
+    # hardened-gate finding) and needs fresh driver signal. ---
 )
 
 
@@ -4628,7 +4627,13 @@ def dialect_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics certify against each other); each step localCheckpoints
     so the plan never grows, and driver traffic is one isEmpty probe
     per step. The reference's TiDB parser accepts WITH RECURSIVE
-    before dropping the statement (query/parser/parser.go:25-45)."""
+    before dropping the statement (query/parser/parser.go:25-45).
+    The fixpoint column is CAST to BIGINT in the recursive branch (r9
+    driver lesson: floor() yields DOUBLE, and the driver hashes
+    representations — "3.0" != "3" even though every value matched;
+    the cast is safe because floor's output is integral, the one case
+    where DuckDB's rounding and Spark's truncating BIGINT casts
+    agree)."""
     load_tables(spark, sf_dir)
     return sugar.query(
         spark,
@@ -4636,8 +4641,8 @@ def dialect_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  SELECT DISTINCT signup.user_id AS node, signup.user_id AS a"
         "  FROM boost.events"
         "  UNION"
-        "  SELECT r.node AS node, floor(r.a / 2.0) AS a"
-        "  FROM anc r WHERE r.a >= 1.0"
+        "  SELECT r.node AS node, CAST(floor(r.a / 2.0) AS BIGINT) AS a"
+        "  FROM anc r WHERE r.a >= 1"
         ") "
         "SELECT node, count(*) AS n_anc, sum(a) AS path_sum "
         "FROM anc GROUP BY node",
@@ -4992,18 +4997,19 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sink = f"stream_parity_{abs(hash(key)) % 10**9}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out = spark.table(sink)
     return out.select(
         F.unix_micros(F.col("win_start")).alias("win_start_us"),
@@ -5061,18 +5067,19 @@ def stream_cascade_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sink = f"stream_cascade_{abs(hash(key)) % 10**9}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     fine = spark.table(sink).select(
         F.unix_micros(F.col("win_start")).alias("win_start_us"),
         "event_type", "n", "total",
@@ -5152,7 +5159,6 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
     ]
     outs = []
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     for variant, runner in (
         ("partitioned", continuous_rollup),
         ("merged", continuous_rollup_merged),
@@ -5163,13 +5169,10 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(landing)
         )
         rollup = session_tmpdir(prefix=f"boost_rollup_{variant}_")
-        try:
-            # state partitions pin to shuffle.partitions at the FIRST
-            # checkpoint and every micro-batch commits every state
-            # partition — size them to the ~150-group load (the
-            # BASELINE.md round-4 streaming decomposition), fresh
-            # checkpoint per call so the setting always takes
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # RocksDB + changelog + 8 state partitions for the ~150-group
+        # load (BASELINE.md round-4 streaming decomposition); fresh
+        # checkpoint per call so the partition setting always takes
+        with _drain_conf(spark):
             q = runner(
                 src, os.path.join(rollup, "t"),
                 checkpoint=os.path.join(
@@ -5179,8 +5182,6 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 watermark="3650 days",  # never finalize: stays updatable
             )
             q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         got = spark.read.parquet(os.path.join(rollup, "t"))
         outs.append(
             got.select(
@@ -5338,18 +5339,19 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("vmin"))
     )
     sink = f"stream_session_{abs(hash(key)) % 10**9}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink).select(
         F.unix_micros(F.col("session_window.start")).alias("s_us"),
         F.unix_micros(F.col("session_window.end")).alias("e_us"),
@@ -5423,18 +5425,19 @@ def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("vmin"))
     )
     sink = f"stream_sliding_{abs(hash(key)) % 10**9}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink).select(
         F.unix_micros(F.col("window.start")).alias("s_us"),
         F.unix_micros(F.col("window.end")).alias("e_us"),
@@ -5712,16 +5715,17 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = session_tmpdir(prefix="boost_upsert_state_")
     state = os.path.join(work, f"state_{abs(hash(key)) % 10**9}")
-    q = upsert_view(
-        sdf, ["user_id"], "ts", state,
-        checkpoint=os.path.join(work, "ckpt"),
-        order_extra=("event_id",),
-        # ~600 users/bucket at sf0.1 — several buckets per batch while
-        # keeping dynamic-overwrite commit overhead off the bench floor;
-        # at production scale size so one bucket ~ a few hundred MB
-        n_buckets=8,
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = upsert_view(
+            sdf, ["user_id"], "ts", state,
+            checkpoint=os.path.join(work, "ckpt"),
+            order_extra=("event_id",),
+            # ~600 users/bucket at sf0.1 — several buckets per batch while
+            # keeping dynamic-overwrite commit overhead off the bench floor;
+            # at production scale size so one bucket ~ a few hundred MB
+            n_buckets=8,
+        )
+        q.awaitTermination()
     out = spark.read.parquet(state)
     return out.select(
         "user_id",
@@ -5836,16 +5840,17 @@ def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda u: u.distinct(),
         )
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(landing)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(landing)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     first = spark.read.parquet(f_state).drop(BUCKET_COL)
     act = spark.read.parquet(a_state).drop(BUCKET_COL)
     return (
@@ -5896,19 +5901,20 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(landing)
     )
     sink = f"stream_dedup_{abs(hash(key)) % 10**9}"
-    q = (
-        src.dropDuplicates(["event_id"])
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            src.dropDuplicates(["event_id"])
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -5982,18 +5988,19 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", order_extra=["event_id"],
     )
     sink = f"stream_ewma_{abs(hash(key)) % 10**9}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -6073,18 +6080,19 @@ def stream_locf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     )
     sink = f"stream_locf_{abs(hash(key)) % 10**9}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option(
-            "checkpointLocation",
-            os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+    with _drain_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                os.path.join(session_tmpdir(prefix="boost_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink).withColumn(
         "event_id", F.col("event_id").cast("long")
     )
@@ -6272,6 +6280,153 @@ def dialect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_BINDING,
     )
     return users.crossJoin(F.broadcast(nu))
+
+
+@_q(
+    "dialect_distinct_agg",
+    """
+    SELECT user_id AS uid,
+           sum(DISTINCT floor(value * 1000000.0 + 0.5)) AS sum_dv,
+           min(value) AS min_v, max(value) AS max_v,
+           avg(DISTINCT event_id) AS avg_eid,
+           count(DISTINCT event_id) AS n_e
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+    """,
+)
+def dialect_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max(DISTINCT ...) through the dialect front (r9
+    verdict ask #5) — the reference's TiDB parser accepts all of these
+    before dropping the statement (query/parser/parser.go:25-45);
+    SUM(DISTINCT) is the common dedup-ish reporting idiom. Compilation:
+    sum(DISTINCT expr) -> F.sum_distinct on the exact-integer grid
+    (floor(x*1e6+0.5) — integral doubles < 2^53, so the distinct-set
+    sum is order-independent on BOTH engines); avg(DISTINCT bigint)
+    compiles via a whitelisted F.expr (no Column API) and stays exact
+    because integer sums below 2^53 accumulate exactly in either
+    engine's double; min/max(DISTINCT) compile to plain extrema (dedup
+    is a no-op). Plan: Spark's standard Expand -> two-level partial+
+    final hash aggregate for multi-distinct — one shuffle on the group
+    key, scale-safe."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "sum(DISTINCT floor(click * 1000000.0 + 0.5)) AS sum_dv, "
+        "min(DISTINCT click) AS min_v, max(DISTINCT click) AS max_v, "
+        "avg(DISTINCT click.event_id) AS avg_eid, "
+        "count(DISTINCT click.event_id) AS n_e "
+        "FROM boost.events GROUP BY click.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_pivot",
+    """
+    SELECT user_id AS uid,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def dialect_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT through the dialect front (r9 verdict ask #6), mapping to
+    the already-certified DataFrame path (agg_pivot): an explicit value
+    list keeps the schema static and the plan ONE
+    groupBy().pivot().count() — a single partial+final hash aggregate
+    with per-value pivot expressions, no per-value scans, no
+    driver-side distinct pass (the 100-TB contract). The anchor is a
+    derived table projecting exactly (user_id, event_type) via
+    SELECT * EXCLUDE, so the ANSI implicit group key is user_id. The
+    reference's TiDB parser accepts PIVOT before dropping the
+    statement (query/parser/parser.go:25-45)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT t.user_id AS uid, t.click AS click, t.error AS error, "
+        "t.purchase AS purchase, t.signup AS signup, t.view AS view "
+        "FROM (SELECT * EXCLUDE (event_id, ts, value, props) "
+        "FROM boost.events) t "
+        "PIVOT (count(*) FOR event_type "
+        "IN ('click', 'error', 'purchase', 'signup', 'view'))",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_unpivot",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t(metric) AS (VALUES ('click'), ('error'), ('purchase'),
+                         ('signup'), ('view')),
+    c AS (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT u.user_id AS uid, t.metric AS metric,
+           coalesce(c.n, 0) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.metric
+    """,
+)
+def dialect_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT through the dialect front (r9 verdict ask #6) — a
+    PIVOT -> UNPIVOT round trip: the wide per-user count matrix from a
+    CTE melts back to (uid, metric, n) long form via Spark's native
+    unpivot (ONE Expand, rows = users x 5, no shuffle beyond the
+    pivot's own aggregate). count-pivot cells fill 0 (never NULL), so
+    the EXCLUDE-NULLS melt drops nothing and the oracle is the dense
+    users x metrics grid with zero-coalesced counts. Exercises both
+    reshape directions and their composition through WITH."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "WITH w AS ("
+        "  SELECT t.user_id AS user_id, t.click AS click, "
+        "  t.error AS error, t.purchase AS purchase, "
+        "  t.signup AS signup, t.view AS view "
+        "  FROM (SELECT * EXCLUDE (event_id, ts, value, props) "
+        "  FROM boost.events) t "
+        "  PIVOT (count(*) FOR event_type "
+        "  IN ('click', 'error', 'purchase', 'signup', 'view'))"
+        ") "
+        "SELECT m.user_id AS uid, m.metric AS metric, m.n AS n "
+        "FROM w UNPIVOT (n FOR metric "
+        "IN (click, error, purchase, signup, view)) m",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_sample",
+    """
+    SELECT event_id AS eid, user_id AS uid, value AS v
+    FROM events
+    WHERE event_type = 'click'
+      AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < 1000
+    """,
+)
+def dialect_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE through the dialect front (r9 verdict ask #7),
+    riding operators/sampling.py's hash-bucket filter: a DETERMINISTIC
+    ~10% sample keyed on event_id's md5-derived bucket — reproducible
+    on any partitioning/cluster/retry and monotone (the 20% sample
+    contains this one), which is why it hash-certifies where Spark's
+    row-level Bernoulli TABLESAMPLE cannot (per-partition RNG). One
+    codegen filter conjoined into the scan pipeline alongside the
+    series filter — zero shuffle, zero driver work. The reference's
+    TiDB parser accepts TABLESAMPLE before dropping the statement
+    (query/parser/parser.go:25-45)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click.user_id AS uid, "
+        "click AS v "
+        "FROM boost.events TABLESAMPLE (10 PERCENT ON event_id)",
+        EVENTS_BINDING,
+    )
 
 
 @_q(
@@ -6536,7 +6691,7 @@ def dialect_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id AS uid, count(*) AS n,
            count(*) FILTER (WHERE value > 50.0) AS n_hi,
            CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
-                FILTER (WHERE value > 50.0) AS BIGINT) AS s6_hi,
+                FILTER (WHERE value > 50.0) AS DOUBLE) AS s6_hi,
            min(value) FILTER (WHERE value > 50.0) AS min_hi
     FROM events WHERE event_type = 'click'
     GROUP BY 1
@@ -6552,7 +6707,11 @@ def dialect_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays ONE partial+final hash aggregate. A FILTERed aggregate never
     satisfies a HAVING/ORDER lookup for its unfiltered twin (post_name
     guard). Groups with no qualifying rows surface NULL (count: 0) on
-    both engines."""
+    both engines. The oracle's s6_hi casts to DOUBLE to match Spark's
+    double sum (r10: the hardened int-vs-float gate caught the old
+    AS BIGINT oracle as a representation twin — it only hash-matched
+    at SFs where a NULL group happened to coerce the oracle column to
+    float64)."""
     load_tables(spark, sf_dir)
     return sugar.query(
         spark,

@@ -21,6 +21,7 @@ import os
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from boostdb_spark.session import TESTDATA_TABLES
@@ -44,6 +45,14 @@ def _norm_cell(v):
     if isinstance(v, float) and math.isnan(v):
         return None
     return v
+
+
+def _is_int(v) -> bool:
+    """True for Python/NumPy integer scalars, excluding bool (bool is a
+    subclass of int but both engines ship booleans as booleans).
+    np.integer covers object-dtype cells that .tolist() leaves as numpy
+    scalars."""
+    return isinstance(v, (int, np.integer)) and not isinstance(v, bool)
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -76,6 +85,20 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
                     f"{c}[{i}]: representation mismatch "
                     f"{type(x).__name__}({x!r}) vs {type(y).__name__}({y!r})"
                     " — cast the final DECIMAL to DOUBLE on both sides"
+                )
+            elif _is_int(x) != _is_int(y) and (
+                (_is_int(x) or isinstance(x, float))
+                and (_is_int(y) or isinstance(y, float))
+            ):
+                # int-vs-float twin: the driver hashes representations,
+                # so BIGINT 3 vs DOUBLE 3.0 is a driver FAIL even though
+                # pandas equality passes (round-9 lesson:
+                # dialect_recursive_cte shipped red on exactly this).
+                problems.append(
+                    f"{c}[{i}]: representation mismatch "
+                    f"{type(x).__name__}({x!r}) vs {type(y).__name__}({y!r})"
+                    " — align the output dtype (cast to BIGINT or DOUBLE"
+                    " on BOTH sides)"
                 )
             elif x != y:
                 problems.append(f"{c}[{i}]: {x!r} != {y!r}")

@@ -2124,3 +2124,154 @@ def test_values_as_anchor_source(spark):
         b,
     ).collect()
     assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_cast_rules(spark):
+    """CAST(expr AS type) — parse, whitelist, and cross-engine-safe
+    compile (round-10: the dialect piece of the recursive-CTE dtype
+    fix)."""
+    q = parse("SELECT CAST(a / 2.0 AS BIGINT) AS h FROM d.f")
+    assert q.fields[0].expr is not None
+    with pytest.raises(ValueError, match="AS"):
+        parse("SELECT CAST(a, BIGINT) AS h FROM d.f")
+    with pytest.raises(ValueError, match="unsupported CAST target"):
+        parse("SELECT CAST(a AS BLOB) AS h FROM d.f")
+    b = _events_binding(spark)
+    rows = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "CAST(floor(click.user_id / 2.0) AS BIGINT) AS half, "
+        "CAST(click.user_id AS VARCHAR) AS s "
+        "FROM boost.events",
+        b,
+    ).limit(5).collect()
+    for r in rows:
+        assert isinstance(r.half, int)
+        assert isinstance(r.s, str)
+    # WHERE-side CAST composes with comparisons
+    n = sugar.query(
+        spark,
+        "SELECT count(*) AS n FROM boost.events "
+        "WHERE CAST(click.user_id AS BIGINT) >= 0",
+        b,
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_distinct_agg_rules(spark):
+    """sum/avg/min/max(DISTINCT ...) — parse + compile (r9 verdict ask
+    #5; the reference's TiDB parser accepts these,
+    query/parser/parser.go:25-45)."""
+    q = parse("SELECT s.k AS k, sum(DISTINCT s) AS sd FROM d.f s GROUP BY s.k")
+    assert q.fields[1].func == "sum_distinct"
+    q = parse("SELECT avg(DISTINCT a) AS ad FROM d.f")
+    assert q.fields[0].func == "avg_distinct"
+    with pytest.raises(ValueError, match="plain"):
+        parse("SELECT avg(DISTINCT a + 1.0) AS x FROM d.f")
+    with pytest.raises(ValueError, match="plain"):
+        parse("SELECT count(DISTINCT a + 1.0) AS x FROM d.f")
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT sum(DISTINCT click.user_id) AS sd, "
+        "avg(DISTINCT click.user_id) AS ad, "
+        "min(DISTINCT click) AS mn, max(DISTINCT click) AS mx "
+        "FROM boost.events",
+        b,
+    ).collect()[0]
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(
+        f"{__import__('tests.conftest', fromlist=['SF_DIR']).SF_DIR}"
+        "/events.parquet"
+    ).filter(F.col("event_type") == "click")
+    ref = ev.select(
+        F.sum_distinct("user_id").alias("sd"),
+        F.expr("avg(DISTINCT user_id)").alias("ad"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    assert (got.sd, got.ad, got.mn, got.mx) == (ref.sd, ref.ad, ref.mn, ref.mx)
+
+
+def test_pivot_unpivot_rules(spark):
+    """PIVOT/UNPIVOT table operators (r9 verdict ask #6)."""
+    q = parse(
+        "SELECT t.k AS k FROM src PIVOT (count(*) FOR et IN ('a', 'b')) t"
+    )
+    assert q.pivot is not None and q.pivot.func == "count"
+    assert q.pivot.agg_col is None and q.pivot.values == ["a", "b"]
+    assert q.source_alias == "t"
+    q = parse("SELECT k FROM src PIVOT (sum(x) FOR et IN (1, 2))")
+    assert q.pivot.agg_col == "x" and q.pivot.values == [1, 2]
+    q = parse("SELECT k FROM w UNPIVOT (val FOR metric IN (a, b)) u")
+    assert q.unpivot is not None and q.unpivot.cols == ["a", "b"]
+    with pytest.raises(ValueError, match="aggregate"):
+        parse("SELECT k FROM src PIVOT (floor(x) FOR et IN (1))")
+    with pytest.raises(ValueError, match="FOR"):
+        parse("SELECT k FROM src PIVOT (count(*) BY et IN (1))")
+    with pytest.raises(ValueError, match="literal"):
+        parse("SELECT k FROM src PIVOT (count(*) FOR et IN (a, b))")
+    with pytest.raises(ValueError, match="joined"):
+        parse(
+            "SELECT k FROM src PIVOT (count(*) FOR et IN (1)) "
+            "JOIN d.f x ON x.a = src.b"
+        )
+    # plan-level: family sources must wrap in a derived table
+    from boostdb_spark.suite import EVENTS_BINDING
+
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="plain-column"):
+        sugar.query(
+            spark,
+            "SELECT k FROM boost.events "
+            "PIVOT (count(*) FOR event_type IN ('click'))",
+            b,
+        )
+    import pyspark.sql.functions as F
+
+    # round trip: pivot a two-column derived table, melt it back
+    wide = sugar.query(
+        spark,
+        "SELECT t.user_id AS uid, t.click AS click, t.view AS view "
+        "FROM (SELECT * EXCLUDE (event_id, ts, value, props) "
+        "FROM boost.events) t "
+        "PIVOT (count(*) FOR event_type IN ('click', 'view'))",
+        b,
+    )
+    assert set(wide.columns) == {"uid", "click", "view"}
+    row = wide.filter(F.col("click") > 0).limit(1).collect()
+    assert row and isinstance(row[0].click, int)
+
+
+def test_tablesample_rules(spark):
+    """TABLESAMPLE (p PERCENT ON key) — deterministic hash sampling
+    (r9 verdict ask #7)."""
+    q = parse("SELECT a FROM d.f TABLESAMPLE (10 PERCENT ON event_id)")
+    assert q.sample is not None and q.sample.pct == 10.0
+    assert q.sample.key_col == "event_id"
+    with pytest.raises(ValueError, match="PERCENT"):
+        parse("SELECT a FROM d.f TABLESAMPLE (10 ROWS ON k)")
+    with pytest.raises(ValueError, match="ON"):
+        parse("SELECT a FROM d.f TABLESAMPLE (10 PERCENT)")
+    with pytest.raises(ValueError, match="out of range"):
+        parse("SELECT a FROM d.f TABLESAMPLE (200 PERCENT ON k)")
+    b = _events_binding(spark)
+    s10 = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid FROM boost.events "
+        "TABLESAMPLE (10 PERCENT ON event_id)",
+        b,
+    )
+    s20 = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid FROM boost.events "
+        "TABLESAMPLE (20 PERCENT ON event_id)",
+        b,
+    )
+    ids10 = {r.eid for r in s10.collect()}
+    ids20 = {r.eid for r in s20.collect()}
+    assert ids10 and ids10 < ids20  # monotone: 10% subset of 20%
+    # reproducible under repartitioning (the whole point)
+    again = {r.eid for r in s10.repartition(7).collect()}
+    assert again == ids10

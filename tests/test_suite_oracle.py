@@ -35,6 +35,35 @@ def test_every_query_has_oracle_or_reason():
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 
 
+def test_compare_rejects_int_float_twin():
+    """The driver hashes cell REPRESENTATIONS: BIGINT 3 vs DOUBLE 3.0 is
+    a driver FAIL even though the values are numerically equal (round-9
+    shipped dialect_recursive_cte red on exactly this). The local gate
+    must replicate that — both for native int64/float64 columns and for
+    object-dtype cells."""
+    import numpy as np
+    import pandas as pd
+
+    from boostdb_spark.verify import compare
+
+    ints = pd.DataFrame({"k": [1, 2], "v": [3, 4]})
+    floats = pd.DataFrame({"k": [1, 2], "v": [3.0, 4.0]})
+    problems = compare(floats, ints)
+    assert problems and "representation mismatch" in problems[0], problems
+    assert compare(ints.copy(), ints.copy()) == []
+    assert compare(floats.copy(), floats.copy()) == []
+    # object-dtype cells that survive .tolist() as numpy scalars (a
+    # nullable int column coerces to float64 on BOTH engines' pandas
+    # paths identically, so only non-null object cells carry the signal)
+    obj_int = pd.DataFrame({"v": pd.Series([np.int64(3)], dtype=object)})
+    obj_flt = pd.DataFrame({"v": pd.Series([3.0], dtype=object)})
+    problems = compare(obj_flt, obj_int)
+    assert problems and "representation mismatch" in problems[0], problems
+    # bools are NOT ints for this purpose
+    bools = pd.DataFrame({"v": [True, False]})
+    assert compare(bools.copy(), bools.copy()) == []
+
+
 def test_driver_window_is_certifiable():
     """The driver hash-checks only the first 50 exported queries: every
     one of those must be oracle-paired (hard signal, no wasted slots)
