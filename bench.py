@@ -389,6 +389,29 @@ def main() -> None:
             gc_ms[name] = _jvm_gc_ms() - g0
             print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
 
+    # isolated re-run probes (r9-verdict ask #4: the driver clocked
+    # agg_approx_count_distinct at 6.6x its local record with only
+    # 575 ms attributable to GC, leaving the gap environment-unproven).
+    # For the entries with a history of driver-vs-local divergence on
+    # untouched code, time a SECOND run from a comparable heap state
+    # (System.gc() first, outside the timer): `isolated` ~= the entry's
+    # in-suite time says the plan is the cost; `isolated` << in-suite
+    # says the first-run wall was JVM state (heap tenure / JIT /
+    # inherited AQE state), not the plan — the record now carries that
+    # proof wherever it runs.
+    isolated: dict[str, float] = {}
+    if not stream_only:
+        for name in ("agg_approx_count_distinct", "ts_bollinger"):
+            spark.sparkContext._jvm.System.gc()
+            fn = registry[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            isolated[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"  isolated {name}: {isolated[name]}s",
+                file=sys.stderr, flush=True,
+            )
+
     stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
     times.update(stream_times)
 
@@ -421,6 +444,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(times),
         "calibration": _calibration(spark),
+        "isolated_rerun": isolated,
         "top20": top20,
         "gc_top10": gc_top10,
         "value": total,

@@ -786,3 +786,59 @@ def readability(
         )
         .filter(F.col("n_words") >= 1)
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    k: int = 100,
+    group_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law exponent of the token frequency distribution — the
+    corpus-statistics diagnostic (natural text sits near slope -1;
+    boilerplate/spam/templated corpora flatten or steepen it): a
+    least-squares fit of ln(count) against ln(rank) over the top-``k``
+    tokens, per ``group_col`` (or corpus-wide when None).
+
+    slope = (k*Sxy - Sx*Sy) / (k*Sxx - Sx^2) over x=ln(rank),
+    y=ln(n). Ranks are exact integers (count desc, token asc
+    tiebreak), so both engines fit the SAME k points; 6dp rounding
+    absorbs last-ulp ln/summation-order noise (the
+    txt_unigram_logprob precedent).
+
+    Scale shape: explode -> map-side-combined token count -> a rank
+    window over the DISTINCT-TOKEN table (vocabulary-sized, not
+    corpus-sized) -> a k-row aggregate per group. No joins, no
+    collect."""
+    gcols = [group_col] if group_col else []
+    toks = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy(*gcols, "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rw = Window.partitionBy(*gcols).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(rw)).filter(
+        F.col("rnk") <= k
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    pts = ranked.select(*gcols, x.alias("x"), y.alias("y"))
+    agg = pts.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("k_points"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    kd = F.col("k_points").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        *gcols,
+        "k_points",
+        F.round(slope, 6).alias("zipf_slope"),
+    )

@@ -2566,3 +2566,95 @@ def sma_crossover(
             .alias("cross_dir"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "series",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Markov transition counts over per-user event paths — the
+    user-path-mining / Sankey primitive behind product-analytics "next
+    action" views (the reference's event model stores the sequences;
+    it ships no path operator). Per user, events order by
+    (ts, id) — the id tiebreak makes the chain a pure function of the
+    event SET — and each consecutive (src -> dst) step counts once.
+    Returns (src, dst, n, rnk) with rnk ranking destinations within
+    each src by count (desc, dst asc); ``top_k`` keeps the k most
+    common destinations per source.
+
+    Scale shape: ONE user-keyed window (lead) -> map-side-combined
+    count on (src, dst) -> a rank window over the TRANSITION MATRIX
+    (|types|^2 rows, tiny regardless of event volume). No self-joins,
+    no per-user collect."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = (
+        df.select(user_col, F.col(type_col).alias("src"), ts_col, id_col)
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    rw = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("dst").asc())
+    out = counts.withColumn("rnk", F.row_number().over(rw))
+    if top_k is not None:
+        out = out.filter(F.col("rnk") <= top_k)
+    return out
+
+
+def burn_rate(
+    df: DataFrame,
+    bucket_seconds: int,
+    short_buckets: int,
+    long_buckets: int,
+    error_type: str = "error",
+    slo_error_rate: float = 0.05,
+    burn_threshold: float = 2.0,
+    type_col: str = "series",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    rule, public): per time bucket, the error rate over a SHORT and a
+    LONG trailing window must BOTH exceed ``burn_threshold`` x the SLO
+    budget for the alert to fire — the short window gives fast
+    detection, the long window suppresses blips.
+
+    Scale design: rates aggregate per BUCKET first (one map-side-
+    combined hash aggregate over the raw events), and the trailing
+    windows run over the BUCKET series — cardinality = time-range /
+    bucket, independent of event volume — never as row-level range
+    frames (Spark re-evaluates sliding frames per row: O(rows x
+    frame), the r8 ts_bollinger lesson). Windows count OBSERVED
+    buckets (rowsBetween over the gapless-by-construction bucket
+    grid of a dense series; an empty bucket simply contributes no
+    row on either engine). Rates are integer-count divisions — one
+    double division, bit-identical on both engines."""
+    b = time_bucket(df, bucket_seconds, ts_col=ts_col)
+    per = b.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col(type_col) == error_type, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("err_n"),
+        F.count(F.lit(1)).alias("total_n"),
+    )
+    ww = Window.orderBy("bucket")
+    sw = ww.rowsBetween(-(short_buckets - 1), 0)
+    lw = ww.rowsBetween(-(long_buckets - 1), 0)
+    out = per.select(
+        "bucket",
+        "err_n",
+        "total_n",
+        F.sum("err_n").over(sw).alias("s_err"),
+        F.sum("total_n").over(sw).alias("s_total"),
+        F.sum("err_n").over(lw).alias("l_err"),
+        F.sum("total_n").over(lw).alias("l_total"),
+    )
+    s_rate = F.col("s_err") / F.col("s_total").cast("double")
+    l_rate = F.col("l_err") / F.col("l_total").cast("double")
+    thr = F.lit(burn_threshold * slo_error_rate)
+    return out.withColumn(
+        "alert", (s_rate > thr) & (l_rate > thr)
+    )

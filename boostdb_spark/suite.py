@@ -127,7 +127,8 @@ def _q(name: str, oracle: str | None):
 # cumulative driver-certified coverage grows every round. Round-10
 # window: the round-9 red row (dialect_recursive_cte, fixed) and the 5
 # entries that landed after the r9 window froze lead, then the new
-# round-10 dialect surface, then the 5 standing canaries, then
+# round-10 surface (4 dialect + 3 operator entries), then the 5
+# standing canaries, then
 # re-certification slots refreshing the STALEST cumulative signal: the
 # 8 remaining ROUND-3 entries, then the ROUND-5 cohort — the 7
 # streaming parities first (their drains were wrapped in _drain_conf
@@ -147,6 +148,9 @@ _WINDOW: tuple[str, ...] = (
     "dialect_pivot",          # PIVOT (agg FOR k IN ...) — new r10
     "dialect_unpivot",        # UNPIVOT melt (round-trip) — new r10
     "dialect_sample",         # TABLESAMPLE det. hash cut — new r10
+    "evt_transitions",        # Markov next-action matrix — new r10
+    "ts_error_budget_burn",   # SRE multi-window burn rate — new r10
+    "txt_zipf_slope",         # Zipf exponent per source — new r10
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -167,9 +171,9 @@ _WINDOW: tuple[str, ...] = (
     "dialect_arith", "dialect_computed", "dialect_distinct",
     "dialect_filter_agg", "dialect_rollup", "dialect_setops",
     "dialect_subquery", "dialect_window_frame", "doc_cap_per_source",
-    "doc_temperature_mixture", "emb_dim_stats", "emb_matryoshka",
-    "emb_quantize_int8", "file_formats_roundtrip",
-    # --- displaced to round 11: join_interval_overlap,
+    "doc_temperature_mixture", "emb_dim_stats",
+    # --- displaced to round 11: emb_matryoshka, emb_quantize_int8,
+    # file_formats_roundtrip, join_interval_overlap,
     # multimodal_binaryfile, multimodal_jpeg, multimodal_jpeg_color,
     # scan_bloom_pointlookup, scan_compressed_blocks and the rest of
     # the r5 cohort, then r6. dialect_filter_agg is pulled forward out
@@ -1985,6 +1989,89 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort_type="signup",
         active_type="click",
         period_ns=604_800_000_000_000,
+        type_col="event_type",
+    )
+
+
+@_q(
+    "evt_transitions",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+               FROM events),
+    s AS (SELECT user_id, event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id) AS dst
+          FROM e),
+    c AS (SELECT src, dst, count(*) AS n FROM s
+          WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           CAST(row_number() OVER (PARTITION BY src
+                                   ORDER BY n DESC, dst ASC) AS BIGINT)
+             AS rnk
+    FROM c
+    """,
+)
+def evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_transitions(): Markov transition counts over per-user
+    event paths — the user-path-mining / Sankey "next action"
+    primitive (Amplitude Pathfinder / GA path exploration class). The
+    (ts, event_id) tiebreak makes each user's chain a pure function of
+    the event set. Scale shape: one user-keyed lead window -> map-side-
+    combined (src, dst) count -> rank window over the TRANSITION
+    MATRIX (|types|^2 rows, independent of event volume). No self-
+    joins, no collect."""
+    t = load_tables(spark, sf_dir)
+    out = ts_ops.event_transitions(
+        _ns_events(t), type_col="event_type"
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+@_q(
+    "ts_error_budget_burn",
+    """
+    WITH e AS (SELECT epoch_ns(ts) AS t, event_type FROM events),
+    b AS (SELECT t - t % 1800000000000 AS bucket,
+                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                          END) AS BIGINT) AS err_n,
+                 count(*) AS total_n
+          FROM e GROUP BY 1),
+    w AS (SELECT bucket, err_n, total_n,
+                 CAST(sum(err_n) OVER sw AS BIGINT) AS s_err,
+                 CAST(sum(total_n) OVER sw AS BIGINT) AS s_total,
+                 CAST(sum(err_n) OVER lw AS BIGINT) AS l_err,
+                 CAST(sum(total_n) OVER lw AS BIGINT) AS l_total
+          FROM b
+          WINDOW sw AS (ORDER BY bucket
+                        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+                 lw AS (ORDER BY bucket
+                        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+    SELECT bucket, err_n, total_n, s_err, s_total, l_err, l_total,
+           (s_err / CAST(s_total AS DOUBLE) > 0.1)
+           AND (l_err / CAST(l_total AS DOUBLE) > 0.1) AS alert
+    FROM w
+    """,
+)
+def ts_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """burn_rate(): multi-window SLO burn-rate alerting (the Google
+    SRE-workbook rule — fast short window AND blip-suppressing long
+    window must both exceed burn_threshold x budget). 30-min buckets,
+    1h short / 6h long trailing windows, 5% SLO at 2x burn. Scale
+    design: error rates aggregate per BUCKET first (one map-side-
+    combined hash aggregate over raw events), trailing windows run
+    over the bucket series — cardinality = time-range / 30 min,
+    independent of event volume — NEVER as row-level range frames
+    (O(rows x frame), the r8 ts_bollinger lesson). Alert booleans are
+    integer-count divisions: bit-identical on both engines."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.burn_rate(
+        _ns_events(t),
+        bucket_seconds=1800,
+        short_buckets=2,
+        long_buckets=12,
+        error_type="error",
+        slo_error_rate=0.05,
+        burn_threshold=2.0,
         type_col="event_type",
     )
 

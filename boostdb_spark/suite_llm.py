@@ -76,6 +76,40 @@ def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "txt_zipf_slope",
+    f"""
+    WITH t AS (SELECT source, unnest({TOKS}) AS token FROM documents),
+    v AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2),
+    r AS (SELECT source, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, token ASC) AS rnk
+          FROM v),
+    p AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+                 ln(CAST(n AS DOUBLE)) AS y
+          FROM r WHERE rnk <= 100)
+    SELECT source, count(*) AS k_points,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+             AS zipf_slope
+    FROM p GROUP BY source
+    """,
+)
+def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipf_slope(): Zipf-law exponent of each source's token
+    frequency distribution — the corpus-statistics diagnostic (natural
+    text sits near -1; templated/spammy corpora flatten or steepen):
+    least-squares ln(count)-vs-ln(rank) fit over the per-source
+    top-100 tokens. Ranks are exact integers (count desc, token asc),
+    so both engines fit the SAME 100 points; 6dp rounding absorbs
+    last-ulp ln / summation-order noise (the txt_unigram_logprob
+    precedent). Scale shape: explode -> map-side-combined count ->
+    rank window over the VOCABULARY (not the corpus) -> a 100-row
+    aggregate per source. No joins, no collect."""
+    t = load_tables(spark, sf_dir)
+    return tx.zipf_slope(t["documents"], k=100, group_col="source")
+
+
+@_q(
     "doc_pack_tokens",
     f"""
     WITH n AS (

@@ -364,3 +364,48 @@ def test_setops_all_no_join_explosion(spark):
     # joins over duplicated rows
     p = _plan(spark, "dialect_setops_all")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_pivot_single_aggregate_no_pervalue_scans(spark):
+    # PIVOT with an explicit value list is ONE partial+final hash
+    # aggregate over ONE scan — never a per-value scan-and-union and
+    # never a driver-side distinct pass
+    p = _plan(spark, "dialect_pivot")
+    scans = [ln for ln in p.splitlines()
+             if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Union" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_unpivot_one_expand(spark):
+    # UNPIVOT is Spark's native Expand (rows x |cols|) — no join, no
+    # per-column union
+    p = _plan(spark, "dialect_unpivot")
+    assert "Expand" in p
+    assert "Union" not in p
+
+
+def test_tablesample_filter_in_scan_pipeline(spark):
+    # the deterministic hash cut is a codegen filter conjoined with the
+    # series filter: one scan, no exchange before the filter, and the
+    # series equality still reaches the parquet scan
+    p = _plan(spark, "dialect_sample")
+    assert "EqualTo(event_type,click)" in p
+    scans = [ln for ln in p.splitlines()
+             if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1
+    assert "Exchange" not in p  # pure scan+filter+project pipeline
+
+
+def test_distinct_agg_expand_two_level(spark):
+    # multi-distinct aggregation: Spark's Expand-based rewrite with
+    # partial+final levels on ONE scan — the standard distinct shape,
+    # no self-joins
+    p = _plan(spark, "dialect_distinct_agg")
+    scans = [ln for ln in p.splitlines()
+             if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Join" not in p
+    assert "Expand" in p
+    assert p.count("HashAggregate") >= 2
