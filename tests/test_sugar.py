@@ -785,8 +785,11 @@ def test_dialect_distinct_and_count_distinct(spark):
         "WHERE event_type = 'click' GROUP BY user_id"
     ).collect()
     assert sorted(map(tuple, r)) == sorted(map(tuple, want2))
-    with pytest.raises(ValueError, match="only count"):
-        parse("SELECT sum(DISTINCT s) FROM d.f")
+    # r10: sum/avg/min/max(DISTINCT) are now first-class (verdict ask
+    # #5) — see test_distinct_agg_rules
+    assert parse("SELECT sum(DISTINCT s) AS x FROM d.f").fields[0].func == (
+        "sum_distinct"
+    )
 
 
 def test_dialect_where_arithmetic(spark):

@@ -85,6 +85,13 @@ SHOWCASE = [
     ("dialect_values", "inline VALUES: LocalTableScan (exact stats) -> BroadcastHashJoin, literal dim never shuffles"),
     ("ts_lttb", "LTTB: rank window + bucket-mean agg + broadcast neighbor join + WindowGroupLimit argmax"),
     ("ts_integral", "trapezoid integral: one lead window + hash agg to (series, bucket), ordered fold"),
+    ("dialect_distinct_agg", "DISTINCT aggregates: ONE scan -> Expand -> two-level multi-distinct hash agg, no self-joins"),
+    ("dialect_pivot", "PIVOT: explicit value list -> ONE groupBy().pivot() partial+final aggregate, single scan, no per-value unions"),
+    ("dialect_unpivot", "UNPIVOT: native Expand melt (rows x |cols|), no join"),
+    ("dialect_sample", "TABLESAMPLE: deterministic md5-bucket filter conjoined into the scan pipeline — zero Exchange"),
+    ("evt_transitions", "event transitions: user-keyed lead window -> map-side (src,dst) count -> rank over the tiny transition matrix"),
+    ("ts_error_budget_burn", "burn rate: one bucket hash agg over raw events, trailing windows over the BUCKET series only"),
+    ("txt_zipf_slope", "Zipf slope: explode -> map-side token count -> rank window over the vocabulary -> 100-row fit per source"),
 ]
 
 
