@@ -842,3 +842,88 @@ def zipf_slope(
         "k_points",
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity features: type-token ratio and
+    hapax-legomenon fraction — the vocabulary-richness quality signals
+    next to doc_entropy's distribution entropy (templated/spammy text
+    reuses few types; natural prose keeps TTR and hapax share high).
+    Returns (id, n_tokens, n_types, n_hapax, ttr, hapax_frac).
+
+    ALL-INTEGER determinism: types and hapax counts fold over the
+    SORTED per-doc token array (state: prev token, run length, two
+    counters — no ln, no float accumulation); the two ratios are
+    single int/int double divisions, bit-identical on both engines.
+
+    Scale: ZERO shuffle — tokenize, sort, run-length-fold in one
+    narrow pass per row; no explode, no groupBy (doc_entropy's
+    shape)."""
+    t1 = _spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    t2 = t1.select(
+        "id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.array_sort("_tk").alias("_st"),
+    ).filter(F.col("n_tokens") >= 1)
+
+    def step(acc, x):
+        same = x == acc.getField("prev")
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (
+                acc.getField("types")
+                + F.when(same, F.lit(0)).otherwise(F.lit(1)).cast("long")
+            ).alias("types"),
+            (
+                acc.getField("hapax")
+                + F.when(
+                    ~same & (acc.getField("run") == 1), F.lit(1)
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("hapax"),
+        )
+
+    zero = F.lit(0).cast("long")
+    acc = F.aggregate(
+        F.col("_st"),
+        F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("run"),
+            zero.alias("types"),
+            zero.alias("hapax"),
+        ),
+        step,
+        lambda a: F.struct(
+            a.getField("types").alias("types"),
+            (
+                a.getField("hapax")
+                + F.when(a.getField("run") == 1, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("hapax"),
+        ),
+    )
+    out = t2.select("id", "n_tokens", acc.alias("_a")).select(
+        "id",
+        "n_tokens",
+        F.col("_a.types").alias("n_types"),
+        F.col("_a.hapax").alias("n_hapax"),
+    )
+    return out.select(
+        "id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types") / F.col("n_tokens").cast("double")).alias("ttr"),
+        (F.col("n_hapax") / F.col("n_tokens").cast("double")).alias(
+            "hapax_frac"
+        ),
+    )

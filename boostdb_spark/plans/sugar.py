@@ -1340,6 +1340,8 @@ class _Parser:
         "length", "trim", "coalesce", "concat", "substring",
         "year", "month", "day", "hour", "minute", "date_trunc",
         "cast",  # CAST(expr AS type) — special-cased in parse_operand
+        "nullif", "greatest", "least", "ltrim", "rtrim", "replace",
+        "reverse",
     })
 
     def parse_select_item(self) -> FieldRef:
@@ -2224,6 +2226,14 @@ _FN_IMPL: dict = {
     "day": (1, 1, F.dayofmonth),
     "hour": (1, 1, F.hour),
     "minute": (1, 1, F.minute),
+    # r10 batch — identical name + semantics on both engines:
+    "nullif": (2, 2, F.nullif),
+    "greatest": (2, None, lambda *a: F.greatest(*a)),
+    "least": (2, None, lambda *a: F.least(*a)),
+    "ltrim": (1, 1, F.ltrim),
+    "rtrim": (1, 1, F.rtrim),
+    "replace": (3, 3, F.replace),
+    "reverse": (1, 1, F.reverse),
 }
 
 

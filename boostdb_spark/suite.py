@@ -6517,6 +6517,111 @@ def dialect_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_pivot_sum",
+    """
+    SELECT user_id AS uid,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def dialect_pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-aggregate PIVOT through the dialect front (the sum path
+    next to dialect_pivot's count path): a CTE quantizes value to the
+    exact-integer grid, the PIVOT sums it per (user, type) — still ONE
+    groupBy().pivot() aggregate. Groups with no qualifying rows stay
+    NULL (sum semantics, unlike count's 0-fill) on both engines; the
+    oracle casts its filtered sums to BIGINT to match Spark's
+    sum(long). Window slot in round 11 (below the fold this round)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "WITH c AS (SELECT * EXCLUDE (event_id, ts, props) "
+        "FROM boost.events) "
+        "SELECT t.user_id AS uid, t.click AS click, t.error AS error, "
+        "t.purchase AS purchase "
+        "FROM (SELECT d.user_id AS user_id, d.event_type AS event_type, "
+        "CAST(floor(d.value * 1000000.0 + 0.5) AS BIGINT) AS v6 "
+        "FROM c d) t "
+        "PIVOT (sum(v6) FOR event_type IN ('click', 'error', 'purchase'))",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_cast",
+    """
+    SELECT event_id AS eid,
+           CAST(floor(user_id / 4.0) AS BIGINT) AS q,
+           CAST(user_id AS DOUBLE) AS ud,
+           CAST(event_id AS VARCHAR) AS es
+    FROM events WHERE event_type = 'click'
+      AND CAST(floor(user_id / 4.0) AS BIGINT) >= 0
+    """,
+)
+def dialect_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST(expr AS type) as a first-class dialect surface (the fix
+    vehicle for the r9 recursive-CTE representation mismatch, here
+    certified directly): floor->BIGINT (integral-only — DuckDB's
+    double->bigint cast ROUNDS while Spark truncates, so fractional
+    casts are refused by convention, not by the grammar), int->DOUBLE
+    widening, int->VARCHAR rendering, and a WHERE-side CAST composed
+    with a comparison. All casts stay inside the codegen scan
+    pipeline. Window slot in round 11 (below the fold this round)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "CAST(floor(click.user_id / 4.0) AS BIGINT) AS q, "
+        "CAST(click.user_id AS DOUBLE) AS ud, "
+        "CAST(click.event_id AS VARCHAR) AS es "
+        "FROM boost.events "
+        "WHERE CAST(floor(click.user_id / 4.0) AS BIGINT) >= 0",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_scalar_fns2",
+    """
+    SELECT event_id AS eid,
+           nullif(user_id, 0) AS nz,
+           greatest(user_id, 100) AS g,
+           least(user_id, 100) AS l,
+           reverse(CAST(event_id AS VARCHAR)) AS rid,
+           replace(CAST(event_id AS VARCHAR), '1', 'x') AS rep,
+           ltrim(concat('  ', CAST(user_id AS VARCHAR))) AS lt
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def dialect_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 scalar-function batch through the dialect front:
+    nullif / greatest / least / ltrim / rtrim / replace / reverse —
+    names and semantics identical on both engines, all compiled to
+    built-in Catalyst expressions inside the codegen scan pipeline
+    (the whitelist stays the cross-engine-deterministic subset; pow/
+    exp/ln stay out — libm last-ulp divergence). Window slot in round
+    11 (below the fold this round)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "nullif(click.user_id, 0) AS nz, "
+        "greatest(click.user_id, 100) AS g, "
+        "least(click.user_id, 100) AS l, "
+        "reverse(CAST(click.event_id AS VARCHAR)) AS rid, "
+        "replace(CAST(click.event_id AS VARCHAR), '1', 'x') AS rep, "
+        "ltrim(concat('  ', CAST(click.user_id AS VARCHAR))) AS lt "
+        "FROM boost.events",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "dialect_window_frame",
     """
     SELECT event_id AS eid,

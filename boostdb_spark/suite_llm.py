@@ -76,6 +76,33 @@ def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "txt_lexical_diversity",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+    g AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           count(*) / CAST(sum(c) AS DOUBLE) AS ttr,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(sum(c) AS DOUBLE) AS hapax_frac
+    FROM g GROUP BY doc_id
+    """,
+)
+def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lexical_diversity(): per-doc type-token ratio + hapax fraction
+    — vocabulary-richness quality signals (templated text reuses few
+    types). ALL-INTEGER fold over the sorted token array (no ln, no
+    float accumulation; ratios are single int/int divisions), ZERO
+    shuffle — doc_entropy's sorted-run-fold shape with integer
+    counters. Oracle groups exploded tokens; the operator never
+    explodes."""
+    t = load_tables(spark, sf_dir)
+    return tx.lexical_diversity(t["documents"])
+
+
+@_q(
     "txt_zipf_slope",
     f"""
     WITH t AS (SELECT source, unnest({TOKS}) AS token FROM documents),
