@@ -1340,6 +1340,7 @@ class _Parser:
         "length", "trim", "coalesce", "concat", "substring",
         "year", "month", "day", "hour", "minute", "date_trunc",
         "cast",  # CAST(expr AS type) — special-cased in parse_operand
+        "extract",  # EXTRACT(unit FROM expr) — ditto
         "nullif", "greatest", "least", "ltrim", "rtrim", "replace",
         "reverse",
     })
@@ -1864,6 +1865,26 @@ class _Parser:
                 if not self.accept_op(")"):
                     raise ValueError("unbalanced parenthesis in CAST(...)")
                 return Expr("cast", op=_CAST_TYPES[ty.lower()], children=[inner])
+            # EXTRACT(unit FROM expr) — ANSI sugar for the date-part
+            # functions (year/month/day/hour/minute); compiles to the
+            # same _FN_IMPL entries, so the two spellings cannot drift
+            if v.lower() == "extract" and self.peek() == ("op", "("):
+                self.next()
+                ku, unit = self.name_next()
+                if ku != "name" or unit.lower() not in (
+                    "year", "month", "day", "hour", "minute"
+                ):
+                    raise ValueError(
+                        f"EXTRACT unit must be one of year/month/day/"
+                        f"hour/minute, got {unit!r}"
+                    )
+                kf, fkw = self.next()
+                if (kf, fkw) != ("kw", "from"):
+                    raise ValueError("EXTRACT requires 'unit FROM expr'")
+                inner = self.parse_arith()
+                if not self.accept_op(")"):
+                    raise ValueError("unbalanced parenthesis in EXTRACT(...)")
+                return Expr("fn", op=unit.lower(), children=[inner])
             # scalar function call — name followed by '(' wins over a
             # same-named series; args are full arithmetic expressions
             if v.lower() in self._SCALAR_FUNCS and self.peek() == ("op", "("):

@@ -6795,6 +6795,49 @@ def dialect_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_extract",
+    """
+    SELECT event_id AS eid,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def dialect_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT(unit FROM expr) — ANSI date-part sugar compiling to the
+    SAME _FN_IMPL entries as the year()/month()/... spellings (the two
+    surfaces cannot drift). The entry normalizes the events view to
+    TIMESTAMP first (the fixture has shipped ts as both
+    TIMESTAMP(NANOS)-as-long and timestamp[us]; scalar date parts need
+    the temporal type) and CASTs each part to BIGINT so Spark's
+    int32 date parts schema-match DuckDB's int64. Window slot in
+    round 11."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from boostdb_spark.functions.scalar import ns_to_timestamp
+
+        ev = ev.withColumn("ts", ns_to_timestamp("ts"))
+    ev.createOrReplaceTempView("events_ts_t")
+    b = SeriesFamilyBinding(
+        view="events_ts_t", series_col="event_type", value_col="value",
+        ts_col="ts",
+    )
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "CAST(extract(year FROM click.ts) AS BIGINT) AS y, "
+        "CAST(extract(month FROM click.ts) AS BIGINT) AS m, "
+        "CAST(extract(day FROM click.ts) AS BIGINT) AS d, "
+        "CAST(extract(hour FROM click.ts) AS BIGINT) AS h "
+        "FROM boost.events_ts_t",
+        b,
+    )
+
+
+@_q(
     "dialect_window_frame",
     """
     SELECT event_id AS eid,

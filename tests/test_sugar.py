@@ -2278,3 +2278,13 @@ def test_tablesample_rules(spark):
     # reproducible under repartitioning (the whole point)
     again = {r.eid for r in s10.repartition(7).collect()}
     assert again == ids10
+
+
+def test_extract_rules():
+    """EXTRACT(unit FROM expr) — ANSI sugar for the date-part fns."""
+    q = parse("SELECT extract(year FROM a.ts) AS y FROM d.f a")
+    assert q.fields[0].expr is not None and q.fields[0].expr.op == "year"
+    with pytest.raises(ValueError, match="unit"):
+        parse("SELECT extract(week FROM a.ts) AS w FROM d.f a")
+    with pytest.raises(ValueError, match="FROM"):
+        parse("SELECT extract(year, a.ts) AS y FROM d.f a")
