@@ -1329,7 +1329,10 @@ class _Parser:
         return FieldRef(tuple(v.split(".")))
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
-    _RANK_FUNCS = ("rank", "dense_rank", "row_number")
+    _RANK_FUNCS = (
+        "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
+        "ntile",
+    )
     _NAV_FUNCS = ("lag", "lead", "first_value", "last_value")
     #: whitelisted scalar functions — a name followed by '(' parses as
     #: a call (winning over a same-named series); everything compiles
@@ -1438,7 +1441,16 @@ class _Parser:
         elif v.lower() in self._RANK_FUNCS and self.accept_op("("):
             func = v.lower()
             parts = ()
+            if func == "ntile":
+                kn, nv = self.next()
+                if kn != "num" or "." in nv or int(nv) < 1:
+                    raise ValueError(
+                        "ntile(n) requires a positive integer literal"
+                    )
+                arg_expr = Expr("lit", value=int(nv))
             if not self.accept_op(")"):
+                if func == "ntile":
+                    raise ValueError("unbalanced parenthesis in ntile(n)")
                 raise ValueError(f"{func}() takes no arguments")
         elif v.lower() in self._NAV_FUNCS and self.accept_op("("):
             func = v.lower()
@@ -1730,6 +1742,14 @@ class _Parser:
             self.next()
             pat = self.parse_operand()
             e = Expr("like", children=[operand, pat])
+        elif t[0] == "name" and t[1].lower() == "ilike":
+            # case-insensitive LIKE (DuckDB/postgres surface; Spark's
+            # Column.ilike). Contextual name: only recognized in
+            # predicate-operator position, so columns named ilike keep
+            # resolving
+            self.next()
+            pat = self.parse_operand()
+            e = Expr("ilike", children=[operand, pat])
         else:
             # bare boolean operand
             e = operand
@@ -2387,6 +2407,10 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = N
         return a.between(lo, hi)
     if e.kind == "like":
         return _compile_expr(e.children[0], res, name_of, params).like(
+            _operand_value(e.children[1], params)
+        )
+    if e.kind == "ilike":
+        return _compile_expr(e.children[0], res, name_of, params).ilike(
             _operand_value(e.children[1], params)
         )
     raise ValueError(f"unknown expr kind {e.kind}")
@@ -3376,7 +3400,8 @@ def plan(
 
         rank_map = {
             "rank": F.rank, "dense_rank": F.dense_rank,
-            "row_number": F.row_number,
+            "row_number": F.row_number, "percent_rank": F.percent_rank,
+            "cume_dist": F.cume_dist,
         }
         nav_map = {"lag": F.lag, "lead": F.lead}
         proj = []
@@ -3425,7 +3450,7 @@ def plan(
                 # definition; first_value/last_value ARE frame-sensitive
                 # (that is what makes last_value(...) IGNORE NULLS over
                 # a preceding frame the LOCF idiom) and accept one
-                if func in rank_map or func in ("lag", "lead"):
+                if func in rank_map or func in ("lag", "lead", "ntile"):
                     raise ValueError(
                         f"{func}() does not take a frame clause"
                     )
@@ -3435,6 +3460,8 @@ def plan(
                     wspec = wspec.rowsBetween(*ref.window.frame)
             if func in rank_map:
                 c = rank_map[func]().over(wspec)
+            elif func == "ntile":
+                c = F.ntile(ref.arg_expr.value).over(wspec)
             elif func in ("first_value", "last_value"):
                 nav_fn = F.first if func == "first_value" else F.last
                 c = nav_fn(F.col(col), ignorenulls=ref.ignore_nulls).over(

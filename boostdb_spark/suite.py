@@ -6838,6 +6838,42 @@ def dialect_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_rank_extras",
+    """
+    SELECT event_id AS eid,
+           CAST(ntile(4) OVER w AS BIGINT) AS q4,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM events WHERE event_type = 'click' AND props ILIKE '%"K": 6%'
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def dialect_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist through the dialect front plus
+    ILIKE (case-insensitive LIKE — the pattern's uppercase K only
+    matches under ILIKE semantics, so a silent fallback to LIKE would
+    empty the result and flip the hash). All three analytics share ONE
+    exchange+sort (identical specs); percent_rank/cume_dist are
+    integer-ratio doubles (deterministic), ntile is complete-ordered
+    by the unique event_id and CAST to BIGINT for schema parity
+    (Spark int32 vs DuckDB int64). Window slot in round 11."""
+    load_tables(spark, sf_dir)
+    out = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "ntile(4) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id) AS q4, "
+        "percent_rank() OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id) AS pr, "
+        "cume_dist() OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id) AS cd "
+        "FROM boost.events WHERE click.props ILIKE '%\"K\": 6%'",
+        EVENTS_BINDING,
+    )
+    return out.withColumn("q4", F.col("q4").cast("long"))
+
+
+@_q(
     "dialect_window_frame",
     """
     SELECT event_id AS eid,

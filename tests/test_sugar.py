@@ -2288,3 +2288,29 @@ def test_extract_rules():
         parse("SELECT extract(week FROM a.ts) AS w FROM d.f a")
     with pytest.raises(ValueError, match="FROM"):
         parse("SELECT extract(year, a.ts) AS y FROM d.f a")
+
+
+def test_rank_extras_and_ilike_rules(spark):
+    """ntile/percent_rank/cume_dist + ILIKE (round 10)."""
+    q = parse(
+        "SELECT ntile(4) OVER (PARTITION BY a.k ORDER BY a.t) AS q4 "
+        "FROM d.f a"
+    )
+    assert q.fields[0].func == "ntile" and q.fields[0].arg_expr.value == 4
+    with pytest.raises(ValueError, match="integer"):
+        parse("SELECT ntile(0.5) OVER (ORDER BY a.t) AS x FROM d.f a")
+    with pytest.raises(ValueError, match="positive"):
+        parse("SELECT ntile(0) OVER (ORDER BY a.t) AS x FROM d.f a")
+    with pytest.raises(ValueError, match="frame"):
+        # frame refusal is plan-time (the window spec compiles there)
+        sugar.query(
+            spark,
+            "SELECT ntile(4) OVER (PARTITION BY click.user_id "
+            "ORDER BY click.event_id ROWS BETWEEN 1 PRECEDING AND "
+            "CURRENT ROW) AS x FROM boost.events",
+            _events_binding(spark),
+        )
+    q = parse("SELECT a FROM d.f WHERE a.tag ILIKE '%X%'")
+    assert q.where.kind == "ilike"
+    q = parse("SELECT a FROM d.f WHERE NOT a.tag ILIKE '%X%'")
+    assert q.where.kind == "not"
