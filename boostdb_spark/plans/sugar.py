@@ -664,7 +664,26 @@ class _Parser:
             while True:
                 f2 = self._ordinal_item(
                     fields or [], "ORDER BY", allow_agg=True
-                ) or self.parse_field()
+                )
+                if f2 is None:
+                    # ORDER BY <expression>: arithmetic / scalar-fn /
+                    # CASE over select-list OUTPUT columns (compiled as
+                    # a hidden sort column, dropped after the sort).
+                    # Bare numbers stay ordinals; bare names stay
+                    # field refs.
+                    t = self.peek()
+                    if (
+                        t == ("op", "(")
+                        or t == ("kw", "case")
+                        or (
+                            t[0] == "name"
+                            and t[1].lower() in self._SCALAR_FUNCS
+                            and self.peek2() == ("op", "(")
+                        )
+                    ):
+                        f2 = FieldRef((), expr=self.parse_arith())
+                    else:
+                        f2 = self.parse_field()
                 desc = False
                 if self.accept_kw("desc"):
                     desc = True
@@ -3597,7 +3616,36 @@ def plan(
         )
     if q.order_by:
         order = []
-        for ref, desc, nulls in q.order_by:
+        ord_hidden: list[str] = []
+        for i, (ref, desc, nulls) in enumerate(q.order_by):
+            if ref.expr is not None:
+                # ORDER BY <expression>: refs must name select-list
+                # OUTPUT columns (post-projection scope, like QUALIFY);
+                # compiled into a hidden column, dropped after the sort
+
+                def _ord_ref(r: FieldRef) -> str:
+                    if (
+                        r.func is not None
+                        or len(r.parts) != 1
+                        or r.parts[0] not in df.columns
+                    ):
+                        raise ValueError(
+                            "ORDER BY expressions may reference "
+                            "select-list output columns only "
+                            f"(got {'.'.join(r.parts)!r}; columns: "
+                            f"{sorted(df.columns)})"
+                        )
+                    return r.parts[0]
+
+                cname = f"__ord_{i}"
+                df = df.withColumn(
+                    cname,
+                    _compile_expr(ref.expr, res, name_of=_ord_ref,
+                                  params=params),
+                )
+                ord_hidden.append(cname)
+                order.append(_order_col(cname, desc, nulls))
+                continue
             if post_name is not None:
                 target = post_name(ref)
             elif (
@@ -3613,10 +3661,16 @@ def plan(
                 target = name if name in df.columns else res.resolve(ref)[1]
             order.append(_order_col(target, desc, nulls))
         df = df.orderBy(*order)
+        if ord_hidden:
+            # dropped AFTER offset/limit below would also work; doing it
+            # here keeps the sort columns out of the paged projection
+            pass
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
+    if q.order_by and ord_hidden:
+        df = df.drop(*ord_hidden)
     if hidden:
         df = df.drop(*hidden.values())
     return df

@@ -6874,6 +6874,33 @@ def dialect_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_order_expr",
+    """
+    SELECT event_id AS eid, value AS v FROM events
+    WHERE event_type = 'click'
+    ORDER BY floor(v * -1.0), eid LIMIT 200 OFFSET 100
+    """,
+)
+def dialect_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY <expression> through the dialect front: arithmetic /
+    scalar-fn / CASE sort keys over select-list OUTPUT columns,
+    compiled into a hidden column that is dropped after the sort (the
+    pagination window — LIMIT+OFFSET — is what makes the sort
+    hash-observable; ties on the floor bucket break on the unique
+    eid, so the page is a pure function of the data). Bare numbers
+    stay ordinals, bare names stay field refs — only unambiguous
+    expression heads enter the expression path. Window slot in round
+    11."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click AS v FROM boost.events "
+        "ORDER BY floor(v * -1.0), eid LIMIT 200 OFFSET 100",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "dialect_window_frame",
     """
     SELECT event_id AS eid,

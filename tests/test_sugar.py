@@ -2314,3 +2314,32 @@ def test_rank_extras_and_ilike_rules(spark):
     assert q.where.kind == "ilike"
     q = parse("SELECT a FROM d.f WHERE NOT a.tag ILIKE '%X%'")
     assert q.where.kind == "not"
+
+
+def test_order_by_expression_rules(spark):
+    """ORDER BY <expression> over output columns (round 10)."""
+    q = parse("SELECT a AS x FROM d.f ORDER BY floor(x * 2.0) DESC, x")
+    assert q.order_by[0][0].expr is not None and q.order_by[0][1] is True
+    assert q.order_by[1][0].parts == ("x",)
+    b = _events_binding(spark)
+    rows = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click AS v FROM boost.events "
+        "ORDER BY floor(v * -1.0), eid LIMIT 5",
+        b,
+    ).collect()
+    assert list(rows[0].asDict()) == ["eid", "v"]  # hidden col dropped
+    vs = [r.v for r in rows]
+    import math
+
+    assert all(
+        math.floor(vs[i] * -1.0) <= math.floor(vs[i + 1] * -1.0)
+        for i in range(len(vs) - 1)
+    )
+    with pytest.raises(ValueError, match="output columns only"):
+        sugar.query(
+            spark,
+            "SELECT click.event_id AS eid FROM boost.events "
+            "ORDER BY floor(click.user_id * 1.0)",
+            b,
+        )
