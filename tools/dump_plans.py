@@ -92,6 +92,11 @@ SHOWCASE = [
     ("evt_transitions", "event transitions: user-keyed lead window -> map-side (src,dst) count -> rank over the tiny transition matrix"),
     ("ts_error_budget_burn", "burn rate: one bucket hash agg over raw events, trailing windows over the BUCKET series only"),
     ("txt_zipf_slope", "Zipf slope: explode -> map-side token count -> rank window over the vocabulary -> 100-row fit per source"),
+    ("agg_q10_returned_topk", "Q10: date+returnflag filters pushed, nation broadcast, TakeOrdered top-20"),
+    ("agg_q7_nation_volume", "Q7: two nation aliases broadcast-prune supplier/customer BEFORE the fact-to-fact join"),
+    ("agg_q18_large_orders", "Q18: IN-over-HAVING planned as left-semi against the grouped aggregate"),
+    ("dialect_rank_extras", "ntile/percent_rank/cume_dist: three analytics over ONE exchange+sort; ILIKE pushed"),
+    ("dialect_order_expr", "ORDER BY expression: hidden sort column -> TakeOrdered page -> projection drops it"),
 ]
 
 
