@@ -1146,6 +1146,11 @@ class _Parser:
 
     def _reshape_lit(self):
         kind, v = self.next()
+        if kind == "op" and v == "-":
+            k2, v2 = self.next()
+            if k2 != "num":
+                raise ValueError(f"expected number after '-', got {v2!r}")
+            return -(float(v2) if "." in v2 else int(v2))
         if kind == "num":
             return float(v) if "." in v else int(v)
         if kind == "str":

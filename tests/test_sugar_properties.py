@@ -248,3 +248,67 @@ def test_dialect_case_matches_spark_sql(spark):
         assert got == want, (d, q)
 
     check()
+
+
+@given(
+    ty=st.sampled_from(
+        ["BIGINT", "INT", "INTEGER", "DOUBLE", "VARCHAR", "STRING"]
+    ),
+    ref=field_refs(),
+)
+@settings(max_examples=60, deadline=None)
+def test_cast_parses_any_whitelisted_target(ty, ref):
+    """CAST(expr AS <whitelisted type>) parses for any ref/arith
+    operand; the AST records the Spark-side cast target."""
+    q = sugar.parse(f"SELECT CAST({ref} + 1 AS {ty}) AS x FROM d.f")
+    e = q.fields[0].expr
+    assert e is not None and e.kind == "cast"
+    assert e.op == sugar._CAST_TYPES[ty.lower()]
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-99, 99),
+            st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_pivot_value_list_roundtrip(vals):
+    """PIVOT IN literal lists parse back to the same Python values."""
+    lits = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in vals)
+    q = sugar.parse(
+        f"SELECT k FROM src PIVOT (count(*) FOR et IN ({lits}))"
+    )
+    assert q.pivot is not None and q.pivot.values == vals
+
+
+@given(
+    p1=st.integers(1, 49),
+    p2=st.integers(50, 99),
+)
+@settings(max_examples=8, deadline=None)
+def test_tablesample_monotone_property(spark, p1, p2):
+    """For any p1 < p2, the p1% deterministic sample is a SUBSET of the
+    p2% sample (monotone growth — the reproducible-training-set
+    contract df.sample() cannot give)."""
+    from tests.test_sugar import _events_binding
+
+    b = _events_binding(spark)
+
+    def ids(p):
+        return {
+            r.eid
+            for r in sugar.query(
+                spark,
+                "SELECT click.event_id AS eid FROM boost.events "
+                f"TABLESAMPLE ({p} PERCENT ON event_id)",
+                b,
+            ).collect()
+        }
+
+    s1, s2 = ids(p1), ids(p2)
+    assert s1 <= s2
