@@ -6901,6 +6901,48 @@ def dialect_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scan_column_profile",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS event_id_nulls,
+           count(DISTINCT event_id) AS event_id_distinct,
+           count(DISTINCT event_type) AS event_type_distinct,
+           count(DISTINCT user_id) AS user_id_distinct,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS value_nulls,
+           min(value) AS value_min, max(value) AS value_max
+    FROM events
+    """,
+)
+def scan_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE-TABLE statistics pass every
+    ingest pipeline runs before curation): row count, per-column null
+    counts, exact distinct cardinalities, numeric min/max — ONE
+    multi-distinct aggregate (Spark's Expand + two-level plan) over a
+    single scan; at 100 TB the distinct counts swap to
+    approx_count_distinct (agg_approx_count_distinct is that
+    certified path) while nulls/min/max stay exact and cheap. Window
+    slot in round 11."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("event_id_nulls"),
+        F.countDistinct("event_id").alias("event_id_distinct"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("value_nulls"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
+@_q(
     "dialect_window_frame",
     """
     SELECT event_id AS eid,
