@@ -1949,6 +1949,10 @@ class _Parser:
                         raise ValueError(f"{func}(*) is not valid; only count(*)")
                     parts: tuple[str, ...] = ()
                 else:
+                    if self.accept_kw("distinct"):
+                        # HAVING count(DISTINCT x) > n etc. — the same
+                        # *_distinct compile path as the select list
+                        func = f"{func}_distinct"
                     k2, inner = self.name_next()
                     if k2 != "name":
                         raise ValueError(

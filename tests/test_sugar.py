@@ -2343,3 +2343,23 @@ def test_order_by_expression_rules(spark):
             "ORDER BY floor(click.user_id * 1.0)",
             b,
         )
+
+
+def test_having_distinct_aggregate(spark):
+    """HAVING accepts DISTINCT aggregates (round 10): the hidden
+    aggregate rides the same *_distinct compile path as select items
+    and never shadows a non-distinct twin."""
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, count(*) AS n FROM boost.events "
+        "GROUP BY click.user_id "
+        "HAVING count(DISTINCT click.event_id) > 3",
+        b,
+    ).collect()
+    ref = spark.sql(
+        "SELECT user_id AS uid, count(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id "
+        "HAVING count(DISTINCT event_id) > 3"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref)) and got
