@@ -2250,6 +2250,42 @@ def ts_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_activity_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the engagement
+    dashboard's standard aggregate: one partial+final hash aggregate
+    over codegen date parts, cells = 7x24 regardless of event volume.
+    Cross-engine trap pinned: DuckDB's dayofweek is 0-6 Sunday=0 while
+    Spark's is 1-7 Sunday=1 — the oracle shifts (+1) and both sides
+    cast to BIGINT (Spark date parts are int32; schema is compared).
+    Sessions pin UTC, so bucketing is timezone-stable. Window slot in
+    round 11."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ts = _ts_t(ev)
+    return (
+        ev.groupBy(
+            F.dayofweek(ts).cast("long").alias("dow"),
+            F.hour(ts).cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@_q(
     "gapfill_locf",
     """
     WITH r AS (
