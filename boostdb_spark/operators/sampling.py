@@ -32,8 +32,14 @@ def deterministic_sample(
     """Keep rows whose key hashes into the first ``fraction`` of
     ``buckets`` hash buckets — a stable ~fraction sample: reproducible
     across runs/partitionings, and monotone (a 20% sample contains the
-    10% sample, so growing a training set never resamples)."""
-    return df.filter(_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+    10% sample, so growing a training set never resamples).
+
+    The threshold is ``round(fraction*buckets)``, not a truncating
+    ``int(...)`` — float rounding made e.g. 0.57*10000 = 5699.999...
+    one bucket short of the documented fraction."""
+    return df.filter(
+        _bucket(F.col(key_col), buckets) < int(round(fraction * buckets))
+    )
 
 
 def train_val_split(
@@ -47,7 +53,7 @@ def train_val_split(
     leakage-safe split: keyed on content/id, so duplicates of a
     document always land on the same side, regardless of order or
     partitioning."""
-    is_val = _bucket(F.col(key_col), buckets) < int(val_fraction * buckets)
+    is_val = _bucket(F.col(key_col), buckets) < int(round(val_fraction * buckets))
     return df.withColumn(out_col, F.when(is_val, "val").otherwise("train"))
 
 

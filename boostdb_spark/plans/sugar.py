@@ -3098,21 +3098,31 @@ def plan(
         elif series:
             df = df.filter(F.col(binding.series_col).isin(series))
         df = _time_range(df, binding.ts_col, start, end)
-    if q.sample is not None and not q.joins:
+    if q.sample is not None:
         # TABLESAMPLE (p PERCENT ON key): deterministic hash-bucket cut
         # (operators/sampling.py::deterministic_sample semantics) — one
         # codegen filter conjoined into the scan pipeline, monotone in
         # p, reproducible on any partitioning/cluster
         from boostdb_spark.operators.sampling import _bucket
 
+        if q.joins:
+            # the parser rejects this combination; a programmatically
+            # built query must not silently return the unsampled result
+            raise ValueError(
+                "TABLESAMPLE is not supported on a query with joins; "
+                "sample the base family in a CTE/derived table instead"
+            )
         if q.sample.key_col not in df.columns:
             raise ValueError(
                 f"TABLESAMPLE ON {q.sample.key_col!r} is not a column "
                 f"of the source (columns: {sorted(df.columns)})"
             )
+        # threshold computed exactly in the 10k-bucket space: p percent
+        # maps to round(p*100) buckets (int(p/100*10000) truncates under
+        # float rounding — 57 PERCENT gave 5699 buckets)
         df = df.filter(
             _bucket(F.col(q.sample.key_col), 10_000)
-            < int(q.sample.pct / 100.0 * 10_000)
+            < int(round(q.sample.pct * 100))
         )
     if where_col is not None:
         df = df.filter(where_col)

@@ -1216,7 +1216,7 @@ def agg_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l_shipdate) AS yr,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
              l_extendedprice, l_discount
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -1273,7 +1273,9 @@ def agg_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("yr"),
+            # BIGINT to match DuckDB year() (int32-vs-int64 is a
+            # schema mismatch the local pandas gate cannot see)
+            F.year("l_shipdate").cast("long").alias("yr"),
         )
         .agg(
             F.sum(

@@ -94,12 +94,21 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
                 # so BIGINT 3 vs DOUBLE 3.0 is a driver FAIL even though
                 # pandas equality passes (round-9 lesson:
                 # dialect_recursive_cte shipped red on exactly this).
-                problems.append(
-                    f"{c}[{i}]: representation mismatch "
-                    f"{type(x).__name__}({x!r}) vs {type(y).__name__}({y!r})"
-                    " — align the output dtype (cast to BIGINT or DOUBLE"
-                    " on BOTH sides)"
-                )
+                # A twin with UNEQUAL values (int 3 vs float 4.0) is a
+                # real value bug — say so, or the fixer chases dtypes.
+                if x == y:
+                    problems.append(
+                        f"{c}[{i}]: representation mismatch "
+                        f"{type(x).__name__}({x!r}) vs {type(y).__name__}({y!r})"
+                        " — align the output dtype (cast to BIGINT or DOUBLE"
+                        " on BOTH sides)"
+                    )
+                else:
+                    problems.append(
+                        f"{c}[{i}]: {x!r} != {y!r} (value mismatch; dtypes"
+                        f" also differ: {type(x).__name__} vs"
+                        f" {type(y).__name__})"
+                    )
             elif x != y:
                 problems.append(f"{c}[{i}]: {x!r} != {y!r}")
             if len(problems) > 5:

@@ -2280,6 +2280,53 @@ def test_tablesample_rules(spark):
     assert again == ids10
 
 
+def test_tablesample_threshold_exact(spark):
+    """r10 advice: int(pct/100*10000) truncated under float rounding
+    (57 PERCENT gave 5699 buckets). The threshold must be exactly
+    round(pct*100) in the 10k-bucket space for integer AND fractional
+    percents."""
+    from pyspark.sql import functions as F
+
+    from boostdb_spark.operators.sampling import _bucket
+
+    b = _events_binding(spark)
+    for pct, want in [(57, 5700), (69, 6900), (0.7, 70), (8.2, 820)]:
+        got = sugar.query(
+            spark,
+            f"SELECT click.event_id AS eid FROM boost.events "
+            f"TABLESAMPLE ({pct} PERCENT ON event_id)",
+            b,
+        )
+        ids = {r.eid for r in got.collect()}
+        manual = {
+            r.eid
+            for r in spark.table(b.view)
+            .filter(F.col(b.series_col) == "click")  # the `click.` sugar
+            .select(F.col("event_id").alias("eid"))
+            .filter(_bucket(F.col("eid"), 10_000) < want)
+            .collect()
+        }
+        assert ids == manual, f"{pct} PERCENT != {want} buckets"
+
+
+def test_tablesample_with_joins_raises(spark):
+    """r10 advice: a programmatically built query with sample+joins must
+    raise, never silently return the unsampled result (the parser
+    already rejects the combination syntactically)."""
+    qs = parse(
+        "SELECT click.event_id FROM boost.events "
+        "TABLESAMPLE (10 PERCENT ON event_id)"
+    )
+    qj = parse(
+        "SELECT a.event_id AS eid FROM boost.events a "
+        "JOIN boost.events b ON a.event_id = b.event_id"
+    )
+    qj.sample = qs.sample  # simulate the programmatic construction
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="joins"):
+        sugar.plan(spark, qj, {"boost.events": b}, None, None, {})
+
+
 def test_extract_rules():
     """EXTRACT(unit FROM expr) — ANSI sugar for the date-part fns."""
     q = parse("SELECT extract(year FROM a.ts) AS y FROM d.f a")

@@ -62,6 +62,14 @@ def test_compare_rejects_int_float_twin():
     # bools are NOT ints for this purpose
     bools = pd.DataFrame({"v": [True, False]})
     assert compare(bools.copy(), bools.copy()) == []
+    # r10 advice: a genuine VALUE mismatch with mixed dtypes (int 3 vs
+    # float 4.0) must be reported as a value diff, not only as a
+    # representation nit that points the fixer at the wrong problem
+    a = pd.DataFrame({"v": [3]})
+    b = pd.DataFrame({"v": [4.0]})
+    problems = compare(a, b)
+    assert problems and "value mismatch" in problems[0], problems
+    assert "3" in problems[0] and "4.0" in problems[0]
 
 
 def test_driver_window_is_certifiable():
