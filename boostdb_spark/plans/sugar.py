@@ -123,7 +123,7 @@ _KEYWORDS = {
     "case", "when", "then", "else", "end", "with", "right", "full",
     "qualify", "nulls", "first", "last", "asof", "using", "filter",
     "recursive", "range", "window", "ignore", "respect", "values",
-    "exclude",
+    "exclude", "groups", "within",
 }
 
 
@@ -175,8 +175,10 @@ class WindowSpec:
     #: frame_type 'range_ns' the offsets are NANOSECOND deltas on the
     #: single ORDER BY time column (RANGE BETWEEN INTERVAL bounds).
     frame: tuple[int, int] | None = None
-    #: 'rows' | 'range_ns' — which Spark frame API the bounds feed
-    #: (rowsBetween vs rangeBetween over the canonical ns column)
+    #: 'rows' | 'range_ns' | 'groups' — which Spark frame API the
+    #: bounds feed (rowsBetween; rangeBetween over the canonical ns
+    #: column; or ANSI GROUPS mode, planned as rangeBetween over a
+    #: dense_rank of the ORDER BY key since Spark has no native GROUPS)
     frame_type: str = "rows"
     #: OVER w forward reference to a named WINDOW clause — substituted
     #: with the declared spec after the core parses (None once resolved)
@@ -210,6 +212,12 @@ class FieldRef:
     #: navigation modifier (ANSI trailing form); only first_value/
     #: last_value accept it (Spark's lag/lead do not expose the flag)
     ignore_nulls: bool = False
+    #: ``string_agg(x[, sep]) WITHIN GROUP (ORDER BY k [DESC], ...)`` —
+    #: the ordered-set aggregate's sort keys (refs + desc flags); set
+    #: only when func == 'string_agg'
+    within_group: "list[tuple[FieldRef, bool]] | None" = None
+    #: string_agg separator literal (ANSI listagg default is ',')
+    sep: str = ","
 
 
 @dataclass
@@ -469,7 +477,7 @@ class _Parser:
     _SOFT_KW = frozenset(
         {"first", "last", "filter", "using", "nulls", "qualify", "asof",
          "recursive", "range", "window", "ignore", "respect", "values",
-         "exclude"}
+         "exclude", "groups", "within"}
     )
 
     def name_next(self):
@@ -1427,6 +1435,8 @@ class _Parser:
             raise ValueError(f"expected field name, got {v!r} (explicit names required, selectfieldparser.go:108-114)")
         func = None
         arg_expr: Expr | None = None
+        within_group: list[tuple[FieldRef, bool]] | None = None
+        sep = ","
         parts: tuple[str, ...] = tuple(v.split("."))
         if v.lower() in self._AGG_FUNCS and self.accept_op("("):
             func = v.lower()
@@ -1462,6 +1472,57 @@ class _Parser:
                     parts = ()
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        elif v.lower() in ("string_agg", "listagg") and self.accept_op("("):
+            # ordered-set aggregate: string_agg(x[, 'sep']) WITHIN GROUP
+            # (ORDER BY k [ASC|DESC], ...) — ANSI listagg spelling (the
+            # reference's TiDB parser accepts the call before dropping
+            # the statement, query/parser/parser.go:25-45). WITHIN GROUP
+            # is REQUIRED: an unordered concatenation is
+            # nondeterministic under any distributed execution.
+            func = "string_agg"
+            e = self.parse_arith()
+            if e.kind == "ref" and e.value.func is None:
+                parts = e.value.parts
+            else:
+                if any(r.func for r in _expr_refs(e)):
+                    raise ValueError(
+                        "nested aggregate calls are not supported"
+                    )
+                arg_expr = e
+                parts = ()
+            if self.accept_op(","):
+                ks, sv = self.next()
+                if ks != "str":
+                    raise ValueError(
+                        "string_agg separator must be a string literal"
+                    )
+                sep = sv
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced parenthesis in string_agg(...)")
+            if not self.accept_kw("within"):
+                raise ValueError(
+                    "string_agg/listagg requires WITHIN GROUP "
+                    "(ORDER BY ...) — unordered concatenation is "
+                    "nondeterministic on a distributed engine"
+                )
+            self.expect_kw("group")
+            if not self.accept_op("("):
+                raise ValueError("WITHIN GROUP requires (ORDER BY ...)")
+            self.expect_kw("order")
+            self.expect_kw("by")
+            within_group = []
+            while True:
+                r = self.parse_plain_ref()
+                d = False
+                if self.accept_kw("desc"):
+                    d = True
+                else:
+                    self.accept_kw("asc")
+                within_group.append((r, d))
+                if not self.accept_op(","):
+                    break
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced WITHIN GROUP (ORDER BY ...)")
         elif v.lower() in self._RANK_FUNCS and self.accept_op("("):
             func = v.lower()
             parts = ()
@@ -1534,6 +1595,11 @@ class _Parser:
                 "FILTER is supported on plain aggregates, not on "
                 "window functions"
             )
+        if window is not None and func == "string_agg":
+            raise ValueError(
+                "string_agg/listagg is a grouped aggregate in this "
+                "dialect, not a window function"
+            )
         if window is None and func in (*self._RANK_FUNCS, *self._NAV_FUNCS):
             raise ValueError(f"{func}() requires an OVER (...) clause")
         alias = None
@@ -1551,9 +1617,12 @@ class _Parser:
             raise ValueError(
                 "agg(...) FILTER (WHERE ...) requires AS <name>"
             )
+        if func == "string_agg" and alias is None:
+            raise ValueError("string_agg(...) requires AS <name>")
         return FieldRef(
             parts, alias, func, window, arg_expr=arg_expr,
             filter_expr=filter_expr, ignore_nulls=ignore_nulls,
+            within_group=within_group, sep=sep,
         )
 
     def parse_window(self) -> WindowSpec:
@@ -1596,6 +1665,19 @@ class _Parser:
             hi = self.parse_range_bound()
             spec.frame = (lo, hi)
             spec.frame_type = "range_ns"
+        elif self.accept_kw("groups"):
+            # ANSI GROUPS mode: bounds count PEER GROUPS (distinct
+            # ORDER BY values), not rows — CURRENT ROW means the whole
+            # peer group of the current row on both ends. Spark has no
+            # native GROUPS frame; the planner lowers it to
+            # rangeBetween over a dense_rank() of the ORDER BY key
+            # (rank distance == group distance, same one-shuffle sort).
+            self.expect_kw("between")
+            lo = self.parse_frame_bound(start=True)
+            self.expect_kw("and")
+            hi = self.parse_frame_bound(start=False)
+            spec.frame = (lo, hi)
+            spec.frame_type = "groups"
         if not self.accept_op(")"):
             raise ValueError("unbalanced parenthesis in OVER (...)")
         return spec
@@ -2818,6 +2900,9 @@ def plan(
         if f.filter_expr is not None:  # FILTER (WHERE pred) refs
             for r in _expr_refs(f.filter_expr):
                 res.resolve(r)  # register referenced series pre-scan
+        if f.within_group:  # string_agg WITHIN GROUP sort keys
+            for r, _d in f.within_group:
+                res.resolve(r)
         if f.expr is not None:
             for r in _expr_refs(f.expr):
                 res.resolve(r)  # register referenced series pre-scan
@@ -3266,6 +3351,41 @@ def plan(
                     "avg(DISTINCT col) does not combine with FILTER"
                 )
             return F.expr(f"avg(DISTINCT `{col}`)")
+        if func == "string_agg":
+            # string_agg(x, sep) WITHIN GROUP (ORDER BY k...): compiled
+            # as array_join(transform(array_sort(collect_list(
+            # struct(k..., x))), s -> s.x), sep) rather than Spark's
+            # native listagg — struct sort makes ties break by the
+            # VALUE deterministically (hash-certifiable on any engine;
+            # native listagg leaves tie order unspecified). One
+            # JVM-side partial+final hash aggregate; per-group state is
+            # the group's value list, the same contract as collect_list
+            # — bounded group sizes are the user's responsibility, as
+            # in every SQL engine's string_agg.
+            descs = {d for _, d in ref.within_group}
+            if len(descs) > 1:
+                raise ValueError(
+                    "WITHIN GROUP (ORDER BY ...) keys must share one "
+                    "direction (all ASC or all DESC) — mixed-direction "
+                    "ordered-set aggregation is not supported"
+                )
+            if ref.arg_expr is not None:
+                val = _compile_expr(ref.arg_expr, res, params=params)
+            else:
+                val = F.col(col)
+            val = val.cast("string")
+            ords = [
+                F.col(res.resolve(r)[1]).alias(f"_o{i}")
+                for i, (r, _d) in enumerate(ref.within_group)
+            ]
+            st = F.struct(*ords, val.alias("_v"))
+            keep = val.isNotNull() if flt is None else (flt & val.isNotNull())
+            arr = F.array_sort(F.collect_list(F.when(keep, st)))
+            if descs == {True}:
+                arr = F.reverse(arr)
+            return F.array_join(
+                F.transform(arr, lambda s: s["_v"]), ref.sep
+            )
         if ref.arg_expr is not None:
             arg = _compile_expr(ref.arg_expr, res, params=params)
         elif col is not None:
@@ -3452,13 +3572,43 @@ def plan(
                 else:
                     proj.append(F.col(col).alias(alias))
                 continue
-            wspec = _W.partitionBy(
-                *[F.col(res.resolve(p)[1]) for p in ref.window.partition_by]
-            )
+            pb_cols = [
+                F.col(res.resolve(p)[1]) for p in ref.window.partition_by
+            ]
+            wspec = _W.partitionBy(*pb_cols)
             range_ns = (
                 ref.window.frame is not None
                 and ref.window.frame_type == "range_ns"
             )
+            groups_frame = (
+                ref.window.frame is not None
+                and ref.window.frame_type == "groups"
+            )
+            if groups_frame:
+                # ANSI GROUPS frame lowered onto Spark: peer groups are
+                # dense_rank() of the ORDER BY key, and GROUPS BETWEEN
+                # n PRECEDING AND m FOLLOWING is rangeBetween(-n, m)
+                # over that rank (rank distance == peer-group distance;
+                # CURRENT ROW -> offset 0 -> the whole peer group, per
+                # ANSI GROUPS semantics). Both window passes share the
+                # (partition, order) sort -> ONE Exchange in the plan
+                # (pinned by tests/test_plan_shapes.py).
+                if not ref.window.order_by:
+                    raise ValueError(
+                        "GROUPS frames require ORDER BY in the window "
+                        "spec (peer groups are defined by the sort key)"
+                    )
+                gname = f"_grp_{len(proj)}"
+                rank_w = _W.partitionBy(*pb_cols).orderBy(
+                    *[
+                        F.col(res.resolve(o)[1]).desc()
+                        if d
+                        else F.col(res.resolve(o)[1]).asc()
+                        for o, d in ref.window.order_by
+                    ]
+                )
+                df = df.withColumn(gname, F.dense_rank().over(rank_w))
+                wspec = wspec.orderBy(F.col(gname).asc())
             if range_ns:
                 # RANGE INTERVAL frame: exactly one ascending ORDER BY
                 # time column, ordered by its ns conversion so the
@@ -3474,7 +3624,7 @@ def plan(
 
                 ocol = res.resolve(ref.window.order_by[0][0])[1]
                 wspec = wspec.orderBy(ts_ns(df, ocol))
-            elif ref.window.order_by:
+            elif ref.window.order_by and not groups_frame:
                 wspec = wspec.orderBy(
                     *[
                         F.col(res.resolve(o)[1]).desc()
@@ -3492,8 +3642,18 @@ def plan(
                     raise ValueError(
                         f"{func}() does not take a frame clause"
                     )
-                if range_ns:
-                    wspec = wspec.rangeBetween(*ref.window.frame)
+                if range_ns or groups_frame:
+                    # translate the parser's +/-(2^63-1) UNBOUNDED
+                    # sentinels to Spark's Window.unbounded* (2^63):
+                    # anything else is a literal offset added to the
+                    # ordering value, which would overflow long
+                    lo, hi = ref.window.frame
+                    unb = (1 << 63) - 1
+                    if lo <= -unb:
+                        lo = _W.unboundedPreceding
+                    if hi >= unb:
+                        hi = _W.unboundedFollowing
+                    wspec = wspec.rangeBetween(lo, hi)
                 else:
                     wspec = wspec.rowsBetween(*ref.window.frame)
             if func in rank_map:

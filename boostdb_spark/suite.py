@@ -7071,6 +7071,95 @@ def dialect_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_string_agg",
+    """
+    SELECT user_id AS uid, count(value) AS n,
+           string_agg(CAST(event_id AS VARCHAR), '|'
+                      ORDER BY event_id) AS ids,
+           string_agg(CAST(event_id AS VARCHAR), ','
+                      ORDER BY event_id DESC) AS ids_desc
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg/listagg WITHIN GROUP (ORDER BY ...) through the
+    dialect front (r10-verdict ask #5) — the ordered-set aggregate the
+    reference's TiDB parser accepts before dropping the statement
+    (query/parser/parser.go:25-45). The ANSI ``WITHIN GROUP`` spelling
+    is REQUIRED by this dialect (unordered concatenation is
+    nondeterministic on any distributed engine) and compiles to
+    array_join(transform(array_sort(collect_list(struct(key, val))),
+    s -> s.val), sep): one JVM-side partial+final hash aggregate, no
+    UDF, ties broken by the value itself so the hash cannot depend on
+    engine-internal row order. Both directions exercised (DESC is a
+    reverse() of the sorted array). event_id is unique per group, so
+    the oracle's ORDER BY matches without a tie-break column."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, count(purchase) AS n, "
+        "string_agg(purchase.event_id, '|') WITHIN GROUP "
+        "(ORDER BY purchase.event_id) AS ids, "
+        "listagg(purchase.event_id, ',') WITHIN GROUP "
+        "(ORDER BY purchase.event_id DESC) AS ids_desc "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_groups_frame",
+    """
+    WITH t AS (
+      SELECT user_id AS uid, event_id AS eid,
+             floor(value * 10.0) AS vb,
+             floor(value * 1000000.0 + 0.5) AS v6
+      FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT *, dense_rank() OVER (PARTITION BY uid ORDER BY vb) AS g
+      FROM t)
+    SELECT eid,
+           sum(v6) OVER (PARTITION BY uid ORDER BY g
+                         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+             AS gsum,
+           count(v6) OVER (PARTITION BY uid ORDER BY g
+                           RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+             AS gn
+    FROM r
+    """,
+)
+def dialect_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI GROUPS window frames through the dialect front (r10-verdict
+    ask #5): ``GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`` counts PEER
+    GROUPS of the ORDER BY key (here the value decile bucket), so every
+    row of the current bucket plus the previous bucket aggregates —
+    frame membership depends only on the bucket, never on engine row
+    order, which is what makes a GROUPS frame hash-certifiable where a
+    ROWS frame over a tied key is not. Spark has no native GROUPS mode:
+    the planner lowers it to rangeBetween over a dense_rank() of the
+    sort key, both Window passes sharing one (partition, order) sort —
+    ONE Exchange in the plan (pinned in tests/test_plan_shapes.py).
+    DuckDB lacks GROUPS too ('not implemented yet'), so the oracle
+    spells the SAME lowering analytically. Exact-integer v6 grid keeps
+    the frame sums order-independent."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT t.eid AS eid, "
+        "sum(v6) OVER (PARTITION BY t.uid ORDER BY t.vb "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS gsum, "
+        "count(v6) OVER (PARTITION BY t.uid ORDER BY t.vb "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS gn "
+        "FROM (SELECT click.user_id AS uid, click.event_id AS eid, "
+        "floor(click * 10.0) AS vb, "
+        "floor(click * 1000000.0 + 0.5) AS v6 "
+        "FROM boost.events) t",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "dialect_named_window",
     """
     SELECT event_id AS eid,

@@ -409,3 +409,31 @@ def test_distinct_agg_expand_two_level(spark):
     assert "Join" not in p
     assert "Expand" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_groups_frame_one_exchange_two_windows(spark):
+    # ANSI GROUPS frame lowers to dense_rank + rangeBetween: both
+    # Window passes share the (partition, order) sort, so exactly ONE
+    # Exchange feeds them (the rank pass must not re-shuffle)
+    p = _plan(spark, "dialect_groups_frame")
+    assert p.count("Window") >= 2, p
+    exchanges = [ln for ln in p.splitlines()
+                 if ln.startswith("(") and "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "dense_rank" in p
+    assert "RangeFrame" in p
+
+
+def test_string_agg_single_aggregate_no_sort_shuffle(spark):
+    # string_agg WITHIN GROUP compiles to collect_list + array_sort:
+    # ONE partial+final hash aggregate on one scan — no global sort,
+    # no window, no extra exchange for the ordering
+    p = _plan(spark, "dialect_string_agg")
+    scans = [ln for ln in p.splitlines()
+             if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    exchanges = [ln for ln in p.splitlines()
+                 if ln.startswith("(") and "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges  # the groupBy key shuffle

@@ -2410,3 +2410,127 @@ def test_having_distinct_aggregate(spark):
         "HAVING count(DISTINCT event_id) > 3"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref)) and got
+
+
+def test_string_agg_rules(spark):
+    """string_agg/listagg WITHIN GROUP (ORDER BY ...) — r10 verdict
+    ask #5 (the parser-accepted surface at query/parser/parser.go:25-45)."""
+    q = parse(
+        "SELECT k.a AS g, string_agg(k.b, '|') WITHIN GROUP "
+        "(ORDER BY k.c DESC) AS s FROM d.f k GROUP BY k.a"
+    )
+    f = q.fields[1]
+    assert f.func == "string_agg" and f.sep == "|"
+    assert f.within_group and f.within_group[0][1] is True
+    # listagg is an alias; default separator is ','
+    q2 = parse(
+        "SELECT listagg(k.b) WITHIN GROUP (ORDER BY k.c) AS s "
+        "FROM d.f k GROUP BY k.a"
+    )
+    assert q2.fields[0].func == "string_agg" and q2.fields[0].sep == ","
+    with pytest.raises(ValueError, match="WITHIN GROUP"):
+        parse("SELECT string_agg(k.b, ',') AS s FROM d.f k GROUP BY k.a")
+    with pytest.raises(ValueError, match="string literal"):
+        parse(
+            "SELECT string_agg(k.b, 7) WITHIN GROUP (ORDER BY k.c) AS s "
+            "FROM d.f k"
+        )
+    with pytest.raises(ValueError, match="AS"):
+        parse(
+            "SELECT string_agg(k.b) WITHIN GROUP (ORDER BY k.c) "
+            "FROM d.f k GROUP BY k.a"
+        )
+    with pytest.raises(ValueError, match="window"):
+        parse(
+            "SELECT string_agg(k.b) WITHIN GROUP (ORDER BY k.c) "
+            "OVER (PARTITION BY k.a) AS s FROM d.f k"
+        )
+    # mixed ASC/DESC directions refuse at plan time
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="direction"):
+        sugar.query(
+            spark,
+            "SELECT click.user_id AS uid, string_agg(click.props) "
+            "WITHIN GROUP (ORDER BY click.event_id ASC, click.ts DESC) "
+            "AS s FROM boost.events GROUP BY click.user_id",
+            b,
+        ).collect()
+    # behavior: ordered concat matches a manual sort
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, string_agg(click.event_id, '-') "
+        "WITHIN GROUP (ORDER BY click.event_id) AS ids "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    rows = {r.uid: r.ids for r in got.collect()}
+    manual = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_id")).alias("ids"))
+        .collect()
+    )
+    for r in manual:
+        assert rows[r.user_id] == "-".join(str(i) for i in r.ids)
+
+
+def test_groups_frame_rules(spark):
+    """ANSI GROUPS window frames — peer-group counting lowered to
+    dense_rank + rangeBetween (r10 verdict ask #5)."""
+    q = parse(
+        "SELECT sum(k.x) OVER (PARTITION BY k.a ORDER BY k.c "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM d.f k"
+    )
+    w = q.fields[0].window
+    assert w.frame == (-1, 0) and w.frame_type == "groups"
+    b = _events_binding(spark)
+    with pytest.raises(ValueError, match="ORDER BY"):
+        sugar.query(
+            spark,
+            "SELECT sum(click) OVER (PARTITION BY click.user_id "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM boost.events",
+            b,
+        )
+    # semantics: CURRENT ROW covers the WHOLE peer group (ANSI GROUPS),
+    # so tied rows get identical frame sums
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "click", 3.0, 10), (2, "click", 1.0, 10), (3, "click", 1.0, 10),
+         (4, "click", 2.0, 20), (5, "click", 2.0, 20), (6, "click", 5.0, 20)],
+        "event_id long, event_type string, value double, user_id long",
+    )
+    df.createOrReplaceTempView("_grp_events")
+    gb = SeriesFamilyBinding(
+        view="_grp_events", series_col="event_type",
+        value_col="value", ts_col="event_id",
+    )
+    got = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM boost.events",
+            gb,
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: 2.0, 3: 2.0, 4: 4.0, 5: 4.0, 6: 9.0}
+    # UNBOUNDED sentinels translate to Spark's unbounded range bounds
+    got2 = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click "
+            "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s "
+            "FROM boost.events",
+            gb,
+        ).collect()
+    }
+    assert got2 == {1: 5.0, 2: 2.0, 3: 2.0, 4: 4.0, 5: 4.0, 6: 9.0}
