@@ -117,69 +117,86 @@ def _q(name: str, oracle: str | None):
 
 
 # The driver hash-checks only the FIRST 50 registered queries, so the
-# exported dict order is curated: _WINDOW lists 50 oracle-paired
-# representatives spanning every operator family in SURVEY.md section 2
-# plus the LLM-pipeline families (dedup / text / sampling / similarity /
-# curation); everything else follows in registration order and keeps its
-# local-gate coverage (tests/test_suite_oracle.py runs ALL entries).
-# Rotation policy: entries the driver certified green in a PRIOR round
-# rotate below the fold so never-certified entries get hard signal —
-# cumulative driver-certified coverage grows every round. Round-10
-# window: the round-9 red row (dialect_recursive_cte, fixed) and the 5
-# entries that landed after the r9 window froze lead, then the new
-# round-10 surface (4 dialect + 3 operator entries), then the 5
-# standing canaries, then
-# re-certification slots refreshing the STALEST cumulative signal: the
-# 8 remaining ROUND-3 entries, then the ROUND-5 cohort — the 7
-# streaming parities first (their drains were wrapped in _drain_conf
-# this round; outputs are conf-independent but the change deserves
-# driver re-certification) and the rest in name order.
-# agg_approx_count_distinct / agg_approx_quantiles are r5-stale but
-# oracle-less (approx by design) and cannot hold window slots.
+# exported dict order is curated: _WINDOW lists 50 representatives
+# spanning every operator family in SURVEY.md section 2 plus the
+# LLM-pipeline families (dedup / text / sampling / similarity /
+# curation); everything else follows in registration order and keeps
+# its local-gate coverage (tests/test_suite_oracle.py runs ALL
+# entries). Rotation policy: entries the driver certified green in a
+# PRIOR round rotate below the fold so never-certified entries get
+# hard signal — cumulative driver-certified coverage grows every
+# round. Round-11 window: the 12 entries that landed after the r10
+# window froze lead, then the round-11 dialect surface (string_agg /
+# GROUPS frames), then — for the FIRST time — the 5 oracle-less
+# ANN/BPE entries (r10-verdict ask #2: the only registry rows with
+# zero driver evidence in 10 rounds; the driver gives them its weaker
+# rows-only check, while their hash-gated certificates
+# ann_recall_certified / ann_append_certified / txt_bpe_roundtrip
+# re-certify IN THE SAME WINDOW so the strong signal rides alongside),
+# then the 5 standing canaries, then re-certification slots refreshing
+# the STALEST cumulative signal (the ROUND-5 cohort remainder, then
+# ROUND-6 in name order). agg_approx_count_distinct /
+# agg_approx_quantiles are r5-stale and oracle-less (approx by design)
+# but already have driver-green history — they stay below the fold.
 _WINDOW: tuple[str, ...] = (
-    # --- never driver-certified (r9 red + r9 post-freeze + new r10) ---
-    "dialect_recursive_cte",  # r9 FAIL (int/float repr) — FIXED, re-run
-    "dialect_setops_all",     # INTERSECT/EXCEPT ALL bag semantics
-    "stream_locf_parity",     # per-row stateful LOCF across batches
-    "ts_sma_crossover",       # golden-cross event detection
-    "txt_entropy",            # token-distribution entropy
-    "txt_readability",        # Flesch reading-ease scoring
-    "dialect_distinct_agg",   # sum/avg/min/max(DISTINCT) — new r10
-    "dialect_pivot",          # PIVOT (agg FOR k IN ...) — new r10
-    "dialect_unpivot",        # UNPIVOT melt (round-trip) — new r10
-    "dialect_sample",         # TABLESAMPLE det. hash cut — new r10
-    "evt_transitions",        # Markov next-action matrix — new r10
-    "ts_error_budget_burn",   # SRE multi-window burn rate — new r10
-    "txt_zipf_slope",         # Zipf exponent per source — new r10
+    # --- never driver-certified (landed after the r10 freeze) ---
+    "agg_q7_nation_volume",   # TPC-H Q7 bilateral trade (BIGINT yr fix)
+    "agg_q10_returned_topk",  # TPC-H Q10 returned-item top-k
+    "agg_q18_large_orders",   # TPC-H Q18 HAVING-IN large orders
+    "dialect_cast",           # CAST(x AS t) operand grammar
+    "dialect_extract",        # EXTRACT(unit FROM ts) sugar
+    "dialect_order_expr",     # ORDER BY <expression>
+    "dialect_pivot_sum",      # PIVOT with sum aggregate
+    "dialect_rank_extras",    # ntile/percent_rank/cume_dist
+    "dialect_scalar_fns2",    # second scalar-fn batch
+    "evt_activity_heatmap",   # day-of-week x hour activity matrix
+    "scan_column_profile",    # per-column profiling aggregate
+    "txt_lexical_diversity",  # type-token ratio per source
+    # --- new round-11 dialect surface (r10-verdict ask #5) ---
+    "dialect_string_agg",     # listagg WITHIN GROUP (ORDER BY ...)
+    "dialect_groups_frame",   # ANSI GROUPS frames via dense_rank
+    # --- oracle-less ANN/BPE: first-ever driver slots (rows-only
+    # check; hash-gated certificates re-certify below) ---
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "txt_bpe_train", "txt_bpe_tokenize",
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: the 8 remaining ROUND-3 entries ---
-    "txt_ngram_novelty", "txt_normalize", "txt_repetition",
-    "txt_token_count", "txt_token_count_bpe", "txt_unigram_logprob",
-    "txt_vocab_topk", "udtf_tokenize",
-    # --- re-certification: ROUND-5 cohort — streaming parities first
-    # (touched by the r10 _drain_conf extension), then name order ---
-    "stream_batch_parity", "stream_dedup_parity", "stream_ewma_parity",
-    "stream_ingest_parity", "stream_join_parity",
-    "stream_session_parity", "stream_sliding_parity",
-    "agg_mode", "asof_join_nearest", "asof_join_tolerance",
-    "dedup_incremental", "dedup_keep_best", "dedup_levenshtein",
-    "dialect_arith", "dialect_computed", "dialect_distinct",
-    "dialect_filter_agg", "dialect_rollup", "dialect_setops",
-    "dialect_subquery", "dialect_window_frame", "doc_cap_per_source",
-    "doc_temperature_mixture", "emb_dim_stats",
-    # --- displaced to round 11: emb_matryoshka, emb_quantize_int8,
-    # file_formats_roundtrip, join_interval_overlap,
-    # multimodal_binaryfile, multimodal_jpeg, multimodal_jpeg_color,
-    # scan_bloom_pointlookup, scan_compressed_blocks and the rest of
-    # the r5 cohort, then r6. dialect_filter_agg is pulled forward out
-    # of name order: its ORACLE changed this round (BIGINT->DOUBLE,
-    # hardened-gate finding) and needs fresh driver signal. ---
+    # --- re-certification: the ANN/BPE hash-gated certificates ride
+    # with their rows-only siblings (stale since r6/r7) ---
+    "ann_recall_certified", "ann_append_certified", "txt_bpe_roundtrip",
+    # --- re-certification: ROUND-5 cohort remainder, name order ---
+    "emb_matryoshka", "emb_quantize_int8", "file_formats_roundtrip",
+    "join_interval_overlap", "multimodal_binaryfile", "multimodal_jpeg",
+    "multimodal_jpeg_color", "scan_bloom_pointlookup",
+    "scan_compressed_blocks", "ts_changes_resets", "ts_holt_winters",
+    "ts_linear_trend", "ts_mad", "ts_moving_time_avg", "ts_prom_rate",
+    "ts_quantile_over_time", "ts_sessionize", "txt_bigram_logprob",
+    "txt_gopher_rules", "txt_heavy_hitters",
+    # --- re-certification: ROUND-6 cohort head, name order ---
+    "agg_hll_merge_cascade", "agg_q12_priority_lines", "agg_stats",
+    # --- displaced to round 12: the rest of the r6 cohort
+    # (asof_join_backward, asof_join_forward, dedup_minhash_lsh,
+    # dedup_semantic, dialect_case, dialect_exists, dialect_group_expr,
+    # dialect_scalar_fns, gapfill_interp, gapfill_locf, join_anti,
+    # join_cross, join_full_outer, join_implicit_where, ...) ---
 )
+
+#: window entries the driver checks ROWS-ONLY (no SQL oracle by
+#: design): the ANN top-k paths (approximate retrieval — recall floors
+#: and score exactness are hash-certified by ann_recall_certified /
+#: ann_append_certified in the same window) and the BPE train/tokenize
+#: pair (iterative argmax loop — merge-table health and
+#: detokenize-roundtrip exactness are hash-certified by
+#: txt_bpe_roundtrip). Every OTHER window slot must be oracle-paired
+#: (pinned by tests/test_suite_oracle.py).
+_ROWS_ONLY_WINDOWED = frozenset({
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "txt_bpe_train", "txt_bpe_tokenize",
+})
 
 
 def _ordered(d: dict) -> dict:
