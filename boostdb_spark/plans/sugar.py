@@ -2625,6 +2625,20 @@ def _plan_recursive_cte(
     if op == "union":
         acc = acc.distinct()
     acc = acc.localCheckpoint()
+    # the accumulator is kept as a LIST of checkpointed deltas and
+    # unioned lazily — a flat plan of leaf scans. The r9/r10 shape
+    # localCheckpointed acc UNION delta every iteration, re-writing the
+    # ENTIRE accumulated set each step: O(depth x total_rows) of pure
+    # materialization I/O (measured: ~35% of dialect_recursive_cte's
+    # wall at depth ~17). Only deltas materialize now.
+    parts: list[DataFrame] = [acc]
+
+    def _seen() -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     delta = acc
     for _ in range(RECURSIVE_CTE_MAX_ITERS):
         local[name] = delta
@@ -2633,12 +2647,15 @@ def _plan_recursive_cte(
         # base term's column names (same rule as the set-op planner)
         step = step.toDF(*acc.columns)
         if op == "union":
-            delta = step.distinct().subtract(acc).localCheckpoint()
+            # subtract IS "EXCEPT DISTINCT": it dedups its left side,
+            # so the step needs no separate distinct() pass (the r10
+            # shape paid that extra full shuffle every iteration)
+            delta = step.subtract(_seen()).localCheckpoint()
         else:
             delta = step.localCheckpoint()
         if delta.isEmpty():
-            return acc
-        acc = acc.unionByName(delta).localCheckpoint()
+            return _seen()
+        parts.append(delta)
     raise ValueError(
         f"WITH RECURSIVE {name!r} did not reach a fixpoint within "
         f"{RECURSIVE_CTE_MAX_ITERS} iterations — divergent recursion "
