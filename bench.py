@@ -414,6 +414,10 @@ def main() -> None:
 
     stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
     times.update(stream_times)
+    # suite entries that drain multiple internal queries (rollup parity's
+    # two sink variants) publish their own per-drain decomposition —
+    # merge it so the record explains those walls too (r10 verdict #4)
+    stream_detail.update(suite.STREAM_DRAIN_DETAIL)
 
     total = round(sum(times.values()), 3)
     # The driver records only the LAST ~2000 chars of this line, so the

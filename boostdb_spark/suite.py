@@ -5195,6 +5195,40 @@ def dialect_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_LANDING: dict = {}
 
+#: side channel for the bench record (r10 verdict ask #4): suite
+#: streaming entries that drain MULTIPLE queries internally (the
+#: rollup parity drains two sink variants) stash a per-drain
+#: decomposition here keyed "entry/stage"; bench.py merges it into
+#: the record's stream_detail so a slow wall is attributable to a
+#: specific drain's machinery (n_batches x commit cost) vs data from
+#: the committed record alone. Keyed per process — no cross-run state.
+STREAM_DRAIN_DETAIL: dict[str, dict] = {}
+
+
+def _record_drain(key: str, q, wall_s: float, **extra) -> None:
+    """Decompose a finished StreamingQuery's progress events into the
+    bench-readable shape (same fields as bench.py's _progress_detail:
+    per-batch triggerExecution wall, input rows, total state-store
+    commit time) and stash under ``key``."""
+    batches, commit_ms, rows = [], 0, 0
+    try:
+        for p in q.recentProgress:
+            dur = p.get("durationMs") or {}
+            batches.append(int(dur.get("triggerExecution", 0)))
+            rows += int(p.get("numInputRows", 0))
+            for so in p.get("stateOperators") or []:
+                commit_ms += int(so.get("commitTimeMs", 0))
+    except Exception:
+        pass  # decomposition is best-effort; never fail the entry
+    STREAM_DRAIN_DETAIL[key] = {
+        "wall_s": round(wall_s, 3),
+        "n_batches": len(batches),
+        "batch_ms": batches,
+        "state_commit_ms": commit_ms,
+        "input_rows": rows,
+        **extra,
+    }
+
 #: RocksDB state-store provider (bundled with Spark; rocksdbjni ships
 #: in the pyspark distribution) — the public fix for the default
 #: HDFS-backed provider's many small fsync-ing state-commit writes,
@@ -5473,21 +5507,34 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
     ]
-    outs = []
-    for variant, runner in (
-        ("partitioned", continuous_rollup),
-        ("merged", continuous_rollup_merged),
-    ):
-        src = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(landing)
-        )
-        rollup = session_tmpdir(prefix=f"boost_rollup_{variant}_")
-        # RocksDB + changelog + 8 state partitions for the ~150-group
-        # load (BASELINE.md round-4 streaming decomposition); fresh
-        # checkpoint per call so the partition setting always takes
-        with _drain_conf(spark):
+    import time as _time
+
+    # The two sink variants are INDEPENDENT streaming queries (own
+    # source, checkpoint, and output table) — drain them CONCURRENTLY
+    # and await both, so the entry's wall is max(variant walls) instead
+    # of their sum. The r10 record ran them back-to-back and this was
+    # the #1 driver entry (6.28 s); the per-drain decomposition showed
+    # the wall split ~evenly between two drains whose state-commit and
+    # sink-FS work never contended (32 cores, 8+8 state partitions).
+    # Results are byte-identical: each drain's output is a function of
+    # its own landing replay only.
+    running = []
+    _t0 = _time.perf_counter()
+    with _drain_conf(spark):
+        for variant, runner in (
+            ("partitioned", continuous_rollup),
+            ("merged", continuous_rollup_merged),
+        ):
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(landing)
+            )
+            rollup = session_tmpdir(prefix=f"boost_rollup_{variant}_")
+            # RocksDB + changelog + 8 state partitions for the
+            # ~150-group load (BASELINE.md round-4 streaming
+            # decomposition); fresh checkpoint per call so the
+            # partition setting always takes
             q = runner(
                 src, os.path.join(rollup, "t"),
                 checkpoint=os.path.join(
@@ -5496,7 +5543,16 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 duration="1 day", keys=["event_type"], aggs=aggs,
                 watermark="3650 days",  # never finalize: stays updatable
             )
+            running.append((variant, rollup, q))
+        for variant, rollup, q in running:
             q.awaitTermination()
+    wall = _time.perf_counter() - _t0
+    outs = []
+    for variant, rollup, q in running:
+        _record_drain(
+            f"stream_rollup_parity/{variant}", q, wall,
+            concurrent=True,
+        )
         got = spark.read.parquet(os.path.join(rollup, "t"))
         outs.append(
             got.select(
