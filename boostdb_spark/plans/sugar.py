@@ -180,6 +180,14 @@ class WindowSpec:
     #: column; or ANSI GROUPS mode, planned as rangeBetween over a
     #: dense_rank of the ORDER BY key since Spark has no native GROUPS)
     frame_type: str = "rows"
+    #: ANSI frame-exclusion clause: None (EXCLUDE NO OTHERS, the
+    #: default) | 'current' | 'group' | 'ties'. Spark has no native
+    #: frame exclusion; the planner lowers it compositionally —
+    #: subtract the current row / the peer-group aggregate from the
+    #: full-frame aggregate (sum/count/avg), or split the ROWS frame
+    #: around the current row (min/max) — all passes sharing the one
+    #: window sort.
+    exclude: str | None = None
     #: OVER w forward reference to a named WINDOW clause — substituted
     #: with the declared spec after the core parses (None once resolved)
     pending_name: str | None = None
@@ -1678,6 +1686,32 @@ class _Parser:
             hi = self.parse_frame_bound(start=False)
             spec.frame = (lo, hi)
             spec.frame_type = "groups"
+        if spec.frame is not None and self.accept_kw("exclude"):
+            # ANSI frame exclusion. EXCLUDE NO OTHERS parses to the
+            # None default (explicit spelling of the default behavior).
+            if self.accept_kw("current"):
+                self.expect_kw("row")
+                spec.exclude = "current"
+            elif self.accept_kw("group"):
+                spec.exclude = "group"
+            else:
+                # TIES / NO OTHERS are plain-name tokens (not worth
+                # reserving: single-use words in one clause position)
+                kind, v = self.name_next()
+                word = v.lower() if kind == "name" else ""
+                if word == "ties":
+                    spec.exclude = "ties"
+                elif word == "no":
+                    k2, v2 = self.name_next()
+                    if k2 != "name" or v2.lower() != "others":
+                        raise ValueError(
+                            f"expected OTHERS after EXCLUDE NO, got {v2!r}"
+                        )
+                else:
+                    raise ValueError(
+                        "EXCLUDE takes CURRENT ROW, GROUP, TIES, or "
+                        "NO OTHERS"
+                    )
         if not self.accept_op(")"):
             raise ValueError("unbalanced parenthesis in OVER (...)")
         return spec
@@ -2800,6 +2834,107 @@ def _apply_reshape(q: BoostQuery, df: DataFrame) -> DataFrame:
     return out.filter(F.col(u.val_col).isNotNull())
 
 
+def _window_exclude(func, xc, wref, wspec, wnoframe, agg_map):
+    """Lower an ANSI frame-exclusion clause (EXCLUDE CURRENT ROW /
+    GROUP / TIES) onto Spark, which has no native frame exclusion.
+    Each mode rewrites to a composition of window aggregates that all
+    share the base window's partition+sort — ONE Exchange in the plan:
+
+    - EXCLUDE CURRENT ROW: sum/count/avg subtract the current row from
+      the full-frame aggregate, guarded by the excluded non-null count
+      so an otherwise-empty exclusion frame yields NULL exactly like
+      the native clause; min/max split the ROWS frame into [lo,-1] and
+      [1,hi] sibling frames and combine with least/greatest (both
+      null-skipping in Spark).
+    - EXCLUDE GROUP / TIES: subtract the current PEER GROUP's
+      aggregate, computed over the same sort with rangeBetween(0,0)
+      (peers == order-key distance 0); TIES adds the current row back.
+      Valid for RANGE/GROUPS frames only — there the full peer group
+      is inside the frame whenever the bounds straddle the current
+      row; under a ROWS frame part of the peer group can sit OUTSIDE
+      the frame and the subtraction would over-correct, so that
+      combination is refused loudly.
+
+    A frame that does not contain the current row (e.g. ROWS BETWEEN
+    3 PRECEDING AND 1 PRECEDING) makes every exclusion a no-op by
+    definition — the rows to exclude are not in the frame."""
+    lo, hi = wref.frame
+    mode = wref.exclude
+    if func not in ("sum", "count", "avg", "min", "max"):
+        raise ValueError(
+            f"EXCLUDE is not supported with {func}() — frame "
+            "exclusion rewrites apply to sum/count/avg/min/max"
+        )
+    if lo > 0 or hi < 0:  # current row (and its peers) not in frame
+        if xc is None:
+            return F.count(F.lit(1)).over(wspec)
+        return agg_map[func](xc).over(wspec)
+    if func in ("min", "max"):
+        if mode != "current" or wref.frame_type != "rows":
+            raise ValueError(
+                f"EXCLUDE {mode.upper()} with {func}() is only "
+                "supported as EXCLUDE CURRENT ROW over a ROWS frame "
+                "(a peer-group extremum exclusion is not decomposable "
+                "into shared-sort window passes)"
+            )
+        parts = []
+        if lo <= -1:
+            parts.append(
+                agg_map[func](xc).over(wnoframe.rowsBetween(lo, -1))
+            )
+        if hi >= 1:
+            parts.append(
+                agg_map[func](xc).over(wnoframe.rowsBetween(1, hi))
+            )
+        if not parts:  # frame was exactly the current row -> NULL
+            return F.when(F.lit(False), agg_map[func](xc).over(wspec))
+        if len(parts) == 1:
+            return parts[0]
+        comb = F.least if func == "min" else F.greatest
+        return comb(*parts)
+    cnt_full = (F.count(F.lit(1)) if xc is None else F.count(xc)).over(wspec)
+    if mode == "current":
+        sub_cnt = (
+            F.lit(1) if xc is None
+            else F.when(xc.isNotNull(), 1).otherwise(0)
+        )
+        sub_sum = None if xc is None else F.coalesce(xc, F.lit(0))
+    else:  # group / ties
+        if wref.frame_type == "rows":
+            raise ValueError(
+                "EXCLUDE GROUP/TIES requires a RANGE or GROUPS frame "
+                "(a ROWS frame can cut a peer group, so subtracting "
+                "the whole group's aggregate would over-correct)"
+            )
+        peers = wnoframe.rangeBetween(0, 0)
+        g_cnt = (
+            F.count(F.lit(1)) if xc is None else F.count(xc)
+        ).over(peers)
+        g_sum = None if xc is None else F.sum(xc).over(peers)
+        if mode == "group":
+            sub_cnt, sub_sum = g_cnt, g_sum
+        else:  # ties: exclude the peers but keep the current row
+            cur = (
+                F.lit(1) if xc is None
+                else F.when(xc.isNotNull(), 1).otherwise(0)
+            )
+            sub_cnt = g_cnt - cur
+            sub_sum = (
+                None if xc is None
+                else g_sum - F.coalesce(xc, F.lit(0))
+            )
+    excl_cnt = cnt_full - sub_cnt
+    if func == "count":
+        return excl_cnt
+    sum_full = F.sum(xc).over(wspec)
+    excl_sum = F.when(
+        excl_cnt > 0, sum_full - F.coalesce(sub_sum, F.lit(0))
+    )
+    if func == "sum":
+        return excl_sum
+    return excl_sum / excl_cnt  # avg: NULL when the exclusion empties
+
+
 def plan(
     spark: SparkSession,
     q: BoostQuery,
@@ -3674,6 +3809,8 @@ def plan(
                         for o, d in ref.window.order_by
                     ]
                 )
+            wnoframe = wspec  # pre-frame spec: exclusion rewrites
+            #                   derive sibling frames from it
             if ref.window.frame is not None:
                 # rank/offset functions are frame-insensitive by ANSI
                 # definition; first_value/last_value ARE frame-sensitive
@@ -3697,6 +3834,15 @@ def plan(
                     wspec = wspec.rangeBetween(lo, hi)
                 else:
                     wspec = wspec.rowsBetween(*ref.window.frame)
+            if ref.window.exclude is not None and (
+                func in rank_map
+                or func in nav_map
+                or func in ("ntile", "first_value", "last_value")
+            ):
+                raise ValueError(
+                    f"EXCLUDE is not supported with {func}() — frame "
+                    "exclusion rewrites apply to sum/count/avg/min/max"
+                )
             if func in rank_map:
                 c = rank_map[func]().over(wspec)
             elif func == "ntile":
@@ -3708,14 +3854,21 @@ def plan(
                 )
             elif func in nav_map:
                 c = nav_map[func](F.col(col)).over(wspec)
-            elif ref.arg_expr is not None:
-                c = agg_map[func](
-                    _compile_expr(ref.arg_expr, res, params=params)
-                ).over(wspec)
-            elif col is None:
-                c = F.count(F.lit(1)).over(wspec)
             else:
-                c = agg_map[func](F.col(col)).over(wspec)
+                if ref.arg_expr is not None:
+                    xc = _compile_expr(ref.arg_expr, res, params=params)
+                elif col is None:
+                    xc = None  # count(*)
+                else:
+                    xc = F.col(col)
+                if ref.window.exclude is not None:
+                    c = _window_exclude(
+                        func, xc, ref.window, wspec, wnoframe, agg_map
+                    )
+                elif xc is None:
+                    c = F.count(F.lit(1)).over(wspec)
+                else:
+                    c = agg_map[func](xc).over(wspec)
             proj.append(c.alias(alias))
         df = df.select(*proj)
         if q.qualify is not None:

@@ -1384,6 +1384,478 @@ def agg_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    pushdown showcase — a single-table filter-aggregate whose THREE
+    predicates (shipdate range, discount band, quantity cap) all reach
+    the parquet scan as PushedFilters, so at 100 TB the scan skips
+    row groups on shipdate min/max before any CPU is spent. Revenue
+    accumulates as DECIMAL (order-independent) and casts to DOUBLE at
+    the edge. Realizes the reference's declared WHERE comparison enums
+    (query/base/expression.go:20-32) composed with aggregation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "agg_q4_priority_late",
+    """
+    SELECT o_orderpriority, count(*) AS n_late
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to the
+    fixture's columns: the fixture has no l_commitdate/l_receiptdate,
+    so "late" is a line SHIPPED more than 60 days after the order date
+    — the same correlated-EXISTS-with-inequality structure (the
+    correlation predicate references BOTH tables). Catalyst plans the
+    EXISTS as a left-semi join on orderkey with the date inequality as
+    a join residual: one pass over each table, no subquery re-execution
+    per outer row. The quarter filter prunes the orders scan first."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-07-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-10-01'"))
+    )
+    late = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        o.join(t["lineitem"], late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "agg_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def agg_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join whose ON clause carries an EXTRA non-equi predicate on
+    the right side (the fixture has no o_comment, so the spec's
+    NOT-LIKE comment filter becomes a priority exclusion — same
+    plan shape: the filter must stay IN the join condition, a WHERE
+    would turn the outer join inner and drop zero-order customers),
+    then a two-level aggregate: orders per customer, customers per
+    order-count. The distribution's zero bucket is the
+    no-orders-customers cohort — exactly what the outer join
+    preserves."""
+    t = load_tables(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], cond, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_q(
+    "agg_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier, rev
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): an aggregate VIEW consumed
+    twice — once for the per-supplier revenue, once reduced to its MAX
+    as a scalar predicate. The view computes ONCE (decimal revenue:
+    exact, so the equality against the max is bit-safe — float revenue
+    here would make ties engine-dependent); the 1-row max broadcasts
+    back against it (no driver collect, no recompute), then the
+    surviving supplier row(s) join the supplier dim. At scale the
+    revenue aggregate is the only shuffle; everything after it is
+    broadcast-sized."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)  # view computes once, reads twice
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_mx"))
+        .join(
+            t["supplier"], F.col("supplier_no") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "agg_q17_small_qty_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem, part,
+         (SELECT l_partkey AS ap,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) pa
+    WHERE p_partkey = l_partkey AND ap = l_partkey
+      AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def agg_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar-aggregate-per-group subquery — each lineitem compares its
+    quantity against 0.2x the AVERAGE quantity of its own part. Planned
+    as decorrelation-by-hand (what Catalyst does to the SQL form): one
+    per-part aggregate over lineitem, joined back on partkey. The avg
+    uses the exact pattern (decimal sum cast double / count) so the
+    0.2x threshold is the same double in both engines — a float-sum
+    avg would straddle comparison boundaries. The brand/type filter
+    broadcasts part and prunes BEFORE the join-back; the per-part avg
+    aggregates the full table once (at 100 TB, the one unavoidable
+    shuffle)."""
+    t = load_tables(spark, sf_dir)
+    pa = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("ap"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+    )
+    p = t["part"].filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("ap") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "agg_q19_disjunctive_brand",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def agg_q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR-blocks that each mix columns from BOTH join sides — the
+    classic optimizer stress for predicate factoring. Catalyst extracts
+    the common p_partkey equi-key for the hash join and keeps the OR as
+    a residual; it also derives the IMPLIED single-side disjunctions
+    (brand IN its 3 values, size <= 15, quantity <= 30) and pushes them
+    into the scans, so most of lineitem never reaches the join at
+    scale. part broadcasts."""
+    t = load_tables(spark, sf_dir)
+    blk = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(blk)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "agg_q22_idle_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           AS totacctbal
+    FROM customer,
+         (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) AS ab
+          FROM customer WHERE c_acctbal > 0.0) avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: the fixture
+    has no c_phone, so the spec's country-code grouping becomes the
+    market segment, and "never ordered" becomes "no orders since
+    2000" (the fixture's order density gives every customer SOME
+    order; the spec's empty-history predicate would be vacuous). The
+    structure is intact: a SCALAR subquery threshold (average positive
+    balance, exact-avg pattern so the comparison boundary is the same
+    double in both engines), a NOT EXISTS anti-join against a
+    date-pruned orders scan (lapsed customers), and
+    a grouped rollup of the survivors. The 1-row threshold broadcasts;
+    the anti-join is the only shuffle beside the final small rollup."""
+    t = load_tables(spark, sf_dir)
+    ab = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_ab")
+        )
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(ab), F.col("c_acctbal") > F.col("_ab"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01'")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "agg_q2_min_cost_supplier",
+    """
+    WITH elig AS (
+      SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+             l_extendedprice AS price
+      FROM lineitem, part, supplier, nation, region
+      WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD')
+    SELECT DISTINCT elig.p_partkey, p_brand, s_name, s_acctbal, n_name,
+                    price
+    FROM elig JOIN (SELECT p_partkey, min(price) AS mp
+                    FROM elig GROUP BY p_partkey) m
+      ON elig.p_partkey = m.p_partkey AND elig.price = m.mp
+    ORDER BY s_acctbal DESC, elig.p_partkey, s_name, price LIMIT 100
+    """,
+)
+def agg_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the fixture has
+    no partsupp, so the part<->supplier association (and its cost) is
+    the lineitem history — for each STANDARD size-15 part, the EUROPE
+    supplier(s) that actually shipped it at the lowest observed price.
+    Structure intact: a 5-table snowflake (two broadcast dims deep:
+    region prunes nation prunes supplier), a correlated per-group MIN
+    as the keep predicate, deterministic top-100. The per-part min is a
+    WINDOW over the eligible rows (one shuffle on partkey), not a
+    self-join — the SQL IN form decorrelates to exactly this. Min on
+    raw doubles is order-independent (no accumulation), so no decimal
+    detour is needed."""
+    t = load_tables(spark, sf_dir)
+    nr = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = t["supplier"].join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    p = t["part"].filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    elig = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("_minp", F.min("price").over(w))
+        .filter(F.col("price") == F.col("_minp"))
+        .drop("_minp")
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("p_partkey").asc(),
+            F.col("s_name").asc(), F.col("price").asc(),
+        )
+        .limit(100)
+    )
+
+
+@_q(
+    "agg_q9_nation_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem, orders, part, supplier, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY n_name, yr
+    """,
+)
+def agg_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted: no partsupp means
+    no ps_supplycost, so cost is proxied as 10% of retail price x
+    quantity — the shape is what matters: a FIVE-table star (the widest
+    TPC-H join graph after Q8) with a substring filter on the part
+    name, profit per supplier-nation per order-year. part/supplier/
+    nation all broadcast (part pruned by the LIKE first), so lineitem
+    is shuffled exactly once — for the final rollup; orders joins on
+    the fact's own orderkey. Per-row profit arithmetic is
+    IEEE-deterministic with the oracle's exact parse shape; the SUM
+    goes through DECIMAL."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(18,6)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@_q(
     "join_skew_salted",
     """
     SELECT n_name, count(*) AS n_cust
@@ -7228,6 +7700,70 @@ def dialect_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(click * 10.0) AS vb, "
         "floor(click * 1000000.0 + 0.5) AS v6 "
         "FROM boost.events) t",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_frame_exclude",
+    """
+    SELECT event_id AS eid,
+           sum(floor(value * 1000000.0 + 0.5))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS nbr_sum,
+           min(value)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS nbr_min,
+           avg(floor(value * 1000000.0 + 0.5))
+             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                   RANGE BETWEEN 7200000000000 PRECEDING
+                             AND 7200000000000 FOLLOWING
+                   EXCLUDE TIES) AS win_avg
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def dialect_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI window frame EXCLUSION through the dialect front — EXCLUDE
+    CURRENT ROW / GROUP / TIES, the last piece of the ANSI frame
+    clause after ROWS/RANGE/GROUPS landed (r10). Spark has no native
+    frame exclusion; the planner (plans/sugar.py::_window_exclude)
+    rewrites each mode as a composition of window aggregates sharing
+    the base sort: sum/count/avg subtract the current row (or the
+    peer-group aggregate, computed with rangeBetween(0,0) over the
+    same sort) from the full-frame aggregate, NULL-guarded by the
+    excluded non-null count; min/max split the ROWS frame into the
+    [lo,-1]/[1,hi] siblings and recombine with null-skipping
+    least/greatest. One Exchange on user_id serves all three columns
+    (pinned in tests/test_plan_shapes.py). The leave-one-out window
+    aggregate is the standard anomaly-score shape ("how far is this
+    event from its NEIGHBORS' aggregate") — at 100 TB it costs exactly
+    what the plain frame aggregate costs: same shuffle, same sort, a
+    constant number of extra per-row window reads. DuckDB spells the
+    clause natively for the oracle; frame sums ride the exact-integer
+    v6 grid so accumulation order cannot flip the hash, and the
+    avg-EXCLUDE-TIES division is the same two exact operands in both
+    engines. EXCLUDE GROUP over a GROUPS frame is certified by the
+    property suite (DuckDB lacks GROUPS mode; tests/test_sugar.py
+    pins the dense-rank lowering against the analytic rewrite)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, "
+        "sum(floor(click * 1000000.0 + 0.5)) OVER (PARTITION BY "
+        "click.user_id ORDER BY click.event_id "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING "
+        "EXCLUDE CURRENT ROW) AS nbr_sum, "
+        "min(click.value) OVER (PARTITION BY click.user_id "
+        "ORDER BY click.event_id "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+        "EXCLUDE CURRENT ROW) AS nbr_min, "
+        "avg(floor(click * 1000000.0 + 0.5)) OVER (PARTITION BY "
+        "click.user_id ORDER BY click.ts "
+        "RANGE BETWEEN INTERVAL '2' HOUR PRECEDING "
+        "AND INTERVAL '2' HOUR FOLLOWING EXCLUDE TIES) AS win_avg "
+        "FROM boost.events",
         EVENTS_BINDING,
     )
 

@@ -437,3 +437,68 @@ def test_string_agg_single_aggregate_no_sort_shuffle(spark):
     exchanges = [ln for ln in p.splitlines()
                  if ln.startswith("(") and "Exchange" in ln]
     assert len(exchanges) == 1, exchanges  # the groupBy key shuffle
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    # TPC-H Q6: the pushdown showcase — all three predicate families
+    # (date range, discount band, quantity cap) in PushedFilters, no
+    # join, partial+final aggregate on one scan
+    p = _plan(spark, "agg_q6_forecast_revenue")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q19_implied_disjunctions_pushed_both_scans(spark):
+    # TPC-H Q19: Catalyst must extract the partkey equi-key for the
+    # join AND derive the implied single-side ORs for both scans —
+    # a missed factoring turns this into scan-everything
+    p = _plan(spark, "agg_q19_disjunctive_brand")
+    li_pushed = [ln for ln in p.splitlines()
+                 if "PushedFilters" in ln and "l_quantity" in ln]
+    pt_pushed = [ln for ln in p.splitlines()
+                 if "PushedFilters" in ln and "p_brand" in ln]
+    assert li_pushed and "Or(" in li_pushed[0]
+    assert pt_pushed and "Or(" in pt_pushed[0]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q9_star_broadcasts_and_substring_pushdown(spark):
+    # TPC-H Q9: the LIKE '%widget%' prunes the part scan
+    # (StringContains reaches parquet) and every dimension broadcasts —
+    # the fact table is never shuffled for a join
+    p = _plan(spark, "agg_q9_nation_profit")
+    assert "StringContains(p_name,widget)" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_decorrelated_single_fact_agg(spark):
+    # TPC-H Q17: the correlated per-part avg decorrelates to ONE
+    # per-part aggregate (no per-row re-execution shape), and the
+    # brand/type filter reaches the part scan
+    p = _plan(spark, "agg_q17_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#3)" in p
+    assert "CartesianProduct" not in p
+    # three scans total: outer lineitem + the avg subquery's lineitem
+    # + the pruned part — no per-row subquery re-execution shape
+    scans = [ln for ln in p.splitlines()
+             if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 3, scans
+
+
+def test_frame_exclude_single_exchange(spark):
+    # ANSI frame exclusion lowers to sibling window aggregates sharing
+    # the user_id partition: ONE Exchange serves the ROWS-frame
+    # subtractions, the min frame-split, and the RANGE EXCLUDE TIES
+    # rewrite; no join, no extra shuffle
+    import re
+
+    p = _plan(spark, "dialect_frame_exclude")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p

@@ -2534,3 +2534,148 @@ def test_groups_frame_rules(spark):
         ).collect()
     }
     assert got2 == {1: 5.0, 2: 2.0, 3: 2.0, 4: 4.0, 5: 4.0, 6: 9.0}
+
+
+def test_frame_exclude_rules(spark):
+    """ANSI frame exclusion — parse forms, refusals, and hand-checked
+    leave-one-out semantics (round 11)."""
+    # parse: all four spellings; NO OTHERS is the None default
+    q = parse(
+        "SELECT sum(k.x) OVER (PARTITION BY k.a ORDER BY k.c "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+        "EXCLUDE CURRENT ROW) AS s FROM d.f k"
+    )
+    assert q.fields[0].window.exclude == "current"
+    q = parse(
+        "SELECT sum(k.x) OVER (PARTITION BY k.a ORDER BY k.c "
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+        "EXCLUDE GROUP) AS s FROM d.f k"
+    )
+    assert q.fields[0].window.exclude == "group"
+    q = parse(
+        "SELECT sum(k.x) OVER (PARTITION BY k.a ORDER BY k.c "
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+        "EXCLUDE TIES) AS s FROM d.f k"
+    )
+    assert q.fields[0].window.exclude == "ties"
+    q = parse(
+        "SELECT sum(k.x) OVER (PARTITION BY k.a ORDER BY k.c "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+        "EXCLUDE NO OTHERS) AS s FROM d.f k"
+    )
+    assert q.fields[0].window.exclude is None
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "click", 3.0, 10), (2, "click", 1.0, 10), (3, "click", 1.0, 10),
+         (4, "click", 2.0, 20), (5, "click", 2.0, 20), (6, "click", 5.0, 20)],
+        "event_id long, event_type string, value double, user_id long",
+    )
+    df.createOrReplaceTempView("_excl_events")
+    gb = SeriesFamilyBinding(
+        view="_excl_events", series_col="event_type",
+        value_col="value", ts_col="event_id",
+    )
+    # EXCLUDE CURRENT ROW over an unbounded ROWS frame: per-partition
+    # total minus self
+    got = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click.event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+            "EXCLUDE CURRENT ROW) AS s FROM boost.events",
+            gb,
+        ).collect()
+    }
+    assert got == {1: 2.0, 2: 4.0, 3: 4.0, 4: 7.0, 5: 7.0, 6: 4.0}
+    # min + EXCLUDE CURRENT ROW: frame-split via least(); the row
+    # holding the partition minimum sees the second-smallest
+    got = {
+        r.eid: r.m
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, min(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click.event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+            "EXCLUDE CURRENT ROW) AS m FROM boost.events",
+            gb,
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 2.0, 5: 2.0, 6: 2.0}
+    # EXCLUDE GROUP over a GROUPS frame: peers (equal ORDER BY values)
+    # drop out; ties rows 2,3 exclude each other
+    got = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click "
+            "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+            "EXCLUDE GROUP) AS s FROM boost.events",
+            gb,
+        ).collect()
+    }
+    # uid 10 by value: [1,1],[3] -> eid2/3 frame {1,1,3} minus peers
+    # {1,1} = 3; eid1 frame {1,1,3} minus {3} = 2
+    # uid 20: [2,2],[5] -> eid4/5 = 5; eid6 = 4
+    assert got == {1: 2.0, 2: 3.0, 3: 3.0, 4: 5.0, 5: 5.0, 6: 4.0}
+    # EXCLUDE TIES keeps the current row, drops the other peers
+    got = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click "
+            "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+            "EXCLUDE TIES) AS s FROM boost.events",
+            gb,
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: 4.0, 3: 4.0, 4: 7.0, 5: 7.0, 6: 9.0}
+    # refusals: GROUP/TIES over ROWS frames over-correct; extrema over
+    # non-ROWS exclusion is not decomposable; rank takes no frame at
+    # all so EXCLUDE cannot reach it
+    with pytest.raises(ValueError, match="RANGE or GROUPS"):
+        sugar.query(
+            spark,
+            "SELECT sum(click) OVER (PARTITION BY click.user_id "
+            "ORDER BY click.event_id ROWS BETWEEN 1 PRECEDING AND "
+            "1 FOLLOWING EXCLUDE GROUP) AS s FROM boost.events",
+            gb,
+        )
+    with pytest.raises(ValueError, match="EXCLUDE GROUP"):
+        sugar.query(
+            spark,
+            "SELECT min(click) OVER (PARTITION BY click.user_id "
+            "ORDER BY click GROUPS BETWEEN 1 PRECEDING AND "
+            "1 FOLLOWING EXCLUDE GROUP) AS m FROM boost.events",
+            gb,
+        )
+    # a frame that never contains the current row makes EXCLUDE a
+    # no-op (ANSI): trailing-only frame, sum unchanged by exclusion
+    base = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click.event_id "
+            "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS s "
+            "FROM boost.events",
+            gb,
+        ).collect()
+    }
+    noop = {
+        r.eid: r.s
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, sum(click) OVER "
+            "(PARTITION BY click.user_id ORDER BY click.event_id "
+            "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING "
+            "EXCLUDE CURRENT ROW) AS s FROM boost.events",
+            gb,
+        ).collect()
+    }
+    assert base == noop
