@@ -1739,6 +1739,172 @@ def agg_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_q8_market_share",
+    """
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(sum(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY') all_nations
+    GROUP BY yr ORDER BY yr
+    """,
+)
+def agg_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the WIDEST TPC-H join
+    graph — EIGHT relations, with the nation dimension joined TWICE
+    under different roles (customer's nation chain reaches region for
+    the ASIA market filter; supplier's nation labels the volume), a
+    conditional-share aggregate per order year. Every dimension chain
+    broadcasts after its own pushed filter (region name, part type,
+    order-date range), so the only shuffle is the final 2-row rollup.
+    Both the PROMO-share numerator trick (conditional DECIMAL sum) and
+    the year bucketing reuse certified patterns (Q14/Q7)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(
+                t["region"].filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    supp = t["supplier"].join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    ).select("s_suppkey", "supp_nation")
+    p = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@_q(
+    "agg_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def agg_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the fixture's columns (no receipt/commit dates: "late" is shipping
+    >90 days after the order date): for finished orders, the suppliers
+    whose line was the ONLY late one in a multi-supplier order — the
+    composed EXISTS + correlated NOT EXISTS, the hardest decorrelation
+    in the benchmark. Planned as aggregate-decorrelation instead of
+    two semi/anti joins over correlated inequality subqueries: one
+    pass computes each order's distinct-supplier count (EXISTS other
+    supplier == count >= 2), one computes its distinct LATE-supplier
+    count (NOT EXISTS other late supplier == count == 1, since the
+    candidate line itself is late), and the late lines join those two
+    order-level facts. Each lineitem pass shuffles once on orderkey;
+    both EXISTS conditions become integer comparisons on broadcast-able
+    aggregates. numwait counts LINES (the spec's FROM-product
+    cardinality), not distinct orders — both engines agree on that
+    contract."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("k1"))
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    )
+    n_late = (
+        late.distinct()
+        .groupBy(F.col("l_orderkey").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    return (
+        late.join(n_supp, F.col("l_orderkey") == F.col("k1"))
+        .join(n_late, F.col("l_orderkey") == F.col("k2"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@_q(
     "agg_q2_min_cost_supplier",
     """
     WITH elig AS (

@@ -502,3 +502,26 @@ def test_frame_exclude_single_exchange(spark):
     p = _plan(spark, "dialect_frame_exclude")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p
+
+
+def test_q8_eight_relation_star_no_cartesian(spark):
+    # TPC-H Q8: eight relations, nation joined twice under different
+    # roles — every join must stay key-based with the dimension chains
+    # broadcast; region/part-type/date filters reach their scans
+    p = _plan(spark, "agg_q8_market_share")
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "EqualTo(p_type,ECONOMY)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_decorrelated_aggregates_not_subquery_loops(spark):
+    # TPC-H Q21: EXISTS/NOT-EXISTS decorrelate to two order-level
+    # aggregates joined back on orderkey — key joins only, and the
+    # distinct-supplier count is a real aggregate in the plan
+    p = _plan(spark, "agg_q21_waiting_supplier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
