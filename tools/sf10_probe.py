@@ -26,6 +26,15 @@ Usage:
     python tools/sf10_probe.py                 # default three entries
     python tools/sf10_probe.py entryA entryB   # probe specific entries
 Output: one line per entry `name sf1_s sf10_s ratio` + summary.
+
+OPERATIONAL LESSON (round 11): build the fixtures and probe in
+SEPARATE processes. The first r11 run built the 10M-row fixture
+(hundreds of union branches analyzed, old-gen tenure from the copy
+jobs) and then probed IN THE SAME JVM: dedup_semantic's first sf1 run
+sat >60 min on two straggler tasks — the identical entry in a fresh
+session reads ~95 s. Run the script once to build (it probes after,
+slowly), or pre-build and re-run: with both _BUILT markers present
+the probe session starts clean.
 """
 
 from __future__ import annotations
