@@ -135,6 +135,61 @@ def cosine_topk(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact within-group k-NN graph: for every vector, its k nearest
+    cosine neighbors AMONG VECTORS SHARING ``group_col`` — the edge
+    list that graph-based dedup/clustering (SemDeDup connected
+    components, SNN graphs) consumes. Returns (src, dst, cos), ties
+    broken by dst id so the graph is deterministic.
+
+    Scale shape: the pair generation is an EQUI-join on the group key
+    (never all-pairs across the corpus), so cost is sum over groups of
+    |g|^2 — right when groups are bounded (labels, IVF cells, LSH
+    buckets, shards). For unbounded groups, bucket first (ivf_assign /
+    lsh_bucket) and pass the bucket as the group: same function, the
+    candidate generator is the caller's choice. Norms hoist to
+    per-row columns before the join (one fold per pair, not three);
+    the per-src top-k is one row_number window over the group-local
+    candidates — shuffle on the group key, then on src, both
+    bounded-fanout."""
+    a = _spread(df).select(
+        F.col(id_col).alias("src"),
+        F.col(group_col).alias("_g"),
+        _as_double(F.col(vec_col)).alias("av"),
+    ).withColumn("av_nrm", norm(F.col("av")))
+    b = df.select(
+        F.col(id_col).alias("dst"),
+        F.col(group_col).alias("_g2"),
+        _as_double(F.col(vec_col)).alias("bv"),
+    ).withColumn("bv_nrm", norm(F.col("bv")))
+    scored = (
+        a.join(b, F.col("_g") == F.col("_g2"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                fold_dot(F.col("av"), F.col("bv"))
+                / (F.col("av_nrm") * F.col("bv_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,

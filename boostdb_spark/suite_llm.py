@@ -874,6 +874,44 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_knn_graph",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {DOT64.format(a='a.v', b='b.v')}
+             / (sqrt({DOT64.format(a='a.v', b='a.v')})
+                * sqrt({DOT64.format(a='b.v', b='b.v')})) AS cos
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.vec_id <> b.vec_id)
+    SELECT src, dst, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY src
+                                   ORDER BY cos DESC, dst) AS rn
+      FROM p)
+    WHERE rn <= 5
+    """,
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-group k-NN GRAPH (operators/similarity.py::
+    knn_graph): every vector's 5 nearest cosine neighbors among
+    vectors sharing its label — the edge list graph-based dedup and
+    clustering consume (SemDeDup components, SNN graphs). Pair
+    generation is an EQUI-join on the group key — never corpus
+    all-pairs — so cost is sum(|group|^2): right for bounded groups;
+    unbounded corpora bucket first (IVF cells / LSH bands) and pass
+    the bucket as the group, same operator. Unlike the ann_* entries
+    (whose trained quantizers are not SQL-reproducible), the label
+    grouping IS oracle-expressible, so the whole graph — fold dots,
+    norm hoisting, per-src top-k with dst tiebreak — sits under the
+    exact hash gate. Norms hoist before the join (one fold per pair);
+    ties deterministic via (cos DESC, dst ASC)."""
+    t = load_tables(spark, sf_dir)
+    return sim.knn_graph(t["embeddings"], k=5, group_col="label")
+
+
+@_q(
     "dedup_semantic",
     """
     SELECT vec_id, true AS drop_covered, true AS kept_independent

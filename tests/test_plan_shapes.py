@@ -525,3 +525,13 @@ def test_q21_decorrelated_aggregates_not_subquery_loops(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_knn_graph_equi_join_not_cartesian(spark):
+    # the k-NN graph's pair generation must be an equi-join on the
+    # group key — never an all-pairs product — with the per-src top-k
+    # as one row_number window
+    p = _plan(spark, "emb_knn_graph")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
