@@ -1121,7 +1121,21 @@ def _ann_index(spark: SparkSession, sf_dir: str) -> dict:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(wh, f"suite_annidx_{tag}_{key[0]}")
     gc_stale_layouts(wh, "suite_annidx_")
-    cents = sim.ivf_train_kmeans(e, n_centroids=16, n_iter=3)
+    # ADAPTIVE centroid count (round-11 sf10-probe catch): a FIXED k
+    # makes every within-cluster pair stage quadratic in corpus size
+    # (sum of cluster sizes squared ~ N^2/k) — invisible at one decade
+    # (machinery floor dominates sf0.1->sf1) and a wall at two
+    # (dedup_semantic at 100x sat in 16 monster-cluster tasks).
+    # Targeting a BOUNDED cluster size (~512) makes pair work
+    # N x 512 = linear while clusters fan out in parallel — the rule
+    # semantic_dedup's docstring prescribes, now actually applied at
+    # the one place the quantizer trains. Gate SFs are unchanged
+    # (N <= 2000 -> k = 16 exactly as before, results bit-identical);
+    # training stays one vectorized matmul pass per iter with an
+    # O(k x dim) collect.
+    n_vecs = e.count()
+    k_coarse = max(16, n_vecs // 512)
+    cents = sim.ivf_train_kmeans(e, n_centroids=k_coarse, n_iter=3)
     sim.ivf_build_index(e, cents).write.mode("overwrite").parquet(
         os.path.join(base, "ivf")
     )
