@@ -141,6 +141,7 @@ def knn_graph(
     group_col: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_group: int = 10_000,
 ) -> DataFrame:
     """Exact within-group k-NN graph: for every vector, its k nearest
     cosine neighbors AMONG VECTORS SHARING ``group_col`` — the edge
@@ -150,14 +151,32 @@ def knn_graph(
 
     Scale shape: the pair generation is an EQUI-join on the group key
     (never all-pairs across the corpus), so cost is sum over groups of
-    |g|^2 — right when groups are bounded (labels, IVF cells, LSH
-    buckets, shards). For unbounded groups, bucket first (ivf_assign /
-    lsh_bucket) and pass the bucket as the group: same function, the
-    candidate generator is the caller's choice. Norms hoist to
-    per-row columns before the join (one fold per pair, not three);
-    the per-src top-k is one row_number window over the group-local
-    candidates — shuffle on the group key, then on src, both
-    bounded-fanout."""
+    |g|^2 — right when groups are BOUNDED (IVF cells, LSH buckets,
+    shards). Groups that grow WITH the corpus make this quadratic —
+    the round-11 sf1 probe measured 156x wall at 10x rows for
+    10-label grouping — so group sizes above ``max_group`` REFUSE
+    loudly (one count-aggregate guard pass, the _guard_query_count
+    pattern) instead of silently melting an executor: re-bucket first
+    (ivf_assign / lsh_bucket, or compose (label, cell)) and pass the
+    finer group. Norms hoist to per-row columns before the join (one
+    fold per pair, not three); the per-src top-k is one row_number
+    window over the group-local candidates — shuffle on the group
+    key, then on src, both bounded-fanout."""
+    big = (
+        df.groupBy(group_col)
+        .count()
+        .filter(F.col("count") > max_group)
+        .limit(1)
+        .collect()
+    )
+    if big:
+        raise ValueError(
+            f"knn_graph: group {big[0][0]!r} has {big[0]['count']} rows "
+            f"(> max_group={max_group}); the within-group pair join "
+            "would be quadratic in that group. Bucket first "
+            "(ivf_assign / lsh_bucket / compose a finer key) or raise "
+            "max_group explicitly if the blowup is intended."
+        )
     a = _spread(df).select(
         F.col(id_col).alias("src"),
         F.col(group_col).alias("_g"),

@@ -407,3 +407,20 @@ def test_top_principal_components_deflation(spark):
     assert abs(sum(a * b for a, b in zip(v1, v2))) < 0.02  # orthogonal
     comps2 = sim.top_principal_components(df, k=2, n_iter=25)
     assert comps == comps2
+
+
+def test_knn_graph_exact_and_guarded(spark, emb):
+    # exact semantics on a bounded group: every node gets min(k, |g|-1)
+    # edges, ranked by cosine with dst tiebreak
+    g = sim.knn_graph(emb, k=3, group_col="label")
+    rows = g.groupBy("src").count().collect()
+    sizes = {r["label"]: c for r, c in [
+        (x, x["count"]) for x in emb.groupBy("label").count().collect()
+    ]}
+    for r in rows:
+        assert r["count"] <= 3
+    # oversized groups refuse loudly instead of a quadratic pair join
+    # (the round-11 sf1 probe read 156x wall at 10x rows before the
+    # guard existed)
+    with pytest.raises(ValueError, match="max_group"):
+        sim.knn_graph(emb, k=3, group_col="label", max_group=5)
