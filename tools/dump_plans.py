@@ -97,6 +97,15 @@ SHOWCASE = [
     ("agg_q18_large_orders", "Q18: IN-over-HAVING planned as left-semi against the grouped aggregate"),
     ("dialect_rank_extras", "ntile/percent_rank/cume_dist: three analytics over ONE exchange+sort; ILIKE pushed"),
     ("dialect_order_expr", "ORDER BY expression: hidden sort column -> TakeOrdered page -> projection drops it"),
+    ("agg_q6_forecast_revenue", "Q6: all three predicate families in PushedFilters, no join, partial+final agg"),
+    ("agg_q19_disjunctive_brand", "Q19: equi-key extracted from OR-blocks; implied single-side disjunctions pushed to BOTH scans"),
+    ("agg_q8_market_share", "Q8: eight relations, nation twice — every dimension chain broadcast, fact never shuffled for a join"),
+    ("agg_q21_waiting_supplier", "Q21: EXISTS/NOT-EXISTS decorrelated to two order-level aggregates joined back on orderkey"),
+    ("agg_q17_small_qty_revenue", "Q17: correlated per-part avg decorrelated to one aggregate + broadcast join-back"),
+    ("dialect_frame_exclude", "frame EXCLUDE: sibling window aggregates share ONE exchange; exclusion is arithmetic, not a new shuffle"),
+    ("dialect_string_agg", "string_agg WITHIN GROUP: one partial+final hash aggregate over sorted struct arrays, no UDF"),
+    ("dialect_groups_frame", "GROUPS frame: dense_rank lowering + rangeBetween share one exchange+sort"),
+    ("emb_knn_graph", "k-NN graph: equi-join on the group key (guarded size), windowed per-src top-k"),
 ]
 
 
