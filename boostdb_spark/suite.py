@@ -174,10 +174,19 @@ _WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_color", "scan_bloom_pointlookup",
     "scan_compressed_blocks", "ts_changes_resets", "ts_holt_winters",
     "ts_linear_trend", "ts_mad", "ts_moving_time_avg", "ts_prom_rate",
-    "ts_quantile_over_time", "ts_sessionize", "txt_bigram_logprob",
-    "txt_gopher_rules", "txt_heavy_hitters",
-    # --- re-certification: ROUND-6 cohort head, name order ---
-    "agg_hll_merge_cascade", "agg_q12_priority_lines", "agg_stats",
+    "ts_quantile_over_time", "ts_sessionize",
+    # --- round-11 mid-round additions: the six strongest entries of
+    # the NEW r11 surface take the tail re-cert slots (displacing
+    # txt_bigram_logprob/txt_gopher_rules/txt_heavy_hitters + the
+    # r6-head trio to round 12) so they are driver-certified THIS
+    # round instead of joining a post-freeze backlog — the r10 verdict
+    # ranked never-certified coverage above re-cert freshness ---
+    "agg_q6_forecast_revenue",    # TPC-H Q6: the pushdown showcase
+    "agg_q8_market_share",        # TPC-H Q8: widest join graph
+    "agg_q19_disjunctive_brand",  # TPC-H Q19: OR-block factoring
+    "agg_q21_waiting_supplier",   # TPC-H Q21: hardest decorrelation
+    "dialect_frame_exclude",      # ANSI frame EXCLUDE rewrites
+    "emb_knn_graph",              # within-group exact k-NN graph
     # --- displaced to round 12: the rest of the r6 cohort
     # (asof_join_backward, asof_join_forward, dedup_minhash_lsh,
     # dedup_semantic, dialect_case, dialect_exists, dialect_group_expr,
