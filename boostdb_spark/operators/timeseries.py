@@ -2604,6 +2604,68 @@ def event_transitions(
     return out
 
 
+def event_paths_topk(
+    df: DataFrame,
+    k: int = 20,
+    path_len: int = 3,
+    gap_ns: int = 1_800 * 10**9,
+    user_col: str = "user_id",
+    type_col: str = "series",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k event PATHS: the most common length-``path_len`` ordered
+    event-type sequences inside user SESSIONS (gap-based, ``gap_ns``
+    idle cutoff) — the product-analytics "top paths" view (ClickHouse
+    sequenceCount / Amplitude Pathfinder class) one level up from
+    :func:`event_transitions`' single-step matrix. Returns
+    (path, n) with path as 'a>b>c', deterministically tie-broken.
+
+    Scale shape: one user-keyed window pass derives session breaks
+    (lag + running sum — the sessionize rule), a second window over
+    (user, session) leads ``path_len - 1`` steps forward, then a
+    map-side-combined count on the path string and TakeOrdered top-k.
+    Both windows share the user partitioning (one Exchange + two
+    sorts); the counted relation is |paths| <= |events| rows and the
+    ranked relation is the distinct-path table — never per-user
+    collects, never self-joins."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    brk = F.when(
+        F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap_ns), 1
+    ).otherwise(0)
+    s = (
+        df.select(user_col, F.col(type_col).alias("a"), ts_col, id_col)
+        .withColumn("_brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sw = Window.partitionBy(user_col, "sid").orderBy(ts_col, id_col)
+    # window expressions are not filterable in-place: project the lead
+    # steps to named columns first, then filter / concat over them
+    step_cols = [F.col("a").alias("_s0")] + [
+        F.lead("a", i).over(sw).alias(f"_s{i}") for i in range(1, path_len)
+    ]
+    proj = s.select(*step_cols)
+    cond = F.lit(True)
+    for i in range(1, path_len):
+        cond = cond & F.col(f"_s{i}").isNotNull()
+    paths = (
+        proj.filter(cond)
+        .select(
+            F.concat_ws(
+                ">", *[F.col(f"_s{i}") for i in range(path_len)]
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(k)
+
+
 def burn_rate(
     df: DataFrame,
     bucket_seconds: int,

@@ -2867,6 +2867,46 @@ def evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "evt_top_paths",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+               FROM events),
+    o AS (SELECT *, CASE WHEN t - lag(t) OVER w > 1800000000000
+                         THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    p AS (SELECT event_type AS a,
+                 lead(event_type, 1) OVER sw AS b,
+                 lead(event_type, 2) OVER sw AS c
+          FROM s WINDOW sw AS (PARTITION BY user_id, sid
+                               ORDER BY t, event_id))
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+    FROM p WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+    """,
+)
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_paths(): the most common length-3 event sequences inside
+    gap-based user sessions (30-min idle cutoff) — the product-
+    analytics "top paths" view (ClickHouse sequenceCount / Amplitude
+    Pathfinder class), one level above evt_transitions' single-step
+    matrix. Session breaks derive from one user-keyed lag window
+    (the sessionize rule), path steps from a (user, session)-keyed
+    lead window sharing the same user partitioning (ONE Exchange, two
+    sorts), then a map-side-combined count on the path string and a
+    deterministic TakeOrdered top-20 (count desc, path asc — path is
+    unique in the grouped table, so the k-boundary cannot depend on
+    engine row order). The (ts, event_id) tiebreak makes every chain
+    a pure function of the event set."""
+    t = load_tables(spark, sf_dir)
+    return ts_ops.event_paths_topk(
+        _ns_events(t), k=20, path_len=3, type_col="event_type"
+    )
+
+
+@_q(
     "ts_error_budget_burn",
     """
     WITH e AS (SELECT epoch_ns(ts) AS t, event_type FROM events),
