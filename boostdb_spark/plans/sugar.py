@@ -394,6 +394,15 @@ class BoostQuery:
     #: TABLESAMPLE (p PERCENT ON key) on the anchor source — a
     #: deterministic hash-bucket sample (never Bernoulli RNG)
     sample: "SampleClause | None" = None
+    #: LIMIT n WITH TIES (ANSI FETCH FIRST ... WITH TIES): rows tied
+    #: with the page boundary on the FULL ORDER BY key are included.
+    #: Planned as a broadcast left-semi join against the DISTINCT sort
+    #: keys of the top-n page — never a global rank window (which
+    #: would single-partition the corpus). NOTE: BoostQuery is
+    #: constructed POSITIONALLY in parse_core — new fields go at the
+    #: END (this one shipped mid-list first and silently shifted
+    #: joins/star into the wrong slots).
+    limit_ties: bool = False
 
 
 def _expr_subqueries(e: "Expr | None"):
@@ -591,7 +600,8 @@ class _Parser:
                 break
             q.set_ops.append((op, self.parse_core()))
         # ORDER BY / LIMIT attach to the WHOLE statement (after set ops)
-        q.order_by, q.limit, q.offset = self.parse_order_limit(q.fields)
+        (q.order_by, q.limit, q.offset,
+         q.limit_ties) = self.parse_order_limit(q.fields)
         if not sub and self.peek()[0] != "eof":
             raise ValueError(f"trailing tokens at {self.peek()}")
         # named CTEs first (a derived table may reference them), then
@@ -676,7 +686,7 @@ class _Parser:
                         if k2 != "num":
                             raise ValueError("OFFSET requires a number")
                         offset0 = int(v2)
-                return order_by, limit0, offset0
+                return order_by, limit0, offset0, False
             while True:
                 f2 = self._ordinal_item(
                     fields or [], "ORDER BY", allow_agg=True
@@ -722,17 +732,40 @@ class _Parser:
                     break
         limit = None
         offset = None
+        ties = False
         if self.accept_kw("limit"):
             kind, v = self.next()
             if kind != "num":
                 raise ValueError("LIMIT requires a number")
             limit = int(v)
+            if self.peek() == ("kw", "with"):
+                # LIMIT n WITH TIES (the ANSI FETCH FIRST ... WITH TIES
+                # semantics): requires a deterministic ORDER BY; ties on
+                # the full sort key extend the page
+                self.next()
+                k3, v3 = self.name_next()
+                if k3 != "name" or v3.lower() != "ties":
+                    raise ValueError(
+                        f"expected TIES after LIMIT n WITH, got {v3!r}"
+                    )
+                if not order_by:
+                    raise ValueError(
+                        "LIMIT ... WITH TIES requires ORDER BY (ties "
+                        "are defined by the sort key)"
+                    )
+                ties = True
             if self.accept_kw("offset"):
+                if ties:
+                    raise ValueError(
+                        "LIMIT ... WITH TIES cannot combine with "
+                        "OFFSET (the tie-extended page has no stable "
+                        "row offsets)"
+                    )
                 k2, v2 = self.next()
                 if k2 != "num":
                     raise ValueError("OFFSET requires a number")
                 offset = int(v2)
-        return order_by, limit, offset
+        return order_by, limit, offset, ties
 
     def parse_core(self) -> BoostQuery:
         self.expect_kw("select")
@@ -3038,6 +3071,11 @@ def plan(
         if q.offset is not None:
             df = df.offset(q.offset)
         if q.limit is not None:
+            if q.limit_ties:
+                raise ValueError(
+                    "LIMIT ... WITH TIES after a set operation is not "
+                    "supported — apply it inside a derived table"
+                )
             df = df.limit(q.limit)
         return df
 
@@ -3990,6 +4028,7 @@ def plan(
     if q.order_by:
         order = []
         ord_hidden: list[str] = []
+        ord_targets: list[str] = []  # resolved sort-key column names
         for i, (ref, desc, nulls) in enumerate(q.order_by):
             if ref.expr is not None:
                 # ORDER BY <expression>: refs must name select-list
@@ -4017,6 +4056,7 @@ def plan(
                                   params=params),
                 )
                 ord_hidden.append(cname)
+                ord_targets.append(cname)
                 order.append(_order_col(cname, desc, nulls))
                 continue
             if post_name is not None:
@@ -4032,6 +4072,7 @@ def plan(
             else:
                 name = res.default_name(ref)
                 target = name if name in df.columns else res.resolve(ref)[1]
+            ord_targets.append(target)
             order.append(_order_col(target, desc, nulls))
         df = df.orderBy(*order)
         if ord_hidden:
@@ -4041,7 +4082,34 @@ def plan(
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:
-        df = df.limit(q.limit)
+        if q.limit_ties:
+            # LIMIT n WITH TIES: every row whose FULL sort-key tuple
+            # appears in the top-n page is kept. Planned as a broadcast
+            # left-semi join against the page's DISTINCT sort keys —
+            # never a global rank() window, which would move the whole
+            # relation through one partition; the page is n rows by
+            # construction, so the probe side is always broadcast-sized
+            # and the corpus streams through the semi join.
+            tkeys = list(dict.fromkeys(ord_targets))
+            pg = (
+                df.select(*tkeys)
+                .limit(q.limit)
+                .distinct()
+                .select(
+                    *[
+                        F.col(c).alias(f"__tie_{j}")
+                        for j, c in enumerate(tkeys)
+                    ]
+                )
+            )
+            cond = None
+            for j, c in enumerate(tkeys):
+                e = F.col(c).eqNullSafe(F.col(f"__tie_{j}"))
+                cond = e if cond is None else cond & e
+            df = df.join(F.broadcast(pg), cond, "left_semi")
+            df = df.orderBy(*order)  # UX parity with plain LIMIT
+        else:
+            df = df.limit(q.limit)
     if q.order_by and ord_hidden:
         df = df.drop(*ord_hidden)
     if hidden:

@@ -7984,6 +7984,37 @@ def dialect_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_limit_ties",
+    """
+    SELECT eid, uid FROM (
+      SELECT event_id AS eid, user_id AS uid,
+             rank() OVER (ORDER BY user_id ASC) AS rk
+      FROM events WHERE event_type = 'click') WHERE rk <= 37
+    """,
+)
+def dialect_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LIMIT n WITH TIES (FETCH FIRST ... WITH TIES semantics)
+    through the dialect front: rows tied with the page boundary on the
+    FULL ORDER BY key are included, so the RESULT SET is deterministic
+    even when the sort key alone is not a total order — which is
+    exactly when users reach for WITH TIES. Planned scale-first: a
+    broadcast LEFT-SEMI join against the DISTINCT sort keys of the
+    top-n page (n rows by construction — always broadcast-sized),
+    NEVER a global rank() window, which would single-partition the
+    corpus (the DuckDB oracle spells that rank lowering, the same
+    oracle-spells-the-lowering pattern as the GROUPS frames). OFFSET
+    combination and set-operation tails refuse loudly; ORDER BY is
+    required (ties are defined by the sort key)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT click.event_id AS eid, click.user_id AS uid "
+        "FROM boost.events ORDER BY uid ASC LIMIT 37 WITH TIES",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "dialect_named_window",
     """
     SELECT event_id AS eid,

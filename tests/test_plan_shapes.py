@@ -535,3 +535,13 @@ def test_knn_graph_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
+
+
+def test_limit_ties_broadcast_semi_not_global_window(spark):
+    # WITH TIES must plan as a broadcast left-semi against the tiny
+    # top-n key page — a global rank() Window would single-partition
+    # the corpus
+    p = _plan(spark, "dialect_limit_ties")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -2679,3 +2679,61 @@ def test_frame_exclude_rules(spark):
         ).collect()
     }
     assert base == noop
+
+
+def test_limit_with_ties_rules(spark):
+    """LIMIT n WITH TIES (round 11): parse, refusals, tie extension."""
+    q = parse("SELECT k.x FROM d.f k ORDER BY k.x DESC LIMIT 5 WITH TIES")
+    assert q.limit == 5 and q.limit_ties is True
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        parse("SELECT k.x FROM d.f k LIMIT 5 WITH TIES")
+    with pytest.raises(ValueError, match="OFFSET"):
+        parse(
+            "SELECT k.x FROM d.f k ORDER BY k.x "
+            "LIMIT 5 WITH TIES OFFSET 2"
+        )
+    df = spark.createDataFrame(
+        [(1, "click", 9.0, 1), (2, "click", 9.0, 1), (3, "click", 9.0, 1),
+         (4, "click", 5.0, 1), (5, "click", 5.0, 1), (6, "click", 1.0, 1)],
+        "event_id long, event_type string, value double, user_id long",
+    )
+    df.createOrReplaceTempView("_ties_events")
+    gb = SeriesFamilyBinding(
+        view="_ties_events", series_col="event_type",
+        value_col="value", ts_col="event_id",
+    )
+    # LIMIT 2: the page boundary sits inside the 9.0 tie group -> all
+    # three 9.0 rows return (and nothing else)
+    got = sorted(
+        r.eid
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, click AS v "
+            "FROM boost.events ORDER BY v DESC LIMIT 2 WITH TIES",
+            gb,
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    # LIMIT 4: boundary inside the 5.0 group -> both 5.0 rows join the
+    # full 9.0 group
+    got = sorted(
+        r.eid
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, click AS v "
+            "FROM boost.events ORDER BY v DESC LIMIT 4 WITH TIES",
+            gb,
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]
+    # boundary exactly at a group edge -> plain-limit behavior
+    got = sorted(
+        r.eid
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, click AS v "
+            "FROM boost.events ORDER BY v DESC LIMIT 3 WITH TIES",
+            gb,
+        ).collect()
+    )
+    assert got == [1, 2, 3]
