@@ -765,7 +765,68 @@ class _Parser:
                 if k2 != "num":
                     raise ValueError("OFFSET requires a number")
                 offset = int(v2)
+        elif self._peek_name() in ("offset", "fetch") or self.peek() == (
+            "kw", "offset"
+        ):
+            # ANSI spelling: [OFFSET m ROWS] FETCH FIRST|NEXT n
+            # ROWS|ROW ONLY|WITH TIES — a pure alias for
+            # LIMIT n [WITH TIES] [OFFSET m]; same planning paths
+            if self.accept_kw("offset") or self._accept_name("offset"):
+                k2, v2 = self.next()
+                if k2 != "num":
+                    raise ValueError("OFFSET requires a number")
+                offset = int(v2)
+                self.accept_kw("rows") or self.accept_kw("row")
+            if self._accept_name("fetch"):
+                if not (
+                    self.accept_kw("first") or self._accept_name("next")
+                ):
+                    raise ValueError("FETCH takes FIRST or NEXT")
+                kind, v = self.next()
+                if kind != "num":
+                    raise ValueError("FETCH FIRST requires a number")
+                limit = int(v)
+                if not (
+                    self.accept_kw("rows") or self.accept_kw("row")
+                ):
+                    raise ValueError("FETCH FIRST n takes ROWS/ROW")
+                if self._accept_name("only"):
+                    pass
+                elif self.peek() == ("kw", "with"):
+                    self.next()
+                    k3, v3 = self.name_next()
+                    if k3 != "name" or v3.lower() != "ties":
+                        raise ValueError(
+                            f"expected TIES after WITH, got {v3!r}"
+                        )
+                    if not order_by:
+                        raise ValueError(
+                            "FETCH FIRST ... WITH TIES requires ORDER "
+                            "BY (ties are defined by the sort key)"
+                        )
+                    if offset is not None:
+                        raise ValueError(
+                            "FETCH FIRST ... WITH TIES cannot combine "
+                            "with OFFSET (the tie-extended page has no "
+                            "stable row offsets)"
+                        )
+                    ties = True
+                else:
+                    raise ValueError(
+                        "FETCH FIRST n ROWS takes ONLY or WITH TIES"
+                    )
         return order_by, limit, offset, ties
+
+    def _peek_name(self) -> str | None:
+        t = self.peek()
+        return t[1].lower() if t[0] == "name" else None
+
+    def _accept_name(self, word: str) -> bool:
+        t = self.peek()
+        if t[0] == "name" and t[1].lower() == word:
+            self.i += 1
+            return True
+        return False
 
     def parse_core(self) -> BoostQuery:
         self.expect_kw("select")

@@ -2737,3 +2737,48 @@ def test_limit_with_ties_rules(spark):
         ).collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_fetch_first_ansi_spelling(spark):
+    """ANSI [OFFSET m ROWS] FETCH FIRST|NEXT n ROWS ONLY|WITH TIES —
+    a pure alias for LIMIT n [WITH TIES] [OFFSET m] (round 11)."""
+    q = parse(
+        "SELECT k.x FROM d.f k ORDER BY k.x DESC FETCH FIRST 5 ROWS ONLY"
+    )
+    assert (q.limit, q.offset, q.limit_ties) == (5, None, False)
+    q = parse(
+        "SELECT k.x FROM d.f k ORDER BY k.x DESC "
+        "OFFSET 10 ROWS FETCH NEXT 5 ROWS ONLY"
+    )
+    assert (q.limit, q.offset, q.limit_ties) == (5, 10, False)
+    q = parse(
+        "SELECT k.x FROM d.f k ORDER BY k.x DESC "
+        "FETCH FIRST 5 ROWS WITH TIES"
+    )
+    assert (q.limit, q.offset, q.limit_ties) == (5, None, True)
+    q = parse("SELECT k.x FROM d.f k ORDER BY k.x OFFSET 3 ROWS")
+    assert (q.limit, q.offset, q.limit_ties) == (None, 3, False)
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        parse("SELECT k.x FROM d.f k FETCH FIRST 5 ROWS WITH TIES")
+    with pytest.raises(ValueError, match="OFFSET"):
+        parse(
+            "SELECT k.x FROM d.f k ORDER BY k.x OFFSET 2 ROWS "
+            "FETCH FIRST 5 ROWS WITH TIES"
+        )
+    with pytest.raises(ValueError, match="ONLY or WITH TIES"):
+        parse("SELECT k.x FROM d.f k ORDER BY k.x FETCH FIRST 5 ROWS")
+    # executes identically to the LIMIT spelling
+    b = _events_binding(spark)
+    a = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid FROM boost.events "
+        "ORDER BY eid LIMIT 7 OFFSET 2",
+        b,
+    ).collect()
+    c = sugar.query(
+        spark,
+        "SELECT click.event_id AS eid FROM boost.events "
+        "ORDER BY eid OFFSET 2 ROWS FETCH FIRST 7 ROWS ONLY",
+        b,
+    ).collect()
+    assert a == c
