@@ -187,6 +187,15 @@ _WINDOW: tuple[str, ...] = (
     "agg_q21_waiting_supplier",   # TPC-H Q21: hardest decorrelation
     "dialect_frame_exclude",      # ANSI frame EXCLUDE rewrites
     "emb_knn_graph",              # within-group exact k-NN graph
+    # ROUND-12 ROTATION PREP — never-driver-certified after r11 (lead
+    # the r12 window): agg_q2_min_cost_supplier, agg_q4_priority_late,
+    # agg_q9_nation_profit, agg_q13_order_distribution,
+    # agg_q15_top_supplier, agg_q17_small_qty_revenue,
+    # agg_q22_idle_customers, dialect_string_agg, dialect_groups_frame,
+    # dialect_limit_ties, evt_top_paths; then the displaced re-cert
+    # debt: txt_bigram_logprob, txt_gopher_rules, txt_heavy_hitters,
+    # agg_hll_merge_cascade, agg_q12_priority_lines, agg_stats, and
+    # the rest of the r6 cohort listed below.
     # --- displaced to round 12: the rest of the r6 cohort
     # (asof_join_backward, asof_join_forward, dedup_minhash_lsh,
     # dedup_semantic, dialect_case, dialect_exists, dialect_group_expr,
