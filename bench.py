@@ -401,7 +401,16 @@ def main() -> None:
     # proof wherever it runs.
     isolated: dict[str, float] = {}
     if not stream_only:
-        for name in ("agg_approx_count_distinct", "ts_bollinger"):
+        # dialect_recursive_cte: in-suite walls ranged 3.2-6.3 s across
+        # r11 runs while interleaved fresh-heap medians read ~2.7 s —
+        # the fixpoint's many tiny jobs are maximally sensitive to JVM
+        # state, so the record carries its own comparable-heap probe.
+        # dedup_semantic: the heaviest pair-join entry; its wall moved
+        # with host IO noise across r11 runs — same treatment.
+        for name in (
+            "agg_approx_count_distinct", "ts_bollinger",
+            "dialect_recursive_cte", "dedup_semantic",
+        ):
             spark.sparkContext._jvm.System.gc()
             fn = registry[name]
             t0 = time.perf_counter()
