@@ -312,3 +312,50 @@ def test_tablesample_monotone_property(spark, p1, p2):
 
     s1, s2 = ids(p1), ids(p2)
     assert s1 <= s2
+
+
+@given(
+    vals=st.lists(
+        st.integers(0, 5), min_size=1, max_size=30
+    ),
+    n=st.integers(1, 10),
+)
+@settings(max_examples=25, deadline=None)
+def test_limit_with_ties_equals_rank_semantics(spark, vals, n):
+    """Property: LIMIT n WITH TIES over ORDER BY v DESC returns EXACTLY
+    the rows whose dense ordering rank (ANSI rank over the sort key)
+    is within the top-n page — computed independently in Python. Ties
+    at the boundary extend, ties never split, and the result is a set
+    (order-free check)."""
+    from boostdb_spark.plans.sugar import SeriesFamilyBinding
+
+    rows = [
+        (i + 1, "click", float(v), 1) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, user_id long"
+    )
+    df.createOrReplaceTempView("_ties_prop_events")
+    gb = SeriesFamilyBinding(
+        view="_ties_prop_events", series_col="event_type",
+        value_col="value", ts_col="event_id",
+    )
+    got = sorted(
+        r.eid
+        for r in sugar.query(
+            spark,
+            "SELECT click.event_id AS eid, click AS v FROM boost.events "
+            f"ORDER BY v DESC LIMIT {n} WITH TIES",
+            gb,
+        ).collect()
+    )
+    # independent model: rank() semantics on the sort key
+    by_desc = sorted(vals, reverse=True)
+    if n >= len(vals):
+        expect = sorted(eid for eid, *_ in rows)
+    else:
+        boundary = by_desc[n - 1]
+        expect = sorted(
+            eid for (eid, _, v, _) in rows if v >= float(boundary)
+        )
+    assert got == expect
