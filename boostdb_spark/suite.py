@@ -1923,6 +1923,186 @@ def agg_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey AS pk,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6)) AS val
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_1')
+    SELECT pk, CAST(sum(val) AS DOUBLE) AS value
+    FROM v GROUP BY pk
+    HAVING CAST(sum(val) AS DOUBLE) >
+           (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM v)
+    ORDER BY value DESC, pk LIMIT 100
+    """,
+)
+def agg_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: no
+    partsupp means no ps_availqty*ps_supplycost, so a part's national
+    "stock value" is the revenue its NATION_1 suppliers shipped — the
+    SHAPE is intact and it is the interesting one: a grouped aggregate
+    HAVING-compared against a SCALAR AGGREGATE SUBQUERY over the SAME
+    relation (the group's share of the grand total). Planned as the
+    relation computed once (localCheckpoint), its 1-row grand total
+    broadcast back against the per-part rollup — no recompute, no
+    driver collect; both sides of the threshold comparison go through
+    the DECIMAL-sum-cast-DOUBLE pattern so the boundary is the same
+    double in both engines."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    s = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("pk"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            ).alias("val"),
+        )
+    )
+    v = v.localCheckpoint(eager=False)  # grand total + rollup, one pass
+    total = v.agg((F.sum("val").cast("double") * 0.001).alias("_thr"))
+    return (
+        v.groupBy("pk")
+        .agg(F.sum("val").cast("double").alias("value"))
+        .join(F.broadcast(total), F.col("value") > F.col("_thr"))
+        .select("pk", "value")
+        .orderBy(F.col("value").desc(), F.col("pk").asc())
+        .limit(100)
+    )
+
+
+@_q(
+    "agg_q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT s_suppkey) AS supplier_cnt
+    FROM part, lineitem, supplier
+    WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100
+    """,
+)
+def agg_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    part<->supplier association is the lineitem history (no partsupp)
+    and the spec's comment-based complaint exclusion becomes a
+    negative-balance exclusion (no s_comment) — the shape is intact:
+    negated attribute predicates + an IN-list pushed into the part
+    scan, a NOT IN subquery planned as an anti-join, and a DISTINCT
+    COUNT per attribute triple (Spark's Expand-based distinct
+    aggregate). part prunes before the fact join; the excluded
+    supplier set broadcasts."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("_bad"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+        .limit(100)
+    )
+
+
+@_q(
+    "agg_q20_promotion_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2)
+    SELECT s_name, n_name FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT sk FROM shipped
+        WHERE pk IN (SELECT p_partkey FROM part
+                     WHERE p_name LIKE 'red%')
+          AND q > (SELECT 0.5 * max(s2.q) FROM shipped s2
+                   WHERE s2.pk = shipped.pk))
+    ORDER BY s_name
+    """,
+)
+def agg_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: without
+    ps_availqty, a NATION_2 supplier qualifies when its 1996 shipped
+    quantity of some red part EXCEEDS half the part's single-supplier
+    maximum — the spec's NESTED IN CHAIN with a correlated aggregate
+    threshold is intact: supplier IN (pairs over parts IN (name
+    prefix) with qty > correlated 0.5*aggregate). Decorrelated by
+    hand the way Catalyst rewrites the SQL: per-(supplier, part)
+    quantity aggregate once, the per-part max joined back on partkey,
+    the name-prefix part list broadcast-semi, the surviving supplier
+    ids broadcast-semi against the dim. Quantity sums are integral
+    doubles (exact), so the 0.5x threshold is the same double in both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01'"))
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    shipped = shipped.localCheckpoint(eager=False)  # pairs + per-pk max
+    red = t["part"].filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("_rp")
+    )
+    pkmax = shipped.groupBy(F.col("pk").alias("_mpk")).agg(
+        F.max("q").alias("_mx")
+    )
+    elig = (
+        shipped.join(F.broadcast(red), F.col("pk") == F.col("_rp"), "left_semi")
+        .join(pkmax, F.col("pk") == F.col("_mpk"))
+        .filter(F.col("q") > 0.5 * F.col("_mx"))
+        .select(F.col("sk").alias("_esk"))
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(elig), F.col("s_suppkey") == F.col("_esk"), "left_semi")
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@_q(
     "agg_q2_min_cost_supplier",
     """
     WITH elig AS (

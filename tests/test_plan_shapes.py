@@ -545,3 +545,35 @@ def test_limit_ties_broadcast_semi_not_global_window(spark):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q11_threshold_broadcast_no_recompute_scan(spark):
+    # TPC-H Q11: the grand-total threshold joins back as a 1-row
+    # broadcast against the per-part rollup — key-free but 1-row-sized,
+    # never a corpus-level nested-loop; the value relation reads from
+    # the checkpoint, not a second lineitem scan
+    p = _plan(spark, "agg_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    scans = [ln for ln in p.splitlines()
+             if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 0, scans  # both consumers read the checkpoint
+
+
+def test_q16_distinct_count_and_anti_join(spark):
+    # TPC-H Q16: NOT IN -> broadcast anti join; DISTINCT supplier count
+    # per attribute triple -> hash aggregate; part filters pushed
+    p = _plan(spark, "agg_q16_supplier_count")
+    assert "LeftAnti" in p
+    assert "HashAggregate" in p
+    assert "Not(EqualTo(p_brand,Brand#1))" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_nested_in_chain_all_semi_joins(spark):
+    # TPC-H Q20: the nested IN chain decorrelates to broadcast
+    # semi-joins (red parts, eligible suppliers) + a per-part max
+    # aggregate joined on partkey — no correlated re-execution
+    p = _plan(spark, "agg_q20_promotion_suppliers")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
