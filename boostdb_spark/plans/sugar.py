@@ -220,9 +220,10 @@ class FieldRef:
     #: navigation modifier (ANSI trailing form); only first_value/
     #: last_value accept it (Spark's lag/lead do not expose the flag)
     ignore_nulls: bool = False
-    #: ``string_agg(x[, sep]) WITHIN GROUP (ORDER BY k [DESC], ...)`` —
-    #: the ordered-set aggregate's sort keys (refs + desc flags); set
-    #: only when func == 'string_agg'
+    #: ordered-set sort keys: ``string_agg(x[, sep]) WITHIN GROUP
+    #: (ORDER BY k [DESC], ...)`` and the single-keyed
+    #: ``percentile_cont/percentile_disc(f) WITHIN GROUP (ORDER BY k)``
+    #: the ordered-set aggregate's sort keys (refs + desc flags)
     within_group: "list[tuple[FieldRef, bool]] | None" = None
     #: string_agg separator literal (ANSI listagg default is ',')
     sep: str = ","
@@ -675,61 +676,50 @@ class _Parser:
                         )
                     tgt = FieldRef((f.alias,)) if f.alias else FieldRef(f.parts)
                     order_by.append((tgt, False, None))
-                limit0 = offset0 = None
-                if self.accept_kw("limit"):
-                    kind, v = self.next()
-                    if kind != "num":
-                        raise ValueError("LIMIT requires a number")
-                    limit0 = int(v)
-                    if self.accept_kw("offset"):
-                        k2, v2 = self.next()
-                        if k2 != "num":
-                            raise ValueError("OFFSET requires a number")
-                        offset0 = int(v2)
-                return order_by, limit0, offset0, False
-            while True:
-                f2 = self._ordinal_item(
-                    fields or [], "ORDER BY", allow_agg=True
-                )
-                if f2 is None:
-                    # ORDER BY <expression>: arithmetic / scalar-fn /
-                    # CASE over select-list OUTPUT columns (compiled as
-                    # a hidden sort column, dropped after the sort).
-                    # Bare numbers stay ordinals; bare names stay
-                    # field refs.
-                    t = self.peek()
-                    if (
-                        t == ("op", "(")
-                        or t == ("kw", "case")
-                        or (
-                            t[0] == "name"
-                            and t[1].lower() in self._SCALAR_FUNCS
-                            and self.peek2() == ("op", "(")
-                        )
-                    ):
-                        f2 = FieldRef((), expr=self.parse_arith())
+            else:
+                while True:
+                    f2 = self._ordinal_item(
+                        fields or [], "ORDER BY", allow_agg=True
+                    )
+                    if f2 is None:
+                        # ORDER BY <expression>: arithmetic / scalar-fn /
+                        # CASE over select-list OUTPUT columns (compiled as
+                        # a hidden sort column, dropped after the sort).
+                        # Bare numbers stay ordinals; bare names stay
+                        # field refs.
+                        t = self.peek()
+                        if (
+                            t == ("op", "(")
+                            or t == ("kw", "case")
+                            or (
+                                t[0] == "name"
+                                and t[1].lower() in self._SCALAR_FUNCS
+                                and self.peek2() == ("op", "(")
+                            )
+                        ):
+                            f2 = FieldRef((), expr=self.parse_arith())
+                        else:
+                            f2 = self.parse_field()
+                    desc = False
+                    if self.accept_kw("desc"):
+                        desc = True
                     else:
-                        f2 = self.parse_field()
-                desc = False
-                if self.accept_kw("desc"):
-                    desc = True
-                else:
-                    self.accept_kw("asc")
-                nulls = None
-                if self.accept_kw("nulls"):
-                    # explicit NULLS FIRST/LAST — required for portable
-                    # ordering of nullable keys (engines disagree on the
-                    # default: Spark ties it to ASC/DESC, DuckDB defaults
-                    # to NULLS LAST)
-                    if self.accept_kw("first"):
-                        nulls = "first"
-                    elif self.accept_kw("last"):
-                        nulls = "last"
-                    else:
-                        raise ValueError("NULLS requires FIRST or LAST")
-                order_by.append((f2, desc, nulls))
-                if not self.accept_op(","):
-                    break
+                        self.accept_kw("asc")
+                    nulls = None
+                    if self.accept_kw("nulls"):
+                        # explicit NULLS FIRST/LAST — required for portable
+                        # ordering of nullable keys (engines disagree on the
+                        # default: Spark ties it to ASC/DESC, DuckDB defaults
+                        # to NULLS LAST)
+                        if self.accept_kw("first"):
+                            nulls = "first"
+                        elif self.accept_kw("last"):
+                            nulls = "last"
+                        else:
+                            raise ValueError("NULLS requires FIRST or LAST")
+                    order_by.append((f2, desc, nulls))
+                    if not self.accept_op(","):
+                        break
         limit = None
         offset = None
         ties = False
@@ -1625,6 +1615,54 @@ class _Parser:
                     break
             if not self.accept_op(")"):
                 raise ValueError("unbalanced WITHIN GROUP (ORDER BY ...)")
+        elif v.lower() in (
+            "percentile_cont", "percentile_disc"
+        ) and self.accept_op("("):
+            # ANSI inverse-distribution aggregates:
+            # ``percentile_cont(f) WITHIN GROUP (ORDER BY k [ASC|DESC])``
+            # (continuous / interpolated) and ``percentile_disc`` (the
+            # first value whose cume_dist >= f). The reference's TiDB
+            # parser accepts the calls before dropping the statement
+            # (query/parser/parser.go:25-45); here they lower to Spark's
+            # native percentile_cont/percentile_disc aggregate
+            # expressions. ANSI allows exactly ONE sort key.
+            func = v.lower()
+            kn, nv = self.next()
+            if kn != "num" or not (0.0 <= float(nv) <= 1.0):
+                raise ValueError(
+                    f"{func}(f) requires a numeric literal fraction "
+                    "in [0, 1]"
+                )
+            arg_expr = Expr("lit", value=float(nv))
+            parts = ()
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in {func}(...)")
+            if not self.accept_kw("within"):
+                raise ValueError(
+                    f"{func} requires WITHIN GROUP (ORDER BY <col>) — "
+                    "an inverse-distribution aggregate has no meaning "
+                    "without an ordering"
+                )
+            self.expect_kw("group")
+            if not self.accept_op("("):
+                raise ValueError("WITHIN GROUP requires (ORDER BY ...)")
+            self.expect_kw("order")
+            self.expect_kw("by")
+            r = self.parse_plain_ref()
+            d = False
+            if self.accept_kw("desc"):
+                d = True
+            else:
+                self.accept_kw("asc")
+            within_group = [(r, d)]
+            if self.accept_op(","):
+                raise ValueError(
+                    f"{func} takes exactly one WITHIN GROUP sort key "
+                    "(ANSI inverse-distribution aggregates are "
+                    "single-keyed)"
+                )
+            if not self.accept_op(")"):
+                raise ValueError("unbalanced WITHIN GROUP (ORDER BY ...)")
         elif v.lower() in self._RANK_FUNCS and self.accept_op("("):
             func = v.lower()
             parts = ()
@@ -1697,9 +1735,11 @@ class _Parser:
                 "FILTER is supported on plain aggregates, not on "
                 "window functions"
             )
-        if window is not None and func == "string_agg":
+        if window is not None and func in (
+            "string_agg", "percentile_cont", "percentile_disc"
+        ):
             raise ValueError(
-                "string_agg/listagg is a grouped aggregate in this "
+                f"{func} is a grouped aggregate in this "
                 "dialect, not a window function"
             )
         if window is None and func in (*self._RANK_FUNCS, *self._NAV_FUNCS):
@@ -2951,7 +2991,18 @@ def _window_exclude(func, xc, wref, wspec, wnoframe, agg_map):
 
     A frame that does not contain the current row (e.g. ROWS BETWEEN
     3 PRECEDING AND 1 PRECEDING) makes every exclusion a no-op by
-    definition — the rows to exclude are not in the frame."""
+    definition — the rows to exclude are not in the frame.
+
+    FP caveat (r11 advisor): sum/avg exclusion is lowered as
+    full-frame aggregate MINUS excluded aggregate. On exact types
+    (integers, DECIMAL) that is bit-identical to a native EXCLUDE; on
+    raw DOUBLE data the subtraction can differ from aggregating only
+    the remaining rows by ulps (floating-point addition is not
+    associative). Users needing bit-parity with a native-EXCLUDE
+    engine (e.g. the DuckDB oracle) should aggregate an exact-integer
+    grid — e.g. floor(x*1e6+0.5) — as the certified entry
+    dialect_frame_exclude does; min/max/count are unaffected (no
+    arithmetic rewrite)."""
     lo, hi = wref.frame
     mode = wref.exclude
     if func not in ("sum", "count", "avg", "min", "max"):
@@ -3626,6 +3677,28 @@ def plan(
                     "avg(DISTINCT col) does not combine with FILTER"
                 )
             return F.expr(f"avg(DISTINCT `{col}`)")
+        if func in ("percentile_cont", "percentile_disc"):
+            # ANSI inverse-distribution aggregates, lowered to Spark's
+            # NATIVE percentile_cont / percentile_disc aggregate
+            # expressions — one JVM-side partial+final
+            # ObjectHashAggregate (plan-pinned in
+            # tests/test_plan_shapes.py). Per-group state is the
+            # group's value list, the documented contract of EXACT
+            # percentiles in every engine (approx_percentile is the
+            # bounded-state alternative, exposed as agg_approx_*).
+            # DESC is handled natively by Spark (for _cont it equals
+            # percentile_cont(1-f) ASC; for _disc it genuinely differs).
+            if flt is not None:
+                raise ValueError(
+                    f"{func} does not combine with FILTER (WHERE ...)"
+                )
+            frac = ref.arg_expr.value
+            r, d = ref.within_group[0]
+            key = res.resolve(r)[1]
+            return F.expr(
+                f"{func}({frac!r}) WITHIN GROUP "
+                f"(ORDER BY `{key}`{' DESC' if d else ''})"
+            )
         if func == "string_agg":
             # string_agg(x, sep) WITHIN GROUP (ORDER BY k...): compiled
             # as array_join(transform(array_sort(collect_list(

@@ -139,82 +139,64 @@ def _q(name: str, oracle: str | None):
 # agg_approx_quantiles are r5-stale and oracle-less (approx by design)
 # but already have driver-green history — they stay below the fold.
 _WINDOW: tuple[str, ...] = (
-    # --- never driver-certified (landed after the r10 freeze) ---
-    "agg_q7_nation_volume",   # TPC-H Q7 bilateral trade (BIGINT yr fix)
-    "agg_q10_returned_topk",  # TPC-H Q10 returned-item top-k
-    "agg_q18_large_orders",   # TPC-H Q18 HAVING-IN large orders
-    "dialect_cast",           # CAST(x AS t) operand grammar
-    "dialect_extract",        # EXTRACT(unit FROM ts) sugar
-    "dialect_order_expr",     # ORDER BY <expression>
-    "dialect_pivot_sum",      # PIVOT with sum aggregate
-    "dialect_rank_extras",    # ntile/percent_rank/cume_dist
-    "dialect_scalar_fns2",    # second scalar-fn batch
-    "evt_activity_heatmap",   # day-of-week x hour activity matrix
-    "scan_column_profile",    # per-column profiling aggregate
-    "txt_lexical_diversity",  # type-token ratio per source
-    # --- new round-11 dialect surface (r10-verdict ask #5) ---
-    "dialect_string_agg",     # listagg WITHIN GROUP (ORDER BY ...)
-    "dialect_groups_frame",   # ANSI GROUPS frames via dense_rank
-    # --- oracle-less ANN/BPE: first-ever driver slots (rows-only
-    # check; hash-gated certificates re-certify below) ---
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "txt_bpe_train", "txt_bpe_tokenize",
+    # --- never driver-certified (landed after the r11 freeze) — the
+    # r11 verdict's #1 ask: the 10 TPC-H adaptations + LIMIT WITH TIES
+    # + top-paths. Done = 282-of-282 oracle-paired cumulative green. ---
+    "agg_q2_min_cost_supplier",    # TPC-H Q2 correlated-min supplier
+    "agg_q4_priority_late",        # TPC-H Q4 EXISTS priority count
+    "agg_q9_nation_profit",        # TPC-H Q9 LIKE-part profit
+    "agg_q11_important_stock",     # TPC-H Q11 adapted (no partsupp)
+    "agg_q13_order_distribution",  # TPC-H Q13 left-join histogram
+    "agg_q15_top_supplier",        # TPC-H Q15 view-max top supplier
+    "agg_q16_supplier_count",      # TPC-H Q16 adapted (no partsupp)
+    "agg_q17_small_qty_revenue",   # TPC-H Q17 avg-threshold revenue
+    "agg_q20_promotion_suppliers", # TPC-H Q20 adapted (no partsupp)
+    "agg_q22_idle_customers",      # TPC-H Q22 anti-join + scalar sub
+    "dialect_limit_ties",          # LIMIT n WITH TIES / FETCH FIRST
+    "evt_top_paths",               # top event-path n-gram analytics
+    # --- new round-12 dialect surface (r11-verdict ask #4) ---
+    "dialect_percentile_cont",     # ANSI inverse-distribution cont
+    "dialect_percentile_disc",     # ANSI inverse-distribution disc
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: the ANN/BPE hash-gated certificates ride
-    # with their rows-only siblings (stale since r6/r7) ---
-    "ann_recall_certified", "ann_append_certified", "txt_bpe_roundtrip",
-    # --- re-certification: ROUND-5 cohort remainder, name order ---
-    "emb_matryoshka", "emb_quantize_int8", "file_formats_roundtrip",
-    "join_interval_overlap", "multimodal_binaryfile", "multimodal_jpeg",
-    "multimodal_jpeg_color", "scan_bloom_pointlookup",
-    "scan_compressed_blocks", "ts_changes_resets", "ts_holt_winters",
-    "ts_linear_trend", "ts_mad", "ts_moving_time_avg", "ts_prom_rate",
-    "ts_quantile_over_time", "ts_sessionize",
-    # --- round-11 mid-round additions: the six strongest entries of
-    # the NEW r11 surface take the tail re-cert slots (displacing
-    # txt_bigram_logprob/txt_gopher_rules/txt_heavy_hitters + the
-    # r6-head trio to round 12) so they are driver-certified THIS
-    # round instead of joining a post-freeze backlog — the r10 verdict
-    # ranked never-certified coverage above re-cert freshness ---
-    "agg_q6_forecast_revenue",    # TPC-H Q6: the pushdown showcase
-    "agg_q8_market_share",        # TPC-H Q8: widest join graph
-    "agg_q19_disjunctive_brand",  # TPC-H Q19: OR-block factoring
-    "agg_q21_waiting_supplier",   # TPC-H Q21: hardest decorrelation
-    "dialect_frame_exclude",      # ANSI frame EXCLUDE rewrites
-    "emb_knn_graph",              # within-group exact k-NN graph
-    # ROUND-12 ROTATION PREP — never-driver-certified after r11 (lead
-    # the r12 window): agg_q2_min_cost_supplier, agg_q4_priority_late,
-    # agg_q9_nation_profit, agg_q13_order_distribution,
-    # agg_q15_top_supplier, agg_q17_small_qty_revenue,
-    # agg_q22_idle_customers, dialect_string_agg, dialect_groups_frame,
-    # dialect_limit_ties, evt_top_paths; then the displaced re-cert
-    # debt: txt_bigram_logprob, txt_gopher_rules, txt_heavy_hitters,
-    # agg_hll_merge_cascade, agg_q12_priority_lines, agg_stats, and
-    # the rest of the r6 cohort listed below.
-    # --- displaced to round 12: the rest of the r6 cohort
-    # (asof_join_backward, asof_join_forward, dedup_minhash_lsh,
-    # dedup_semantic, dialect_case, dialect_exists, dialect_group_expr,
-    # dialect_scalar_fns, gapfill_interp, gapfill_locf, join_anti,
-    # join_cross, join_full_outer, join_implicit_where, ...) ---
+    # --- re-certification: ROUND-5 stale remainder (the oracle-less
+    # agg_approx_* stay below the fold per policy: approx by design
+    # with prior driver-green history) ---
+    "txt_bigram_logprob", "txt_gopher_rules", "txt_heavy_hitters",
+    # --- re-certification: ROUND-6 cohort, stalest first.
+    # dedup_semantic leads — the r11 verdict's #2 ask: its 62.5 s
+    # in-suite driver reading needs a FRESH reading riding with the
+    # new per-stage decomposition + warmup-amortized index build. ---
+    "dedup_semantic",
+    "agg_hll_merge_cascade", "agg_q12_priority_lines", "agg_stats",
+    "asof_join_backward", "asof_join_forward", "dedup_minhash_lsh",
+    "dialect_case", "dialect_exists", "dialect_group_expr",
+    "dialect_scalar_fns", "gapfill_interp", "gapfill_locf",
+    "join_anti", "join_cross", "join_full_outer", "join_implicit_where",
+    "join_range_lookup", "pipeline_anomaly", "projection_compute",
+    "resample_first_last", "scan_paged_export", "scan_snapshot_diff",
+    "scan_timerange", "setop_except", "setop_intersect",
+    "stream_cascade_parity", "stream_rollup_parity",
+    # ROUND-13 ROTATION PREP — the r6-stale remainder displaced here:
+    # ts_ewma, ts_histogram, ts_latest_point, ts_pattern_topk,
+    # ts_rollup_cascade, ts_seasonal_decompose, ts_series_correlation,
+    # ts_time_weighted_avg, ts_zscore_anomaly, txt_quality,
+    # udf_vectorized, where_extended, window_delta, window_rate,
+    # window_topk_per_group; then the ROUND-7 cohort in name order.
 )
 
 #: window entries the driver checks ROWS-ONLY (no SQL oracle by
-#: design): the ANN top-k paths (approximate retrieval — recall floors
-#: and score exactness are hash-certified by ann_recall_certified /
-#: ann_append_certified in the same window) and the BPE train/tokenize
-#: pair (iterative argmax loop — merge-table health and
-#: detokenize-roundtrip exactness are hash-certified by
-#: txt_bpe_roundtrip). Every OTHER window slot must be oracle-paired
-#: (pinned by tests/test_suite_oracle.py).
-_ROWS_ONLY_WINDOWED = frozenset({
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "txt_bpe_train", "txt_bpe_tokenize",
-})
+#: design). EMPTY in round 12: the five oracle-less ANN/BPE entries got
+#: their driver-visible rows-only readings in round 11 (alongside their
+#: hash-gated certificates ann_recall_certified / ann_append_certified
+#: / txt_bpe_roundtrip, all driver-green), so every r12 window slot is
+#: oracle-paired — hard hash signal, no wasted slots (pinned by
+#: tests/test_suite_oracle.py).
+_ROWS_ONLY_WINDOWED: frozenset[str] = frozenset()
 
 
 def _ordered(d: dict) -> dict:
@@ -6081,11 +6063,18 @@ _STREAM_LANDING: dict = {}
 STREAM_DRAIN_DETAIL: dict[str, dict] = {}
 
 
-def _record_drain(key: str, q, wall_s: float, **extra) -> None:
+def _record_drain(key: str, q, wall_s: float | None, **extra) -> None:
     """Decompose a finished StreamingQuery's progress events into the
     bench-readable shape (same fields as bench.py's _progress_detail:
     per-batch triggerExecution wall, input rows, total state-store
-    commit time) and stash under ``key``."""
+    commit time) and stash under ``key``.
+
+    ``wall_s=None`` means the drain ran CONCURRENTLY with siblings and
+    has no isolated wall of its own — the per-drain attribution is then
+    this drain's OWN busy time (sum of its triggerExecution batch
+    walls), so the side channel attributes each drain individually
+    (r11 advisor); the callers pass the shared max-wall separately as
+    ``concurrent_wall_s``."""
     batches, commit_ms, rows = [], 0, 0
     try:
         for p in q.recentProgress:
@@ -6096,6 +6085,8 @@ def _record_drain(key: str, q, wall_s: float, **extra) -> None:
                 commit_ms += int(so.get("commitTimeMs", 0))
     except Exception:
         pass  # decomposition is best-effort; never fail the entry
+    if wall_s is None:
+        wall_s = sum(batches) / 1000.0
     STREAM_DRAIN_DETAIL[key] = {
         "wall_s": round(wall_s, 3),
         "n_batches": len(batches),
@@ -6426,8 +6417,8 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for variant, rollup, q in running:
         _record_drain(
-            f"stream_rollup_parity/{variant}", q, wall,
-            concurrent=True,
+            f"stream_rollup_parity/{variant}", q, None,
+            concurrent=True, concurrent_wall_s=round(wall, 3),
         )
         got = spark.read.parquet(os.path.join(rollup, "t"))
         outs.append(
@@ -8052,6 +8043,83 @@ def dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ORDER BY purchase.event_id) AS ids, "
         "listagg(purchase.event_id, ',') WITHIN GROUP "
         "(ORDER BY purchase.event_id DESC) AS ids_desc "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_percentile_cont",
+    """
+    SELECT user_id AS uid, count(value) AS n,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY event_id) AS p25,
+           percentile_cont(0.5)  WITHIN GROUP (ORDER BY event_id) AS p50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY event_id DESC)
+             AS p75d
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont(f) WITHIN GROUP (ORDER BY k) through the dialect
+    front (r11-verdict ask #4) — the ANSI continuous inverse-
+    distribution aggregate the reference's TiDB parser accepts before
+    dropping the statement (query/parser/parser.go:25-45). Lowers to
+    Spark's NATIVE percentile_cont aggregate expression: one JVM-side
+    partial+final ObjectHashAggregate, no UDF, no second shuffle.
+    Hash-parity discipline: the sort key is an INTEGER column and the
+    fractions are powers of two (0.25/0.5/0.75), so the interpolation
+    lo + (hi-lo)*f is EXACT in double on both engines — no rounding
+    fence needed (contrast agg_percentiles, which rounds 6dp to absorb
+    the interpolation ulp on arbitrary doubles). DESC exercised: for
+    _cont it must equal percentile_cont(1-f) ASC, and both engines
+    honor the reversal natively."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, count(purchase) AS n, "
+        "percentile_cont(0.25) WITHIN GROUP "
+        "(ORDER BY purchase.event_id) AS p25, "
+        "percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY purchase.event_id) AS p50, "
+        "percentile_cont(0.75) WITHIN GROUP "
+        "(ORDER BY purchase.event_id DESC) AS p75d "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_percentile_disc",
+    """
+    SELECT user_id AS uid, count(value) AS n,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           percentile_disc(0.1) WITHIN GROUP (ORDER BY value DESC)
+             AS p90d
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc(f) WITHIN GROUP (ORDER BY k) through the dialect
+    front (r11-verdict ask #4) — the DISCRETE inverse-distribution
+    aggregate: the first actual data element whose cume_dist >= f.
+    Because the result is always an element of the input (never an
+    interpolation), the entry is bit-exact on raw doubles with no
+    rounding fence — the FP-safety twin of dialect_percentile_cont.
+    Same native lowering: one partial+final ObjectHashAggregate.
+    DESC genuinely differs for _disc (unlike _cont it is NOT the
+    1-f reflection when f*n lands exactly on an element boundary), so
+    the descending form is certified on its own."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, count(purchase) AS n, "
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY purchase) AS med, "
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY purchase) AS p90, "
+        "percentile_disc(0.1) WITHIN GROUP (ORDER BY purchase DESC) "
+        "AS p90d "
         "FROM boost.events GROUP BY purchase.user_id",
         EVENTS_BINDING,
     )

@@ -439,6 +439,20 @@ def test_string_agg_single_aggregate_no_sort_shuffle(spark):
     assert len(exchanges) == 1, exchanges  # the groupBy key shuffle
 
 
+def test_percentile_within_group_single_aggregate(spark):
+    # percentile_cont/disc WITHIN GROUP lower to Spark's NATIVE
+    # inverse-distribution aggregates: one partial+final
+    # ObjectHashAggregate on one scan, ONE exchange (the groupBy key
+    # shuffle) — no window, no global sort for the ordering
+    for name in ("dialect_percentile_cont", "dialect_percentile_disc"):
+        p = _plan(spark, name)
+        assert p.count("ObjectHashAggregate") >= 2, (name, p)
+        assert "Window" not in p, name
+        exchanges = [ln for ln in p.splitlines()
+                     if ln.startswith("(") and "Exchange" in ln]
+        assert len(exchanges) == 1, (name, exchanges)
+
+
 def test_q6_all_predicates_reach_scan(spark):
     # TPC-H Q6: the pushdown showcase — all three predicate families
     # (date range, discount band, quantity cap) in PushedFilters, no

@@ -2115,6 +2115,25 @@ def test_order_by_all(spark):
         b,
     ).collect()
     assert [(r.series, r.mts) for r in out] == [("a", 1), ("a", 9), ("b", 2)]
+    # ORDER BY ALL routes through the SHARED limit tail (r11 advisor):
+    # WITH TIES, OFFSET, and the ANSI FETCH FIRST spelling all compose
+    q2 = parse("SELECT a.s, a.t AS t2 FROM d.f a ORDER BY ALL "
+               "LIMIT 5 WITH TIES")
+    assert q2.limit == 5 and q2.limit_ties is True
+    q3 = parse("SELECT a.s, a.t AS t2 FROM d.f a ORDER BY ALL "
+               "FETCH FIRST 3 ROWS ONLY")
+    assert q3.limit == 3 and q3.limit_ties is False
+    q4 = parse("SELECT a.s, a.t AS t2 FROM d.f a ORDER BY ALL "
+               "LIMIT 5 OFFSET 2")
+    assert q4.limit == 5 and q4.offset == 2
+    # behavior: ties on the full ALL key extend the page
+    out2 = sugar.query(
+        spark,
+        "SELECT series FROM (SELECT * FROM d.f) x ORDER BY ALL "
+        "LIMIT 1 WITH TIES",
+        b,
+    ).collect()
+    assert [r.series for r in out2] == ["a", "a"]
 
 
 def test_values_as_anchor_source(spark):
@@ -2475,6 +2494,83 @@ def test_string_agg_rules(spark):
     )
     for r in manual:
         assert rows[r.user_id] == "-".join(str(i) for i in r.ids)
+
+
+def test_percentile_within_group_rules(spark):
+    """percentile_cont/percentile_disc WITHIN GROUP — r11 verdict
+    ask #4 (the parser-accepted ordered-set surface at
+    query/parser/parser.go:25-45), lowered to Spark's native
+    inverse-distribution aggregates."""
+    q = parse(
+        "SELECT k.a AS g, percentile_cont(0.25) WITHIN GROUP "
+        "(ORDER BY k.c DESC) AS p FROM d.f k GROUP BY k.a"
+    )
+    f = q.fields[1]
+    assert f.func == "percentile_cont"
+    assert f.arg_expr.value == 0.25
+    assert f.within_group and f.within_group[0][1] is True
+    q2 = parse(
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY k.c) AS m "
+        "FROM d.f k GROUP BY k.a"
+    )
+    assert q2.fields[0].func == "percentile_disc"
+    # fraction must be a literal in [0, 1]
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        parse(
+            "SELECT percentile_cont(1.5) WITHIN GROUP (ORDER BY k.c) "
+            "AS p FROM d.f k GROUP BY k.a"
+        )
+    # WITHIN GROUP is required
+    with pytest.raises(ValueError, match="WITHIN GROUP"):
+        parse(
+            "SELECT percentile_cont(0.5) AS p FROM d.f k GROUP BY k.a"
+        )
+    # exactly one sort key (ANSI inverse distribution)
+    with pytest.raises(ValueError, match="one WITHIN GROUP sort key"):
+        parse(
+            "SELECT percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY k.c, k.d) AS p FROM d.f k GROUP BY k.a"
+        )
+    # grouped aggregate, not a window function
+    with pytest.raises(ValueError, match="window"):
+        parse(
+            "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY k.c) "
+            "OVER (PARTITION BY k.a) AS p FROM d.f k"
+        )
+    # AS alias required (no canonical sugar name)
+    with pytest.raises(ValueError, match="AS"):
+        parse(
+            "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY k.c) "
+            "FROM d.f k GROUP BY k.a"
+        )
+    # behavior vs Spark's own percentile on the same data: median of
+    # event_id per user through the dialect == F.percentile(id, 0.5)
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, percentile_cont(0.5) WITHIN "
+        "GROUP (ORDER BY click.event_id) AS med, percentile_disc(0.5) "
+        "WITHIN GROUP (ORDER BY click.event_id) AS medd "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    rows = {r.uid: (r.med, r.medd) for r in got.collect()}
+    manual = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.percentile("event_id", F.lit(0.5)).alias("med"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id)"
+            ).alias("medd"),
+        )
+        .collect()
+    )
+    for r in manual:
+        assert rows[r.user_id] == (r.med, r.medd)
 
 
 def test_groups_frame_rules(spark):

@@ -88,10 +88,18 @@ def test_driver_window_is_certifiable():
         f"driver-window entries without oracle: {missing} "
         f"(allowed rows-only set: {sorted(suite._ROWS_ONLY_WINDOWED)})"
     )
-    # the strong hash-gated certificates for those rows-only entries
-    # must be in the same window
-    for cert in ("ann_recall_certified", "ann_append_certified",
-                 "txt_bpe_roundtrip"):
+    # when rows-only entries ARE windowed, their strong hash-gated
+    # certificates must ride in the same window (r12: the set is empty
+    # — ANN/BPE got their driver readings + certificates in r11)
+    cert_of = {
+        "ann_lsh_topk": "ann_recall_certified",
+        "ann_ivf_topk": "ann_recall_certified",
+        "ann_pq_topk": "ann_append_certified",
+        "txt_bpe_train": "txt_bpe_roundtrip",
+        "txt_bpe_tokenize": "txt_bpe_roundtrip",
+    }
+    for rows_only in suite._ROWS_ONLY_WINDOWED:
+        cert = cert_of[rows_only]
         assert cert in window, f"{cert} must ride with its rows-only kin"
     llm_prefixes = ("dedup_", "txt_", "doc_", "emb_", "pipeline_")
     n_llm = sum(1 for n in window if n.startswith(llm_prefixes))
