@@ -72,7 +72,19 @@ WARMUP = [
 
 
 def _headline() -> list[str]:
-    return [n for n in suite.spark_queries() if n not in EXCLUDE]
+    names = [n for n in suite.spark_queries() if n not in EXCLUDE]
+    # CORE tier (r11-verdict ask #8): the registry is ~290 entries and
+    # the full-suite wall grows ~20 entries/round — a committed core
+    # record (the 50-entry driver window, which already spans every
+    # operator family plus the round's new surface) keeps a
+    # round-over-round comparable number as the full suite grows. The
+    # driver's own run stays FULL (it sets no env); the core record is
+    # produced locally per round alongside the full one:
+    #   SPARK_GRAFT_BENCH_TIER=core python bench.py
+    if os.environ.get("SPARK_GRAFT_BENCH_TIER") == "core":
+        window = set(suite._WINDOW)
+        return [n for n in names if n in window]
+    return names
 
 
 def _progress_detail(q) -> dict:
@@ -421,6 +433,52 @@ def main() -> None:
                 file=sys.stderr, flush=True,
             )
 
+    # dedup_semantic per-stage decomposition (r11-verdict ask #2: the
+    # entry read 62.5 s in-suite on the driver vs 11.4 s isolated vs
+    # 6.6 s local, and the record could not say WHERE). Three stage
+    # walls from a comparable heap, none added to `times` (they re-run
+    # work the timed entry already paid):
+    #   idx_centroids_s  — fetching the session ANN index (MUST be ~0:
+    #                      proves the k-means/PQ train was amortized in
+    #                      WARMUP on this entry's path, not paid here)
+    #   assign_dedup_s   — semantic_dedup alone: corpus->centroid
+    #                      assignment + within-cluster domination
+    #   full_entry_s     — the whole certified entry (dedup + the
+    #                      certificate pair join + output join); the
+    #                      certificate increment is full - assign_dedup
+    # A driver wall >> full_entry_s with idx_centroids_s ~ 0 is
+    # environment, attributable from the committed record alone.
+    semdedup_stage_s: dict[str, float] = {}
+    if not stream_only:
+        from boostdb_spark import suite_llm
+        from boostdb_spark.operators import dedup as _dd
+        from boostdb_spark.session import load_tables as _lt
+
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _cents = suite_llm._ann_index(spark, sf_dir)["centroids"]
+        semdedup_stage_s["idx_centroids_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        _dd.semantic_dedup(
+            _lt(spark, sf_dir)["embeddings"], tau=0.4, centroids=_cents
+        ).write.mode("overwrite").format("noop").save()
+        semdedup_stage_s["assign_dedup_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        registry["dedup_semantic"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        semdedup_stage_s["full_entry_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"  semdedup stages: {semdedup_stage_s}",
+            file=sys.stderr, flush=True,
+        )
+
     stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
     times.update(stream_times)
     # suite entries that drain multiple internal queries (rollup parity's
@@ -448,23 +506,53 @@ def main() -> None:
     gc_top10 = dict(
         sorted(gc_ms.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # one-scalar streaming diagnostics that MUST survive the driver's
+    # tail truncation (r11-verdict ask #3): the zero-operator-state
+    # passthrough floor separates IO-poisoned-host rounds from plan
+    # regressions, and the total state-commit time attributes the
+    # stateful drains' walls — both were being cut from the recorded
+    # tail in r11, which is why the streaming cohort stayed "weak".
+    stream_commit_total_ms = sum(
+        d.get("state_commit_ms", 0)
+        for d in stream_detail.values()
+        if isinstance(d, dict)
+    )
+    # Key order is the truncation contract: the driver keeps only the
+    # LAST ~2000 chars of this line, so big maps go first and the
+    # self-explaining diagnostics go last — top20/gc_top10 lead the
+    # tail (truncation bites their head first), then the small scalars
+    # that must always survive: calibration, isolated reruns, the
+    # semdedup stage decomposition, the streaming floor + commit
+    # total, and finally value/sf.
     record = {
         "queries": times,
         "gc_ms": gc_ms,
         "stream_detail": stream_detail,
         "warmup_amortized": [] if stream_only else WARMUP,
-        "metric": "suite_wall_seconds",
+        "metric": (
+            "core_suite_wall_seconds"
+            if os.environ.get("SPARK_GRAFT_BENCH_TIER") == "core"
+            else "suite_wall_seconds"
+        ),
         "unit": "sec",
         "n_queries": len(times),
-        "calibration": _calibration(spark),
-        "isolated_rerun": isolated,
         "top20": top20,
         "gc_top10": gc_top10,
+        "calibration": _calibration(spark),
+        "isolated_rerun": isolated,
+        "semdedup_stage_s": semdedup_stage_s,
+        "stream_floor_s": times.get("stream_passthrough_floor"),
+        "stream_commit_total_ms": stream_commit_total_ms,
         "value": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    default_out = (
+        "BENCH_LOCAL_CORE.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_TIER") == "core"
+        else "BENCH_LOCAL.json"
+    )
     out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", str(_REPO / "BENCH_LOCAL.json")
+        "SPARK_GRAFT_BENCH_OUT", str(_REPO / default_out)
     )
     try:
         with open(out, "w") as f:
