@@ -45,6 +45,7 @@ def _gen32(label: str) -> int:
     return int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
 
 
+from boostdb_spark.operators.common import no_broadcast  # noqa: E402
 from boostdb_spark.operators.common import spread as _spread  # noqa: E402
 
 
@@ -124,8 +125,12 @@ def ngram_jaccard_pairs(
     of documents carries no dedup signal.
     """
     # materialized once (feeds sizes + both join sides) and GC-cleaned;
-    # .cache() leaked storage blocks across a long session
-    ds = _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # .cache() leaked storage blocks across a long session; no_broadcast:
+    # corpus-scaled exploded shingles must never ride a static size
+    # estimate into a broadcast join (sf10 catch, see common.py)
+    ds = no_broadcast(
+        _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:
         rare = (
@@ -193,10 +198,10 @@ def substring_spans(
         min_span = k
     if min_span < k:
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
-    sp = _spread(df).select(
+    sp = no_broadcast(_spread(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(shingles(F.col(text_col), k)).alias("pos", "s"),
-    ).select("id", F.col("pos").cast("long").alias("pos"), "s")
+    ).select("id", F.col("pos").cast("long").alias("pos"), "s"))
     if max_doc_freq is not None:
         rare = (
             sp.select("id", "s").distinct()
@@ -270,7 +275,7 @@ def remove_duplicate_spans(
         )
     from boostdb_spark.operators.text import tokens as _tokens
 
-    drops = (
+    drops = no_broadcast(
         spans.select(
             F.col("doc_b").alias("id"),
             F.explode(
@@ -282,10 +287,10 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
-    toks = _spread(df).select(
+    toks = no_broadcast(_spread(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
-    ).select("id", F.col("pos").cast("long").alias("pos"), "tok")
+    ).select("id", F.col("pos").cast("long").alias("pos"), "tok"))
     kept = toks.join(drops, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
@@ -331,7 +336,7 @@ def keep_best(
     has no hot partitions."""
     from pyspark.sql import Window
 
-    groups = dedup_groups(pairs)
+    groups = no_broadcast(dedup_groups(pairs))
     scored = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
     )
@@ -406,9 +411,9 @@ def edit_distance_pairs(
             .filter(F.col("_rk") <= max_candidates_per_doc)
         )
     cand = _spread(cand.select("id_a", "id_b"))
-    docs = _spread(df).select(
+    docs = no_broadcast(_spread(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
-    )
+    ))
     # score in a SEPARATE materialization from the rel filter: a plain
     # withColumn+filter pipeline lets Catalyst push the rel predicate
     # into the text join as a join CONDITION, so levenshtein (the whole
@@ -456,10 +461,10 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     in some pair are returned — singletons are their own group."""
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # both directions; id_a < id_b in the input, so no duplicate edges
-    edges = e.union(
+    edges = no_broadcast(e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = (
+    ).localCheckpoint(eager=False))
+    labels = no_broadcast(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
@@ -474,7 +479,7 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nl").alias("nl"))
         )
-        labels = (
+        labels = no_broadcast(
             labels.join(neigh.withColumnsRenamed({"src": "id"}), "id", "left")
             .select(
                 "id",
@@ -684,16 +689,18 @@ def incremental_dedup(
         minhash_signature(incoming, num_hashes, n, text_col, id_col),
         bands, r,
     ).withColumnsRenamed({"id": "in_id"})
-    cand = (
-        ib.join(eb, ["band", "bh"])
+    cand = no_broadcast(
+        ib.join(no_broadcast(eb), ["band", "bh"])
         .select("in_id", "ex_id")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    ds_in = _doc_shingles(incoming, id_col, text_col, n).localCheckpoint(
-        eager=False
+    ds_in = no_broadcast(
+        _doc_shingles(incoming, id_col, text_col, n).localCheckpoint(
+            eager=False
+        )
     )
-    ds_ex = ds_ex.localCheckpoint(eager=False)
+    ds_ex = no_broadcast(ds_ex.localCheckpoint(eager=False))
     sz_in = ds_in.groupBy("id").agg(F.count("*").alias("sz_in"))
     sz_ex = ds_ex.groupBy("id").agg(F.count("*").alias("sz_ex"))
     common = (
@@ -780,7 +787,7 @@ def minhash_lsh_pairs(
     # O(docs*bands) rows on executor storage, freed by the context
     # cleaner when the plan is GC'd, no unpersist bookkeeping leaked
     # across a long session.
-    banded = banded.localCheckpoint(eager=False)
+    banded = no_broadcast(banded.localCheckpoint(eager=False))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -791,7 +798,9 @@ def minhash_lsh_pairs(
     # exact verification of candidates only; shingle set materialized
     # once (feeds sizes and both join sides — 3 subplans) via
     # localCheckpoint, GC-cleaned rather than leaking cached blocks
-    ds = _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    ds = no_broadcast(
+        _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     a = ds.withColumnsRenamed({"id": "id_a"})
     b = ds.withColumnsRenamed({"id": "id_b"})
@@ -890,7 +899,7 @@ def simhash_pairs(
     # materializes it — every reference in that first job re-runs the
     # subtree; only an up-front materialization makes both join sides
     # read the checkpointed blocks
-    chunks = chunks.localCheckpoint(eager=True)
+    chunks = no_broadcast(chunks.localCheckpoint(eager=True))
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "cv"])
@@ -940,6 +949,7 @@ def source_overlap(
         .distinct()
         .localCheckpoint(eager=False)  # feeds totals + both join sides
     )
+    ss = no_broadcast(ss)
     totals = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         ss.alias("a")
@@ -1037,6 +1047,7 @@ def semantic_dedup(
         .drop("cvec")
         .localCheckpoint(eager=False)  # feeds both pair sides + output
     )
+    a = no_broadcast(a)
     left = a.select(
         "cluster", F.col("id").alias("a_id"), F.col("v").alias("a_v"),
         F.col("cent_sim").alias("a_cs"),
@@ -1087,7 +1098,9 @@ def shingle_containment_pairs(
     counts map-side combined; ``max_doc_freq`` drops ubiquitous
     shingles whose fanout is quadratic and whose signal is zero. The
     containment value is one exact IEEE division of two ints."""
-    ds = _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    ds = no_broadcast(
+        _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:
         rare = (

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from boostdb_spark.operators.common import no_broadcast
 from boostdb_spark.operators.dedup import _spread
 
 
@@ -182,11 +183,11 @@ def knn_graph(
         F.col(group_col).alias("_g"),
         _as_double(F.col(vec_col)).alias("av"),
     ).withColumn("av_nrm", norm(F.col("av")))
-    b = df.select(
+    b = no_broadcast(df.select(
         F.col(id_col).alias("dst"),
         F.col(group_col).alias("_g2"),
         _as_double(F.col(vec_col)).alias("bv"),
-    ).withColumn("bv_nrm", norm(F.col("bv")))
+    ).withColumn("bv_nrm", norm(F.col("bv"))))
     scored = (
         a.join(b, F.col("_g") == F.col("_g2"))
         .filter(F.col("src") != F.col("dst"))
@@ -1490,7 +1491,10 @@ def pq_ann_topk(
         return pd.Series(((X - Q[qi]) ** 2).sum(axis=1))
 
     joined = cand.join(
-        corpus.select(F.col(id_col).alias("match_id"), vec_col), "match_id"
+        no_broadcast(
+            corpus.select(F.col(id_col).alias("match_id"), vec_col)
+        ),
+        "match_id",
     )
     exact = joined.withColumn("dist", exact_l2(F.col("query_id"), F.col(vec_col)))
     w2 = Window.partitionBy("query_id").orderBy(
@@ -1547,3 +1551,99 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): from each query's top-``pool`` cosine candidates,
+    greedily select ``k`` results maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} cos(d, s)`` —
+    relevance traded against redundancy, the standard diversified
+    retrieval head over any dense index. First pick = pure argmax
+    relevance; all ties break on smaller candidate id.
+
+    Shape: candidate generation is :func:`cosine_topk` (swap in the
+    IVF/LSH/PQ paths at scale — anything producing (query_id,
+    match_id, cos)); the greedy loop runs per query over a
+    pool-bounded group via applyInPandas — O(k * pool) work on
+    <= pool rows per task, embarrassingly parallel across queries,
+    never corpus-sized. Returns (query_id, match_id, rel, sel_rank)
+    with sel_rank 1-based selection order.
+
+    The greedy argmax chain is order-free given the candidate set
+    (deterministic float comparisons + id tie-break), so the output is
+    partitioning-invariant; the certified suite entry re-checks
+    step-optimality with an independent JVM-side pair join."""
+    import numpy as np
+    import pandas as pd
+
+    _guard_query_count(queries, max_queries, "mmr_rerank")
+    cand = cosine_topk(
+        queries, corpus, k=pool, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    )
+    withv = cand.join(
+        no_broadcast(
+            corpus.select(
+                F.col(id_col).alias("match_id"),
+                _as_double(F.col(vec_col)).alias("_v"),
+            )
+        ),
+        "match_id",
+    ).select("query_id", "match_id", F.col("cos").alias("rel"), "_v")
+
+    out_schema = "query_id long, match_id long, rel double, sel_rank int"
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "match_id": [], "rel": [], "sel_rank": []}
+            )
+        pdf = pdf.sort_values("match_id").reset_index(drop=True)
+        ids = pdf["match_id"].to_numpy()
+        rel = pdf["rel"].to_numpy()
+        X = np.stack([np.asarray(v, dtype="float64") for v in pdf["_v"]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0  # zero vectors: sims stay 0
+        U = X / nrm[:, None]
+        sims = U @ U.T
+        n = len(ids)
+        selected: list[int] = []
+        # true MMR: the redundancy term is the max over SELECTED only —
+        # it can be negative (dissimilar vectors REWARD selection); a
+        # zero floor would silently clamp it (the certificate entry
+        # caught exactly that in round 12)
+        max_sim = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for rank in range(min(k, n)):
+            score = np.where(
+                avail,
+                (lam * rel - (1.0 - lam) * max_sim)
+                if selected
+                else rel,
+                -np.inf,
+            )
+            best = int(np.argmax(score))  # ids ascending -> smallest id wins ties
+            selected.append(best)
+            avail[best] = False
+            max_sim = np.maximum(max_sim, sims[:, best])
+        sel = np.array(selected)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[sel].to_numpy(),
+                "match_id": ids[sel],
+                "rel": rel[sel],
+                "sel_rank": np.arange(1, len(sel) + 1, dtype="int32"),
+            }
+        )
+
+    return withv.groupBy("query_id").applyInPandas(greedy, out_schema)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from boostdb_spark.operators.common import no_broadcast
 from boostdb_spark.operators.common import spread as _spread
 
 #: split pattern shared with the DuckDB oracles (ASCII word tokens)
@@ -202,6 +203,83 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: (acc * 31 + x) % MOD_P,
     )
     return _spread(df).withColumn("fingerprint", fp)
+
+
+#: winnowing position budget: the (hash, position) pair packs into one
+#: BIGINT as ``h * 2^21 + (2^20 - pos)`` so a single window MIN selects
+#: (smallest hash, rightmost position) — positions must stay below
+#: 2^20 k-grams per document. Longer documents chunk first
+#: (chunk_documents); the pack is checked nowhere at runtime because a
+#: violating pos would need a >1M-token single document, far past the
+#: per-task memory contract every per-doc collect_list op here already
+#: assumes.
+_WINNOW_POS_SPAN = 1 << 20
+_WINNOW_PACK = 1 << 21
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Robust winnowing (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every k-token shingle, slide a w-wide window over
+    the hash sequence, and select each window's MINIMUM hash, breaking
+    ties by the RIGHTMOST position; the distinct selected (position,
+    hash) pairs are the document's fingerprints. Guarantees: any
+    shared token run of length >= w + k - 1 yields at least one shared
+    fingerprint (the detection floor), and the density of selected
+    prints is ~2/(w+1) — the tunable storage/recall dial plain rolling
+    hashes (``fingerprint``) and MinHash sketches don't give.
+
+    Shape: one posexplode to positioned shingle hashes, ONE window
+    pass per doc ordered by position (frame = CURRENT ROW .. w-1
+    FOLLOWING, full windows only), then distinct — no join, no
+    all-pairs anything; the shuffle is the per-doc window sort. The
+    (min-hash, rightmost-pos) selection is a single integer MIN via
+    the pack above, bit-exact on any engine. Returns
+    (id_col, pos, fp) — pos is the 0-based token position of the
+    selected shingle."""
+    from boostdb_spark.operators.dedup import shingles
+
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    sp = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(F.col(text_col), k)).alias("pos", "sh"),
+    )
+    keyed = sp.select(
+        "id",
+        "pos",
+        (
+            hash32(F.col("sh")) * F.lit(_WINNOW_PACK)
+            + (F.lit(_WINNOW_POS_SPAN) - F.col("pos"))
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = keyed.select(
+        "id",
+        F.min("key").over(win).alias("wmin"),
+        F.count("key").over(win).alias("wn"),
+    ).filter(F.col("wn") == w)
+    return (
+        selected.select(
+            F.col("id").alias(id_col),
+            (
+                F.lit(_WINNOW_POS_SPAN)
+                - F.col("wmin").bitwiseAND(F.lit(_WINNOW_PACK - 1))
+            ).alias("pos"),
+            F.shiftright(F.col("wmin"), 21).alias("fp"),
+        )
+        .distinct()
+    )
 
 
 #: scrub patterns, ordered: email before generic digit runs so the
@@ -428,9 +506,9 @@ def tf_idf_topk(
     is one window over the (small) per-doc term set. tfidf is rounded
     (6dp) for cross-engine hashing: ln() may differ in the last ulp
     between engines."""
-    toks = df.select(
+    toks = no_broadcast(df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
-    )
+    ))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # the doc count rides as a broadcast single-row cross join — the
@@ -479,9 +557,9 @@ def unigram_logprob(
     is a broadcast scalar; scoring is an equi-join back on token and a
     per-doc avg — two shuffles total, nothing driver-side but one
     scalar."""
-    toks = _spread(df).select(
+    toks = no_broadcast(_spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
-    )
+    ))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
     total = toks.count()
     scored = toks.join(vocab, "token").select(
@@ -509,7 +587,7 @@ def ngram_novelty(
     bit-exact oracle."""
     from boostdb_spark.operators.dedup import shingles
 
-    ds = (
+    ds = no_broadcast(
         _spread(df)
         .select(
             F.col(id_col).alias("doc_id"),
@@ -568,6 +646,7 @@ def bigram_logprob(
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    pairs = no_broadcast(pairs)
     big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("big_n"))
     # prefix counts = occurrences as a bigram PREFIX (so probabilities
     # per prefix sum to exactly 1 — last tokens of docs don't skew it)

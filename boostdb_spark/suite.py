@@ -154,9 +154,12 @@ _WINDOW: tuple[str, ...] = (
     "agg_q22_idle_customers",      # TPC-H Q22 anti-join + scalar sub
     "dialect_limit_ties",          # LIMIT n WITH TIES / FETCH FIRST
     "evt_top_paths",               # top event-path n-gram analytics
-    # --- new round-12 dialect surface (r11-verdict ask #4) ---
+    # --- new round-12 surface (r11-verdict ask #4 + LLM-pipeline
+    # additions; never-certified beats re-cert freshness) ---
     "dialect_percentile_cont",     # ANSI inverse-distribution cont
     "dialect_percentile_disc",     # ANSI inverse-distribution disc
+    "txt_winnowing",               # MOSS robust winnowing fingerprints
+    "emb_mmr_rerank",              # MMR diversified retrieval cert
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -180,8 +183,9 @@ _WINDOW: tuple[str, ...] = (
     "join_range_lookup", "pipeline_anomaly", "projection_compute",
     "resample_first_last", "scan_paged_export", "scan_snapshot_diff",
     "scan_timerange", "setop_except", "setop_intersect",
-    "stream_cascade_parity", "stream_rollup_parity",
     # ROUND-13 ROTATION PREP — the r6-stale remainder displaced here:
+    # stream_cascade_parity, stream_rollup_parity (displaced by the two
+    # mid-round r12 additions above — never-certified beats re-cert),
     # ts_ewma, ts_histogram, ts_latest_point, ts_pattern_topk,
     # ts_rollup_cascade, ts_seasonal_decompose, ts_series_correlation,
     # ts_time_weighted_avg, ts_zscore_anomaly, txt_quality,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from boostdb_spark.operators import dedup as dd
+from boostdb_spark.operators.common import no_broadcast
 from boostdb_spark.operators import multimodal as mm
 from boostdb_spark.operators import similarity as sim
 from boostdb_spark.operators import text as tx
@@ -290,6 +291,53 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup key."""
     t = load_tables(spark, sf_dir)
     return tx.fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+@_q(
+    "txt_winnowing",
+    f"""
+    WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             generate_subscripts(sh, 1) - 1 AS pos,
+             unnest(sh) AS sh
+      FROM (SELECT doc_id,
+              list_transform(range(0, greatest(len(toks) - 2, 0)),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+              AS sh
+            FROM d)),
+    k AS (
+      SELECT doc_id, pos,
+             {H32.format(x='sh')} * 2097152 + (1048576 - pos) AS key
+      FROM s),
+    m AS (
+      SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS wmin,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS wn
+      FROM k)
+    SELECT DISTINCT doc_id,
+           1048576 - (wmin & 2097151) AS pos,
+           wmin >> 21 AS fp
+    FROM m WHERE wn = 4
+    """,
+)
+def txt_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    plagiarism-detection selection rule): per 4-window of 3-token
+    shingle hashes, keep the minimum hash with RIGHTMOST tie-break —
+    guaranteeing any shared run of >= w+k-1 = 6 tokens shares a
+    fingerprint at ~2/(w+1) storage density. The (min hash, rightmost
+    pos) pair is ONE integer MIN over a packed key (h * 2^21 +
+    (2^20 - pos)), so the whole operator is a posexplode + one window
+    pass + distinct — integers end to end, bit-exact on both engines.
+    New r12 LLM-pipeline surface beside fingerprint (rolling hash) and
+    the MinHash/SimHash sketches."""
+    t = load_tables(spark, sf_dir)
+    return tx.winnowing_fingerprints(t["documents"], k=3, w=4)
 
 
 @_q(
@@ -874,6 +922,117 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_mmr_rerank",
+    """
+    SELECT a.vec_id AS query_id, CAST(r.r AS INT) AS sel_rank,
+           true AS step_optimal
+    FROM embeddings a, (SELECT unnest(range(1, 6)) AS r) r
+    WHERE a.vec_id < 5
+    """,
+)
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED MMR certificate (operators/similarity.py mmr_rerank
+    — Carbonell & Goldstein SIGIR'98 diversified retrieval: greedy
+    argmax of lam*rel - (1-lam)*max-sim-to-selected over a top-pool
+    candidate set). The selected ids depend on the greedy chain, so —
+    dedup_semantic's pattern — the oracle pins the algorithm's
+    per-step INVARIANT, recomputed from the output by an independent
+    JVM-side join: at every selection step t, the chosen candidate's
+    MMR score is >= every still-available candidate's score (eps
+    1e-9 absorbs numpy-vs-fold summation ulps; exact greedy behavior
+    on crafted fixtures is pinned in tests/test_ann.py). A wrong lam
+    sign, a stale max-sim update, or a broken availability mask flips
+    a boolean and fails the hash."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    lam, k, pool = 0.7, 5, 20
+    sel = sim.mmr_rerank(q, e, k=k, lam=lam, pool=pool).localCheckpoint(
+        eager=False
+    )
+    # candidate pool with unit vectors (same pool the greedy saw)
+    cand = sim.cosine_topk(q, e, k=pool)
+    ev = e.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    ).withColumn("_nrm", sim.norm(F.col("_v")))
+    cands = no_broadcast(
+        cand.join(ev, "match_id")
+        .select(
+            "query_id",
+            F.col("match_id").alias("uid"),
+            F.col("cos").alias("rel_u"),
+            sim.unit_vec("_v", "_nrm").alias("uv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    selv = sel.join(
+        ev.withColumnsRenamed({"match_id": "sid"}),
+        sel.match_id == F.col("sid"),
+    ).select(
+        F.col("query_id").alias("q2"),
+        "sid",
+        F.col("sel_rank").alias("s_rank"),
+        sim.unit_vec("_v", "_nrm").alias("sv"),
+    )
+    # candidate-vs-selected sims, one row per (query, u, prior step s)
+    ps = cands.join(selv, cands.query_id == F.col("q2")).select(
+        "query_id", "uid", "rel_u", "s_rank",
+        sim.fold_dot(F.col("uv"), F.col("sv")).alias("cos_us"),
+    )
+    steps = sel.select(
+        F.col("query_id").alias("q3"), F.col("sel_rank").alias("t"),
+        F.col("match_id").alias("chosen"),
+    )
+    # max prior-selected sim per (query, u, step t): s_rank < t
+    scored = (
+        steps.join(cands, steps.q3 == cands.query_id)
+        .join(
+            ps.withColumnsRenamed(
+                {"query_id": "q4", "uid": "u4", "rel_u": "r4"}
+            ),
+            (F.col("q4") == F.col("q3"))
+            & (F.col("u4") == F.col("uid"))
+            & (F.col("s_rank") < F.col("t")),
+            "left",
+        )
+        .groupBy("q3", "t", "chosen", "uid", "rel_u")
+        .agg(F.max(F.coalesce(F.col("cos_us"), F.lit(0.0))).alias("mx"))
+        .withColumn(
+            "score",
+            F.lit(lam) * F.col("rel_u") - F.lit(1.0 - lam) * F.col("mx"),
+        )
+    )
+    # availability mask: u not selected before step t
+    taken = sel.select(
+        F.col("query_id").alias("q5"), F.col("match_id").alias("u5"),
+        F.col("sel_rank").alias("taken_rank"),
+    )
+    avail = scored.join(
+        taken,
+        (F.col("q5") == F.col("q3"))
+        & (F.col("u5") == F.col("uid"))
+        & (F.col("taken_rank") < F.col("t")),
+        "left_anti",
+    )
+    win = avail.filter(F.col("uid") == F.col("chosen")).select(
+        F.col("q3").alias("q6"), F.col("t").alias("t6"),
+        F.col("score").alias("win_score"),
+    )
+    return (
+        avail.join(
+            win,
+            (F.col("q6") == F.col("q3")) & (F.col("t6") == F.col("t")),
+        )
+        .groupBy(F.col("q3").alias("query_id"), F.col("t").alias("sel_rank"))
+        .agg(
+            (F.min(F.col("win_score") - F.col("score")) >= F.lit(-1e-9))
+            .alias("step_optimal")
+        )
+    )
+
+
+@_q(
     "emb_knn_graph",
     f"""
     WITH e AS (SELECT vec_id, label,
@@ -938,7 +1097,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own only when no index exists)
     cents = _ann_index(spark, sf_dir)["centroids"]
     sd = dd.semantic_dedup(t["embeddings"], tau=tau, centroids=cents)
-    sd = sd.localCheckpoint(eager=False)  # feeds both pair sides + output
+    # no_broadcast: both pair sides are corpus-scaled vector frames
+    # whose static estimate is the (compressed) embeddings scan size —
+    # never let that ride into a broadcast build (sf10 lesson)
+    sd = no_broadcast(sd.localCheckpoint(eager=False))
     left = sd.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
     )
@@ -1233,7 +1395,9 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     q = e.filter(F.col("vec_id") < 5)
     k, floor = 3, 3
-    exact_all = sim.cosine_topk(q, e, k=10**9).localCheckpoint(eager=False)
+    exact_all = no_broadcast(
+        sim.cosine_topk(q, e, k=10**9).localCheckpoint(eager=False)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("match_id").asc()
     )

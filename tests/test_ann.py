@@ -424,3 +424,66 @@ def test_knn_graph_exact_and_guarded(spark, emb):
     # guard existed)
     with pytest.raises(ValueError, match="max_group"):
         sim.knn_graph(emb, k=3, group_col="label", max_group=5)
+
+
+def test_mmr_rerank_crafted_diversity_tradeoff(spark):
+    """MMR greedy on a crafted 2-D-ish geometry: the second pick must
+    skip the near-clone of the first pick (high relevance, high
+    redundancy) in favor of the orthogonal lower-relevance candidate
+    when lam makes diversity matter."""
+    dim = 4
+
+    def v(*xs):
+        return list(xs) + [0.0] * (dim - len(xs))
+
+    rows = [
+        (100, v(1.0, 0.0)),            # the query
+        (1, v(1.0, 0.05)),             # best match
+        (2, v(1.0, 0.06)),             # near-clone of 1
+        (3, v(0.7, 0.0, 0.7)),         # diverse, lower relevance
+        # step-2 scores at lam=0.5: clone 2 ~ .5*.9982 - .5*.9999 < 0;
+        # candidate 3 ~ .5*.7071 - .5*.7062 > 0 -> diversity wins
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = df.filter(F.col("vec_id") == 100)
+    got = (
+        sim.mmr_rerank(q, df, k=2, lam=0.5, pool=3)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r.match_id for r in got] == [1, 3], got
+    # with lam ~ 1 (pure relevance) the clone wins instead
+    got2 = (
+        sim.mmr_rerank(q, df, k=2, lam=0.999, pool=3)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r.match_id for r in got2] == [1, 2], got2
+
+
+def test_mmr_rerank_negative_similarity_rewards(spark):
+    """The redundancy term is the max over SELECTED only and may be
+    NEGATIVE — an anti-correlated candidate gets a score ABOVE
+    lam*rel, which a zero-floored max_sim would clamp (the r12
+    certificate catch)."""
+    dim = 4
+
+    def v(*xs):
+        return list(xs) + [0.0] * (dim - len(xs))
+
+    rows = [
+        (100, v(1.0, 0.0)),
+        (1, v(1.0, 0.1)),               # first pick
+        (2, v(0.05, 0.0, 1.0)),         # orthogonal-ish to 1, tiny rel
+        (3, v(-0.028, -0.1, 0.0, 1.0)), # ANTI-correlated to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = df.filter(F.col("vec_id") == 100)
+    got = (
+        sim.mmr_rerank(q, df, k=2, lam=0.5, pool=3)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    # candidate 3's negative max-sim bonus must beat candidate 2's
+    # higher relevance: score(3) = .5*rel3 - .5*(neg) > score(2)
+    assert [r.match_id for r in got] == [1, 3], got

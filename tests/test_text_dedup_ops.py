@@ -463,3 +463,69 @@ def test_bm25_and_rrf_reject_empty_inputs(spark):
         tx.bm25_topk(df, query_terms=[])
     with pytest.raises(ValueError, match="rankings"):
         sim.rrf_fuse([])
+
+
+def test_winnowing_matches_sequential_reference(spark):
+    """winnowing_fingerprints == the classic sequential robust
+    winnowing (Schleimer et al. 2003, Fig. 5: min of each w-window,
+    rightmost tie-break, dedup consecutive selections) on random-ish
+    token streams, including heavy-repetition ties."""
+    import hashlib
+    import random
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def reference(text: str, k: int, w: int) -> set[tuple[int, int]]:
+        toks = [t for t in _split(text) if t]
+        hs = [
+            h32(" ".join(toks[i:i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        out = set()
+        for i in range(len(hs) - w + 1):
+            window = hs[i:i + w]
+            m = min(window)
+            # rightmost occurrence of the min
+            p = i + max(j for j, v in enumerate(window) if v == m)
+            out.add((p, m))
+        return out
+
+    def _split(text):
+        import re
+        return re.split(r"[^a-z0-9]+", text.lower())
+
+    rng = random.Random(12)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab -> many ties
+    rows = []
+    for doc_id in range(8):
+        n = rng.randint(6, 40)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in tx.winnowing_fingerprints(df, k=3, w=4).collect()
+    }
+    want = {
+        (doc_id, p, m)
+        for doc_id, text in rows
+        for p, m in reference(text, 3, 4)
+    }
+    assert got == want
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    # the winnowing guarantee: a shared token run of >= w + k - 1
+    # tokens yields at least one SHARED fingerprint VALUE
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz"),
+            (2, "qq " + shared + " rr ss tt"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = tx.winnowing_fingerprints(df, k=3, w=4)
+    a = {r.fp for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fp for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a & b, "shared 6-token run must share a fingerprint"
