@@ -108,7 +108,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^']|'')*')
       | (?P<param>:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
-      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|-|\+|/)
+      | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|-|\+|/|%)
     )""",
     re.VERBOSE,
 )
@@ -1616,6 +1616,21 @@ class _Parser:
             if not self.accept_op(")"):
                 raise ValueError("unbalanced WITHIN GROUP (ORDER BY ...)")
         elif v.lower() in (
+            "bool_and", "bool_or", "every"
+        ) and self.accept_op("("):
+            # ANSI boolean aggregates over a PREDICATE argument:
+            # bool_and/every(pred), bool_or(pred) — the TiDB grammar
+            # the reference embeds accepts them before dropping the
+            # statement (query/parser/parser.go:25-45). The argument
+            # parses as a full boolean expression (comparisons,
+            # AND/OR, IS NULL, ...), not just arithmetic; lowers to
+            # Spark's native bool_and/bool_or hash aggregates.
+            func = "bool_and" if v.lower() in ("bool_and", "every") else "bool_or"
+            arg_expr = self.parse_or()
+            parts = ()
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        elif v.lower() in (
             "percentile_cont", "percentile_disc"
         ) and self.accept_op("("):
             # ANSI inverse-distribution aggregates:
@@ -1706,7 +1721,10 @@ class _Parser:
         filter_expr = None
         if (
             func is not None
-            and func.removesuffix("_distinct") in self._AGG_FUNCS
+            and (
+                func.removesuffix("_distinct") in self._AGG_FUNCS
+                or func in ("bool_and", "bool_or")
+            )
             and self.accept_kw("filter")
         ):
             # ANSI aggregate FILTER clause: agg(x) FILTER (WHERE pred)
@@ -1736,7 +1754,8 @@ class _Parser:
                 "window functions"
             )
         if window is not None and func in (
-            "string_agg", "percentile_cont", "percentile_disc"
+            "string_agg", "percentile_cont", "percentile_disc",
+            "bool_and", "bool_or",
         ):
             raise ValueError(
                 f"{func} is a grouped aggregate in this "
@@ -2063,7 +2082,7 @@ class _Parser:
         """Continue term -> arith -> optional comparison from an
         already-parsed left operand (the parenthesized-arithmetic
         case)."""
-        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             _, op = self.next()
             left = Expr("arith", op=op, children=[left, self.parse_operand()])
         while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
@@ -2090,7 +2109,7 @@ class _Parser:
 
     def parse_term(self) -> Expr:
         left = self.parse_operand()
-        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             _, op = self.next()
             left = Expr("arith", op=op, children=[left, self.parse_operand()])
         return left
@@ -2636,7 +2655,9 @@ def _compile_expr(e: Expr, res: _Resolver, name_of=None, params: dict | None = N
         return F.col(col)
     if e.kind == "arith":
         a, b = (_compile_expr(c, res, name_of, params) for c in e.children)
-        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[e.op]
+        # %: both Spark and DuckDB implement remainder-with-dividend-sign
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                "%": a % b}[e.op]
     if e.kind == "case":
         ch = list(e.children)
         subj = None
@@ -3677,6 +3698,14 @@ def plan(
                     "avg(DISTINCT col) does not combine with FILTER"
                 )
             return F.expr(f"avg(DISTINCT `{col}`)")
+        if func in ("bool_and", "bool_or"):
+            # ANSI boolean aggregates: the argument is a compiled
+            # PREDICATE column; FILTER composes as the usual
+            # null-passing CASE (aggregates skip NULLs)
+            arg = _compile_expr(ref.arg_expr, res, params=params)
+            if flt is not None:
+                arg = F.when(flt, arg)
+            return (F.bool_and if func == "bool_and" else F.bool_or)(arg)
         if func in ("percentile_cont", "percentile_disc"):
             # ANSI inverse-distribution aggregates, lowered to Spark's
             # NATIVE percentile_cont / percentile_disc aggregate

@@ -160,6 +160,7 @@ _WINDOW: tuple[str, ...] = (
     "dialect_percentile_disc",     # ANSI inverse-distribution disc
     "txt_winnowing",               # MOSS robust winnowing fingerprints
     "emb_mmr_rerank",              # MMR diversified retrieval cert
+    "dialect_bool_agg",            # bool_and/every/bool_or + modulo
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -182,10 +183,11 @@ _WINDOW: tuple[str, ...] = (
     "join_anti", "join_cross", "join_full_outer", "join_implicit_where",
     "join_range_lookup", "pipeline_anomaly", "projection_compute",
     "resample_first_last", "scan_paged_export", "scan_snapshot_diff",
-    "scan_timerange", "setop_except", "setop_intersect",
+    "scan_timerange", "setop_except",
     # ROUND-13 ROTATION PREP — the r6-stale remainder displaced here:
-    # stream_cascade_parity, stream_rollup_parity (displaced by the two
-    # mid-round r12 additions above — never-certified beats re-cert),
+    # setop_intersect, stream_cascade_parity, stream_rollup_parity
+    # (displaced by the three mid-round r12 additions above —
+    # never-certified beats re-cert),
     # ts_ewma, ts_histogram, ts_latest_point, ts_pattern_topk,
     # ts_rollup_cascade, ts_seasonal_decompose, ts_series_correlation,
     # ts_time_weighted_avg, ts_zscore_anomaly, txt_quality,
@@ -8047,6 +8049,41 @@ def dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ORDER BY purchase.event_id) AS ids, "
         "listagg(purchase.event_id, ',') WITHIN GROUP "
         "(ORDER BY purchase.event_id DESC) AS ids_desc "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_bool_agg",
+    """
+    SELECT user_id AS uid,
+           bool_and(value < 400.0) AS all_small,
+           bool_or(value > 300.0) AS any_big,
+           bool_and(value >= 0.0) AS non_negative,
+           bool_or(value > 100.0) FILTER (WHERE event_id % 2 = 0)
+             AS any_big_even
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI boolean aggregates through the dialect front: bool_and /
+    every and bool_or over full PREDICATE arguments (comparisons, not
+    just columns), composing with the aggregate FILTER clause — the
+    parser-accepted surface at query/parser/parser.go:25-45, lowered
+    to Spark's native bool_and/bool_or inside the one partial+final
+    hash aggregate every other aggregate in the statement shares.
+    Exact booleans — no FP concerns, bit-exact on any engine."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, "
+        "bool_and(purchase < 400.0) AS all_small, "
+        "bool_or(purchase > 300.0) AS any_big, "
+        "every(purchase >= 0.0) AS non_negative, "
+        "bool_or(purchase > 100.0) FILTER "
+        "(WHERE purchase.event_id % 2 = 0) AS any_big_even "
         "FROM boost.events GROUP BY purchase.user_id",
         EVENTS_BINDING,
     )

@@ -2573,6 +2573,55 @@ def test_percentile_within_group_rules(spark):
         assert rows[r.user_id] == (r.med, r.medd)
 
 
+def test_bool_agg_and_modulo_rules(spark):
+    """bool_and/every/bool_or over predicate arguments + the %
+    (modulo) arithmetic operator (round 12)."""
+    q = parse(
+        "SELECT k.a AS g, bool_and(k.x > 3) AS all_big, "
+        "every(k.x >= 0) AS nonneg, bool_or(k.x % 2 = 0) AS any_even "
+        "FROM d.f k GROUP BY k.a"
+    )
+    assert q.fields[1].func == "bool_and"
+    assert q.fields[2].func == "bool_and"  # every is an alias
+    assert q.fields[3].func == "bool_or"
+    # grouped aggregate, not a window function
+    with pytest.raises(ValueError, match="window"):
+        parse(
+            "SELECT bool_and(k.x > 0) OVER (PARTITION BY k.a) AS b "
+            "FROM d.f k"
+        )
+    # behavior incl. modulo + FILTER
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "bool_and(click >= 0.0) AS nonneg, "
+        "bool_or(click.event_id % 2 = 0) AS any_even, "
+        "bool_or(click > 1.0) FILTER (WHERE click.event_id % 2 = 1) "
+        "AS any_big_odd "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    rows = {r.uid: (r.nonneg, r.any_even, r.any_big_odd) for r in got.collect()}
+    manual = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.bool_and(F.col("value") >= 0.0).alias("nonneg"),
+            F.bool_or(F.col("event_id") % 2 == 0).alias("any_even"),
+            F.bool_or(
+                F.when(F.col("event_id") % 2 == 1, F.col("value") > 1.0)
+            ).alias("any_big_odd"),
+        )
+        .collect()
+    )
+    for r in manual:
+        assert rows[r.user_id] == (r.nonneg, r.any_even, r.any_big_odd)
+
+
 def test_groups_frame_rules(spark):
     """ANSI GROUPS window frames — peer-group counting lowered to
     dense_rank + rangeBetween (r10 verdict ask #5)."""
