@@ -32,6 +32,11 @@ def _ensure_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # broadcast posture (see boostdb_spark/session.py): static
+        # estimate-based broadcasts off — estimates don't grow through
+        # explode; AQE re-converts at runtime from actual sizes
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m"),
     ]:
         try:
             spark.conf.set(k, v)

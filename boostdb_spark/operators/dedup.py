@@ -45,6 +45,7 @@ def _gen32(label: str) -> int:
     return int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
 
 
+from boostdb_spark.operators.common import checkpoint_corpus  # noqa: E402
 from boostdb_spark.operators.common import no_broadcast  # noqa: E402
 from boostdb_spark.operators.common import spread as _spread  # noqa: E402
 
@@ -129,7 +130,7 @@ def ngram_jaccard_pairs(
     # corpus-scaled exploded shingles must never ride a static size
     # estimate into a broadcast join (sf10 catch, see common.py)
     ds = no_broadcast(
-        _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+        checkpoint_corpus(_doc_shingles(df, id_col, text_col, n))
     )
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:
@@ -696,11 +697,9 @@ def incremental_dedup(
         .localCheckpoint(eager=False)
     )
     ds_in = no_broadcast(
-        _doc_shingles(incoming, id_col, text_col, n).localCheckpoint(
-            eager=False
-        )
+        checkpoint_corpus(_doc_shingles(incoming, id_col, text_col, n))
     )
-    ds_ex = no_broadcast(ds_ex.localCheckpoint(eager=False))
+    ds_ex = no_broadcast(checkpoint_corpus(ds_ex))
     sz_in = ds_in.groupBy("id").agg(F.count("*").alias("sz_in"))
     sz_ex = ds_ex.groupBy("id").agg(F.count("*").alias("sz_ex"))
     common = (
@@ -787,7 +786,7 @@ def minhash_lsh_pairs(
     # O(docs*bands) rows on executor storage, freed by the context
     # cleaner when the plan is GC'd, no unpersist bookkeeping leaked
     # across a long session.
-    banded = no_broadcast(banded.localCheckpoint(eager=False))
+    banded = no_broadcast(checkpoint_corpus(banded))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -799,7 +798,7 @@ def minhash_lsh_pairs(
     # once (feeds sizes and both join sides — 3 subplans) via
     # localCheckpoint, GC-cleaned rather than leaking cached blocks
     ds = no_broadcast(
-        _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+        checkpoint_corpus(_doc_shingles(df, id_col, text_col, n))
     )
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     a = ds.withColumnsRenamed({"id": "id_a"})
@@ -899,7 +898,7 @@ def simhash_pairs(
     # materializes it — every reference in that first job re-runs the
     # subtree; only an up-front materialization makes both join sides
     # read the checkpointed blocks
-    chunks = no_broadcast(chunks.localCheckpoint(eager=True))
+    chunks = no_broadcast(checkpoint_corpus(chunks, eager=True))
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "cv"])
@@ -947,9 +946,9 @@ def source_overlap(
             F.explode(shingles(F.col(text_col), n)).alias("sh"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # feeds totals + both join sides
     )
-    ss = no_broadcast(ss)
+    # feeds totals + both join sides; DISK_ONLY: vocabulary-scaled
+    ss = no_broadcast(checkpoint_corpus(ss))
     totals = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         ss.alias("a")
@@ -1045,9 +1044,9 @@ def semantic_dedup(
         a.join(F.broadcast(cdf), "cluster")
         .withColumn("cent_sim", sim.fold_dot(F.col("v"), F.col("cvec")))
         .drop("cvec")
-        .localCheckpoint(eager=False)  # feeds both pair sides + output
     )
-    a = no_broadcast(a)
+    # feeds both pair sides + output; DISK_ONLY: corpus-scaled vectors
+    a = no_broadcast(checkpoint_corpus(a))
     left = a.select(
         "cluster", F.col("id").alias("a_id"), F.col("v").alias("a_v"),
         F.col("cent_sim").alias("a_cs"),
@@ -1099,7 +1098,7 @@ def shingle_containment_pairs(
     shingles whose fanout is quadratic and whose signal is zero. The
     containment value is one exact IEEE division of two ints."""
     ds = no_broadcast(
-        _doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+        checkpoint_corpus(_doc_shingles(df, id_col, text_col, n))
     )
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:

@@ -2933,10 +2933,15 @@ def _plan_values(spark: SparkSession, vt: ValuesTable) -> DataFrame:
     df = spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t({cols_sql})")
     # enforce the widened per-column types (Spark infers int32 for
     # small int literals; the cast projection collapses back into the
-    # LocalRelation at optimization time)
-    return df.select(
+    # LocalRelation at optimization time). The EXPLICIT broadcast hint
+    # is correct BY CONSTRUCTION: an inline VALUES table is bounded by
+    # its literal row count — and under this engine's broadcast
+    # posture (static estimate-based broadcasts off, session.py) an
+    # explicit hint is the only way a literal dimension joins
+    # broadcast-side in the static plan.
+    return F.broadcast(df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
-    )
+    ))
 
 
 def _apply_reshape(q: BoostQuery, df: DataFrame) -> DataFrame:

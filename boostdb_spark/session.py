@@ -44,8 +44,21 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Dimension tables (region/nation/customer at small SF) broadcast freely
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Broadcast posture (round 12, the sf10 probe's lesson): STATIC
+    # estimate-based broadcasts are OFF — Catalyst's size estimate does
+    # not grow through explode/generate, so a shingle/band/token table
+    # exploded from a small parquet scan stays "broadcastable" at every
+    # corpus size whose SCAN FILE is under the threshold (sf10:
+    # dedup_minhash_lsh built a 500k-doc banded hashed relation on an
+    # 8g driver and died). Instead, AQE converts sort-merge joins to
+    # broadcast AT RUNTIME from ACTUAL post-shuffle sizes — the same
+    # fast plans wherever the data genuinely fits, and a plan that
+    # cannot OOM from a wrong estimate at any scale. Explicit
+    # F.broadcast() hints on bounded-by-construction sides (dimension
+    # tables, centroid tables, reference sets, single-row stats) are
+    # unaffected by the static -1.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     # Arrow for any pandas interchange (vectorized UDF path)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from boostdb_spark.operators import dedup as dd
-from boostdb_spark.operators.common import no_broadcast
+from boostdb_spark.operators.common import checkpoint_corpus, no_broadcast
 from boostdb_spark.operators import multimodal as mm
 from boostdb_spark.operators import similarity as sim
 from boostdb_spark.operators import text as tx
@@ -1100,7 +1100,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no_broadcast: both pair sides are corpus-scaled vector frames
     # whose static estimate is the (compressed) embeddings scan size —
     # never let that ride into a broadcast build (sf10 lesson)
-    sd = no_broadcast(sd.localCheckpoint(eager=False))
+    sd = no_broadcast(checkpoint_corpus(sd))
     left = sd.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
     )
@@ -1396,7 +1396,7 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     k, floor = 3, 3
     exact_all = no_broadcast(
-        sim.cosine_topk(q, e, k=10**9).localCheckpoint(eager=False)
+        checkpoint_corpus(sim.cosine_topk(q, e, k=10**9))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("match_id").asc()
@@ -2249,10 +2249,9 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti join, so survivors stream through without shuffling the
     text itself."""
     t = load_tables(spark, sf_dir)
-    clean = (
+    clean = checkpoint_corpus(
         tx.normalize_text(t["documents"])
         .select("doc_id", F.col("clean").alias("text"))
-        .localCheckpoint(eager=False)
     )
     q = tx.quality_features(clean).select("doc_id", "n_tokens", "alpha_ratio")
     rep = tx.repetition_features(clean).select("doc_id", "dup_ngram_frac")

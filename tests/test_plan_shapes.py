@@ -487,8 +487,13 @@ def test_q9_star_broadcasts_and_substring_pushdown(spark):
     # the fact table is never shuffled for a join
     p = _plan(spark, "agg_q9_nation_profit")
     assert "StringContains(p_name,widget)" in p
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3  # part/supplier/nation dims
+    # lineitem JOIN orders: orders is a FACT table — under the r12
+    # broadcast posture it plans sort-merge statically (no
+    # estimate-based broadcast; estimates lie through explode) and AQE
+    # converts to broadcast at runtime only when the ACTUAL size fits.
+    # The old pin ("no SortMergeJoin") asserted an estimate-trusting
+    # plan that would broadcast orders at any corpus size.
     assert "CartesianProduct" not in p
 
 
