@@ -59,6 +59,18 @@ _DEFAULTS = {
     # unaffected by the static -1.
     "spark.sql.autoBroadcastJoinThreshold": "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    # Shuffle sizing at any scale (round 12, sf10 catch #4): a FIXED
+    # shuffle.partitions means per-task sort/hash state grows linearly
+    # with the corpus — the sf10 minhash verify join pushed ~190M rows
+    # through each of 32 sort tasks and external-sort merge passes went
+    # super-linear (33x wall at 10x rows; the candidate count itself
+    # grew 9.0x = linear). The canonical posture: HIGH initial
+    # partition count + AQE coalescing — small data coalesces back to
+    # few right-sized partitions (measured: sf0.1 entries flat or
+    # faster), big data keeps per-task state bounded (sf10 minhash
+    # 726 -> 234 s, 33x -> 10.9x). shuffle.partitions stays the
+    # AQE-off fallback.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # Arrow for any pandas interchange (vectorized UDF path)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",

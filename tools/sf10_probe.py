@@ -99,17 +99,37 @@ def build(spark) -> None:
     d_off = doc.agg(F.max("doc_id")).collect()[0][0] + 1
 
     def doc_copy(d, i):
-        # same content-dependent rotation as sf1_probe.doc_copy, at a
-        # DIFFERENT stride (41 vs 37) so second-decade copies don't
-        # land on first-decade split points
-        pos = (F.lit(41 * i) % F.greatest(F.length("text"), F.lit(1))) + 1
-        rotated = F.concat(
-            F.expr(f"substring(text, {41 * i} % greatest(length(text), 1) + 1)"),
-            F.lit(" "),
-            F.substring(F.col("text"), 1, (pos - 1).cast("int")),
+        # Copy-specific coprime-stride TOKEN PERMUTATION — NOT the
+        # sf1-style rotation. Round-12 finding: a rotated text keeps
+        # ~all of its k-gram shingles (measured Jaccard 0.88-0.93
+        # between sf1 rotation copies), so rotation copies are TRUE
+        # near-duplicates and every copy family is a dedup CLIQUE —
+        # pair OUTPUT then grows quadratically in the copy factor
+        # (~110x per decade) and the probe measures the fixture's
+        # duplicate structure, not the operator's machinery. A stride
+        # permutation destroys consecutive k-grams between different
+        # strides, honoring the fixture contract above; same-stride
+        # copies of sf1 rotation-siblings remain near-dups, so true
+        # pairs grow ~LINEARLY (10 sibling-cliques per family instead
+        # of one 100-clique) — the interpretable decade curve. The
+        # stride is the first of three copy-rotated odd primes not
+        # dividing the token count (bijection for every realistic doc
+        # length).
+        toks = F.split(F.col("text"), " ")
+        n = F.greatest(F.size(toks), F.lit(1))
+        primes = [3, 5, 7, 11, 13, 17, 19, 23, 29]
+        c0, c1, c2 = (primes[(i + k) % len(primes)] for k in range(3))
+        stride = (
+            F.when(n % c0 != 0, F.lit(c0))
+            .when(n % c1 != 0, F.lit(c1))
+            .otherwise(F.lit(c2))
+        )
+        perm = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.element_at(toks, ((j * stride) % n) + 1),
         )
         return d.withColumn("doc_id", F.col("doc_id") + i * d_off).withColumn(
-            "text", rotated
+            "text", F.array_join(perm, " ")
         )
 
     write(copies(doc, doc_copy), "documents")
