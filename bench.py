@@ -310,6 +310,30 @@ def _calibration(spark) -> dict:
     }
 
 
+def _posture(spark) -> dict:
+    """Broadcast/checkpoint posture fingerprint (r12-verdict ask #5):
+    the no_broadcast marker degrades silently to merge pins in a
+    foreign session that still allows static estimate-based broadcasts
+    — this triple makes a misconfigured or foreign-session run
+    distinguishable from a plan regression in the record alone."""
+    from boostdb_spark.operators.common import CORPUS_CHECKPOINT_LEVEL
+
+    def _get(key):
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    return {
+        "static_broadcast": _get("spark.sql.autoBroadcastJoinThreshold"),
+        "aqe_broadcast": _get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        ),
+        "aqe_enabled": _get("spark.sql.adaptive.enabled"),
+        "checkpoint_class": CORPUS_CHECKPOINT_LEVEL,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -413,16 +437,21 @@ def main() -> None:
     # proof wherever it runs.
     isolated: dict[str, float] = {}
     if not stream_only:
-        # dialect_recursive_cte: in-suite walls ranged 3.2-6.3 s across
-        # r11 runs while interleaved fresh-heap medians read ~2.7 s —
-        # the fixpoint's many tiny jobs are maximally sensitive to JVM
-        # state, so the record carries its own comparable-heap probe.
-        # dedup_semantic: the heaviest pair-join entry; its wall moved
-        # with host IO noise across r11 runs — same treatment.
-        for name in (
-            "agg_approx_count_distinct", "ts_bollinger",
-            "dialect_recursive_cte", "dedup_semantic",
-        ):
+        # DYNAMIC list (r12-verdict ask #1b): the r11 hardcoded four
+        # kept re-probing stale history while the round's actual #1
+        # outlier (ann_append_certified, 62 s, 14.9x its record) went
+        # unprobed. The list is now the TOP-5 BY WALL of the current
+        # run — whatever the anomaly is, it self-decomposes in the
+        # same record — plus the two entries with a documented history
+        # of JVM-state sensitivity (fixpoint job storms, pair-join IO).
+        top_by_wall = [
+            n for n, _ in
+            sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:5]
+        ]
+        probe = list(dict.fromkeys(
+            top_by_wall + ["dialect_recursive_cte", "dedup_semantic"]
+        ))
+        for name in probe:
             spark.sparkContext._jvm.System.gc()
             fn = registry[name]
             t0 = time.perf_counter()
@@ -450,34 +479,45 @@ def main() -> None:
     # environment, attributable from the committed record alone.
     semdedup_stage_s: dict[str, float] = {}
     if not stream_only:
-        from boostdb_spark import suite_llm
-        from boostdb_spark.operators import dedup as _dd
-        from boostdb_spark.session import load_tables as _lt
+        # best-effort like every other diagnostic block: these stages
+        # re-run work the timed entries already paid, so a failure here
+        # must degrade to an error marker, never abort main() after all
+        # timed queries but before the record is written (ADVICE r12)
+        try:
+            from boostdb_spark import suite_llm
+            from boostdb_spark.operators import dedup as _dd
+            from boostdb_spark.session import load_tables as _lt
 
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        _cents = suite_llm._ann_index(spark, sf_dir)["centroids"]
-        semdedup_stage_s["idx_centroids_s"] = round(
-            time.perf_counter() - t0, 3
-        )
-        t0 = time.perf_counter()
-        _dd.semantic_dedup(
-            _lt(spark, sf_dir)["embeddings"], tau=0.4, centroids=_cents
-        ).write.mode("overwrite").format("noop").save()
-        semdedup_stage_s["assign_dedup_s"] = round(
-            time.perf_counter() - t0, 3
-        )
-        t0 = time.perf_counter()
-        registry["dedup_semantic"](spark, sf_dir).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        semdedup_stage_s["full_entry_s"] = round(
-            time.perf_counter() - t0, 3
-        )
-        print(
-            f"  semdedup stages: {semdedup_stage_s}",
-            file=sys.stderr, flush=True,
-        )
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            _cents = suite_llm._ann_index(spark, sf_dir)["centroids"]
+            semdedup_stage_s["idx_centroids_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            _dd.semantic_dedup(
+                _lt(spark, sf_dir)["embeddings"], tau=0.4, centroids=_cents
+            ).write.mode("overwrite").format("noop").save()
+            semdedup_stage_s["assign_dedup_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            registry["dedup_semantic"](spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            semdedup_stage_s["full_entry_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(
+                f"  semdedup stages: {semdedup_stage_s}",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as exc:  # pragma: no cover - diagnostic only
+            semdedup_stage_s["error"] = repr(exc)[:200]
+            print(
+                f"  semdedup stages FAILED (record continues): {exc!r}",
+                file=sys.stderr, flush=True,
+            )
 
     stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
     times.update(stream_times)
@@ -539,6 +579,7 @@ def main() -> None:
         "top20": top20,
         "gc_top10": gc_top10,
         "calibration": _calibration(spark),
+        "posture": _posture(spark),
         "isolated_rerun": isolated,
         "semdedup_stage_s": semdedup_stage_s,
         "stream_floor_s": times.get("stream_passthrough_floor"),

@@ -4,6 +4,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: storage class used by checkpoint_corpus; exported so the bench
+#: record's posture fingerprint is derived from the code, not retyped
+CORPUS_CHECKPOINT_LEVEL = "DISK_ONLY"
+
 
 def no_broadcast(df: DataFrame) -> DataFrame:
     """Pin a CORPUS-SCALED relation out of static broadcast planning.
@@ -64,7 +68,8 @@ def checkpoint_corpus(df: DataFrame, eager: bool = False) -> DataFrame:
     tables) keep the default level."""
     from pyspark import StorageLevel
 
-    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+    level = getattr(StorageLevel, CORPUS_CHECKPOINT_LEVEL)
+    return df.localCheckpoint(eager=eager, storageLevel=level)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -300,6 +300,75 @@ def shuffle_rank(
     )
 
 
+def interleave_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted source interleave — the training-order
+    twin of the sampling mixers: instead of DROPPING rows to hit a
+    mixture (mixture_sample / temperature_mixture), every row gets a
+    stride-scheduling virtual time ``vt = src_rank / weight`` (WFQ /
+    lottery-stride scheduling), so sorting by (vt, source, src_rank)
+    interleaves sources at their weight ratios from the very first
+    batch — a weight-3 source contributes ~3 rows for every 1 of a
+    weight-1 source at EVERY prefix of the epoch, not just in
+    expectation. Curriculum mixing without discarding data.
+
+    Returns df + (src_rank 1-based within source in key order, vt).
+    No global row_number is materialized: consumers ``orderBy(vt,
+    source)`` — a range-partitioned distributed sort, which scales;
+    a global sequence column would funnel through one task. Shuffle
+    cost: one window per (source) for the rank — computed with the
+    bucketed two-phase scan (pack_tokens' pattern) so no task sorts
+    more than one hash bucket of one source.
+
+    Determinism contract: vt is ONE IEEE division of an integer rank
+    by the weight literal — correctly rounded, engine-independent,
+    certifiable bit-exactly. Weights must be positive."""
+    for s, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"interleave weight for {s!r} must be > 0")
+    if not default_weight > 0:
+        raise ValueError("default_weight must be > 0")
+    # per-source rank via the two-phase scan: bucket by top hash bits
+    # of the key; per-(source, bucket) counts prefix-sum WITHIN the
+    # source (the counts table is tiny); rank = offset + within-bucket
+    # row_number. Bucketing by hash32(key) but ranking by key would
+    # break rank==key-order, so the rank orders by (hash, key) — a
+    # deterministic pseudo-random within-source order, which is what a
+    # training interleave wants anyway (shuffle_rank's contract).
+    buckets = 1024
+    span = (1 << 32) // buckets
+    h = hash32(F.col(key_col).cast("string"))
+    x = df.withColumn("_h", h).withColumn("_b", F.expr(f"_h div {span}"))
+    counts = x.groupBy(source_col, "_b").agg(F.count("*").alias("_n"))
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boff = counts.withColumn(
+        "_off", F.sum("_n").over(wb) - F.col("_n")
+    ).select(source_col, "_b", "_off")
+    wi = Window.partitionBy(source_col, "_b").orderBy("_h", key_col)
+    ranked = (
+        x.join(F.broadcast(boff), [source_col, "_b"])
+        .withColumn("src_rank", F.col("_off") + F.row_number().over(wi))
+        .drop("_h", "_b", "_off")
+    )
+    wexpr = F.lit(float(default_weight))
+    for s, w in sorted(weights.items()):
+        wexpr = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(
+            wexpr
+        )
+    return ranked.withColumn(
+        "vt", F.col("src_rank").cast("double") / wexpr
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

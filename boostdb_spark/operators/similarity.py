@@ -136,6 +136,45 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact cosine RANGE search: for each query vector, ALL corpus
+    vectors with cosine >= ``tau`` (self-matches excluded) — the
+    radius-query twin of :func:`cosine_topk` (top-k answers "the k
+    closest"; range search answers "everything this similar", the
+    primitive behind dedup sweeps, recall audits, and
+    near-neighbor-count statistics where k is unknowable up front).
+    Returns (query_id, match_id, cos).
+
+    Scale shape: query side broadcast, corpus streamed — one pass,
+    ZERO shuffle (unlike top-k there is no per-query window; the
+    threshold filter fuses into the scan's codegen pipeline). Output
+    is data-dependent: at low tau it can approach |Q|x|corpus|, so
+    keep tau meaningfully high or cap queries. For huge query sets
+    use the LSH/IVF candidate generators and filter their cos."""
+    _guard_query_count(queries, max_queries, "cosine_range_search")
+    q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
+    c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (fold_dot(F.col("qv"), F.col("cv"))
+             / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int,
@@ -1601,7 +1640,13 @@ def mmr_rerank(
         "match_id",
     ).select("query_id", "match_id", F.col("cos").alias("rel"), "_v")
 
-    out_schema = "query_id long, match_id long, rel double, sel_rank int"
+    # derive the id type from the input schema (the cosine_neardup_pairs
+    # pattern) — string/int doc ids must round-trip through the pandas
+    # group unchanged, not be coerced to long
+    id_type = dict(queries.dtypes)[id_col]
+    out_schema = (
+        f"query_id {id_type}, match_id {id_type}, rel double, sel_rank int"
+    )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:

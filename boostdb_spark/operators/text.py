@@ -209,10 +209,8 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: BIGINT as ``h * 2^21 + (2^20 - pos)`` so a single window MIN selects
 #: (smallest hash, rightmost position) — positions must stay below
 #: 2^20 k-grams per document. Longer documents chunk first
-#: (chunk_documents); the pack is checked nowhere at runtime because a
-#: violating pos would need a >1M-token single document, far past the
-#: per-task memory contract every per-doc collect_list op here already
-#: assumes.
+#: (chunk_documents); a runtime assert_true folded into the key raises
+#: loudly on violating positions instead of corrupting fingerprints.
 _WINNOW_POS_SPAN = 1 << 20
 _WINNOW_PACK = 1 << 21
 
@@ -257,6 +255,26 @@ def winnowing_fingerprints(
         (
             hash32(F.col("sh")) * F.lit(_WINNOW_PACK)
             + (F.lit(_WINNOW_POS_SPAN) - F.col("pos"))
+            # loud out-of-contract guard: pos >= 2^20 would bleed into
+            # the hash bits and CORRUPT fingerprints silently; assert
+            # null-adds into the key (coalesce keeps Catalyst from
+            # pruning the check away as an unused column)
+            + F.coalesce(
+                F.assert_true(
+                    F.col("pos") < F.lit(_WINNOW_POS_SPAN),
+                    F.concat(
+                        F.lit(
+                            "winnowing_fingerprints: document id="
+                        ),
+                        F.col("id").cast("string"),
+                        F.lit(
+                            " has >= 2^20 k-grams; chunk_documents"
+                            " first (pack budget, see _WINNOW_POS_SPAN)"
+                        ),
+                    ),
+                ).cast("bigint"),
+                F.lit(0),
+            )
         ).alias("key"),
     )
     win = (
@@ -660,6 +678,86 @@ def bigram_logprob(
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("mean_logprob"),
+    )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    top_k: int = 30,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): ``PMI(a,b) = ln( p(a,b) /
+    (p(a) p(b)) )`` with ``p(a,b) = c_ab / N_bigrams`` and unigram
+    probabilities over ALL token occurrences — the classic
+    multi-word-expression miner ("new york", "machine learning")
+    whose raw-count twin just returns stopword pairs. Bigrams below
+    ``min_count`` are dropped first (PMI's known low-count pathology:
+    a single co-occurrence of two hapaxes gets the maximal score).
+    Returns (prev, cur, pair_n, pmi) ordered by (pmi DESC, prev,
+    cur); pmi is rounded 6dp so the rank cut is engine-stable (ln
+    ulp), and the order-by includes the token pair so ties cut
+    deterministically.
+
+    Shape: one in-expression bigram explode (no self-join), three
+    map-side-combined count aggregates (bigrams, unigrams, two global
+    scalars via a 1-row crossJoin), two equi-joins back to the
+    bounded bigram-count table, one top-k sort on a
+    min_count-filtered relation. The only corpus-scaled relation is
+    the exploded pair stream feeding the counts; everything after is
+    vocabulary-bounded. Reference: this extends the declared
+    text-aggregate intent (query/base/expression.go:16-32) the same
+    way the logprob/novelty entries do."""
+    t = with_tokens(df, text_col).select("toks")
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    pairs = t.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("prev"),
+                    F.element_at(F.col("toks"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    toks = t.select(F.explode("toks").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_n"))
+    n_uni = toks.agg(F.count(F.lit(1)).alias("n_uni"))
+    big = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_count)
+    )
+    n_big = pairs.agg(F.count(F.lit(1)).alias("n_big"))
+    # after the min_count filter the bigram table is
+    # vocabulary-bounded: plain equi-joins, optimizer free to
+    # broadcast the unigram side at runtime
+    scored = (
+        big.join(uni.withColumnRenamed("tok", "prev"), "prev")
+        .withColumnRenamed("uni_n", "prev_n")
+        .join(uni.withColumnRenamed("tok", "cur"), "cur")
+        .withColumnRenamed("uni_n", "cur_n")
+        .crossJoin(n_big)
+        .crossJoin(n_uni)
+    )
+    # division structure mirrored verbatim in the oracle SQL so both
+    # engines round the same double into ln
+    pmi = F.log(
+        (F.col("pair_n").cast("double") / F.col("n_big").cast("double"))
+        / (
+            (F.col("prev_n").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("cur_n").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    return (
+        scored.select(
+            "prev", "cur", F.col("pair_n").cast("long").alias("pair_n"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("prev"), F.col("cur"))
+        .limit(top_k)
     )
 
 

@@ -211,6 +211,9 @@ class FieldRef:
     #: bare ref (sum(floor(x*100+0.5)) OVER ...); parts=() when set and
     #: an AS alias is required
     arg_expr: "Expr | None" = None
+    #: second aggregate argument: the ORDER operand of the two-arg
+    #: ``max_by(x, y)`` / ``min_by(x, y)`` (arg_max/arg_min) aggregates
+    arg2_expr: "Expr | None" = None
     #: ANSI ``agg(x) FILTER (WHERE pred)`` — rows failing pred are
     #: excluded from THIS aggregate only; compiled as
     #: agg(CASE WHEN pred THEN x END) (aggregates ignore NULLs, which
@@ -1527,6 +1530,7 @@ class _Parser:
             raise ValueError(f"expected field name, got {v!r} (explicit names required, selectfieldparser.go:108-114)")
         func = None
         arg_expr: Expr | None = None
+        arg2_expr: Expr | None = None
         within_group: list[tuple[FieldRef, bool]] | None = None
         sep = ","
         parts: tuple[str, ...] = tuple(v.split("."))
@@ -1631,6 +1635,27 @@ class _Parser:
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
         elif v.lower() in (
+            "max_by", "min_by", "arg_max", "arg_min"
+        ) and self.accept_op("("):
+            # two-argument argmax aggregates: ``max_by(x, y)`` returns
+            # the x of the row with the maximal y (``arg_max`` is the
+            # DuckDB/ClickHouse spelling), ``min_by``/``arg_min`` the
+            # minimal-y twin. Lowers to Spark's NATIVE max_by/min_by
+            # hash aggregates (one partial+final pass, O(1) per-group
+            # state — the window row_number()=1 form pays a per-group
+            # sort instead). Rows with a NULL order operand are
+            # ignored, matching both engines. TIES on y are
+            # engine-unspecified everywhere; use a unique order key
+            # for deterministic results.
+            func = "max_by" if v.lower() in ("max_by", "arg_max") else "min_by"
+            arg_expr = self.parse_arith()
+            if not self.accept_op(","):
+                raise ValueError(f"{func}(x, y) takes exactly two arguments")
+            arg2_expr = self.parse_arith()
+            parts = ()
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        elif v.lower() in (
             "percentile_cont", "percentile_disc"
         ) and self.accept_op("("):
             # ANSI inverse-distribution aggregates:
@@ -1723,7 +1748,7 @@ class _Parser:
             func is not None
             and (
                 func.removesuffix("_distinct") in self._AGG_FUNCS
-                or func in ("bool_and", "bool_or")
+                or func in ("bool_and", "bool_or", "max_by", "min_by")
             )
             and self.accept_kw("filter")
         ):
@@ -1755,7 +1780,7 @@ class _Parser:
             )
         if window is not None and func in (
             "string_agg", "percentile_cont", "percentile_disc",
-            "bool_and", "bool_or",
+            "bool_and", "bool_or", "max_by", "min_by",
         ):
             raise ValueError(
                 f"{func} is a grouped aggregate in this "
@@ -1782,6 +1807,7 @@ class _Parser:
             raise ValueError("string_agg(...) requires AS <name>")
         return FieldRef(
             parts, alias, func, window, arg_expr=arg_expr,
+            arg2_expr=arg2_expr,
             filter_expr=filter_expr, ignore_nulls=ignore_nulls,
             within_group=within_group, sep=sep,
         )
@@ -3711,6 +3737,17 @@ def plan(
             if flt is not None:
                 arg = F.when(flt, arg)
             return (F.bool_and if func == "bool_and" else F.bool_or)(arg)
+        if func in ("max_by", "min_by"):
+            # two-arg argmax aggregates: native Spark max_by/min_by
+            # (one JVM-side partial+final hash aggregate). FILTER
+            # composes by nulling the ORDER operand — rows with a
+            # NULL order operand are ignored by the aggregate, which
+            # is exactly the FILTER exclusion semantics.
+            arg = _compile_expr(ref.arg_expr, res, params=params)
+            ordc = _compile_expr(ref.arg2_expr, res, params=params)
+            if flt is not None:
+                ordc = F.when(flt, ordc)
+            return (F.max_by if func == "max_by" else F.min_by)(arg, ordc)
         if func in ("percentile_cont", "percentile_disc"):
             # ANSI inverse-distribution aggregates, lowered to Spark's
             # NATIVE percentile_cont / percentile_disc aggregate

@@ -144,10 +144,21 @@ def streaming_ewma(
             ew, n = None, 0
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(order_cols, kind="mergesort")
-        for v in batch[value_col]:
-            v = float(v)
-            ew = v if n == 0 else a * v + (1.0 - a) * ew
-            n += 1
+        # the recursion is chained through ROUNDING (each a*v+(1-a)*ew
+        # rounds before feeding the next step), so a numpy weighted
+        # cumsum would re-associate and break the bit-match contract
+        # with the batch fold; the honest speedup is hoisting every
+        # per-element conversion/branch out of the loop — one exact
+        # float64->float materialization, constants bound once
+        vals = batch[value_col].to_numpy(dtype="float64").tolist()
+        start = 0
+        if n == 0 and vals:
+            ew = vals[0]
+            start = 1
+        om = 1.0 - a
+        for v in vals[start:]:
+            ew = a * v + om * ew
+        n += len(vals)
         state.update((ew, n))
         row = {k: [str(kv)] for k, kv in zip(key_cols, key)}
         row.update({"ewma": [ew], "n": [n]})
@@ -415,12 +426,21 @@ def streaming_ewma_tws(
                 ew, n = None, 0
             batch = pd.concat(list(rows), ignore_index=True)
             # same in-batch ordering contract as streaming_ewma:
-            # (ts, *order_extra), stable sort
+            # (ts, *order_extra), stable sort; same loop shape too —
+            # rounding-chained recursion, so conversions/branches hoist
+            # out of the loop but the fold itself stays sequential
+            # (bit-match contract with the batch fold)
             batch = batch.sort_values(order_cols, kind="mergesort")
-            for v in batch[value_col]:
-                v = float(v)
-                ew = v if n == 0 else a * v + (1.0 - a) * ew
-                n = int(n) + 1
+            vals = batch[value_col].to_numpy(dtype="float64").tolist()
+            n = int(n)
+            start = 0
+            if n == 0 and vals:
+                ew = vals[0]
+                start = 1
+            om = 1.0 - a
+            for v in vals[start:]:
+                ew = a * v + om * ew
+            n += len(vals)
             self._st.update((ew, n))
             row = {k: [str(kv)] for k, kv in zip(key_cols, key)}
             row.update({"ewma": [ew], "n": [n]})

@@ -122,84 +122,62 @@ def _q(name: str, oracle: str | None):
 # LLM-pipeline families (dedup / text / sampling / similarity /
 # curation); everything else follows in registration order and keeps
 # its local-gate coverage (tests/test_suite_oracle.py runs ALL
-# entries). Rotation policy: entries the driver certified green in a
-# PRIOR round rotate below the fold so never-certified entries get
-# hard signal — cumulative driver-certified coverage grows every
-# round. Round-11 window: the 12 entries that landed after the r10
-# window froze lead, then the round-11 dialect surface (string_agg /
-# GROUPS frames), then — for the FIRST time — the 5 oracle-less
-# ANN/BPE entries (r10-verdict ask #2: the only registry rows with
-# zero driver evidence in 10 rounds; the driver gives them its weaker
-# rows-only check, while their hash-gated certificates
-# ann_recall_certified / ann_append_certified / txt_bpe_roundtrip
-# re-certify IN THE SAME WINDOW so the strong signal rides alongside),
-# then the 5 standing canaries, then re-certification slots refreshing
-# the STALEST cumulative signal (the ROUND-5 cohort remainder, then
-# ROUND-6 in name order). agg_approx_count_distinct /
-# agg_approx_quantiles are r5-stale and oracle-less (approx by design)
-# but already have driver-green history — they stay below the fold.
+# entries). Rotation policy: never-certified entries lead (hard
+# signal first), then the standing canaries, then re-certification
+# slots refreshing the STALEST cumulative vintage — since round 13
+# (ledger closed at 292/292 ever-checked) the window's whole job is
+# recency: no entry's last driver check should age past ~6 rounds.
+# agg_approx_count_distinct / agg_approx_quantiles are oracle-less
+# (approx by design) with driver-green history — below the fold.
 _WINDOW: tuple[str, ...] = (
-    # --- never driver-certified (landed after the r11 freeze) — the
-    # r11 verdict's #1 ask: the 10 TPC-H adaptations + LIMIT WITH TIES
-    # + top-paths. Done = 282-of-282 oracle-paired cumulative green. ---
-    "agg_q2_min_cost_supplier",    # TPC-H Q2 correlated-min supplier
-    "agg_q4_priority_late",        # TPC-H Q4 EXISTS priority count
-    "agg_q9_nation_profit",        # TPC-H Q9 LIKE-part profit
-    "agg_q11_important_stock",     # TPC-H Q11 adapted (no partsupp)
-    "agg_q13_order_distribution",  # TPC-H Q13 left-join histogram
-    "agg_q15_top_supplier",        # TPC-H Q15 view-max top supplier
-    "agg_q16_supplier_count",      # TPC-H Q16 adapted (no partsupp)
-    "agg_q17_small_qty_revenue",   # TPC-H Q17 avg-threshold revenue
-    "agg_q20_promotion_suppliers", # TPC-H Q20 adapted (no partsupp)
-    "agg_q22_idle_customers",      # TPC-H Q22 anti-join + scalar sub
-    "dialect_limit_ties",          # LIMIT n WITH TIES / FETCH FIRST
-    "evt_top_paths",               # top event-path n-gram analytics
-    # --- new round-12 surface (r11-verdict ask #4 + LLM-pipeline
-    # additions; never-certified beats re-cert freshness) ---
-    "dialect_percentile_cont",     # ANSI inverse-distribution cont
-    "dialect_percentile_disc",     # ANSI inverse-distribution disc
-    "txt_winnowing",               # MOSS robust winnowing fingerprints
-    "emb_mmr_rerank",              # MMR diversified retrieval cert
-    "dialect_bool_agg",            # bool_and/every/bool_or + modulo
+    # ROUND-13 window. With the ledger closed (292/292 ever checked,
+    # zero rows-only debt), the window's job is RECENCY (r12-verdict
+    # ask #4): new surface first, then the standing canaries, then the
+    # stalest re-cert cohorts — the full r6 vintage (last certified
+    # round 6) and the round-7 cohort head in name order.
+    # --- new round-13 surface (never driver-certified) ---
+    "dialect_arg_minmax",       # max_by/min_by/arg_max/arg_min aggs
+    "emb_range_search",         # cosine radius query (exact)
+    "txt_collocations_pmi",     # PMI bigram collocations (MWE mining)
+    "doc_interleave_mixture",   # stride-scheduled source interleave
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: ROUND-5 stale remainder (the oracle-less
-    # agg_approx_* stay below the fold per policy: approx by design
-    # with prior driver-green history) ---
-    "txt_bigram_logprob", "txt_gopher_rules", "txt_heavy_hitters",
-    # --- re-certification: ROUND-6 cohort, stalest first.
-    # dedup_semantic leads — the r11 verdict's #2 ask: its 62.5 s
-    # in-suite driver reading needs a FRESH reading riding with the
-    # new per-stage decomposition + warmup-amortized index build. ---
-    "dedup_semantic",
-    "agg_hll_merge_cascade", "agg_q12_priority_lines", "agg_stats",
-    "asof_join_backward", "asof_join_forward", "dedup_minhash_lsh",
-    "dialect_case", "dialect_exists", "dialect_group_expr",
-    "dialect_scalar_fns", "gapfill_interp", "gapfill_locf",
-    "join_anti", "join_cross", "join_full_outer", "join_implicit_where",
-    "join_range_lookup", "pipeline_anomaly", "projection_compute",
-    "resample_first_last", "scan_paged_export", "scan_snapshot_diff",
-    "scan_timerange", "setop_except",
-    # ROUND-13 ROTATION PREP — the r6-stale remainder displaced here:
-    # setop_intersect, stream_cascade_parity, stream_rollup_parity
-    # (displaced by the three mid-round r12 additions above —
-    # never-certified beats re-cert),
-    # ts_ewma, ts_histogram, ts_latest_point, ts_pattern_topk,
-    # ts_rollup_cascade, ts_seasonal_decompose, ts_series_correlation,
-    # ts_time_weighted_avg, ts_zscore_anomaly, txt_quality,
-    # udf_vectorized, where_extended, window_delta, window_rate,
-    # window_topk_per_group; then the ROUND-7 cohort in name order.
+    # --- re-certification: ROUND-6 vintage, the stalest cohort (the
+    # oracle-less r5 agg_approx_* stay below the fold per policy:
+    # approx by design with prior driver-green history) ---
+    "setop_intersect", "stream_cascade_parity", "stream_rollup_parity",
+    "ts_ewma", "ts_histogram", "ts_latest_point", "ts_pattern_topk",
+    "ts_rollup_cascade", "ts_seasonal_decompose",
+    "ts_series_correlation", "ts_time_weighted_avg",
+    "ts_zscore_anomaly", "txt_quality", "udf_vectorized",
+    "where_extended", "window_delta", "window_rate",
+    "window_topk_per_group",
+    # --- re-certification: ROUND-7 cohort head, name order ---
+    "agg_count_distinct", "agg_cube", "agg_grouping_sets",
+    "agg_having", "agg_percentiles", "agg_pivot",
+    "agg_q5_local_revenue", "agg_rollup", "agg_weighted_median",
+    "dedup_substring", "dedup_substring_clean", "dialect_cte",
+    "dialect_derived_table", "dialect_groupby_agg", "dialect_having",
+    "dialect_join", "dialect_join_full", "dialect_join_multikey",
+    "dialect_join_right", "dialect_orderby_limit",
+    "dialect_select_scalar_sub", "doc_pack_tokens", "doc_sample_det",
+    # ROUND-14 ROTATION PREP — the r7 remainder queued next:
+    # doc_shuffle_det, emb_abtt_certified, emb_centroid,
+    # emb_cosine_topk, emb_pca_certified, emb_whiten, join_dims,
+    # join_inner, join_left_outer, join_range, join_semi,
+    # orderby_limit_topk, pipeline_curate, scalar_functions,
+    # seriesfamily_roundtrip, setop_union, stream_outer_join_parity,
+    # stream_upsert_parity, ts_cusum_changepoint, ts_ohlc,
+    # window_counter_increase; then the ROUND-8 cohort in name order.
 )
 
 #: window entries the driver checks ROWS-ONLY (no SQL oracle by
-#: design). EMPTY in round 12: the five oracle-less ANN/BPE entries got
-#: their driver-visible rows-only readings in round 11 (alongside their
-#: hash-gated certificates ann_recall_certified / ann_append_certified
-#: / txt_bpe_roundtrip, all driver-green), so every r12 window slot is
+#: design). EMPTY again in round 13: all 50 slots (4 new r13 entries,
+#: 5 canaries, the full r6-stale vintage, the r7 cohort head) are
 #: oracle-paired — hard hash signal, no wasted slots (pinned by
 #: tests/test_suite_oracle.py).
 _ROWS_ONLY_WINDOWED: frozenset[str] = frozenset()
@@ -9170,6 +9148,48 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return ts_ops.lttb_downsample(
         _ns_events(t), n_out=100, series_cols=("event_type",)
+    )
+
+
+@_q(
+    "dialect_arg_minmax",
+    """
+    SELECT user_id AS uid,
+           max_by(value, event_id) AS v_last,
+           min_by(value, event_id) AS v_first,
+           max_by(value * 2.0, event_id) AS v2_last,
+           max_by(value, event_id) FILTER (WHERE event_id % 2 = 0)
+             AS v_last_even
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-argument argmax aggregates through the dialect front:
+    ``max_by(x, y)`` / ``min_by(x, y)`` (DuckDB/ClickHouse spell them
+    arg_max/arg_min — both spellings parse) return the x of the row
+    with the extremal y. The reference's TiDB grammar accepts the
+    calls before dropping the statement (query/parser/parser.go:
+    25-45); here they lower to Spark's NATIVE max_by/min_by inside
+    the one partial+final hash aggregate — O(1) per-group state, vs
+    the row_number()=1 window form which pays a per-group sort.
+    Determinism discipline: every order operand is the UNIQUE
+    event_id (argmax ties are engine-unspecified everywhere), value
+    doubles pass through unrounded (the selected element is never
+    interpolated), and FILTER composes by nulling the order operand
+    (rows with NULL y are ignored by the aggregate on both
+    engines)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, "
+        "max_by(purchase, purchase.event_id) AS v_last, "
+        "arg_min(purchase, purchase.event_id) AS v_first, "
+        "max_by(purchase * 2.0, purchase.event_id) AS v2_last, "
+        "max_by(purchase, purchase.event_id) FILTER "
+        "(WHERE purchase.event_id % 2 = 0) AS v_last_even "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
     )
 
 

@@ -898,6 +898,36 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_range_search",
+    f"""
+    WITH e AS ({_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)
+    SELECT query_id, b.vec_id AS match_id,
+           {DOT64.format(a='qv', b='b.v')}
+           / (sqrt({DOT64.format(a='qv', b='qv')})
+              * sqrt({DOT64.format(a='b.v', b='b.v')})) AS cos
+    FROM q, e b WHERE b.vec_id != query_id
+      AND {DOT64.format(a='qv', b='b.v')}
+          / (sqrt({DOT64.format(a='qv', b='qv')})
+             * sqrt({DOT64.format(a='b.v', b='b.v')})) >= 0.35
+    """,
+)
+def emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine RANGE search (radius query): every corpus vector
+    with cosine >= 0.35 of each query — the unknowable-k retrieval
+    primitive (operators/similarity.py cosine_range_search). Query
+    side broadcast, corpus streamed, threshold fused into the scan's
+    codegen — zero shuffle, vs top-k's per-query window. Identical
+    fold order into the cosine on both engines (emb_neardup_cosine's
+    certified determinism contract)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return sim.cosine_range_search(
+        e.filter(F.col("vec_id") < 8), e, tau=0.35
+    )
+
+
+@_q(
     "emb_neardup_cosine",
     f"""
     WITH e AS ({_EMB})
@@ -2397,6 +2427,38 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "txt_collocations_pmi",
+    f"""
+    WITH d AS (SELECT {TOKS} AS t FROM documents),
+    p AS (SELECT t[i] AS prev, t[i + 1] AS cur
+          FROM d, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+    u AS (SELECT unnest(t) AS tok FROM d),
+    un AS (SELECT tok, count(*) AS uni_n FROM u GROUP BY tok),
+    nu AS (SELECT count(*) AS n_uni FROM u),
+    bg AS (SELECT prev, cur, count(*) AS pair_n FROM p
+           GROUP BY prev, cur HAVING count(*) >= 5),
+    nb AS (SELECT count(*) AS n_big FROM p)
+    SELECT prev, cur, pair_n::BIGINT AS pair_n,
+           round(ln((CAST(pair_n AS DOUBLE) / CAST(n_big AS DOUBLE))
+                    / ((CAST(a.uni_n AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                       * (CAST(b.uni_n AS DOUBLE)
+                          / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+    FROM bg JOIN un a ON a.tok = prev JOIN un b ON b.tok = cur
+    CROSS JOIN nb CROSS JOIN nu
+    ORDER BY pmi DESC, prev, cur LIMIT 30
+    """,
+)
+def txt_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram collocations by PMI (Church & Hanks 1990) with
+    min_count=5 — multi-word-expression mining over the corpus
+    (operators/text.py collocations_pmi). Identical division
+    structure into ln on both engines + 6dp rounding and a
+    (pmi, prev, cur) total order make the rank cut hash-stable."""
+    t = load_tables(spark, sf_dir)
+    return tx.collocations_pmi(t["documents"], top_k=30, min_count=5)
+
+
+@_q(
     "txt_ngram_novelty",
     f"""
     WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
@@ -2615,6 +2677,43 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_word_count", "ok_mean_word_len", "ok_alpha_words",
         "ok_stopwords", "keep",
     )
+
+
+@_q(
+    "doc_interleave_mixture",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {H32.format(x='CAST(doc_id AS VARCHAR)')}, doc_id
+             ) AS src_rank
+      FROM documents)
+    SELECT doc_id, source, src_rank::BIGINT AS src_rank,
+           CAST(src_rank AS DOUBLE)
+             / (CASE WHEN source = 'src0' THEN 4.0
+                     WHEN source = 'src1' THEN 2.0
+                     ELSE 1.0 END) AS vt
+    FROM r
+    """,
+)
+def doc_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave (stride scheduling /
+    WFQ): every row gets virtual time ``vt = src_rank / weight``
+    (operators/sampling.py interleave_mixture) so ORDER BY vt yields
+    a training order where src0 appears ~4x and src1 ~2x as often as
+    every other source at EVERY epoch prefix — mixture control
+    without dropping rows. The within-source rank runs as the
+    bucketed two-phase scan (no task ranks more than one hash bucket
+    of one source); vt is one IEEE division of the integer rank by a
+    weight literal, bit-exact on both engines."""
+    from boostdb_spark.operators import sampling as smp
+
+    t = load_tables(spark, sf_dir)
+    return smp.interleave_mixture(
+        t["documents"].select("doc_id", "source"),
+        weights={"src0": 4.0, "src1": 2.0},
+    ).select("doc_id", "source", "src_rank", "vt")
 
 
 @_q(

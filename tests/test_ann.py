@@ -487,3 +487,48 @@ def test_mmr_rerank_negative_similarity_rewards(spark):
     # candidate 3's negative max-sim bonus must beat candidate 2's
     # higher relevance: score(3) = .5*rel3 - .5*(neg) > score(2)
     assert [r.match_id for r in got] == [1, 3], got
+
+
+def test_mmr_rerank_string_ids(spark):
+    """The applyInPandas output schema derives the id type from the
+    input (r12 ADVICE): string doc ids must round-trip unchanged, not
+    be coerced to long."""
+    dim = 4
+
+    def v(*xs):
+        return list(xs) + [0.0] * (dim - len(xs))
+
+    rows = [
+        ("q", v(1.0, 0.0)),
+        ("a", v(1.0, 0.05)),
+        ("b", v(1.0, 0.06)),
+        ("c", v(0.7, 0.0, 0.7)),
+    ]
+    df = spark.createDataFrame(rows, "doc STRING, embedding ARRAY<DOUBLE>")
+    q = df.filter(F.col("doc") == "q")
+    got = (
+        sim.mmr_rerank(q, df, k=2, lam=0.5, pool=3, id_col="doc")
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r.match_id for r in got] == ["a", "c"], got
+    assert got[0].query_id == "q"
+
+
+def test_cosine_range_search_matches_bruteforce_filter(spark):
+    """Range search == brute-force all-pairs cosine filtered at tau,
+    restricted to the query rows — same fold, same exclusions."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    tau = 0.3
+    got = sim.cosine_range_search(q, emb, tau=tau)
+    # reference: score every (query, corpus) pair via cosine_topk with
+    # k = corpus size (no cut), then filter
+    n = emb.count()
+    ref = (
+        sim.cosine_topk(q, emb, k=n)
+        .filter(F.col("cos") >= tau)
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    assert got.count() > 0  # tau chosen so the fixture yields matches

@@ -2927,3 +2927,53 @@ def test_fetch_first_ansi_spelling(spark):
         b,
     ).collect()
     assert a == c
+
+
+def test_arg_minmax_rules(spark):
+    """max_by/min_by (arg_max/arg_min) two-argument aggregates
+    (round 13): parse both spellings, refuse the window form, lower
+    to native max_by/min_by, compose with FILTER."""
+    q = parse(
+        "SELECT k.a AS g, max_by(k.x, k.c) AS last_x, "
+        "arg_min(k.x, k.c) AS first_x FROM d.f k GROUP BY k.a"
+    )
+    assert q.fields[1].func == "max_by"
+    assert q.fields[2].func == "min_by"  # arg_min is an alias
+    assert q.fields[1].arg2_expr is not None
+    with pytest.raises(ValueError, match="two arguments"):
+        parse("SELECT max_by(k.x) AS m FROM d.f k GROUP BY k.a")
+    with pytest.raises(ValueError, match="window"):
+        parse(
+            "SELECT max_by(k.x, k.c) OVER (PARTITION BY k.a) AS m "
+            "FROM d.f k"
+        )
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "max_by(click, click.event_id) AS v_last, "
+        "min_by(click, click.event_id) AS v_first, "
+        "max_by(click, click.event_id) FILTER "
+        "(WHERE click.event_id % 2 = 0) AS v_last_even "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    rows = {r.uid: (r.v_last, r.v_first, r.v_last_even) for r in got.collect()}
+    manual = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("v_last"),
+            F.min_by("value", "event_id").alias("v_first"),
+            F.max_by(
+                F.col("value"),
+                F.when(F.col("event_id") % 2 == 0, F.col("event_id")),
+            ).alias("v_last_even"),
+        )
+        .collect()
+    )
+    for r in manual:
+        assert rows[r.user_id] == (r.v_last, r.v_first, r.v_last_even)

@@ -529,3 +529,67 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     a = {r.fp for r in fps.filter(F.col("doc_id") == 1).collect()}
     b = {r.fp for r in fps.filter(F.col("doc_id") == 2).collect()}
     assert a & b, "shared 6-token run must share a fingerprint"
+
+
+def test_winnowing_pos_overflow_raises(spark, monkeypatch):
+    """Out-of-contract documents (>= 2^20 k-grams) must FAIL LOUDLY,
+    not silently corrupt the packed fingerprint key (r12 ADVICE). The
+    budget is monkeypatched small so the guard trips without a
+    million-token fixture."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(tx, "_WINNOW_POS_SPAN", 8)
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40)))],
+        "doc_id LONG, text STRING",
+    )
+    with _pytest.raises(Exception, match="chunk_documents"):
+        tx.winnowing_fingerprints(df, k=3, w=4).collect()
+
+
+def test_collocations_pmi_crafted(spark):
+    """PMI ranks the always-together rare pair above the frequent
+    independent pair, and min_count drops hapax pairs."""
+    # "strong tea" occurs 3x and its tokens occur ONLY together;
+    # "the cat"/"the dog" mix freely so PMI(the, *) is low;
+    # "unique pair" occurs once -> dropped at min_count=2
+    docs = [
+        (1, "strong tea " + "the cat the dog " * 3),
+        (2, "strong tea the dog the cat unique pair"),
+        (3, "strong tea the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = tx.collocations_pmi(df, top_k=5, min_count=2).collect()
+    assert got, "expected collocations"
+    assert (got[0].prev, got[0].cur) == ("strong", "tea")
+    pairs = {(r.prev, r.cur) for r in got}
+    assert ("unique", "pair") not in pairs
+    # PMI must be positive for the genuinely associated pair
+    assert got[0].pmi > 0
+
+
+def test_interleave_mixture_prefix_ratio(spark):
+    """Stride scheduling: at every epoch prefix the weight-3 source
+    has contributed ~3x the rows of each weight-1 source (within one
+    stride), and vt is exactly rank/weight."""
+    from boostdb_spark.operators import sampling as smp
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = smp.interleave_mixture(df, weights={"a": 3.0}).collect()
+    by = {(r.source, r.src_rank): r.vt for r in out}
+    for (src, rank), vt in by.items():
+        w = 3.0 if src == "a" else 1.0
+        assert vt == rank / w
+    ordered = sorted(out, key=lambda r: (r.vt, r.source, r.src_rank))
+    # in any prefix ending at a weight-1 row's vt boundary, counts
+    # respect the 3:1 ratio within one stride
+    for cut in (20, 60, 120):
+        prefix = ordered[:cut]
+        na = sum(1 for r in prefix if r.source == "a")
+        nb = cut - na
+        assert abs(na - 3 * nb) <= 4, (cut, na, nb)
+    # ranks are a permutation of 1..n per source
+    for s in ("a", "b"):
+        ranks = sorted(r.src_rank for r in out if r.source == s)
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -118,12 +118,21 @@ def build(spark) -> None:
         toks = F.split(F.col("text"), " ")
         n = F.greatest(F.size(toks), F.lit(1))
         primes = [3, 5, 7, 11, 13, 17, 19, 23, 29]
-        c0, c1, c2 = (primes[(i + k) % len(primes)] for k in range(3))
-        stride = (
-            F.when(n % c0 != 0, F.lit(c0))
-            .when(n % c1 != 0, F.lit(c1))
-            .otherwise(F.lit(c2))
-        )
+        # fold the when-chain over ALL rotated primes: any n below
+        # prod(primes) ~ 3.2e9 tokens has a coprime among nine distinct
+        # primes (n has at most log_3(n) < 20 prime divisors, but only
+        # 9 CAN divide it and their product bounds n), so the stride is
+        # always a true bijection — a 3-prime fallback let counts
+        # divisible by all three (e.g. 105) collapse the 'permutation'
+        # into a short cycle
+        rotated = [primes[(i + j) % len(primes)] for j in range(len(primes))]
+        stride = None
+        for p in rotated[:-1]:
+            branch = (n % p != 0, F.lit(p))
+            stride = (
+                F.when(*branch) if stride is None else stride.when(*branch)
+            )
+        stride = stride.otherwise(F.lit(rotated[-1]))
         perm = F.transform(
             F.sequence(F.lit(0), n - 1),
             lambda j: F.element_at(toks, ((j * stride) % n) + 1),
