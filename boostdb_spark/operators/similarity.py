@@ -650,6 +650,66 @@ def ivf_ann_topk(
     over the SAME centroids) so the corpus assignment pass is paid at
     ingest, not per query; ``corpus`` is then unused for candidate
     generation."""
+    scored = _ivf_scored(
+        queries, corpus, n_centroids, n_probe, id_col, vec_col,
+        centroids, index,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    tau: float,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-accelerated cosine RANGE search — the scale path for
+    :func:`cosine_range_search`: candidates come from each query's
+    ``n_probe`` nearest inverted lists (the same coarse quantizer as
+    :func:`ivf_ann_topk`), then the exact cosine threshold filters
+    them. Returns (query_id, match_id, cos), a SUBSET of the exact
+    range result with bit-identical scores (identical fold_dot
+    arithmetic — approximation may only LOSE matches beyond the probed
+    lists, never mis-score one); recall rises with n_probe and hits 1
+    at n_probe = n_centroids.
+
+    Scale shape: one equi-join on list id (corpus*n_probe/n_centroids
+    candidates per query) + a codegen filter — NO per-query window at
+    all, so unlike top-k there is zero shuffle after the join; with
+    ``index=`` the corpus assignment is ingest-amortized."""
+    scored = _ivf_scored(
+        queries, corpus, n_centroids, n_probe, id_col, vec_col,
+        centroids, index,
+    )
+    return scored.filter(F.col("cos") >= tau)
+
+
+def _ivf_scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]] | None,
+    index: DataFrame | None,
+) -> DataFrame:
+    """Shared IVF candidate generation + exact scoring: assign queries
+    to n_probe lists, equi-join the inverted file, score each candidate
+    with the exact fold_dot cosine. Consumers cut top-k (window) or
+    threshold (filter)."""
     q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
     if index is not None:
         if centroids is None:
@@ -689,14 +749,7 @@ def ivf_ann_topk(
         # no dedup needed: each corpus vector lives in exactly one list,
         # and a query probes n_probe DISTINCT lists
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return scored
 
 
 def lsh_ann_topk(

@@ -1456,6 +1456,16 @@ class _Parser:
         return FieldRef(tuple(v.split(".")))
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
+    #: statistical aggregates -> canonical (Spark-native) name.
+    #: stddev/variance are the _samp ANSI defaults, as in DuckDB/Spark.
+    _STAT_AGGS = {
+        "stddev": "stddev_samp", "stddev_samp": "stddev_samp",
+        "stddev_pop": "stddev_pop",
+        "variance": "var_samp", "var_samp": "var_samp",
+        "var_pop": "var_pop",
+        "corr": "corr",
+        "covar_samp": "covar_samp", "covar_pop": "covar_pop",
+    }
     _RANK_FUNCS = (
         "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
         "ntile",
@@ -1498,14 +1508,26 @@ class _Parser:
         f = self.parse_field()
         nxt = self.peek()
         if (
-            f.func is None
-            and f.alias is None
+            f.alias is None
             and nxt[0] == "op"
-            and nxt[1] in ("+", "-", "*", "/")
+            and nxt[1] in ("+", "-", "*", "/", "%")
+            and (
+                f.func is None
+                or (
+                    f.window is None
+                    and f.filter_expr is None
+                    and not f.within_group
+                    and f.arg_expr is None
+                    and f.func.removesuffix("_distinct") in self._AGG_FUNCS
+                )
+            )
         ):
-            # plain ref followed by an arithmetic operator: re-parse the
-            # whole item as an expression (the ref becomes its first
-            # operand, same sugar resolution)
+            # plain ref OR plain-column aggregate call followed by an
+            # arithmetic operator: re-parse the whole item as an
+            # expression (the ref/agg becomes its first operand, same
+            # sugar resolution). This is what lets sum(a)/sum(b) ratio
+            # aggregates parse — the operand grammar re-parses the
+            # aggregate call (plain column args only, like HAVING).
             self.i = mark
             return self._finish_computed(self.parse_arith())
         return f
@@ -1634,6 +1656,22 @@ class _Parser:
             parts = ()
             if not self.accept_op(")"):
                 raise ValueError(f"unbalanced parenthesis in {func}(...)")
+        elif v.lower() in self._STAT_AGGS and self.accept_op("("):
+            # statistical aggregates: one-arg stddev/variance family
+            # and two-arg corr/covar — lowered to Spark's native
+            # Welford-style aggregates (one partial+final pass).
+            # Cross-engine hash certification requires a rounding
+            # fence (different engines accumulate central moments in
+            # different orders); the suite entry rounds 6dp.
+            func = self._STAT_AGGS[v.lower()]
+            arg_expr = self.parse_arith()
+            parts = ()
+            if func in ("corr", "covar_samp", "covar_pop"):
+                if not self.accept_op(","):
+                    raise ValueError(f"{func}(x, y) takes two arguments")
+                arg2_expr = self.parse_arith()
+            if not self.accept_op(")"):
+                raise ValueError(f"unbalanced parenthesis in {func}(...)")
         elif v.lower() in (
             "max_by", "min_by", "arg_max", "arg_min"
         ) and self.accept_op("("):
@@ -1749,6 +1787,7 @@ class _Parser:
             and (
                 func.removesuffix("_distinct") in self._AGG_FUNCS
                 or func in ("bool_and", "bool_or", "max_by", "min_by")
+                or func in self._STAT_AGGS.values()
             )
             and self.accept_kw("filter")
         ):
@@ -1781,6 +1820,7 @@ class _Parser:
         if window is not None and func in (
             "string_agg", "percentile_cont", "percentile_disc",
             "bool_and", "bool_or", "max_by", "min_by",
+            "corr", "covar_samp", "covar_pop",
         ):
             raise ValueError(
                 f"{func} is a grouped aggregate in this "
@@ -2235,6 +2275,26 @@ class _Parser:
                 if not self.accept_op(")"):
                     raise ValueError(f"unbalanced parenthesis in {fn}(...)")
                 return Expr("fn", op=fn, children=args)
+            # one-arg statistical-aggregate operand
+            # (round(stddev_samp(x), 6), HAVING var_pop(x) > 2) —
+            # plain column argument, like the branch below; the
+            # two-arg corr/covar stay direct select aggregates only
+            if (
+                v.lower() in self._STAT_AGGS
+                and self._STAT_AGGS[v.lower()]
+                not in ("corr", "covar_samp", "covar_pop")
+                and self.peek() == ("op", "(")
+            ):
+                self.next()
+                func = self._STAT_AGGS[v.lower()]
+                k2, inner = self.name_next()
+                if k2 != "name":
+                    raise ValueError(
+                        f"expected column in {func}(...), got {inner!r}"
+                    )
+                if not self.accept_op(")"):
+                    raise ValueError(f"unbalanced parenthesis in {func}(...)")
+                return Expr("ref", value=FieldRef(tuple(inner.split(".")), None, func))
             # aggregate-call operand (HAVING count(*) > 2, HAVING avg(x) < y)
             if v.lower() in self._AGG_FUNCS and self.peek() == ("op", "("):
                 self.next()
@@ -3132,6 +3192,14 @@ def _window_exclude(func, xc, wref, wspec, wnoframe, agg_map):
     return excl_sum / excl_cnt  # avg: NULL when the exclusion empties
 
 
+#: statistical aggregate lowering map (canonical name -> Spark native)
+_STAT_AGG_FNS = {
+    "stddev_samp": F.stddev_samp, "stddev_pop": F.stddev_pop,
+    "var_samp": F.var_samp, "var_pop": F.var_pop,
+    "corr": F.corr, "covar_samp": F.covar_samp, "covar_pop": F.covar_pop,
+}
+
+
 def plan(
     spark: SparkSession,
     q: BoostQuery,
@@ -3283,7 +3351,8 @@ def plan(
                 res.resolve(r)
         if f.expr is not None:
             for r in _expr_refs(f.expr):
-                res.resolve(r)  # register referenced series pre-scan
+                if r.parts:  # count(*) refs have no column to register
+                    res.resolve(r)  # register referenced series pre-scan
             sel.append((f.alias, None, None, f))
             continue
         if f.arg_expr is not None:  # agg over an expression argument
@@ -3306,15 +3375,42 @@ def plan(
         for g in q.group_by
         if len(g.parts) == 1 and g.parts[0] in computed_exprs
     }
+    # a computed item whose refs are ALL aggregate calls is a
+    # POST-AGGREGATION expression (sum(a)/sum(b) ratios,
+    # round(avg(x), 2), sqrt(sum(x)) — the ANSI expressions-over-
+    # aggregates surface): its aggregate refs compile into the one
+    # partial+final hash aggregate (reusing matching select entries or
+    # hidden columns, the HAVING machinery) and the arithmetic applies
+    # to the aggregated row afterwards. Not combinable with windowed
+    # select items (different execution shape).
+    post_agg_computed = (
+        {
+            f.alias
+            for f in q.fields
+            if f.expr is not None
+            and f.alias
+            and f.alias not in group_computed
+            and (lambda rs: bool(rs) and all(r.func is not None for r in rs))(
+                list(_expr_refs(f.expr))
+            )
+        }
+        if not any(f.window for f in q.fields)
+        else set()
+    )
     stray_computed = [
         f.alias
         for f in q.fields
-        if f.expr is not None and f.alias not in group_computed
+        if f.expr is not None
+        and f.alias not in group_computed
+        and f.alias not in post_agg_computed
     ]
-    if stray_computed and (q.group_by or any(f.func for f in q.fields)):
+    if stray_computed and (
+        q.group_by or post_agg_computed or any(f.func for f in q.fields)
+    ):
         raise ValueError(
             "computed select expressions must be GROUP BY keys (by their "
-            "AS alias) when mixed with grouping or aggregate calls; "
+            "AS alias) or expressions over aggregate calls when mixed "
+            "with grouping or aggregate calls; "
             f"{stray_computed} are neither grouped nor aggregated"
         )
     # WHERE splits into plain conjuncts (one Catalyst filter, pushed
@@ -3715,7 +3811,12 @@ def plan(
                # API — compiled via F.expr, still the one JVM-side
                # partial+final hash aggregate)
                "sum_distinct": F.sum_distinct,
-               "min_distinct": F.min, "max_distinct": F.max}
+               "min_distinct": F.min, "max_distinct": F.max,
+               # one-arg statistical aggregates (plain-column form, so
+               # they also resolve through post_name hidden columns
+               # inside HAVING / post-aggregation expressions)
+               "stddev_samp": F.stddev_samp, "stddev_pop": F.stddev_pop,
+               "var_samp": F.var_samp, "var_pop": F.var_pop}
 
     def _agg_col(col, func, ref):
         flt = (
@@ -3737,6 +3838,18 @@ def plan(
             if flt is not None:
                 arg = F.when(flt, arg)
             return (F.bool_and if func == "bool_and" else F.bool_or)(arg)
+        if func in _STAT_AGG_FNS:
+            # statistical aggregates: native Welford-style partial+
+            # final; FILTER composes by nulling the (first) operand —
+            # corr/covar skip rows where EITHER operand is null, so
+            # one nulled side excludes the row
+            arg = _compile_expr(ref.arg_expr, res, params=params)
+            if flt is not None:
+                arg = F.when(flt, arg)
+            if ref.arg2_expr is not None:
+                arg2 = _compile_expr(ref.arg2_expr, res, params=params)
+                return _STAT_AGG_FNS[func](arg, arg2)
+            return _STAT_AGG_FNS[func](arg)
         if func in ("max_by", "min_by"):
             # two-arg argmax aggregates: native Spark max_by/min_by
             # (one JVM-side partial+final hash aggregate). FILTER
@@ -3826,7 +3939,11 @@ def plan(
     ]
     post_name = None
     hidden: dict[tuple, str] = {}
-    if q.group_by or aggs:
+    post_agg_fields = [
+        f for f in q.fields
+        if f.expr is not None and f.alias in post_agg_computed
+    ]
+    if q.group_by or aggs or post_agg_fields:
         # a group key keeps the SELECT item's alias when one names the
         # same physical column (SELECT a.x AS k ... GROUP BY a.x must
         # output column k, not x)
@@ -3929,11 +4046,16 @@ def plan(
             return hidden[key]
 
         # pre-register hidden aggregates referenced by HAVING / ORDER BY
+        # and by post-aggregation computed expressions (they must all
+        # land inside the ONE .agg() pass)
         if q.having is not None:
             for ref in _expr_refs(q.having):
                 post_name(ref)
         for ref, _desc, _nulls in q.order_by:
             post_name(ref)
+        for f in post_agg_fields:
+            for ref in _expr_refs(f.expr):
+                post_name(ref)
 
         if gcols:
             if q.group_mode == "rollup":
@@ -3969,6 +4091,16 @@ def plan(
                 df = df.select(*gcols).distinct()
         else:
             df = df.agg(*aggs)  # global aggregate
+        # post-aggregation computed projections: arithmetic over the
+        # aggregated row's columns — plain Catalyst expressions, no
+        # second aggregate pass (refs resolved through post_name into
+        # select aliases / hidden aggregate columns above)
+        for f in post_agg_fields:
+            df = df.withColumn(
+                f.alias,
+                _compile_expr(f.expr, res, name_of=post_name,
+                              params=params),
+            )
     elif windowed:
         # analytic select: each fn(...) OVER (...) compiles to a Spark
         # Window — partitioned (and, for ranking/navigation, ordered)

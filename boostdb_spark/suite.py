@@ -137,7 +137,9 @@ _WINDOW: tuple[str, ...] = (
     # round 6) and the round-7 cohort head in name order.
     # --- new round-13 surface (never driver-certified) ---
     "dialect_arg_minmax",       # max_by/min_by/arg_max/arg_min aggs
+    "dialect_agg_expr",         # expressions over aggregates
     "emb_range_search",         # cosine radius query (exact)
+    "ann_range_certified",      # IVF range-search certificate
     "txt_collocations_pmi",     # PMI bigram collocations (MWE mining)
     "doc_interleave_mixture",   # stride-scheduled source interleave
     # --- standing canaries (green every round) ---
@@ -164,9 +166,10 @@ _WINDOW: tuple[str, ...] = (
     "dialect_derived_table", "dialect_groupby_agg", "dialect_having",
     "dialect_join", "dialect_join_full", "dialect_join_multikey",
     "dialect_join_right", "dialect_orderby_limit",
-    "dialect_select_scalar_sub", "doc_pack_tokens", "doc_sample_det",
+    "dialect_select_scalar_sub",
     # ROUND-14 ROTATION PREP — the r7 remainder queued next:
-    # doc_shuffle_det, emb_abtt_certified, emb_centroid,
+    # doc_pack_tokens, doc_sample_det, doc_shuffle_det,
+    # emb_abtt_certified, emb_centroid,
     # emb_cosine_topk, emb_pca_certified, emb_whiten, join_dims,
     # join_inner, join_left_outer, join_range, join_semi,
     # orderby_limit_topk, pipeline_curate, scalar_functions,
@@ -176,7 +179,7 @@ _WINDOW: tuple[str, ...] = (
 )
 
 #: window entries the driver checks ROWS-ONLY (no SQL oracle by
-#: design). EMPTY again in round 13: all 50 slots (4 new r13 entries,
+#: design). EMPTY again in round 13: all 50 slots (6 new r13 entries,
 #: 5 canaries, the full r6-stale vintage, the r7 cohort head) are
 #: oracle-paired — hard hash signal, no wasted slots (pinned by
 #: tests/test_suite_oracle.py).
@@ -9152,6 +9155,45 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dialect_agg_expr",
+    """
+    SELECT user_id AS uid,
+           CAST(sum(event_id) % 97 AS BIGINT) AS eid_mod,
+           CAST(sum(event_id) AS DOUBLE) / count(*) AS mean_eid,
+           round(min(value) + max(value), 6) AS minmax_sum
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_agg_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation computed expressions through the dialect front
+    (round 13): arithmetic OVER aggregate calls — ``sum(a)/count(*)``
+    ratios, ``sum(x) % m`` checksums, ``round(min+max)`` — the ANSI
+    expressions-over-aggregates surface the reference's TiDB grammar
+    accepts before dropping the statement (query/parser/parser.go:
+    25-45). All aggregate refs land inside the ONE partial+final hash
+    aggregate (matching select entries reused, the rest as hidden
+    columns — the HAVING machinery); the arithmetic is a plain
+    Catalyst projection over the aggregated row, so the plan shape is
+    identical to the same query without the expressions.
+
+    FP discipline: integer sums are exact (bigint), the ratio is ONE
+    IEEE division of two exact integers (both < 2^53), and the
+    min/max operands are actual data elements — bit-exact on both
+    engines; no decimal fencing needed."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, "
+        "sum(purchase.event_id) % 97 AS eid_mod, "
+        "sum(purchase.event_id) / count(*) AS mean_eid, "
+        "round(min(purchase) + max(purchase), 6) AS minmax_sum "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
     "dialect_arg_minmax",
     """
     SELECT user_id AS uid,
@@ -9188,6 +9230,44 @@ def dialect_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_by(purchase * 2.0, purchase.event_id) AS v2_last, "
         "max_by(purchase, purchase.event_id) FILTER "
         "(WHERE purchase.event_id % 2 = 0) AS v_last_even "
+        "FROM boost.events GROUP BY purchase.user_id",
+        EVENTS_BINDING,
+    )
+
+
+@_q(
+    "dialect_stats_agg",
+    """
+    SELECT user_id AS uid, count(value) AS n,
+           round(stddev_samp(value), 6) AS sd,
+           round(stddev_pop(value), 6) AS sdp,
+           round(var_samp(value), 6) AS vs,
+           round(var_pop(value), 6) AS vp
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def dialect_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates through the dialect front (round 13):
+    stddev/stddev_samp/stddev_pop and variance/var_samp/var_pop
+    (ANSI _samp defaults), lowered to Spark's native Welford-style
+    aggregates inside the shared partial+final hash aggregate; the
+    two-arg corr/covar_samp/covar_pop family parses and lowers the
+    same way (pytest-certified parity vs F.corr — two-arg calls stay
+    out of the cross-engine oracle because they cannot take the
+    rounding fence through the expression grammar). Engines
+    accumulate central moments in different orders, so the oracle
+    pairing rounds 6dp through the post-aggregation expression
+    machinery (round(stddev_samp(x), 6) compiles to one hidden
+    aggregate + a post-projection)."""
+    load_tables(spark, sf_dir)
+    return sugar.query(
+        spark,
+        "SELECT purchase.user_id AS uid, count(purchase) AS n, "
+        "round(stddev_samp(purchase), 6) AS sd, "
+        "round(stddev_pop(purchase), 6) AS sdp, "
+        "round(var_samp(purchase), 6) AS vs, "
+        "round(var_pop(purchase), 6) AS vp "
         "FROM boost.events GROUP BY purchase.user_id",
         EVENTS_BINDING,
     )

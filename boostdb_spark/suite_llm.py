@@ -770,8 +770,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest time; each batch probes the persisted index. The oracle is
     the brute-force exact cross computation: at the fixture's pair
     distribution (true pairs >= 0.889) the banding miss probability
-    is ~1e-11, so the LSH probe equals exact output
-    deterministically."""
+    is (1 - 0.889^3)^16 ~ 3.6e-9 (48x(16x3) banding — the r13
+    scale sizing, see dedup_minhash_lsh), so the LSH probe equals
+    exact output deterministically."""
     import os
     from urllib.parse import urlparse
 
@@ -796,7 +797,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         gc_stale_layouts(wh, "suite_dedupidx_")
         banded, shingles_tbl = dd.build_dedup_index(
-            existing, num_hashes=32, bands=16, n=3
+            existing, num_hashes=48, bands=16, n=3
         )
         banded.write.mode("overwrite").parquet(os.path.join(base, "bands"))
         shingles_tbl.write.mode("overwrite").parquet(
@@ -811,22 +812,33 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(base, "shingles")),
     )
     return dd.incremental_dedup(
-        existing, incoming, threshold=0.8, num_hashes=32, bands=16, n=3,
+        existing, incoming, threshold=0.8, num_hashes=48, bands=16, n=3,
         index=index,
     )
 
 
 @_q("dedup_minhash_lsh", _NGRAM_ORACLE.format(thr=0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(16 bands x 2 rows) candidates, exact-Jaccard
+    """MinHash(48) + LSH(16 bands x 3 rows) candidates, exact-Jaccard
     verified at 0.8. The oracle is the brute-force exact computation:
     at the fixture's pair distribution (all true pairs >= 0.889) the
-    banding miss probability is ~1e-11 per pair, so LSH output ==
-    exact output deterministically; precision is exact by
-    construction (candidates are verified)."""
+    banding miss probability is (1 - 0.889^3)^16 ~ 3.6e-9 per pair,
+    so LSH output == exact output deterministically; precision is
+    exact by construction (candidates are verified).
+
+    Banding sizing is a SCALE decision the r13 sf10 probe forced: the
+    previous 32x(16x2) banding has an S-curve midpoint at
+    (1/16)^(1/2) = 0.25 — far below the 0.8 threshold — so its
+    spurious-candidate term (~bands * J_background^2 * N^2) dominated
+    two decades up: measured DISTINCT candidates 425k (sf1) ->
+    17.6M (sf10), 41x per decade, wall 52.7 -> 1086 s (20.6x). r=3
+    moves the midpoint to (1/16)^(1/3) = 0.40 and cuts the spurious
+    coefficient by J_background: 249k -> 1.73M candidates (6.9x,
+    ~true-pair-growth-bound), at 1.5x signature cost and with the
+    miss probability still certifiable-negligible."""
     t = load_tables(spark, sf_dir)
     return dd.minhash_lsh_pairs(
-        t["documents"], threshold=0.8, num_hashes=32, bands=16, n=3
+        t["documents"], threshold=0.8, num_hashes=48, bands=16, n=3
     )
 
 
@@ -1504,6 +1516,96 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("ivf", ivf, cos_bad(ivf))
         .unionByName(row("lsh", lsh, cos_bad(lsh)))
         .unionByName(row("pq", pq, pq_bad))
+    )
+
+
+@_q(
+    "ann_range_certified",
+    """
+    SELECT true AS nonempty, true AS subset_exact,
+           true AS recall_floor_met, true AS full_probe_complete
+    """,
+)
+def ann_range_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED certificate for IVF RANGE search (similarity.py
+    ivf_range_search — the scale path for cosine_range_search): one
+    boolean row the oracle pins all-TRUE.
+
+    - nonempty: the exact range result at tau=0.35 has matches (the
+      other booleans cannot pass vacuously).
+    - subset_exact: every IVF-range row exists in the exact range
+      result with a BIT-EQUAL cosine — probing fewer lists may only
+      LOSE matches, never mis-score or invent one (identical fold_dot
+      arithmetic, the ann_recall_certified contract applied to range
+      retrieval).
+    - recall_floor_met: at n_probe=4 of 16 lists the IVF result keeps
+      >= 40% of the exact matches across the probe queries (floor
+      verified at sf0.001/0.01/0.1; range matches concentrate in the
+      query's own cell neighborhood, so probed recall sits far above
+      the 25% list fraction).
+    - full_probe_complete: at n_probe = n_centroids the IVF range
+      result is EXACTLY the exact result (count equality both ways on
+      top of subset_exact's score check) — the recall dial provably
+      ends at 1.
+    """
+    import os
+
+    midx = _ann_index(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    tau = 0.35
+    idx = spark.read.parquet(os.path.join(midx["path"], "ivf"))
+    exact = sim.cosine_range_search(q, e, tau=tau).localCheckpoint(
+        eager=False
+    )
+    approx = sim.ivf_range_search(
+        q, e, tau=tau, n_probe=4, centroids=midx["centroids"], index=idx
+    )
+    full = sim.ivf_range_search(
+        q, e, tau=tau, n_probe=len(midx["centroids"]),
+        centroids=midx["centroids"], index=idx,
+    )
+    bad = approx.join(
+        exact.withColumnRenamed("cos", "cos_x"),
+        ["query_id", "match_id"],
+        "left",
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("cos_x").isNull() | (F.col("cos") != F.col("cos_x")),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+        F.count("*").alias("n_approx"),
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    full_sym = full.join(
+        exact.withColumnRenamed("cos", "cos_x"),
+        ["query_id", "match_id"],
+        "full",
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("cos").isNull()
+                | F.col("cos_x").isNull()
+                | (F.col("cos") != F.col("cos_x")),
+                1,
+            ).otherwise(0)
+        ).alias("full_bad")
+    )
+    return (
+        bad.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(full_sym))
+        .select(
+            (F.col("n_exact") > 0).alias("nonempty"),
+            (F.col("bad") == 0).alias("subset_exact"),
+            (
+                F.col("n_approx").cast("double")
+                >= 0.4 * F.col("n_exact").cast("double")
+            ).alias("recall_floor_met"),
+            (F.col("full_bad") == 0).alias("full_probe_complete"),
+        )
     )
 
 

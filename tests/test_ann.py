@@ -532,3 +532,17 @@ def test_cosine_range_search_matches_bruteforce_filter(spark):
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
     assert got.count() > 0  # tau chosen so the fixture yields matches
+
+
+def test_ivf_range_search_subset_and_full_probe(spark):
+    """IVF range search returns a SUBSET of the exact range result with
+    bit-equal scores; at n_probe = n_centroids it equals it exactly."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    tau = 0.3
+    exact = sim.cosine_range_search(q, emb, tau=tau)
+    approx = sim.ivf_range_search(q, emb, tau=tau, n_centroids=8, n_probe=2)
+    assert approx.exceptAll(exact).count() == 0  # subset, scores equal
+    full = sim.ivf_range_search(q, emb, tau=tau, n_centroids=8, n_probe=8)
+    assert full.exceptAll(exact).count() == 0
+    assert exact.exceptAll(full).count() == 0

@@ -2977,3 +2977,121 @@ def test_arg_minmax_rules(spark):
     )
     for r in manual:
         assert rows[r.user_id] == (r.v_last, r.v_first, r.v_last_even)
+
+
+def test_post_agg_expression_rules(spark):
+    """Expressions over aggregate calls (round 13): sum/count ratios,
+    round(avg), modulo checksums — compiled into the one hash
+    aggregate + a post-projection; windowed mixes stay rejected."""
+    q = parse(
+        "SELECT k.a AS g, sum(k.x) / count(*) AS r FROM d.f k "
+        "GROUP BY k.a"
+    )
+    assert q.fields[1].expr is not None
+    # truly stray computed items still refuse
+    with pytest.raises(ValueError, match="neither grouped nor aggregated"):
+        parse_plan_reject = sugar.query  # noqa: F841 (planner-side check below)
+        from boostdb_spark.plans.sugar import plan as _plan
+        _plan(
+            spark,
+            parse("SELECT k.x + 1 AS y, sum(k.x) AS s FROM d.f k GROUP BY k.a"),
+            _events_binding(spark),
+        )
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "sum(click.event_id) % 97 AS m, "
+        "sum(click.event_id) / count(*) AS mean_eid, "
+        "round(avg(click), 2) AS a2, "
+        "sum(click) AS s, sum(click) % 5.0 AS s_mod "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    rows = {r.uid: (r.m, r.mean_eid, r.a2, r.s_mod) for r in got.collect()}
+    manual = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            (F.sum("event_id") % 97).alias("m"),
+            (F.sum("event_id") / F.count(F.lit(1))).alias("mean_eid"),
+            F.round(F.avg("value"), 2).alias("a2"),
+            (F.sum("value") % 5.0).alias("s_mod"),
+        )
+        .collect()
+    )
+    for r in manual:
+        assert rows[r.user_id] == (r.m, r.mean_eid, r.a2, r.s_mod)
+    # global (no GROUP BY) aggregate expression
+    g = sugar.query(
+        spark,
+        "SELECT sum(click.event_id) / count(*) AS mean_eid "
+        "FROM boost.events",
+        b,
+    ).collect()
+    mg = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .agg((F.sum("event_id") / F.count(F.lit(1))).alias("x"))
+        .collect()[0][0]
+    )
+    assert g[0].mean_eid == mg
+
+
+def test_stat_aggregates_rules(spark):
+    """stddev/variance/corr/covar dialect aggregates (round 13):
+    native lowering parity vs the DataFrame API, FILTER composition,
+    and the two-arg window refusal."""
+    q = parse(
+        "SELECT k.a AS g, stddev(k.x) AS sd, variance(k.x) AS v, "
+        "corr(k.x, k.c) AS c FROM d.f k GROUP BY k.a"
+    )
+    assert q.fields[1].func == "stddev_samp"
+    assert q.fields[2].func == "var_samp"
+    assert q.fields[3].func == "corr" and q.fields[3].arg2_expr is not None
+    with pytest.raises(ValueError, match="two arguments"):
+        parse("SELECT corr(k.x) AS c FROM d.f k GROUP BY k.a")
+    with pytest.raises(ValueError, match="window"):
+        parse("SELECT corr(k.x, k.c) OVER (PARTITION BY k.a) AS c FROM d.f k")
+    from pyspark.sql import functions as F
+
+    b = _events_binding(spark)
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "stddev_samp(click) AS sd, var_pop(click) AS vp, "
+        "corr(click, click.event_id) AS c, "
+        "covar_pop(click, click.event_id) AS cvp, "
+        "stddev_samp(click) FILTER (WHERE click.event_id % 2 = 0) "
+        "AS sd_even, "
+        "round(stddev_samp(click), 6) AS sd6 "
+        "FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    rows = {
+        r.uid: (r.sd, r.vp, r.c, r.cvp, r.sd_even, r.sd6)
+        for r in got.collect()
+    }
+    manual = (
+        spark.table(b.view)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.stddev_samp("value").alias("sd"),
+            F.var_pop("value").alias("vp"),
+            F.corr("value", "event_id").alias("c"),
+            F.covar_pop("value", "event_id").alias("cvp"),
+            F.stddev_samp(
+                F.when(F.col("event_id") % 2 == 0, F.col("value"))
+            ).alias("sd_even"),
+            F.round(F.stddev_samp("value"), 6).alias("sd6"),
+        )
+        .collect()
+    )
+    for r in manual:
+        assert rows[r.user_id] == (
+            r.sd, r.vp, r.c, r.cvp, r.sd_even, r.sd6
+        )
