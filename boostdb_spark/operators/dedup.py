@@ -826,13 +826,31 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash fingerprint: bit i is set when the sum over
-    tokens of (+1 if bit i of hash32(token) else -1) is positive.
+#: SimHash fingerprint width. 60 bits (not 32 — the round-13 scale
+#: fix): the r13 probe measured the 32-bit print's 8-bit pigeonhole
+#: chunks collapsing into 256 buckets (max bucket 13k of 50k docs,
+#: 2.7e8 candidates for 9.6e4 true pairs at sf1) — fingerprint bits
+#: over a shared-vocabulary corpus concentrate, so candidate keys need
+#: far more entropy than 8 bits. 60 = 15 md5 hex chars (stays positive
+#: in a signed BIGINT on both engines) and splits evenly into the 6
+#: blocks the combination keys use. Manku, Jain & Sarma (WWW'07) use
+#: 64-bit prints with combination tables for exactly this reason.
+SIMHASH_BITS = 60
 
-    Shape: explode_outer tokens -> one codegen'd md5 per token -> 32
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit token hash: first 15 md5 hex chars —
+    DuckDB-reproducible like hash32, positive in signed BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SIMHASH_BITS-wide SimHash fingerprint: bit i is set when the sum
+    over tokens of (+1 if bit i of hash60(token) else -1) is positive.
+
+    Shape: explode_outer tokens -> one codegen'd md5 per token -> 60
     conditional-sum aggregates per doc (partial aggregation makes the
-    shuffle O(docs)); the fingerprint assembles from the 32 sums in a
+    shuffle O(docs)); the fingerprint assembles from the sums in a
     flat projection. Same rationale as minhash_signature: flat
     projections + hash aggregate stay in whole-stage codegen, array
     folds don't. explode_outer keeps zero-token docs (null hash ->
@@ -843,7 +861,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.col(id_col).alias("id"),
             F.explode_outer(tokens(F.col(text_col))).alias("_t"),
         )
-        .select("id", hash32(F.col("_t")).alias("_h"))
+        .select("id", hash60(F.col("_t")).alias("_h"))
     )
     sums = toks.groupBy("id").agg(
         *[
@@ -852,11 +870,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                     F.col("_h").bitwiseAND(F.lit(1 << i).cast("long")) > 0, 1
                 ).otherwise(-1)
             ).alias(f"_b{i}")
-            for i in range(32)
+            for i in range(SIMHASH_BITS)
         ]
     )
     fp = None
-    for i in range(32):
+    for i in range(SIMHASH_BITS):
         term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -871,25 +889,54 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming,
-    id_a < id_b. Candidates via pigeonhole banding: the 32-bit print is
-    split into (max_hamming+1) chunks; any pair within the distance
-    budget agrees exactly on at least one chunk, so candidate
-    generation is an equi-join on (chunk_index, chunk_value) — linear,
-    not all-pairs."""
-    nb = max_hamming + 1
-    width = 32 // nb
+    id_a < id_b. Candidates via COMBINATION keys (Manku, Jain & Sarma,
+    WWW'07 "Detecting near-duplicates for web crawling"): the print
+    splits into ``max_hamming + 3`` blocks; ``max_hamming`` errors
+    damage at most that many blocks, so every qualifying pair agrees
+    exactly on some 3-block COMBINATION — candidate generation is an
+    equi-join on (combo_index, 3-block key).
+
+    Why 3-block keys and not single chunks (the pre-r13 shape): a
+    single (max_hamming+1)-way chunk of a 32-bit print is 8 bits = 256
+    buckets, and SimHash bits over a shared-vocabulary corpus
+    CONCENTRATE — the r13 sf1 probe measured a 13k-doc bucket and
+    2.7e8 candidate pairs for 9.6e4 true pairs (quadratic with a huge
+    constant two decades up). A 3-of-6 combination key is 30 bits of
+    the 60-bit print: per-block concentration multiplies across three
+    quasi-independent blocks, so buckets stay small and the candidate
+    set tracks the true-pair set. C(6,3) = 20 keys per doc replaces 4
+    — 5x the explode, orders less join output."""
+    n_blocks = max_hamming + 3
+    combo_size = 3  # intact blocks >= n_blocks - max_hamming = 3
+    width = SIMHASH_BITS // n_blocks
+    assert SIMHASH_BITS % n_blocks == 0, (
+        f"SIMHASH_BITS={SIMHASH_BITS} must split into {n_blocks} blocks "
+        f"(max_hamming={max_hamming})"
+    )
+    from itertools import combinations
+
     sh = simhash(df, text_col, id_col)
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-            .alias("cv"),
+
+    def block(b: int) -> Column:
+        return F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long")
         )
-        for c in range(nb)
+
+    combo_structs = [
+        F.struct(
+            F.lit(ci).alias("chunk"),
+            # pack the 3 block values into one BIGINT key (3 * width
+            # <= 60 bits fits; combo id rides separately)
+            (
+                block(bs[0]) * F.lit(1 << (2 * width)).cast("long")
+                + block(bs[1]) * F.lit(1 << width).cast("long")
+                + block(bs[2])
+            ).alias("cv"),
+        )
+        for ci, bs in enumerate(combinations(range(n_blocks), combo_size))
     ]
     chunks = sh.select(
-        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+        "id", "simhash", F.explode(F.array(*combo_structs)).alias("cc")
     ).select("id", "simhash", "cc.chunk", "cc.cv")
     # materialize once: the self-join would otherwise recompute the
     # whole fingerprint pipeline (explode + md5 + 32-way agg) per side.

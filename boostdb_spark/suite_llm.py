@@ -842,16 +842,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 60-bit SimHash (operators/dedup.py SIMHASH_BITS — the r13 scale
+#: sizing): token hash = first 15 md5 hex chars, 60 sign sums
 _SIMHASH_FP = f"""
       SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-        list_transform(range(0, 32), i ->
+        list_transform(range(0, 60), i ->
           CASE WHEN list_reduce(list_prepend(0,
             list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)),
             (a, b) -> a + b) > 0
           THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
         (a, b) -> a + b) AS fp
       FROM (SELECT doc_id,
-              list_transform({TOKS}, t -> {H32.format(x='t')}) AS hs
+              list_transform({TOKS},
+                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
             FROM documents)
 """
 
@@ -867,10 +870,15 @@ _SIMHASH_FP = f"""
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs at Hamming <= 3. Spark side uses
-    pigeonhole banding (4 chunks) for candidate generation — linear at
-    scale; the oracle brute-forces all pairs, and banding guarantees
-    identical results (any pair within distance 3 shares a chunk)."""
+    """SimHash(60-bit) near-dup pairs at Hamming <= 3. Spark side uses
+    Manku-style 3-of-6 block combination keys for candidate generation
+    (the r13 scale fix: single 8-bit chunks of the old 32-bit print
+    collapsed into 256 buckets on a shared-vocabulary corpus — 2.7e8
+    candidates for 9.6e4 true pairs at sf1; 30-bit combination keys
+    keep buckets small). The oracle brute-forces all pairs over the
+    SAME 60-bit fingerprint; combination keys guarantee identical
+    results (<= 3 errors damage <= 3 of 6 blocks, so some 3-block
+    combination survives intact)."""
     t = load_tables(spark, sf_dir)
     return dd.simhash_pairs(t["documents"], max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
