@@ -106,6 +106,15 @@ SHOWCASE = [
     ("dialect_string_agg", "string_agg WITHIN GROUP: one partial+final hash aggregate over sorted struct arrays, no UDF"),
     ("dialect_groups_frame", "GROUPS frame: dense_rank lowering + rangeBetween share one exchange+sort"),
     ("emb_knn_graph", "k-NN graph: equi-join on the group key (guarded size), windowed per-src top-k"),
+    # --- round 13 ---
+    ("dialect_agg_expr", "expressions over aggregates: ONE partial+final hash agg, arithmetic as a post-projection — same plan shape as the plain aggregate"),
+    ("dialect_arg_minmax", "max_by/min_by: native argmax inside the shared partial+final hash aggregate, no window/sort"),
+    ("dialect_stats_agg", "stddev/variance: Welford-style native aggregates + hidden-column post-projection rounding, one hash agg"),
+    ("emb_range_search", "cosine radius query: broadcast queries, threshold fused into the scan's codegen filter — ZERO shuffle, no per-query window"),
+    ("ann_range_certified", "IVF range certificate: list-id equi-join candidates + codegen threshold; exact/full-probe legs as bounded aggregates"),
+    ("txt_collocations_pmi", "PMI collocations: bigram explode -> map-side counts, vocabulary-bounded joins, TakeOrdered cut"),
+    ("doc_interleave_mixture", "stride interleave: bucketed two-phase rank (no single-partition window), vt as one codegen division"),
+    ("dedup_simhash", "SimHash 3-of-6 combination keys: 20-way explode -> equi-join on 30-bit packed keys, never all-pairs"),
 ]
 
 
