@@ -1662,7 +1662,7 @@ class _Parser:
             # Welford-style aggregates (one partial+final pass).
             # Cross-engine hash certification requires a rounding
             # fence (different engines accumulate central moments in
-            # different orders); the suite entry rounds 6dp.
+            # different orders); the suite entry rounds 3dp.
             func = self._STAT_AGGS[v.lower()]
             arg_expr = self.parse_arith()
             parts = ()

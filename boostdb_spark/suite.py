@@ -9239,10 +9239,10 @@ def dialect_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_stats_agg",
     """
     SELECT user_id AS uid, count(value) AS n,
-           round(stddev_samp(value), 6) AS sd,
-           round(stddev_pop(value), 6) AS sdp,
-           round(var_samp(value), 6) AS vs,
-           round(var_pop(value), 6) AS vp
+           round(stddev_samp(value), 3) AS sd,
+           round(stddev_pop(value), 3) AS sdp,
+           round(var_samp(value), 3) AS vs,
+           round(var_pop(value), 3) AS vp
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id
     """,
@@ -9257,17 +9257,20 @@ def dialect_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the cross-engine oracle because they cannot take the
     rounding fence through the expression grammar). Engines
     accumulate central moments in different orders, so the oracle
-    pairing rounds 6dp through the post-aggregation expression
-    machinery (round(stddev_samp(x), 6) compiles to one hidden
-    aggregate + a post-projection)."""
+    pairing rounds 3dp through the post-aggregation expression
+    machinery (round(stddev_samp(x), 3) compiles to one hidden
+    aggregate + a post-projection; the r13 layout-invariance sweep
+    measured Welford reorder noise at ~1e-6 on variances of magnitude
+    ~3e3, so a 6dp fence was one reorder away from a flipped hash —
+    3dp leaves 500x margin)."""
     load_tables(spark, sf_dir)
     return sugar.query(
         spark,
         "SELECT purchase.user_id AS uid, count(purchase) AS n, "
-        "round(stddev_samp(purchase), 6) AS sd, "
-        "round(stddev_pop(purchase), 6) AS sdp, "
-        "round(var_samp(purchase), 6) AS vs, "
-        "round(var_pop(purchase), 6) AS vp "
+        "round(stddev_samp(purchase), 3) AS sd, "
+        "round(stddev_pop(purchase), 3) AS sdp, "
+        "round(var_samp(purchase), 3) AS vs, "
+        "round(var_pop(purchase), 3) AS vp "
         "FROM boost.events GROUP BY purchase.user_id",
         EVENTS_BINDING,
     )
