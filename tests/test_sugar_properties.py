@@ -359,3 +359,56 @@ def test_limit_with_ties_equals_rank_semantics(spark, vals, n):
             eid for (eid, _, v, _) in rows if v >= float(boundary)
         )
     assert got == expect
+
+
+@given(
+    agg1=st.sampled_from(["sum", "min", "max", "avg", "count"]),
+    agg2=st.sampled_from(["sum", "min", "max", "avg", "count"]),
+    op=st.sampled_from(["+", "-", "*", "/"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_post_agg_expression_parse_space(agg1, agg2, op):
+    """Any arithmetic combination of plain-column aggregate calls
+    parses as ONE computed field whose refs are all aggregates
+    (round-13 expressions-over-aggregates surface)."""
+    sql = (
+        f"SELECT k.a AS g, {agg1}(k.x) {op} {agg2}(k.y) AS r "
+        "FROM d.f k GROUP BY k.a"
+    )
+    q = sugar.parse(sql)
+    assert q.fields[1].expr is not None
+    from boostdb_spark.plans.sugar import _expr_refs
+
+    refs = list(_expr_refs(q.fields[1].expr))
+    assert len(refs) == 2
+    assert all(r.func is not None for r in refs)
+
+
+def test_post_agg_ratio_matches_spark_sql(spark):
+    """sum/sum, max-min and count arithmetic through the dialect equal
+    the same expressions through Spark SQL on the events fixture."""
+    from tests.conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    b = sugar.SeriesFamilyBinding(
+        view="events", series_col="event_type", value_col="value",
+        ts_col="ts",
+    )
+    got = sugar.query(
+        spark,
+        "SELECT click.user_id AS uid, "
+        "sum(click) / sum(click.event_id) AS r, "
+        "max(click) - min(click) AS spread, "
+        "count(*) * 2 AS n2 FROM boost.events GROUP BY click.user_id",
+        b,
+    )
+    exp = spark.sql(
+        "SELECT user_id AS uid, sum(value) / sum(event_id) AS r, "
+        "max(value) - min(value) AS spread, count(*) * 2 AS n2 "
+        "FROM events WHERE event_type = 'click' GROUP BY user_id"
+    )
+    ga = {r.uid: (r.r, r.spread, r.n2) for r in got.collect()}
+    for r in exp.collect():
+        assert ga[r.uid] == (r.r, r.spread, r.n2)
