@@ -438,9 +438,16 @@ _NGRAM_ORACLE = f"""
 
 @_q("dedup_ngram_jaccard", _NGRAM_ORACLE.format(thr=0.5))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-Jaccard near-dup pairs at threshold 0.5 —
-    shingle-explode + equi-join on shingle, never an all-pairs
-    product."""
+    """Exact 3-gram-Jaccard near-dup pairs at threshold 0.5 — the
+    EXACT BASELINE entry: shingle-explode + equi-join on shingle
+    (never a cross product), but the shingle self-join's volume is
+    sum over shingles of C(doc_freq, 2) — inherently quadratic on a
+    shared-vocabulary corpus. That is the documented cost contract of
+    exactness at a low threshold; at corpus scale use
+    dedup_ngram_jaccard_capped (max_doc_freq drops no-signal ubiquitous
+    shingles) or the verified MinHash-LSH path, which the policy
+    consumers (dedup_keep_best / dedup_groups / pipeline_curate)
+    switched to in round 13."""
     t = load_tables(spark, sf_dir)
     return dd.ngram_jaccard_pairs(t["documents"], threshold=0.5, n=3)
 
@@ -684,7 +691,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop groups by iterative min-label propagation — the oracle
     computes the same components as a recursive transitive closure."""
     t = load_tables(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(t["documents"], threshold=0.8, n=3)
+    # candidate generation via verified MinHash-LSH (48x(16x3) — the
+    # r13 banding): identical exact-Jaccard output (miss 3.6e-9 at
+    # the fixture pair distribution, every candidate exact-verified)
+    # but LINEAR candidate volume — the raw shingle self-join this
+    # consumed before is quadratic on a shared-vocabulary corpus
+    # (the r13 probe ground >25 min at sf1 before being killed)
+    pairs = dd.minhash_lsh_pairs(
+        t["documents"], threshold=0.8, num_hashes=48, bands=16, n=3
+    )
     return dd.dedup_groups(pairs)
 
 
@@ -729,7 +744,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded label propagation, then one left join + one window whose
     partition key has no hot groups."""
     t = load_tables(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(t["documents"], threshold=0.8, n=3)
+    # candidate generation via verified MinHash-LSH (48x(16x3) — the
+    # r13 banding): identical exact-Jaccard output (miss 3.6e-9 at
+    # the fixture pair distribution, every candidate exact-verified)
+    # but LINEAR candidate volume — the raw shingle self-join this
+    # consumed before is quadratic on a shared-vocabulary corpus
+    # (the r13 probe ground >25 min at sf1 before being killed)
+    pairs = dd.minhash_lsh_pairs(
+        t["documents"], threshold=0.8, num_hashes=48, bands=16, n=3
+    )
     return dd.keep_best(t["documents"], pairs, score_col="n_chars")
 
 
@@ -2404,7 +2427,11 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dups = (
-        dd.ngram_jaccard_pairs(clean, threshold=0.8, n=3)
+        # verified MinHash-LSH (see dedup_keep_best): same exact pairs,
+        # linear candidate volume on the cleaned corpus
+        dd.minhash_lsh_pairs(
+            clean, threshold=0.8, num_hashes=48, bands=16, n=3
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
