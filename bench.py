@@ -51,11 +51,11 @@ WARMUP = [
     "file_formats_roundtrip",   # CSV+ORC copies of events
     "stream_batch_parity",      # streaming landing-dir write
     "stream_dedup_parity",      # doubled-events landing write
-    "stream_ewma_parity",       # time-split landing incl. mtime-gap sleeps
+    "stream_ewma_parity",       # time-split landing (utime-stamped order)
     "stream_ingest_parity",     # checkpointed streaming family write
-    "stream_session_parity",    # time-split landing incl. mtime-gap sleeps
-    "stream_sliding_parity",    # time-split landing incl. mtime-gap sleeps
-    "stream_join_parity",       # time-split landing incl. mtime-gap sleeps
+    "stream_session_parity",    # time-split landing (utime-stamped order)
+    "stream_sliding_parity",    # time-split landing (utime-stamped order)
+    "stream_join_parity",       # time-split landing (utime-stamped order)
     "stream_upsert_parity",     # unordered upsert landing write
     "dedup_incremental",        # corpus dedup-index materialization
     "ann_ivf_topk",             # k-means training + inverted-file write
@@ -557,6 +557,24 @@ def main() -> None:
         for d in stream_detail.values()
         if isinstance(d, dict)
     )
+    # r13-verdict ask #2: the two stream-stream JOIN parities were the
+    # one cohort whose wall couldn't be split into commit IO vs
+    # compute from the driver-retained tail alone (r13 saw 12->52 s
+    # with only totals recorded). Keep their per-drain decomposition
+    # (few batches, so batch_ms is a handful of ints) among the
+    # truncation-surviving small scalars.
+    stream_join_detail = {
+        k: {
+            f: v[f]
+            for f in (
+                "wall_s", "n_batches", "batch_ms",
+                "state_commit_ms", "input_rows",
+            )
+            if f in v
+        }
+        for k, v in stream_detail.items()
+        if isinstance(v, dict) and "join_parity" in k
+    }
     # Key order is the truncation contract: the driver keeps only the
     # LAST ~2000 chars of this line, so big maps go first and the
     # self-explaining diagnostics go last — top20/gc_top10 lead the
@@ -584,6 +602,7 @@ def main() -> None:
         "semdedup_stage_s": semdedup_stage_s,
         "stream_floor_s": times.get("stream_passthrough_floor"),
         "stream_commit_total_ms": stream_commit_total_ms,
+        "stream_join_detail": stream_join_detail,
         "value": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -127,6 +127,70 @@ def train_bpe(
     return merges
 
 
+def train_bpe_sequential(
+    word_counts: dict[str, int],
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """The classic single-process BPE merge loop (Sennrich et al.
+    2016) over an in-memory ``{word: count}`` table — an INDEPENDENT
+    code path from the distributed ``train_bpe`` (dict folds here vs
+    grouped aggregates + declarative array rewrites there), kept in
+    the package so the ``txt_bpe_certified`` suite entry can assert
+    distributed == sequential merge-for-merge under the driver's hash
+    gate. Same determinism contract: ties break (count desc, then
+    lexicographic pair); same left-to-right non-overlapping rewrite."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in word_counts.items():
+        syms = tuple(list(w) + [END])
+        vocab[syms] = vocab.get(syms, 0) + n
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        merged = a + b
+        rewritten: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (
+                    j < len(syms) - 1
+                    and syms[j] == a
+                    and syms[j + 1] == b
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            key = tuple(out)
+            rewritten[key] = rewritten.get(key, 0) + n
+        vocab = rewritten
+    return merges
+
+
+def merge_table_fingerprint(
+    merges: list[tuple[int, str, str, int]]
+) -> str:
+    """Canonical sha256 fingerprint of a merge table — the
+    driver-visible 'merge-table hash' the certificate entry compares
+    between the distributed and sequential trainers."""
+    import hashlib
+
+    canon = "|".join(f"{r}:{a}:{b}:{n}" for r, a, b, n in merges)
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[int, str, str, int]],

@@ -2237,16 +2237,168 @@ def bollinger_bands(
     s1 = F.sum(q.cast("decimal(38,0)")).over(w).cast("double")
     s2 = F.sum((q.cast("decimal(19,0)") * q)).over(w).cast("double")
     n = F.count(F.col(value_col)).over(w).cast("double")
+    mean, sd, upper, lower = _bands_from_sums(s1, s2, n, n_sigma)
+    return df.select(
+        *series_cols,
+        ord_ns.alias("ts_ns"),
+        F.col(value_col),
+        mean.alias("mid"),
+        sd.alias("sd"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        (
+            (F.col(value_col) > upper) | (F.col(value_col) < lower)
+        ).alias("breach"),
+    )
+
+
+def _bands_from_sums(s1, s2, n, n_sigma: float):
+    """mean / sd / upper / lower from DOUBLE frame totals — ONE shared
+    IEEE expression tree so the frame-scan and prefix-difference
+    Bollinger paths (and the oracle SQL mirroring this exact shape)
+    are bit-identical given identical integer sums."""
     mean = s1 / (n * F.lit(1.0e6))
     var = F.greatest(
         s2 / (n * F.lit(1.0e12)) - mean * mean, F.lit(0.0)
     )
     sd = F.sqrt(var)
-    upper = mean + F.lit(n_sigma) * sd
-    lower = mean - F.lit(n_sigma) * sd
-    return df.select(
+    return mean, sd, mean + F.lit(n_sigma) * sd, mean - F.lit(n_sigma) * sd
+
+
+def bollinger_bands_prefix(
+    df: DataFrame,
+    window_seconds: int,
+    n_sigma: float = 2.0,
+    value_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``bollinger_bands`` with the SAME output, computed by PREFIX
+    DIFFERENCES instead of a sliding frame — the scale path for WIDE
+    trailing windows. Spark evaluates bounded sliding window frames by
+    rescanning the frame per row (O(rows x frame_rows), no aggregate
+    inversion): fine while frames stay tens of rows (the 1h
+    ts_bollinger contract), but a 24h window over minutely samples is
+    ~1.4k frame rows and the r8 first cut burned 97 s at sf0.1. Here
+    every aggregate is a GROWING frame (incremental, O(n)):
+
+    1. collapse to the per-(series, ts) grid with integer/decimal
+       partial sums (one hash aggregate);
+    2. running cumulative sums over the grid (growing frame);
+    3. each grid point's frame-START lookup — the cumulative sums at
+       the greatest grid ts < t - W — via the union-asof pattern (grid
+       rows + shifted probe rows, one ``last(ignorenulls)`` pass), no
+       join;
+    4. frame totals = cumulative differences, EXACT because the sums
+       ride the integer 1e-6 grid through DECIMAL — float prefix
+       differences would cancel catastrophically, which is why engines
+       don't invert float aggregates and why the quantized grid makes
+       inversion legal here;
+    5. join band stats back to rows on (series, ts) — same hash keys
+       as step 1, AEQ-local.
+
+    Work is O(n log n) per series regardless of window width, so the
+    cost contract survives wide windows and 100x scale-up. Identical
+    band derivation tree (``_bands_from_sums``), so results hash-match
+    ``bollinger_bands`` and the shared oracle SQL exactly."""
+    from boostdb_spark.functions.scalar import ts_ns
+
+    ord_ns = ts_ns(df, ts_col)
+    w_ns = window_seconds * NS_PER_SEC
+    base = df.select(
+        *series_cols, ord_ns.alias("_tns"), F.col(value_col)
+    )
+    qb = F.floor(
+        F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)
+    )
+    grid = base.groupBy(*series_cols, "_tns").agg(
+        F.sum(qb.cast("decimal(38,0)")).alias("_gs1"),
+        F.sum(qb.cast("decimal(19,0)") * qb).alias("_gs2"),
+        F.count(F.col(value_col)).alias("_gn"),
+    )
+    wg = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_tns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.select(
         *series_cols,
-        ord_ns.alias("ts_ns"),
+        "_tns",
+        F.sum("_gs1").over(wg).alias("_cs1"),
+        F.sum("_gs2").over(wg).alias("_cs2"),
+        F.sum("_gn").over(wg).alias("_cn"),
+    )
+    # union-asof: grid anchor rows (kind 0, carry the lookup value)
+    # sort before probe rows (kind 1, carry the grid point they ask
+    # for) at the same key, so last(ignorenulls) hands each probe the
+    # cumulative sums at the greatest grid ts <= t - W - 1ns — i.e.
+    # strictly BEFORE the trailing frame [t - W, t] on the integer
+    # ns axis
+    anchors = cums.select(
+        *series_cols,
+        F.col("_tns").alias("_k"),
+        F.lit(0).alias("_kind"),
+        F.col("_cs1").alias("_a1"),
+        F.col("_cs2").alias("_a2"),
+        F.col("_cn").alias("_an"),
+        F.lit(None).cast("long").alias("_tns"),
+        F.lit(None).cast("decimal(38,0)").alias("_o1"),
+        F.lit(None).cast("decimal(38,0)").alias("_o2"),
+        F.lit(None).cast("long").alias("_on"),
+    )
+    probes = cums.select(
+        *series_cols,
+        (F.col("_tns") - F.lit(w_ns + 1)).alias("_k"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("decimal(38,0)").alias("_a1"),
+        F.lit(None).cast("decimal(38,0)").alias("_a2"),
+        F.lit(None).cast("long").alias("_an"),
+        "_tns",
+        F.col("_cs1").alias("_o1"),
+        F.col("_cs2").alias("_o2"),
+        F.col("_cn").alias("_on"),
+    )
+    wa = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_k", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero38 = F.lit(0).cast("decimal(38,0)")
+    looked = (
+        anchors.unionByName(probes)
+        .select(
+            *series_cols,
+            "_kind",
+            "_tns",
+            "_o1",
+            "_o2",
+            "_on",
+            F.last("_a1", ignorenulls=True).over(wa).alias("_b1"),
+            F.last("_a2", ignorenulls=True).over(wa).alias("_b2"),
+            F.last("_an", ignorenulls=True).over(wa).alias("_bn"),
+        )
+        .filter(F.col("_kind") == 1)
+    )
+    stats = looked.select(
+        *series_cols,
+        "_tns",
+        (F.col("_o1") - F.coalesce(F.col("_b1"), zero38))
+        .cast("double")
+        .alias("_s1"),
+        (F.col("_o2") - F.coalesce(F.col("_b2"), zero38))
+        .cast("double")
+        .alias("_s2"),
+        (F.col("_on") - F.coalesce(F.col("_bn"), F.lit(0)))
+        .cast("double")
+        .alias("_n"),
+    )
+    mean, sd, upper, lower = _bands_from_sums(
+        F.col("_s1"), F.col("_s2"), F.col("_n"), n_sigma
+    )
+    keys = [*series_cols, "_tns"]
+    return base.join(stats, keys).select(
+        *series_cols,
+        F.col("_tns").alias("ts_ns"),
         F.col(value_col),
         mean.alias("mid"),
         sd.alias("sd"),

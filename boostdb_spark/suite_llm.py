@@ -2143,18 +2143,30 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SAMPLE_MERGES: dict = {}
 
 
+def _bpe_sample_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 10% hash-sample of documents the session's
+    BPE merge table trains on (shared by txt_bpe_tokenize /
+    txt_bpe_roundtrip / txt_bpe_certified)."""
+    from boostdb_spark.operators import sampling as sp
+
+    t = load_tables(spark, sf_dir)
+    return sp.deterministic_sample(
+        t["documents"].withColumn(
+            "_k", F.col("doc_id").cast("string")
+        ),
+        "_k",
+        0.1,
+    )
+
+
 def _bpe_sample_merges(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BPE_SAMPLE_MERGES:
         from boostdb_spark.operators import bpe
-        from boostdb_spark.operators import sampling as sp
 
-        t = load_tables(spark, sf_dir)
-        docs = t["documents"]
-        sample = sp.deterministic_sample(
-            docs.withColumn("_k", F.col("doc_id").cast("string")), "_k", 0.1
+        _BPE_SAMPLE_MERGES[key] = bpe.train_bpe(
+            _bpe_sample_df(spark, sf_dir), num_merges=10
         )
-        _BPE_SAMPLE_MERGES[key] = bpe.train_bpe(sample, num_merges=10)
     return _BPE_SAMPLE_MERGES[key]
 
 
@@ -2217,6 +2229,61 @@ def txt_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (detok == norm).alias("roundtrip_ok"),
         F.lit(len(merges) == 10).alias("merges_full"),
         F.lit(bool(wellformed)).alias("merges_wellformed"),
+    )
+
+
+@_q(
+    "txt_bpe_certified",
+    """
+    SELECT CAST(range AS BIGINT) AS rank, true AS seq_match,
+           true AS fp_match, true AS wellformed
+    FROM range(10)
+    """,
+)
+def txt_bpe_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED trainer certificate (r13-verdict ask #3): the
+    distributed BPE trainer (grouped pair-explode aggregates +
+    declarative fold rewrites, operators/bpe.py::train_bpe) must equal
+    the classic sequential merge loop (Sennrich 2016,
+    bpe.py::train_bpe_sequential — an independent dict-fold code
+    path) MERGE-FOR-MERGE on the same 10% sample: one row per rank
+    with (a) that rank's (left, right, count) triple equal across
+    trainers, (b) the canonical sha256 merge-table fingerprints equal,
+    (c) the rank well-formed (sequential rank, non-empty sides,
+    count >= min_pair_count). The oracle pins every flag TRUE for all
+    10 ranks, so a divergent argmax, tie-break, or rewrite anywhere in
+    the distributed loop flips a certified hash — previously this
+    equivalence lived only in pytest
+    (test_bpe_train_matches_reference). The sequential side folds the
+    vocabulary-bounded distinct-word table (one bounded collect, the
+    same class as the ANN certificate eval slices), never the corpus;
+    detokenize-roundtrip over the FULL corpus is certified separately
+    by txt_bpe_roundtrip. Scale contract: certificate cost is
+    O(vocab x merges) driver-side + the suite's one cached
+    distributed training."""
+    from boostdb_spark.operators import bpe
+
+    merges = _bpe_sample_merges(spark, sf_dir)
+    sample = _bpe_sample_df(spark, sf_dir)
+    word_counts = {
+        r["word"]: r["n"]
+        for r in bpe.words_with_counts(sample).collect()
+    }
+    seq = bpe.train_bpe_sequential(
+        word_counts, num_merges=10, min_pair_count=2
+    )
+    fp_match = bpe.merge_table_fingerprint(
+        merges
+    ) == bpe.merge_table_fingerprint(seq)
+    rows = []
+    for i, (r, a, b, n) in enumerate(merges):
+        seq_match = i < len(seq) and seq[i] == (r, a, b, n)
+        wellformed = r == i and len(a) > 0 and len(b) > 0 and n >= 2
+        rows.append((i, bool(seq_match), bool(fp_match), bool(wellformed)))
+    return spark.createDataFrame(
+        rows,
+        "rank long, seq_match boolean, fp_match boolean, "
+        "wellformed boolean",
     )
 
 

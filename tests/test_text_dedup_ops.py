@@ -199,6 +199,41 @@ def test_bpe_train_matches_reference(spark):
     assert bpe.train_bpe(df, num_merges=15) == got
 
 
+def test_bpe_sequential_trainer_matches_distributed(spark):
+    """train_bpe_sequential — the independent dict-fold code path the
+    txt_bpe_certified suite entry compares against — must agree with
+    the distributed trainer merge-for-merge, and the canonical
+    fingerprint must separate unequal tables."""
+    import re
+    from collections import Counter
+
+    from boostdb_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest"),
+        (2, "new newer newest"),
+        (3, "low low new wider"),
+        (4, "the newest of the new"),
+    ]
+    words = Counter()
+    for _, t in rows:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            words[w] += 1
+    seq = bpe.train_bpe_sequential(dict(words), num_merges=15)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dist = bpe.train_bpe(df, num_merges=15)
+    assert seq == dist
+    assert bpe.merge_table_fingerprint(seq) == bpe.merge_table_fingerprint(
+        dist
+    )
+    # fingerprint is order/content sensitive
+    assert bpe.merge_table_fingerprint(
+        seq[:-1]
+    ) != bpe.merge_table_fingerprint(seq)
+    # early stop below min_pair_count mirrors the distributed loop
+    assert bpe.train_bpe_sequential({"ab": 1}, num_merges=5) == []
+
+
 def test_bpe_apply_uses_merge_ranks(spark):
     from boostdb_spark.operators import bpe
 

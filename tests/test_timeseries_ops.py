@@ -897,3 +897,41 @@ def test_theilsen_duplicate_timestamps(spark):
     slopes = sorted([1.0, 1.0, (60.0-100.0)/60.0, (120.0-100.0)/120.0, 1.0])
     assert out["a"].slope == slopes[(5 + 1) // 2 - 1]
     assert out["a"].n == 4
+
+
+def test_bollinger_prefix_matches_frame_exactly(spark):
+    """bollinger_bands_prefix (prefix-difference inversion) must be
+    BIT-identical to the sliding-frame bollinger_bands — including
+    duplicate timestamps (RANGE peers), rows with nothing before the
+    frame (coalesce-to-zero path), and frame boundaries landing
+    exactly on a sample (t - W inclusive on the integer ns axis)."""
+    NS = 10**9
+    rows = [
+        # series a: dup-ts pair, a gap wider than the window, and a
+        # point exactly window-width after another (inclusive bound)
+        ("a", 0 * NS, 1.25), ("a", 0 * NS, 3.75),
+        ("a", 5 * NS, -2.5), ("a", 10 * NS, 7.0),
+        ("a", 100 * NS, 4.0),           # frame contains only itself
+        ("a", 110 * NS, 4.0),           # [100s,110s]: 10s window edge
+        # series b: single point
+        ("b", 3 * NS, 0.125),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    kw = dict(n_sigma=2.0, series_cols=("series",))
+    frame = ts_ops.bollinger_bands(df, 10, **kw)
+    prefix = ts_ops.bollinger_bands_prefix(df, 10, **kw)
+    a = sorted(map(tuple, frame.collect()))
+    b = sorted(map(tuple, prefix.collect()))
+    assert a == b  # bit-exact, breach booleans included
+    rows_by_ts = {}
+    for r in prefix.collect():
+        rows_by_ts.setdefault((r.series, r.ts_ns), []).append(r)
+    # the inclusive boundary: at t=110s the 10s trailing frame holds
+    # BOTH 100s and 110s samples (equal values -> sd exactly 0)
+    (r110,) = rows_by_ts[("a", 110 * NS)]
+    assert r110.mid == 4.0 and r110.sd == 0.0
+    # dup-ts peers share identical band stats (RANGE peer semantics)
+    peers = rows_by_ts[("a", 0)]
+    assert len(peers) == 2
+    assert len({(p.mid, p.sd, p.upper, p.lower) for p in peers}) == 1
+    assert peers[0].mid == 2.5  # (1.25 + 3.75) / 2

@@ -72,6 +72,7 @@ SHOWCASE = [
     ("dedup_containment", "containment: shingle equi-join + one division, never all-pairs"),
     ("ts_theilsen_trend", "Theil-Sen: one hash agg to bounded arrays, pair slopes as nested transforms, no join"),
     ("ts_bollinger", "Bollinger: one rangeBetween frame, three decimal sliding aggregates, single exchange"),
+    ("ts_bollinger_wide", "Bollinger 24h scale path: grid partial-agg -> growing-frame cums -> union-asof lookup -> grid join; no bounded sliding frame anywhere"),
     ("scan_snapshot_apply", "CDC apply: anti join (deletes) + left join (updates) + union (inserts), all key-partitioned"),
     ("dialect_group_all", "GROUP BY ALL: expanded keys feed the standard partial+final hash aggregate"),
     ("dialect_recursive_components", "WITH RECURSIVE closure: final-iteration plan reads checkpointed deltas — constant-size per step, no lineage growth"),
