@@ -596,3 +596,37 @@ def test_q20_nested_in_chain_all_semi_joins(spark):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bollinger_window_buffer_count_pinned(spark):
+    """Deriving bands INLINE from frame aggregates re-embeds a copy of
+    each window aggregate per derived column — the r14 decomposition
+    found 13 sliding decimal buffers in the physical Window node
+    (5.0 s at sf0.1) where the semantics need 3 (1.1 s). The two-stage
+    projection pins the buffer count; this guards the 3x."""
+    p = _plan(spark, "ts_bollinger")
+    # formatted plan: the Window node's Arguments line carries one
+    # aggregate per buffer — count sum()/count() occurrences there
+    import re
+
+    args = [
+        ln
+        for seg in p.split("\n\n")
+        if seg.strip().startswith("(") and "Window" in seg.splitlines()[0]
+        for ln in seg.splitlines()
+        if ln.startswith("Arguments:")
+    ]
+    assert args, p[:800]
+    agg_refs = re.findall(r"(?:sum|count)\(", "\n".join(args))
+    assert 0 < len(agg_refs) <= 3, (len(agg_refs), args)
+
+
+def test_bollinger_wide_has_no_bounded_sliding_frame(spark):
+    """ts_bollinger_wide must NEVER fall back to a bounded sliding
+    frame (O(rows x frame)): every window in the prefix plan is a
+    growing unbounded-preceding frame, and the frame-start lookup is
+    the union-asof pass, not a range join."""
+    p = _plan(spark, "ts_bollinger_wide")
+    assert "specifiedwindowframe(RangeFrame, -86400000000000" not in p
+    assert "unboundedpreceding" in p
+    assert "CartesianProduct" not in p
