@@ -333,8 +333,19 @@ def asof_join(
             .orderBy(F.col("_ord_ns").asc(), F.col("_side").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        back = F.last(F.col("_r_row"), ignorenulls=True).over(wb)
-        fwd = F.first(F.col("_r_row"), ignorenulls=True).over(wf)
+        # materialize BOTH carries once (r14 window-buffer rule): the
+        # when() tree below references back 3x / fwd 2x and every
+        # payload getField re-embeds the chosen branch again — inline
+        # that was 16 window buffers in the physical Window node where
+        # 2 suffice (sweep: tools/window_buffer_sweep.py)
+        u = u.select(
+            "*",
+            F.last(F.col("_r_row"), ignorenulls=True).over(wb)
+            .alias("_back"),
+            F.first(F.col("_r_row"), ignorenulls=True).over(wf)
+            .alias("_fwd"),
+        )
+        back, fwd = F.col("_back"), F.col("_fwd")
         lns = F.col("_ord_ns")
         gap_b = lns - back.getField("_r_ts")
         gap_f = fwd.getField("_r_ts") - lns
@@ -895,14 +906,28 @@ def zscore_anomaly(
         .rowsBetween(-window_rows, -1)
     )
     v = F.col(value_col)
-    n = F.count(value_col).over(w)
-    s = F.sum(v.cast("decimal(18,6)")).over(w).cast("double")
-    ss = F.sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+    # TWO-STAGE projection (the r14 ts_bollinger rule): deriving
+    # z/is_anomaly inline re-embedded a copy of each frame aggregate
+    # per use — 17 sliding buffers in the physical Window node where 3
+    # suffice. Materialize the three frame totals once; the z tree
+    # then reads plain columns — identical values, ~3x cheaper.
+    inner = df.select(
+        "*",
+        F.count(value_col).over(w).alias("_zn"),
+        F.sum(v.cast("decimal(18,6)")).over(w).cast("double").alias("_zs"),
+        F.sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+        .alias("_zss"),
+    )
+    n, s, ss = F.col("_zn"), F.col("_zs"), F.col("_zss")
     mean = s / n
     var = (ss - n * mean * mean) / (n - 1)
     z = F.when((n >= window_rows) & (var > 0), (v - mean) / F.sqrt(var))
-    return df.withColumn(out_col, z).withColumn(
-        "is_anomaly", F.abs(F.col(out_col)) > F.lit(threshold)
+    return (
+        inner.withColumn(out_col, z)
+        .withColumn(
+            "is_anomaly", F.abs(F.col(out_col)) > F.lit(threshold)
+        )
+        .drop("_zn", "_zs", "_zss")
     )
 
 

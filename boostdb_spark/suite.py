@@ -149,7 +149,7 @@ _WINDOW: tuple[str, ...] = (
     # attribution; bollinger decomposition) ---
     "stream_join_parity", "stream_session_parity",
     "stream_sliding_parity", "stream_ewma_parity",
-    "stream_locf_parity", "ts_bollinger",
+    "stream_locf_parity", "ts_bollinger", "ts_zscore_anomaly",
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
@@ -170,10 +170,12 @@ _WINDOW: tuple[str, ...] = (
     # --- re-certification: ROUND-8 cohort head, name order (the
     # dedup_* members of r8 already lead via the changed cohort) ---
     "agg_funnel", "agg_grouping_fn", "agg_q14_promo_share",
-    "agg_q3_topk", "agg_retention_cohort", "agg_unpivot",
-    "dedup_containment",
+    "agg_q3_topk", "agg_retention_cohort",
+    # --- r14-changed code path (asof nearest-branch carry
+    # materialization; backward/forward plans untouched) ---
+    "asof_join_nearest",
     # ROUND-15 ROTATION PREP — r8 remainder queued next:
-    # dedup_decontaminate,
+    # agg_unpivot, dedup_containment, dedup_decontaminate,
     # dedup_ngram_jaccard, dedup_ngram_jaccard_capped,
     # dialect_asof_join, dialect_group_all, dialect_join_theta,
     # dialect_nulls_order, dialect_qualify, dialect_select_star,

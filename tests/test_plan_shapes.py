@@ -630,3 +630,42 @@ def test_bollinger_wide_has_no_bounded_sliding_frame(spark):
     assert "specifiedwindowframe(RangeFrame, -86400000000000" not in p
     assert "unboundedpreceding" in p
     assert "CartesianProduct" not in p
+
+
+def test_zscore_window_buffer_count_pinned(spark):
+    """Same guard as ts_bollinger: the rolling z-score's physical
+    Window node carried 17 sliding buffers pre-r14 (inline derivation
+    re-embeds the frame aggregates); the two-stage projection needs 3."""
+    import re
+
+    p = _plan(spark, "ts_zscore_anomaly")
+    args = [
+        ln
+        for seg in p.split("\n\n")
+        if seg.strip().startswith("(") and "Window" in seg.splitlines()[0]
+        for ln in seg.splitlines()
+        if ln.startswith("Arguments:")
+    ]
+    assert args, p[:800]
+    agg_refs = re.findall(r"windowspecdefinition", "\n".join(args))
+    assert 0 < len(agg_refs) <= 3, (len(agg_refs), args)
+
+
+def test_asof_nearest_window_buffer_count_pinned(spark):
+    """The nearest-direction carry tree referenced the two window
+    carries 5x (+1 per payload getField) — 16 buffers pre-r14; the
+    materialized-carry form needs exactly 2 (one backward last, one
+    forward first)."""
+    import re
+
+    p = _plan(spark, "asof_join_nearest")
+    args = [
+        ln
+        for seg in p.split("\n\n")
+        if seg.strip().startswith("(") and "Window" in seg.splitlines()[0]
+        for ln in seg.splitlines()
+        if ln.startswith("Arguments:")
+    ]
+    assert args, p[:800]
+    agg_refs = re.findall(r"windowspecdefinition", "\n".join(args))
+    assert len(agg_refs) == 2, (len(agg_refs), args)
