@@ -154,9 +154,16 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     # batches x commit cost dwarfing the actual data work at bench SF.
     # Sizing state partitions to the load is the production knob
     # (Spark's own structured-streaming guidance); the batch suite
-    # keeps its own shuffle setting.
+    # keeps its own shuffle setting. r14: sized from the replay volume
+    # (suite._state_partitions — the same scale-adaptive rule the
+    # suite's drains use: ~64 MB input per state partition, floor 2,
+    # env-overridable) instead of the old fixed 8 — the r14 open
+    # calibration measured per-commit cost as pure fixed IO, so
+    # partitions beyond the data's need multiply commit overhead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", suite._state_partitions(landing)
+    )
     # the restore MUST survive a failed drain (try/finally below) — a
     # leaked 8-partition setting would silently skew every batch entry
     # timed after the streaming section in the same process.

@@ -1102,16 +1102,25 @@ def semantic_dedup(
         "cluster", F.col("id").alias("b_id"), F.col("v").alias("b_v"),
         F.col("cent_sim").alias("b_cs"),
     )
+    # Each unordered pair is scored ONCE (a_id < b_id): cosine is
+    # exactly symmetric (fold_dot adds a_i*b_i in index order and IEEE
+    # multiplication commutes), so the old both-directions join paid
+    # 2x the pair fanout and 2x the Arrow fold evaluations for the
+    # same dropped set (optimization guide §2.3: shuffle/compute fewer
+    # bytes). Exactly one endpoint of every tau-edge is dominated —
+    # the one NEARER the shared centroid (larger cent_sim), ties to
+    # the larger id — bit-identical to the per-direction filter this
+    # replaces.
     dominated = (
         left.join(right, "cluster")
-        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cos", sim.fold_dot(F.col("a_v"), F.col("b_v")))
         .filter(F.col("cos") >= F.lit(float(tau)))
-        .filter(
-            (F.col("b_cs") < F.col("a_cs"))
-            | ((F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id")))
+        .select(
+            F.when(F.col("b_cs") < F.col("a_cs"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("id")
         )
-        .select(F.col("a_id").alias("id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )

@@ -227,9 +227,16 @@ def knn_graph(
         F.col(group_col).alias("_g2"),
         _as_double(F.col(vec_col)).alias("bv"),
     ).withColumn("bv_nrm", norm(F.col("bv"))))
-    scored = (
+    # Each unordered pair is scored ONCE (src < dst) and mirrored into
+    # both directed edges with a 2-row inline explode: cosine is
+    # exactly symmetric (fold_dot adds a_i*b_i in index order; IEEE
+    # multiplication commutes in both the dot and the norm product),
+    # so the old src != dst join paid 2x the pair fanout and 2x the
+    # Arrow fold evaluations for a bit-identical edge list
+    # (optimization guide §2.3: shuffle/compute fewer bytes).
+    half = (
         a.join(b, F.col("_g") == F.col("_g2"))
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select(
             "src",
             "dst",
@@ -239,6 +246,18 @@ def knn_graph(
             ).alias("cos"),
         )
     )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "cos"),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "cos",
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos")
     w = Window.partitionBy("src").orderBy(
         F.col("cos").desc(), F.col("dst").asc()
     )

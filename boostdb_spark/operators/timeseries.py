@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2184,47 +2186,57 @@ def theilsen_trend(
             (_pt(j, "t") - _pt(i, "t")).cast("double") / F.lit(1.0e9),
         )
 
-    slopes = F.array_sort(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, n - 1), lambda j: _slope(i, j)
-                    ),
-                )
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
-    # EVALUATION-COUNT discipline (the r9 bench regression this block
-    # unwinds, 3.7s -> 10.8s): interpreted HOF lambdas get no common-
-    # subexpression elimination, so every REFERENCE to the slopes tree
-    # re-runs all O(n^2) pair lambdas. The m>=1 guard therefore filters
-    # on a CHEAP equivalent BEFORE the slopes projection (at least one
-    # distinct-ts pair exists iff first.t != last.t in the sorted
-    # array), and the sorted array lands in ONE projection whose alias
-    # the next projection references as a plain attribute —
-    # CollapseProject refuses to inline a non-cheap alias referenced
-    # twice, so the pair pipeline runs exactly once per bucket.
+    # Pairwise slopes + lower median in ONE Arrow-batched pandas UDF
+    # (optimization guide §4.2: hand whole batches to numpy instead of
+    # interpreted per-element HOF lambdas). The prior shape evaluated
+    # the O(n^2) pair pipeline as nested interpreted transform lambdas
+    # — ~2.9M closure evaluations per sf0.1 run, each re-reading two
+    # struct elements — and measured ~5.3 s in the r14 open record.
+    # The numpy path evaluates the SAME IEEE expression tree per pair:
+    # v_j - v_i (float64 subtract), exact int64 ns delta cast to
+    # float64 then divided by 1.0e9, one float64 division — followed
+    # by an ascending sort and the (m+1)//2 lower-median ELEMENT pick,
+    # so every emitted double is bit-identical to the engine-expression
+    # form it replaces (and to the DuckDB oracle; `_slope` above
+    # documents the omit-equal-ts contract the dt!=0 mask reproduces —
+    # try_divide NULL-omit). The m>=1 guard stays the cheap pre-filter
+    # it was: at least one distinct-ts pair exists iff first.t !=
+    # last.t in the sorted array, so the UDF never sees an all-vertical
+    # bucket and always returns a defined element.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _median_slope(ts_s: pd.Series, vs_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(ts_s), dtype=np.float64)
+        for k in range(len(ts_s)):
+            t = np.asarray(ts_s.iloc[k], dtype=np.int64)
+            v = np.asarray(vs_s.iloc[k], dtype=np.float64)
+            iu, ju = np.triu_indices(t.size, k=1)
+            dt = t[ju] - t[iu]
+            mk = dt != 0
+            s = (v[ju[mk]] - v[iu[mk]]) / (
+                dt[mk].astype(np.float64) / 1.0e9
+            )
+            s.sort()
+            out[k] = s[(s.size + 1) // 2 - 1]
+        return pd.Series(out)
+
     first_t = F.element_at(arr, 1).getField("t")
     last_t = F.element_at(arr, F.col("n").cast("int")).getField("t")
     staged = per.filter(first_t != last_t).select(
         *series_cols,
         "bucket",
         F.col("n").cast("long").alias("n"),
-        slopes.alias("_s"),
+        F.transform(arr, lambda p: p.getField("t")).alias("_ts"),
+        F.transform(arr, lambda p: p.getField("v")).alias("_vs"),
     )
-    m = F.size(F.col("_s")).cast("long")
-    # lower median, 1-based: (m+1)//2 via integer shift — never a
-    # double divide-then-cast (cross-engine truncation rule)
     return staged.select(
         *series_cols,
         "bucket",
         "n",
-        F.element_at(
-            F.col("_s"), F.shiftright(m + 1, 1).cast("int")
-        ).alias("slope"),
+        _median_slope(F.col("_ts"), F.col("_vs")).alias("slope"),
     )
 
 

@@ -6188,13 +6188,52 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _state_partitions(landing: str | None) -> str:
+    """Scale-adaptive streaming STATE partition count (optimization
+    guide §2: derive partitioning from input size, never a constant
+    tuned to one scale). Stateful streaming plans take
+    shuffle.partitions as the state partition count (AQE never applies
+    to state stores), and EVERY micro-batch commits EVERY state
+    partition of every stateful operator — per-commit cost is
+    dominated by fixed state-store IO (RocksDB instance load +
+    changelog write + fsync), so partitions beyond what the state
+    volume needs multiply pure commit overhead: the r14 open
+    calibration (BENCH_SAMECODE_OPEN_r14.json) measured 85.6 s of
+    state-commit wall across the drains at the old fixed 8 partitions,
+    ~4x what the MB-sized bench replays need — and at 100 TB a fixed 8
+    would cram corpus-scaled state into 8 stores. Sizing: ~64 MB of
+    replay input per state partition, floor 2 (the multi-partition
+    commit/merge path stays exercised at every SF), cap 200 per drain.
+    ``SPARK_GRAFT_STATE_PARTITIONS`` overrides for cluster tuning
+    (size to the real retained state, not the replay, when the two
+    diverge). Results are partition-count-invariant — this knob moves
+    only physical parallelism and commit count."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        return env
+    total = 0
+    if landing:
+        for root, _dirs, files in _os.walk(landing):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    try:
+                        total += _os.path.getsize(_os.path.join(root, fn))
+                    except OSError:
+                        pass
+    return str(max(2, min(200, -(-total // (64 << 20)))))
+
+
 class _drain_conf:
     """Set/restore context for a stateful streaming drain: RocksDB
     state store + changelog checkpointing + right-sized state
     partitions (state partitions pin to shuffle.partitions at the
     FIRST checkpoint; fresh checkpoint per call so the setting always
     takes). Restore in finally so batch entries keep the session
-    defaults."""
+    defaults. ``landing=`` sizes the state partitions to the drain's
+    replay volume (:func:`_state_partitions`); explicit ``partitions=``
+    wins when a caller knows better."""
 
     _KEYS = (
         "spark.sql.shuffle.partitions",
@@ -6203,8 +6242,15 @@ class _drain_conf:
         "changelogCheckpointing.enabled",
     )
 
-    def __init__(self, spark: SparkSession, partitions: str = "8"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        partitions: str | None = None,
+        landing: str | None = None,
+    ):
         self.spark = spark
+        if partitions is None:
+            partitions = _state_partitions(landing)
         self.vals = (partitions, _ROCKSDB_PROVIDER, "true")
 
     def __enter__(self):
@@ -6292,7 +6338,7 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sink = f"stream_parity_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -6362,7 +6408,7 @@ def stream_cascade_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sink = f"stream_cascade_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -6466,7 +6512,7 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own landing replay only.
     running = []
     _t0 = _time.perf_counter()
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         for variant, runner in (
             ("partitioned", continuous_rollup),
             ("merged", continuous_rollup_merged),
@@ -6653,7 +6699,7 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("vmin"))
     )
     sink = f"stream_session_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -6736,7 +6782,7 @@ def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("vmin"))
     )
     sink = f"stream_sliding_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -6840,7 +6886,7 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_join_{abs(hash(key)) % 10**9}"
     import time as _time2
 
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         _t0 = _time2.perf_counter()
         q = (
             joined.writeStream.format("memory")
@@ -6960,7 +7006,7 @@ def stream_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_ljoin_{abs(hash(key)) % 10**9}"
     import time as _time2
 
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         _t0 = _time2.perf_counter()
         q = (
             joined.writeStream.format("memory")
@@ -7037,7 +7083,7 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = session_tmpdir(prefix="boost_upsert_state_")
     state = os.path.join(work, f"state_{abs(hash(key)) % 10**9}")
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = upsert_view(
             sdf, ["user_id"], "ts", state,
             checkpoint=os.path.join(work, "ckpt"),
@@ -7162,7 +7208,7 @@ def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda u: u.distinct(),
         )
 
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)
@@ -7223,7 +7269,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(landing)
     )
     sink = f"stream_dedup_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             src.dropDuplicates(["event_id"])
             .writeStream.format("memory")
@@ -7307,7 +7353,7 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", order_extra=["event_id"],
     )
     sink = f"stream_ewma_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -7396,7 +7442,7 @@ def stream_locf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     )
     sink = f"stream_locf_{abs(hash(key)) % 10**9}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, landing=landing):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)

@@ -491,7 +491,10 @@ def test_drain_conf_sets_and_restores(spark):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     key = "spark.sql.streaming.stateStore.providerClass"
     with _drain_conf(spark):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        # no landing given -> the scale-adaptive default bottoms out at
+        # the 2-partition floor (r14: state partitions size to the
+        # replay volume, never a fixed count)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
         assert spark.conf.get(key) == _ROCKSDB_PROVIDER
         assert (
             spark.conf.get(
@@ -502,6 +505,30 @@ def test_drain_conf_sets_and_restores(spark):
         )
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     assert spark.conf.get(key, None) != _ROCKSDB_PROVIDER
+
+
+def test_state_partitions_scale_with_replay_volume(tmp_path, monkeypatch):
+    """r14 optimization contract: streaming state partitions derive
+    from the landing's replay volume (~64 MB per partition, floor 2,
+    cap 200) — a constant would multiply fixed per-commit state-store
+    IO at bench SF and cram corpus-scaled state into too few stores at
+    100 TB. Env override wins for cluster tuning."""
+    from boostdb_spark.suite import _state_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
+    # empty / missing landing -> floor
+    assert _state_partitions(None) == "2"
+    assert _state_partitions(str(tmp_path)) == "2"
+    # ~130 MB of parquet bytes -> ceil(130/64) = 3 partitions
+    (tmp_path / "a.parquet").write_bytes(b"\0" * (65 << 20))
+    (tmp_path / "b.parquet").write_bytes(b"\0" * (65 << 20))
+    assert _state_partitions(str(tmp_path)) == "3"
+    # non-parquet files are ignored
+    (tmp_path / "c.crc").write_bytes(b"\0" * (500 << 20))
+    assert _state_partitions(str(tmp_path)) == "3"
+    # cap at 200
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "48")
+    assert _state_partitions(str(tmp_path)) == "48"
 
 
 def test_upsert_bucketed_state_io_shape(spark, tmp_path):
