@@ -60,7 +60,7 @@ def dot(a, b):
     )
 
 
-def fold_dot(a_col, b_col):
+def fold_dot(a_col, b_col, *, once: bool = False):
     """Vectorized left-fold dot product — bit-identical to :func:`dot`
     (acc starts at 0.0 and adds a_i*b_i in index order, IEEE double),
     but the fold is an Arrow-batched pandas UDF whose loop runs over
@@ -68,7 +68,16 @@ def fold_dot(a_col, b_col):
     interpreted per element; on pair-scoring volumes (|pairs| x dim
     evaluations after a candidate join) this is the hot path and the
     UDF is ~an order of magnitude faster, while every row's result
-    still hash-matches the DuckDB ``list_reduce`` oracle."""
+    still hash-matches the DuckDB ``list_reduce`` oracle.
+
+    ``once=True`` marks the UDF non-deterministic so the optimizer may
+    not copy the evaluation into a pushed-down filter (guide §4.4: a
+    filter referencing a UDF-computed column otherwise evaluates the
+    UDF twice — once below the pushed filter, once in the output
+    projection). Use it exactly where the SAME fold output is both
+    filtered on and emitted (cosine_range_search); leave it off
+    elsewhere, because a non-deterministic projection also blocks
+    unrelated predicates from pushing past it toward the scan."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -84,6 +93,8 @@ def fold_dot(a_col, b_col):
             acc = acc + A[:, i] * B[:, i]
         return pd.Series(acc)
 
+    if once:
+        _fold = _fold.asNondeterministic()
     return _fold(a_col, b_col)
 
 
@@ -161,6 +172,12 @@ def cosine_range_search(
     _guard_query_count(queries, max_queries, "cosine_range_search")
     q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
     c = _with_norm(corpus, id_col, vec_col, "match_id", "cv")
+    # once=True: cos is both FILTERED on and EMITTED — without the
+    # non-deterministic pin the optimizer pushes the tau filter below
+    # this projection and every corpus row pays the Arrow fold TWICE
+    # (guide §4.4; the r14 python_eval_sweep caught two ArrowEvalPython
+    # nodes carrying the same fold). No predicate needs to push past
+    # this projection: the self-match filter is already below it.
     return (
         F.broadcast(q)
         .crossJoin(c)
@@ -168,7 +185,7 @@ def cosine_range_search(
         .select(
             "query_id",
             "match_id",
-            (fold_dot(F.col("qv"), F.col("cv"))
+            (fold_dot(F.col("qv"), F.col("cv"), once=True)
              / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
@@ -464,6 +481,13 @@ def _lsh_tables(df: DataFrame, vec_col: str, num_planes: int, dim: int, num_tabl
         w = 1 << np.arange(num_planes - 1, -1, -1)  # MSB-first like lsh_bucket
         return pd.Series(list((B * w).sum(axis=2).astype("int64")))
 
+    # asNondeterministic: the optimizer infers `size(..)>0 AND
+    # isnotnull(..)` from the posexplode generator and pushes it below
+    # the projection, evaluating the bucket UDF TWICE per corpus row
+    # (guide §4.4 duplication, caught by tools/python_eval_sweep.py).
+    # Exploding an empty/null array already yields no rows, so dropping
+    # the inferred pre-filter changes nothing.
+    buckets = buckets.asNondeterministic()
     tb = F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket")
     return df.select("*", tb)
 
@@ -1552,6 +1576,12 @@ def pq_ann_topk(
         # per query i: T[i][j, C[:, j]] summed over subspaces j
         out = np.stack([T[i][cols, C].sum(axis=1) for i in range(T.shape[0])])
         return pd.Series(list(out.T))  # (batch, n_q)
+
+    # asNondeterministic: same §4.4 generator-filter duplication as the
+    # LSH bucket UDF — the posexplode over _d otherwise re-evaluates the
+    # whole ADC scoring pass per corpus row for an inferred size()>0
+    # pre-filter that explode semantics make redundant.
+    adist = adist.asNondeterministic()
 
     if corpus_codes is not None:
         encoded = corpus_codes.select(

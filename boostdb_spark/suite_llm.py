@@ -1502,15 +1502,24 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "match_id")
     )
 
-    lsh = sim.lsh_ann_topk(q, e, k=k, dim=64, num_planes=6, num_tables=8)
+    # Each probe result is consumed TWICE in the one assembled plan
+    # (hits_floor join + scores_exact join); without the checkpoint the
+    # whole probe pipeline — bucket/assign/ADC scoring over the corpus
+    # — re-executes per consumer (r14 python_eval_sweep: 7 duplicated
+    # python-eval signatures in this entry). The results are k x
+    # |queries| rows, so the checkpoint is ~free (guide §5: cache only
+    # what is reused AND expensive to recompute).
+    lsh = sim.lsh_ann_topk(
+        q, e, k=k, dim=64, num_planes=6, num_tables=8
+    ).localCheckpoint(eager=False)
     ivf = sim.ivf_ann_topk(
         q, e, k=k, n_probe=4, centroids=midx["centroids"],
         index=spark.read.parquet(os.path.join(midx["path"], "ivf")),
-    )
+    ).localCheckpoint(eager=False)
     pq = sim.pq_ann_topk(
         q, e, midx["codebooks"], topk=k, rerank=4,
         corpus_codes=spark.read.parquet(os.path.join(midx["path"], "pq")),
-    )
+    ).localCheckpoint(eager=False)
 
     def cos_bad(approx: DataFrame) -> DataFrame:
         """1-row count of score mismatches vs brute force (a candidate
@@ -1765,16 +1774,23 @@ def ann_append_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = spark.read.parquet(os.path.join(lay["path"], "pq"))
 
     cols = ["match_id", "cv", "cv_nrm", "list_id"]
-    rebuild = sim.ivf_build_index(e, lay["centroids"]).select(*cols)
+    # both exceptAll directions consume the rebuild sides — without a
+    # checkpoint the full-corpus assignment/encoding pipelines execute
+    # TWICE in the one assembled plan (r14 python_eval_sweep); the
+    # stored sides are parquet reads and re-read cheaply. DISK_ONLY
+    # corpus class: the rebuild is corpus-sized (one row per vector).
+    rebuild = no_broadcast(checkpoint_corpus(
+        sim.ivf_build_index(e, lay["centroids"]).select(*cols)
+    ))
     stored = idx.select(*cols)
     ivf_bad = (
         stored.exceptAll(rebuild).select(F.lit(1).alias("x"))
         .unionAll(rebuild.exceptAll(stored).select(F.lit(1).alias("x")))
         .agg(F.count("*").alias("bad"))
     )
-    pq_rebuild = sim.pq_encode_codes(e, lay["codebooks"]).select(
-        "vec_id", "codes"
-    )
+    pq_rebuild = no_broadcast(checkpoint_corpus(
+        sim.pq_encode_codes(e, lay["codebooks"]).select("vec_id", "codes")
+    ))
     pq_bad = (
         codes.exceptAll(pq_rebuild).select(F.lit(1).alias("x"))
         .unionAll(pq_rebuild.exceptAll(codes).select(F.lit(1).alias("x")))
@@ -3455,7 +3471,12 @@ def stream_ann_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     streamed = spark.read.parquet(sink).select(*cols)
-    batch = sim.ivf_build_index(new, cents).select(*cols)
+    # both exceptAll directions consume the batch rebuild — checkpoint
+    # so the append-slice assignment runs once, not twice (same fix as
+    # ann_append_certified; streamed re-reads parquet cheaply)
+    batch = no_broadcast(checkpoint_corpus(
+        sim.ivf_build_index(new, cents).select(*cols)
+    ))
     bad = (
         streamed.exceptAll(batch).select(F.lit(1).alias("x"))
         .unionAll(batch.exceptAll(streamed).select(F.lit(1).alias("x")))
