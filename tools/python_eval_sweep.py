@@ -14,6 +14,16 @@ two failure patterns that silently multiply JVM<->Python crossings —
 
 Scans EVERY suite entry's formatted plan and prints offenders.
 
+TRIAGE REQUIRED: a "duplicated" flag compares udf-signature strings with
+expression ids stripped, so it also fires on legitimate repeated
+subtrees — the same UDF applied to both sides of a self-join
+(dedup_substring's shingles), or a certificate evaluating one pipeline
+per leg. Read the flagged plan before concluding §4.4: the true
+duplication signature is two nodes with IDENTICAL inputs in one linear
+chain, separated by a Filter/Generate that the optimizer pushed below
+the computing projection (r14 true positives: cosine_range_search's tau
+filter, the PQ adist / LSH buckets posexplode inferred filters).
+
 Usage:
     python tools/python_eval_sweep.py
 Output: one line per offender; a `--` summary line at the end.
