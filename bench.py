@@ -161,9 +161,11 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     # calibration measured per-commit cost as pure fixed IO, so
     # partitions beyond the data's need multiply commit overhead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", suite._state_partitions(landing)
+    _parts = suite._state_partitions(
+        landing, cores=spark.sparkContext.defaultParallelism
     )
+    if _parts is not None:  # None = leave the session posture (see helper)
+        spark.conf.set("spark.sql.shuffle.partitions", _parts)
     # the restore MUST survive a failed drain (try/finally below) — a
     # leaked 8-partition setting would silently skew every batch entry
     # timed after the streaming section in the same process.
@@ -189,7 +191,7 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             _ss_old[_k] = None
         spark.conf.set(_k, _v)
 
-    def run(name: str, build, output_mode: str):
+    def run(name: str, build, output_mode: str, no_data_batches=True):
         # trigger sized to ~2 landing files per micro-batch: an
         # availableNow catch-up IS supposed to batch up — 1-file
         # triggers measured 8x the per-batch machinery (source listing
@@ -201,6 +203,14 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             .option("maxFilesPerTrigger", 2)
             .parquet(landing)
         )
+        # r15: drains whose output cannot depend on the trailing
+        # watermark-only micro-batch (inner join: emits on match) skip
+        # it — same knob as the suite's _drain_conf(no_data_batches=
+        # False); restored right after the drain
+        if not no_data_batches:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         q = (
             build(src)
             .writeStream.format("noop")
@@ -211,6 +221,10 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         )
         t0 = time.perf_counter()
         q.awaitTermination()
+        if not no_data_batches:
+            spark.conf.unset(
+                "spark.sql.streaming.noDataMicroBatches.enabled"
+            )
         times[name] = round(time.perf_counter() - t0, 3)
         detail[name] = _progress_detail(q)
         print(
@@ -273,7 +287,10 @@ def _stream_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             ),
             "update",
         )
-        run("stream_stream_join", stream_stream_join, "append")
+        run(
+            "stream_stream_join", stream_stream_join, "append",
+            no_data_batches=False,  # inner join: trailing batch emits 0 rows
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         for _k, _v in _ss_old.items():
@@ -526,6 +543,60 @@ def main() -> None:
                 file=sys.stderr, flush=True,
             )
 
+    # dedup_keep_best per-stage decomposition (r14-verdict ask #2: the
+    # entry was the only flat top-20 member and nobody had split its
+    # wall into LSH-pair feed vs label propagation vs the keep-policy
+    # join+window). Three stage walls from a comparable heap, none
+    # added to `times` (they re-run work the timed entry already paid):
+    #   lsh_pairs_s   — minhash_lsh_pairs alone (candidate gen + exact
+    #                   Jaccard verify), the shared feed
+    #   groups_s      — + dedup_groups label propagation (the
+    #                   iterative min-label loop; increment over
+    #                   lsh_pairs_s is the propagation cost)
+    #   full_entry_s  — the whole entry (adds the corpus left join +
+    #                   keep-policy window)
+    keepbest_stage_s: dict[str, float] = {}
+    if not stream_only:
+        try:
+            from boostdb_spark.operators import dedup as _dd2
+            from boostdb_spark.session import load_tables as _lt2
+
+            _docs = _lt2(spark, sf_dir)["documents"]
+
+            def _kb_pairs():
+                return _dd2.minhash_lsh_pairs(
+                    _docs, threshold=0.8, num_hashes=48, bands=16, n=3
+                )
+
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            _kb_pairs().write.mode("overwrite").format("noop").save()
+            keepbest_stage_s["lsh_pairs_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            _dd2.dedup_groups(_kb_pairs()).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            keepbest_stage_s["groups_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            registry["dedup_keep_best"](spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            keepbest_stage_s["full_entry_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(
+                f"  keep_best stages: {keepbest_stage_s}",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as exc:  # pragma: no cover - diagnostic only
+            keepbest_stage_s["error"] = repr(exc)[:200]
+            print(
+                f"  keep_best stages FAILED (record continues): {exc!r}",
+                file=sys.stderr, flush=True,
+            )
+
     stream_times, stream_detail = _stream_benchmarks(spark, sf_dir)
     times.update(stream_times)
     # suite entries that drain multiple internal queries (rollup parity's
@@ -607,6 +678,7 @@ def main() -> None:
         "posture": _posture(spark),
         "isolated_rerun": isolated,
         "semdedup_stage_s": semdedup_stage_s,
+        "keepbest_stage_s": keepbest_stage_s,
         "stream_floor_s": times.get("stream_passthrough_floor"),
         "stream_commit_total_ms": stream_commit_total_ms,
         "stream_join_detail": stream_join_detail,

@@ -331,27 +331,37 @@ def keep_best(
     quality one. Ungrouped documents form singleton groups (their own
     id) and are always kept.
 
-    Shape: component labels from the pair graph (bounded label
-    propagation), one left join onto the corpus, one window over
-    group_id — singleton groups are unique keys, so the window shuffle
-    has no hot partitions."""
+    Shape (r15): component labels from the pair graph (bounded label
+    propagation), then the keep-policy window runs over GROUP MEMBERS
+    ONLY — a pair-bounded set, never the corpus. Singletons (the vast
+    majority of a real corpus) are split off with an anti join and
+    emitted directly as keep=true without ever entering the window
+    shuffle+sort: the old single left-join+window shape sorted the
+    ENTIRE corpus by group_id to rank groups of size 1, which at 100 TB
+    is a full-corpus exchange for zero decisions. Results are
+    row-identical: a singleton group's row_number is always 1."""
     from pyspark.sql import Window
 
     groups = no_broadcast(dedup_groups(pairs))
     scored = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
     )
-    g = scored.join(groups, "doc_id", "left").withColumn(
-        "group_id", F.coalesce(F.col("group_id"), F.col("doc_id"))
-    )
+    members = scored.join(groups, "doc_id")
     w = Window.partitionBy("group_id").orderBy(
         F.col("_score").desc(), F.col("doc_id").asc()
     )
-    return (
-        g.withColumn("_rn", F.row_number().over(w))
-        .withColumn("keep", F.col("_rn") == 1)
-        .select("doc_id", "group_id", "keep")
+    ranked = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id", "group_id", (F.col("_rn") == 1).alias("keep")
+        )
     )
+    singles = scored.join(groups, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("group_id"),
+        F.lit(True).alias("keep"),
+    )
+    return ranked.unionByName(singles)
 
 
 def edit_distance_pairs(
@@ -460,16 +470,30 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     the alternating large-star/small-star variant halves rounds; not
     needed for dedup-shaped cluster graphs.) Only documents appearing
     in some pair are returned — singletons are their own group."""
+    # NOTE on the two-direction union: its branches are separate plan
+    # subtrees, but the expensive upstream (the LSH candidate/verify
+    # aggregation exchanges) is deduplicated by ReuseExchange — the r15
+    # structural probe measured 453 vs 444 tasks with/without an extra
+    # eager pair checkpoint here, so the checkpoint-the-feed variant
+    # was measured and REJECTED (it adds a barrier job + storage for
+    # ~2% of the tasks).
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # both directions; id_a < id_b in the input, so no duplicate edges
     edges = no_broadcast(e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False))
+    # ONE driver-synchronous job per round (r15): the label table is
+    # LAZILY checkpointed and the convergence sum's collect is the job
+    # that materializes it — the old eager-checkpoint-then-sum pair was
+    # 2 barrier jobs per round, and at bench SF the loop's wall IS the
+    # per-job floor (the propagation compute is trivial next to it; at
+    # corpus scale the job count is unchanged while per-round work
+    # grows, so this subtracts pure overhead at every scale).
     labels = no_broadcast(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -488,7 +512,7 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev:
@@ -572,6 +596,18 @@ def minhash_signature(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
+    return _minhash_sig_from_shingles(sh, num_hashes)
+
+
+def _minhash_sig_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sh) -> (id, sig): the MinHash aggregation over a shingle
+    table. MinHash is a function of the shingle SET (min over
+    duplicates is the min), so callers that already hold the DISTINCT
+    per-doc shingle table (minhash_lsh_pairs' verify side,
+    build_dedup_index) feed it here and the corpus is tokenized,
+    shingled and hash32'd ONCE instead of once per consumer (r15 —
+    the signature branch used to re-scan the text in parallel with
+    the checkpointed verify table)."""
     base = sh.select("id", hash32(F.col("sh")).alias("_h"))
     # affine coefficients from the same md5-derived generator, so the
     # whole family is seedless and engine-reproducible
@@ -754,7 +790,18 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, num_hashes, n, text_col, id_col)
+    # ONE corpus shingle pass (r15): the distinct shingle table is
+    # needed anyway for exact verification (checkpointed below), and
+    # MinHash is a set function — deriving the signatures FROM it
+    # instead of re-tokenizing/re-shingling/re-hash32-ing the text in a
+    # parallel branch removes the second full text pass of this
+    # operator (and of every LSH-fed consumer: dedup_groups,
+    # keep_best, pipeline_curate). Signatures are bit-identical: min
+    # over distinct shingles == min over all occurrences.
+    ds = no_broadcast(
+        checkpoint_corpus(_doc_shingles(df, id_col, text_col, n))
+    )
+    sig = _minhash_sig_from_shingles(ds, num_hashes)
     # band index is a PLAN-TIME constant, so the per-band structs are a
     # literal array of codegen'd projections — never the interpreted
     # higher-order-function path a transform() lambda would take
@@ -794,12 +841,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verification of candidates only; shingle set materialized
-    # once (feeds sizes and both join sides — 3 subplans) via
-    # localCheckpoint, GC-cleaned rather than leaking cached blocks
-    ds = no_broadcast(
-        checkpoint_corpus(_doc_shingles(df, id_col, text_col, n))
-    )
+    # exact verification of candidates only; the shingle table above is
+    # materialized once and feeds signatures, sizes and both join sides
     sizes = ds.groupBy("id").agg(F.count("*").alias("sz"))
     a = ds.withColumnsRenamed({"id": "id_a"})
     b = ds.withColumnsRenamed({"id": "id_b"})

@@ -735,6 +735,15 @@ def ivf_range_search(
     scored = _ivf_scored(
         queries, corpus, n_centroids, n_probe, id_col, vec_col,
         centroids, index,
+        # once=True: cos is both FILTERED on (the tau threshold below)
+        # and EMITTED — without the non-determinism pin the optimizer
+        # copies the Arrow fold into the pushed-down filter and every
+        # IVF candidate pays the scoring UDF twice (guide §4.4; the
+        # exact twin cosine_range_search got this pin in r14, this IVF
+        # path was the r15 sweep's remaining true positive —
+        # ann_range_certified showed ArrowEvalPython/Filter/
+        # ArrowEvalPython with identical fold signatures in both legs)
+        once=True,
     )
     return scored.filter(F.col("cos") >= tau)
 
@@ -748,11 +757,14 @@ def _ivf_scored(
     vec_col: str,
     centroids: list[tuple[int, list[float]]] | None,
     index: DataFrame | None,
+    once: bool = False,
 ) -> DataFrame:
     """Shared IVF candidate generation + exact scoring: assign queries
     to n_probe lists, equi-join the inverted file, score each candidate
-    with the exact fold_dot cosine. Consumers cut top-k (window) or
-    threshold (filter)."""
+    with the exact fold_dot cosine. Consumers cut top-k (window — no
+    filter on cos, leave ``once`` off so unrelated predicates keep
+    pushing) or threshold (filter on cos — pass ``once=True``, see
+    fold_dot §4.4 note)."""
     q = _with_norm(queries, id_col, vec_col, "query_id", "qv")
     if index is not None:
         if centroids is None:
@@ -786,7 +798,7 @@ def _ivf_scored(
         .select(
             "query_id",
             "match_id",
-            (fold_dot(F.col("qv"), F.col("cv"))
+            (fold_dot(F.col("qv"), F.col("cv"), once=once)
              / (F.col("qv_nrm") * F.col("cv_nrm"))).alias("cos"),
         )
         # no dedup needed: each corpus vector lives in exactly one list,

@@ -2146,7 +2146,13 @@ def theilsen_trend(
     outlier-resistant alternative to least squares (up to ~29%
     contamination tolerated vs 0 for OLS; Theil 1950 / Sen 1968).
     Returns (series, bucket, n, slope) with slope in value-units per
-    second; buckets with fewer than 2 points are dropped.
+    second; buckets with fewer than 2 points are dropped. Points with
+    a NULL timestamp or NULL value are dropped up front (a pair
+    containing one can never contribute a slope — the engine-expression
+    form omitted those pairs via isNotNull/try_divide, and the Arrow
+    UDF must never see them: NaN would poison the slope median and a
+    NULL ns timestamp has no exact int64 form); ``n`` counts the
+    non-null points the estimate actually used.
 
     The estimator is quadratic in points-per-bucket BY DEFINITION, so
     the bucket is the scale contract: points per (series, bucket) are
@@ -2160,6 +2166,11 @@ def theilsen_trend(
     (no averaging), so both engines agree bitwise."""
     t, v = F.col(ts_col), F.col(value_col)
     b = time_bucket(df, bucket_seconds, ts_col=ts_col)
+    # NULL-omit (r14 advisor): drop null-t/null-v points BEFORE the
+    # per-bucket collect — exactly the pairs the old expression path
+    # omitted, enforced where it costs one codegen'd filter instead of
+    # per-pair masking inside the numpy kernel
+    b = b.filter(t.isNotNull() & v.isNotNull())
     per = b.groupBy(*series_cols, "bucket").agg(
         F.sort_array(
             F.collect_list(F.struct(t.alias("t"), v.alias("v")))

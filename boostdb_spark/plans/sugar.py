@@ -3184,12 +3184,21 @@ def _window_exclude(func, xc, wref, wspec, wnoframe, agg_map):
     if func == "count":
         return excl_cnt
     sum_full = F.sum(xc).over(wspec)
-    excl_sum = F.when(
-        excl_cnt > 0, sum_full - F.coalesce(sub_sum, F.lit(0))
-    )
     if func == "sum":
-        return excl_sum
-    return excl_sum / excl_cnt  # avg: NULL when the exclusion empties
+        return F.when(
+            excl_cnt > 0, sum_full - F.coalesce(sub_sum, F.lit(0))
+        )
+    # avg: NULL when the exclusion empties. try_divide (NULL on a zero
+    # divisor — same IEEE division otherwise) instead of
+    # when(excl_cnt > 0, ...) / excl_cnt: Spark does NOT dedup window
+    # aggregate expressions when building the physical Window node, so
+    # the guard form embedded a second sliding buffer for every
+    # aggregate inside excl_cnt (r14 window-buffer sweep: 6 buffers on
+    # the EXCLUDE TIES node where 4 distinct aggregates suffice). Each
+    # window aggregate now appears exactly once in the expression tree.
+    return F.try_divide(
+        sum_full - F.coalesce(sub_sum, F.lit(0)), excl_cnt
+    )
 
 
 #: statistical aggregate lowering map (canonical name -> Spark native)

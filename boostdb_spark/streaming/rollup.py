@@ -60,6 +60,12 @@ def continuous_rollup(
     )
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # NOTE (r15, measured and REJECTED): coalesce(1) before this
+        # write — one file instead of up to N per (win_start, keys)
+        # dir — read 2.2-2.3 s/batch -> 2.8-3.2 s/batch in interleaved
+        # A/B: the parallel parquet encoding across tasks outweighs the
+        # halved FS commit ops at every batch size this sink's bounded-
+        # key contract allows. Left parallel.
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -113,7 +119,13 @@ def continuous_rollup_merged(
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # LAZY checkpoint + let the bounds collect materialize it: the
+        # eager-checkpoint-then-agg pair was 2 driver-synchronous jobs
+        # per batch for one materialization (r15, same fusion as
+        # operators/dedup.py::dedup_groups); the batch stays protected
+        # from the read-modify-write hazard below because the bounds
+        # job persists it before the overwrite job runs.
+        batch_df = batch_df.localCheckpoint(eager=False)
         # replaceWhere-style bounds: ONE scalar row of driver traffic
         # regardless of how many windows the batch touched (a distinct
         # win_start collect would be O(windows) per batch). Windows

@@ -130,72 +130,66 @@ def _q(name: str, oracle: str | None):
 # agg_approx_count_distinct / agg_approx_quantiles are oracle-less
 # (approx by design) with driver-green history — below the fold.
 _WINDOW: tuple[str, ...] = (
-    # ROUND-14 window (r13-verdict ask #1): CHANGED CODE FIRST — the
-    # r13 catches #4/#5/#6 re-banded the dedup cohort and re-fed the
-    # policy consumers AFTER their last driver checks, so those entries
-    # lead, together with this round's changed streaming landing
-    # builders (sleep->utime) and the never-driver-checked entries;
-    # then the standing canaries and the stalest re-cert vintage (the
-    # full r7 remainder, then the r8 cohort head in name order).
-    # --- never driver-certified (new r14 surface + r13 stragglers) ---
-    "txt_bpe_certified",        # trainer==sequential-reference cert
-    "ts_bollinger_wide",        # prefix-difference sliding inversion
-    "dialect_stats_agg",        # added r13 below the fold; zero rows
-    # --- r13-changed dedup cohort (re-banded / re-fed; catches #4-6) ---
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental",
-    "dedup_groups", "dedup_keep_best", "pipeline_curate",
-    "dedup_semantic",
-    # --- r14-changed code paths (landing utime stamps; per-drain
-    # attribution; bollinger decomposition) ---
-    "stream_join_parity", "stream_session_parity",
-    "stream_sliding_parity", "stream_ewma_parity",
-    "stream_locf_parity", "ts_bollinger", "ts_zscore_anomaly",
+    # ROUND-15 window (r14-verdict ask #1): CHANGED CODE FIRST — the
+    # r14 mid-round optimizations (theilsen numpy UDF, knn/range/PQ/LSH
+    # §4.4 fixes, ANN certificate checkpoints, the state-partition
+    # drains outside the r14 window) could not enter the window rotated
+    # at r14 open, so they lead now, together with everything THIS
+    # round touches (keep_best/groups restructure, frame-exclude
+    # buffer dedup, streaming drain changes); then the standing
+    # canaries and the stalest re-cert vintage (the r8 remainder from
+    # the r14 rotation-prep queue).
+    # --- r14-changed code paths, never re-certified since the change ---
+    "ts_theilsen_trend",        # numpy median-slope UDF (+ r15 null fix)
+    "emb_knn_graph",            # half-pair scoring + explode mirror
+    "emb_range_search",         # §4.4 once=True fold
+    "ann_pq_topk",              # §4.4 asNondeterministic adist
+    "ann_lsh_topk",             # §4.4 asNondeterministic buckets
+    "ann_recall_certified",     # probe localCheckpoint legs
+    "ann_append_certified",     # corpus rebuild DISK_ONLY checkpoint
+    "stream_ann_ingest_parity", # encode-side checkpoint + state parts
+    "stream_batch_parity", "stream_cascade_parity",
+    "stream_retention_parity", "stream_dedup_parity",
+    # --- r15-changed code paths ---
+    "dedup_keep_best",          # members-only policy window + 1-job loop
+    "dedup_groups",             # pair-feed checkpoint + 1-job loop
+    "dialect_frame_exclude",    # EXCLUDE TIES avg buffer dedup (6->4)
+    "stream_rollup_parity",     # sink file sizing per batch
+    "stream_join_parity", "stream_outer_join_parity",  # drain machinery
     # --- standing canaries (green every round) ---
     "flagship_series_scan",   # scan + dialect front + implicit range
     "dialect_params",         # placeholder binding
     "agg_groupby_q1",         # grouped aggregation
     "ts_irate",               # time-series functions
     "dedup_exact",            # dedup family
-    # --- re-certification: ROUND-7 remainder, the stalest cohort
-    # (pipeline_curate and stream_outer_join_parity already above via
-    # the changed cohorts) ---
-    "doc_pack_tokens", "doc_sample_det", "doc_shuffle_det",
-    "emb_abtt_certified", "emb_centroid", "emb_cosine_topk",
-    "emb_pca_certified", "emb_whiten", "join_dims", "join_inner",
-    "join_left_outer", "join_range", "join_semi",
-    "orderby_limit_topk", "scalar_functions",
-    "seriesfamily_roundtrip", "setop_union",
-    "stream_outer_join_parity", "stream_upsert_parity",
-    "ts_cusum_changepoint", "ts_ohlc", "window_counter_increase",
-    # --- re-certification: ROUND-8 cohort head, name order (the
-    # dedup_* members of r8 already lead via the changed cohort) ---
-    "agg_funnel", "agg_grouping_fn", "agg_q14_promo_share",
-    "agg_q3_topk", "agg_retention_cohort",
-    # --- r14-changed code path (asof nearest-branch carry
-    # materialization; backward/forward plans untouched) ---
-    "asof_join_nearest",
-    # ROUND-15 ROTATION PREP — r8 remainder queued next:
-    # agg_unpivot, dedup_containment, dedup_decontaminate,
-    # dedup_ngram_jaccard, dedup_ngram_jaccard_capped,
-    # dialect_asof_join, dialect_group_all, dialect_join_theta,
-    # dialect_nulls_order, dialect_qualify, dialect_select_star,
-    # dialect_using, distinct_series, pipeline_hybrid_rrf,
-    # scan_hive_partition_prune, scan_schema_evolution,
-    # scan_snapshot_apply, stream_ann_ingest_parity,
-    # stream_retention_parity, subquery_exists, time_bucket_agg,
-    # ts_histogram_quantile, ts_interp_align, ts_m4_downsample,
-    # ts_theilsen_trend, txt_bm25_topk, txt_redact_pii, txt_tfidf_topk,
-    # udaf_grouped_range, where_ops, window_moving_avg,
-    # window_navigation, window_rank_ntile, window_running_sum,
-    # window_session_agg, window_sliding_agg; then ROUND-9 name order.
+    # --- re-certification: ROUND-8 remainder (the r14 rotation-prep
+    # queue, minus the entries promoted to the changed cohorts above) ---
+    "agg_unpivot", "dedup_containment", "dedup_decontaminate",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dialect_asof_join", "dialect_group_all", "dialect_join_theta",
+    "dialect_nulls_order", "dialect_qualify", "dialect_select_star",
+    "dialect_using", "distinct_series", "pipeline_hybrid_rrf",
+    "scan_hive_partition_prune", "scan_schema_evolution",
+    "scan_snapshot_apply", "subquery_exists", "time_bucket_agg",
+    "ts_histogram_quantile", "ts_interp_align", "ts_m4_downsample",
+    "txt_bm25_topk", "txt_redact_pii", "txt_tfidf_topk",
+    "udaf_grouped_range", "where_ops",
+    # ROUND-16 ROTATION PREP — r8 remainder tail queued next:
+    # window_moving_avg, window_navigation, window_rank_ntile,
+    # window_running_sum, window_session_agg, window_sliding_agg;
+    # then ROUND-9 cohort in name order.
 )
 
 #: window entries the driver checks ROWS-ONLY (no SQL oracle by
-#: design). EMPTY again in round 14: all 50 slots (the changed r13/r14
-#: code paths, 2 never-certified entries, 5 canaries, the r7
-#: remainder, the r8 cohort head) are oracle-paired — hard hash
-#: signal, no wasted slots (pinned by tests/test_suite_oracle.py).
-_ROWS_ONLY_WINDOWED: frozenset[str] = frozenset()
+#: design). Round 15: the two oracle-less ANN probes changed in r14
+#: (§4.4 asNondeterministic fixes) ride rows-only per the r14-verdict
+#: "changed code first" ask; their hash-gated certificate siblings
+#: (ann_recall_certified / ann_append_certified) are in the same
+#: window, which is the strong signal for the same code paths
+#: (pinned by tests/test_suite_oracle.py).
+_ROWS_ONLY_WINDOWED: frozenset[str] = frozenset(
+    {"ann_pq_topk", "ann_lsh_topk"}
+)
 
 
 def _ordered(d: dict) -> dict:
@@ -6112,6 +6106,19 @@ def dialect_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_LANDING: dict = {}
 
+#: landing-path -> parquet schema (r15): every streaming entry needs
+#: its landing's schema for readStream, and `spark.read.parquet(..)
+#: .schema` is a footer-listing driver job paid INSIDE the timed entry
+#: — the landings are immutable session fixtures (same lifetime as
+#: _STREAM_LANDING), so one footer read per landing is the honest cost
+_LANDING_SCHEMA: dict = {}
+
+
+def _landing_schema(spark: SparkSession, path: str):
+    if path not in _LANDING_SCHEMA:
+        _LANDING_SCHEMA[path] = spark.read.parquet(path).schema
+    return _LANDING_SCHEMA[path]
+
 
 def _write_landing_slices(parts, landing) -> None:
     """Write each time-slice as one file under its own subdir and stamp
@@ -6188,7 +6195,9 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-def _state_partitions(landing: str | None) -> str:
+def _state_partitions(
+    landing: str | None, cores: int | None = None
+) -> str | None:
     """Scale-adaptive streaming STATE partition count (optimization
     guide §2: derive partitioning from input size, never a constant
     tuned to one scale). Stateful streaming plans take
@@ -6203,15 +6212,46 @@ def _state_partitions(landing: str | None) -> str:
     ~4x what the MB-sized bench replays need — and at 100 TB a fixed 8
     would cram corpus-scaled state into 8 stores. Sizing: ~64 MB of
     replay input per state partition, floor 2 (the multi-partition
-    commit/merge path stays exercised at every SF), cap 200 per drain.
+    commit/merge path stays exercised at every SF), cap 2x the
+    session's cores (``cores=``, normally
+    ``sparkContext.defaultParallelism`` = total executor cores).
+
+    WHY the cap keys off cores (r15 sf1 probe, r14-verdict ask #5): a
+    stateful drain instantiates (partitions x stateful-operator
+    stores) RocksDB instances per host core pool, and the per-HOST
+    instance count — not the data — is the cost cliff. Measured on the
+    2M-row sf1 join drain (32 cores, 4 join-state stores): forced 50
+    partitions (200 instances) = wall parity with auto [13.5-14.4 s vs
+    12.4-14.4 s, commits fully overlapped by cores]; forced 200
+    partitions (800 instances) = wall 110-168 s, 8-12x, with
+    cumulative commit time 2,300-3,600 s (instance load + fsync
+    thrash). 2x cores x ~4 stores = ~8 instances per core, inside the
+    measured-safe regime on every tier; a cluster inherits the cap
+    from its real core count via defaultParallelism.
     ``SPARK_GRAFT_STATE_PARTITIONS`` overrides for cluster tuning
     (size to the real retained state, not the replay, when the two
-    diverge). Results are partition-count-invariant — this knob moves
-    only physical parallelism and commit count."""
+    diverge). Returns ``None`` (= leave the session's
+    shuffle.partitions untouched) when the landing is non-empty but no
+    parquet bytes are locally visible — a non-local URI must inherit
+    the cluster-sized session posture, not the floor. Results are
+    partition-count-invariant — this knob moves only physical
+    parallelism and commit count."""
     import os as _os
+    import sys as _sys
 
     env = _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
     if env:
+        # validate up front (r14 advisor): a non-numeric override used
+        # to surface only later inside spark.conf.set, far from its
+        # cause
+        try:
+            if int(env) <= 0:
+                raise ValueError(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STATE_PARTITIONS must be a positive "
+                f"integer, got {env!r}"
+            ) from None
         return env
     total = 0
     if landing:
@@ -6222,7 +6262,23 @@ def _state_partitions(landing: str | None) -> str:
                         total += _os.path.getsize(_os.path.join(root, fn))
                     except OSError:
                         pass
-    return str(max(2, min(200, -(-total // (64 << 20)))))
+    if landing and total == 0:
+        # Non-local / unreadable landing (e.g. an object-store URI the
+        # local walk cannot see) — flooring to 2 here would cram
+        # cluster-scale state into 2 stores (r14 advisor). Returning
+        # None keeps the SESSION's shuffle.partitions (cluster-sized
+        # posture) instead of guessing.
+        print(
+            f"_state_partitions: no local parquet bytes under "
+            f"{landing!r}; leaving session shuffle.partitions in place "
+            "(set SPARK_GRAFT_STATE_PARTITIONS to size state stores "
+            "explicitly)",
+            file=_sys.stderr,
+        )
+        return None
+    if cores is None:
+        cores = int(_os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    return str(max(2, min(2 * cores, -(-total // (64 << 20)))))
 
 
 class _drain_conf:
@@ -6233,13 +6289,26 @@ class _drain_conf:
     takes). Restore in finally so batch entries keep the session
     defaults. ``landing=`` sizes the state partitions to the drain's
     replay volume (:func:`_state_partitions`); explicit ``partitions=``
-    wins when a caller knows better."""
+    wins when a caller knows better.
+
+    ``no_data_batches=False`` (r15) disables the engine's trailing
+    no-data micro-batch for drains whose OUTPUT it cannot change: an
+    availableNow drain runs one extra empty batch after the last file
+    purely to advance the watermark — that batch pays full per-batch
+    planning + a commit of every state store (the r15 open record
+    clocked it at 0.7-1.1 s on the join drains) and matters only to
+    queries that EMIT on watermark passage (append-mode windowed aggs,
+    outer-join NULL extension). For inner joins (emit on match) and
+    never-finalizing update-mode rollups it is pure overhead. Callers
+    must leave it True wherever the final watermark flush produces
+    rows."""
 
     _KEYS = (
         "spark.sql.shuffle.partitions",
         "spark.sql.streaming.stateStore.providerClass",
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled",
+        "spark.sql.streaming.noDataMicroBatches.enabled",
     )
 
     def __init__(
@@ -6247,11 +6316,23 @@ class _drain_conf:
         spark: SparkSession,
         partitions: str | None = None,
         landing: str | None = None,
+        no_data_batches: bool = True,
     ):
         self.spark = spark
         if partitions is None:
-            partitions = _state_partitions(landing)
-        self.vals = (partitions, _ROCKSDB_PROVIDER, "true")
+            partitions = _state_partitions(
+                landing, cores=spark.sparkContext.defaultParallelism
+            )
+        # partitions may STILL be None (non-local landing, see
+        # _state_partitions): leave the session's shuffle.partitions
+        # untouched in that case. noDataMicroBatches is only SET when a
+        # caller opts out (None = leave the engine default).
+        self.vals = (
+            partitions,
+            _ROCKSDB_PROVIDER,
+            "true",
+            None if no_data_batches else "false",
+        )
 
     def __enter__(self):
         self.old = []
@@ -6260,11 +6341,14 @@ class _drain_conf:
                 self.old.append(self.spark.conf.get(k))
             except Exception:
                 self.old.append(None)
-            self.spark.conf.set(k, v)
+            if v is not None:
+                self.spark.conf.set(k, v)
         return self
 
     def __exit__(self, *exc):
-        for k, v in zip(self._KEYS, self.old):
+        for k, v, new in zip(self._KEYS, self.old, self.vals):
+            if new is None:
+                continue  # never set, nothing to restore
             if v is None:
                 self.spark.conf.unset(k)
             else:
@@ -6323,7 +6407,7 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     landing = _events_landing(spark, sf_dir)
-    schema = spark.read.parquet(landing).schema
+    schema = _landing_schema(spark, landing)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -6394,7 +6478,7 @@ def stream_cascade_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir, "cascade")
     landing = _events_landing(spark, sf_dir)
-    schema = spark.read.parquet(landing).schema
+    schema = _landing_schema(spark, landing)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
@@ -6494,7 +6578,7 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     landing = _events_landing(spark, sf_dir)
-    schema = spark.read.parquet(landing).schema
+    schema = _landing_schema(spark, landing)
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
@@ -6512,7 +6596,12 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own landing replay only.
     running = []
     _t0 = _time.perf_counter()
-    with _drain_conf(spark, landing=landing):
+    # no_data_batches=False: the rollup never finalizes (3650-day
+    # watermark) and update mode emits only on data — the trailing
+    # watermark-only batch writes nothing to either sink table, while
+    # paying a full plan + state commit per variant (oracle re-verified
+    # at sf0.001/0.01/0.1)
+    with _drain_conf(spark, landing=landing, no_data_batches=False):
         for variant, runner in (
             ("partitioned", continuous_rollup),
             ("merged", continuous_rollup_merged),
@@ -6604,7 +6693,7 @@ def stream_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         landing = session_tmpdir(prefix="boost_suite_singest_")
         src.repartition(4).write.mode("overwrite").parquet(landing)
         sdf = (
-            spark.readStream.schema(spark.read.parquet(landing).schema)
+            spark.readStream.schema(_landing_schema(spark, landing))
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
@@ -6859,7 +6948,7 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_landing_slices(parts, landing)
         _STREAM_LANDING[key] = landing
     landing = _STREAM_LANDING[key]
-    schema = spark.read.parquet(os.path.join(landing, "f0")).schema
+    schema = _landing_schema(spark, os.path.join(landing, "f0"))
 
     def stream():
         return (
@@ -6886,7 +6975,13 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_join_{abs(hash(key)) % 10**9}"
     import time as _time2
 
-    with _drain_conf(spark, landing=landing):
+    # no_data_batches=False: an INNER stream-stream join emits only on
+    # match, during data batches — the trailing watermark-only batch
+    # evicts state but cannot add or remove output rows, and it costs a
+    # full per-batch plan + state commit (oracle re-verified at
+    # sf0.001/0.01/0.1; the outer-join sibling KEEPS the trailing
+    # batch, its NULL extension emits there)
+    with _drain_conf(spark, landing=landing, no_data_batches=False):
         _t0 = _time2.perf_counter()
         q = (
             joined.writeStream.format("memory")
@@ -6979,7 +7074,7 @@ def stream_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_landing_slices(parts, landing)
         _STREAM_LANDING[key] = landing
     landing = _STREAM_LANDING[key]
-    schema = spark.read.parquet(os.path.join(landing, "f0")).schema
+    schema = _landing_schema(spark, os.path.join(landing, "f0"))
 
     def stream():
         return (
@@ -7073,7 +7168,7 @@ def stream_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         src0.repartition(4).write.mode("overwrite").parquet(landing)
         _STREAM_LANDING[key] = landing
     landing = _STREAM_LANDING[key]
-    schema = spark.read.parquet(landing).schema
+    schema = _landing_schema(spark, landing)
     sdf = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -7147,7 +7242,7 @@ def stream_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(landing)
         _STREAM_LANDING[key] = landing
     landing = _STREAM_LANDING[key]
-    schema = spark.read.parquet(landing).schema
+    schema = _landing_schema(spark, landing)
     work = session_tmpdir(prefix="boost_sret_state_")
     f_state = os.path.join(work, "first_touch")
     a_state = os.path.join(work, "activity")
@@ -7262,7 +7357,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.union(ev).repartition(4).write.mode("overwrite").parquet(landing)
         _STREAM_LANDING[key] = landing
     landing = _STREAM_LANDING[key]
-    schema = spark.read.parquet(landing).schema
+    schema = _landing_schema(spark, landing)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -651,6 +651,36 @@ def test_zscore_window_buffer_count_pinned(spark):
     assert 0 < len(agg_refs) <= 3, (len(agg_refs), args)
 
 
+def test_frame_exclude_window_buffer_count_pinned(spark):
+    """r14 sweep deferral, fixed r15: the EXCLUDE TIES avg lowering
+    embedded its excl_cnt aggregates twice (once in the NULL guard,
+    once as the divisor) — 6 buffers on that Window node where the 4
+    distinct aggregates (full-frame sum/count + peer-group sum/count)
+    are the floor; the try_divide form uses each aggregate once. The
+    EXCLUDE CURRENT ROW node's floor is likewise 4 (frame sum/count +
+    the two min sibling frames)."""
+    import re
+
+    p = _plan(spark, "dialect_frame_exclude")
+    per_node = []
+    for seg in p.split("\n\n"):
+        lines = seg.strip().splitlines()
+        if not lines:
+            continue
+        for i, ln in enumerate(lines):
+            if re.match(r"\(\d+\) Window", ln):
+                block = "\n".join(lines[i:])
+                # count only up to the next node header
+                nxt = re.search(r"\n\(\d+\) ", block)
+                if nxt:
+                    block = block[: nxt.start()]
+                per_node.append(
+                    len(re.findall(r"windowspecdefinition", block))
+                )
+    assert per_node, p[:800]
+    assert all(0 < c <= 4 for c in per_node), (per_node, p[:800])
+
+
 def test_asof_nearest_window_buffer_count_pinned(spark):
     """The nearest-direction carry tree referenced the two window
     carries 5x (+1 per payload getField) — 16 buffers pre-r14; the

@@ -515,10 +515,16 @@ def test_state_partitions_scale_with_replay_volume(tmp_path, monkeypatch):
     100 TB. Env override wins for cluster tuning."""
     from boostdb_spark.suite import _state_partitions
 
+    import pytest
+
     monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
-    # empty / missing landing -> floor
+    # no landing given -> floor
     assert _state_partitions(None) == "2"
-    assert _state_partitions(str(tmp_path)) == "2"
+    # landing given but ZERO locally visible parquet bytes (empty dir,
+    # object-store URI, unreadable path) -> None = keep the session's
+    # cluster-sized shuffle.partitions, never the floor (r14 advisor)
+    assert _state_partitions(str(tmp_path)) is None
+    assert _state_partitions("s3://bucket/landing") is None
     # ~130 MB of parquet bytes -> ceil(130/64) = 3 partitions
     (tmp_path / "a.parquet").write_bytes(b"\0" * (65 << 20))
     (tmp_path / "b.parquet").write_bytes(b"\0" * (65 << 20))
@@ -526,9 +532,27 @@ def test_state_partitions_scale_with_replay_volume(tmp_path, monkeypatch):
     # non-parquet files are ignored
     (tmp_path / "c.crc").write_bytes(b"\0" * (500 << 20))
     assert _state_partitions(str(tmp_path)) == "3"
-    # cap at 200
+    # the cap keys off cores (r15 sf1 probe: the per-HOST state-store
+    # instance count is the cost cliff — 200 instances = wall parity,
+    # 800 = 8-12x wall; 2x cores x ~4 stores/drain stays in the
+    # measured-safe regime): a sparse 26 GB landing asks for ~416
+    # partitions but caps at 2*cores
+    import os as _os
+
+    big = tmp_path / "big.parquet"
+    with open(big, "wb") as f:
+        f.truncate(26 << 30)  # sparse: logical 26 GB, ~0 disk
+    assert _state_partitions(str(tmp_path), cores=32) == "64"
+    assert _state_partitions(str(tmp_path), cores=8) == "16"
+    _os.unlink(big)
+    # env override wins and is validated up front (r14 advisor: a bad
+    # value used to surface only later inside spark.conf.set)
     monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "48")
     assert _state_partitions(str(tmp_path)) == "48"
+    for bad in ("zero", "0", "-3", "1.5"):
+        monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", bad)
+        with pytest.raises(ValueError, match="positive integer"):
+            _state_partitions(str(tmp_path))
 
 
 def test_upsert_bucketed_state_io_shape(spark, tmp_path):

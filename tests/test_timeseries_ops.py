@@ -899,6 +899,28 @@ def test_theilsen_duplicate_timestamps(spark):
     assert out["a"].n == 4
 
 
+def test_theilsen_null_points_omitted(spark):
+    """r14 advisor: NULL-t / NULL-v points must be omitted BEFORE
+    pairing (the engine-expression contract) — a NULL value must not
+    poison the slope median as NaN, and a NULL timestamp must not
+    crash the Arrow kernel's exact-int64 path. ``n`` counts the
+    non-null points actually used; a bucket left with < 2 valid points
+    drops."""
+    NS = 10**9
+    rows = [
+        ("a", 0 * NS, 0.0), ("a", 60 * NS, None), ("a", None, 999.0),
+        ("a", 120 * NS, 120.0),
+        ("b", 0 * NS, 1.0), ("b", None, 2.0),      # 1 valid point only
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r.series: r for r in ts_ops.theilsen_trend(
+        df, bucket_seconds=3600, series_cols=("series",)
+    ).collect()}
+    assert "b" not in out            # < 2 non-null points
+    assert out["a"].n == 2           # the two fully non-null points
+    assert out["a"].slope == 1.0     # (120-0)/(120-0)
+
+
 def test_bollinger_prefix_matches_frame_exactly(spark):
     """bollinger_bands_prefix (prefix-difference inversion) must be
     BIT-identical to the sliding-frame bollinger_bands — including

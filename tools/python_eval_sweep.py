@@ -27,6 +27,32 @@ filter, the PQ adist / LSH buckets posexplode inferred filters).
 Usage:
     python tools/python_eval_sweep.py
 Output: one line per offender; a `--` summary line at the end.
+
+ROUND-15 TRIAGE LEDGER (every current flag read and adjudicated; a new
+flag not on this list is untriaged and must be read before the next
+close):
+- ann_range_certified: WAS a true §4.4 positive — ivf_range_search's
+  tau filter re-evaluated the scoring fold below the projection in
+  BOTH certificate legs (ArrowEvalPython/Filter/ArrowEvalPython,
+  identical inputs). FIXED r15: fold_dot(once=True) through
+  _ivf_scored (plans/r15/ann_range_certified_{before,after}.txt,
+  4 -> 2 fold nodes). The residual x2 flags are the approx-vs-full
+  legs (n_probe 4 vs 16 — different computations, id-stripped
+  signatures collide): legitimate.
+- ann_append_certified x3: probe/drift legs over DIFFERENT slices
+  (train vs append) or parquet-backed sides — no corpus subtree
+  executes twice (r14 triage, plan unchanged r15): legitimate.
+- emb_mmr_rerank x1 / emb_abtt_certified x1: certificate legs re-score
+  pool-bounded frames (pool x k x 5 queries) in separate subtrees —
+  bounded work, not corpus-proportional: legitimate.
+- dedup_substring(_clean) / txt_ngram_novelty x1: the positioned-
+  shingle UDF on both sides of a self-join; the checkpoint-the-
+  shingles alternative was MEASURED in r14 (~15% local win) and
+  rejected — it materializes ~10x the text through disk, inverting at
+  scale: legitimate as-shipped.
+- udtf_tokenize 1 BatchEvalPython: the UDTF surface itself (eval is
+  per-row by Spark's contract; the high-volume path is mapInPandas):
+  legitimate.
 """
 
 from __future__ import annotations
@@ -66,6 +92,16 @@ def python_eval_nodes(df) -> list[tuple[str, str]]:
     return out
 
 
+def duplicated_signatures(nodes: list[tuple[str, str]]) -> set[str]:
+    """Signatures appearing on 2+ Python-eval nodes. Nodes whose plan
+    section carried no ``Arguments:`` line have an EMPTY signature —
+    two such unrelated nodes would compare equal, so they are excluded
+    from dup detection (r14 advisor catch) and surfaced separately by
+    main() instead."""
+    sigs = [s for _k, s in nodes if s]
+    return {s for s in sigs if sigs.count(s) > 1}
+
+
 def main() -> None:
     from boostdb_spark import suite
     from boostdb_spark.session import get_spark
@@ -80,8 +116,8 @@ def main() -> None:
             print(f"{name}: ERR {type(exc).__name__}", file=sys.stderr)
             continue
         batch = [k for k, _ in nodes if k == "BatchEvalPython"]
-        sigs = [s for k, s in nodes]
-        dups = {s for s in sigs if sigs.count(s) > 1}
+        dups = duplicated_signatures(nodes)
+        unsigned = sum(1 for _k, s in nodes if not s)
         if batch:
             print(f"{name}: {len(batch)} BatchEvalPython (pickled rows)")
             n_flagged += 1
@@ -89,6 +125,12 @@ def main() -> None:
             print(
                 f"{name}: duplicated python-eval x{len(dups)} "
                 f"({len(nodes)} nodes total)"
+            )
+            n_flagged += 1
+        if unsigned:
+            print(
+                f"{name}: {unsigned} python-eval node(s) without an "
+                "Arguments: line (signature unavailable; read the plan)"
             )
             n_flagged += 1
     print(f"-- {n_flagged} offenders", flush=True)
